@@ -1,0 +1,527 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{CleanFunctions => CF, TextFunctions => TF, VectorFunctions => VF}
+import graft.operators._
+
+/** One named demo query per implemented operator (SURVEY.md §2 inventory),
+  * each paired with a DuckDB-equivalent oracle where ANSI-SQL-expressible.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - double SUMs go through DECIMAL casts (exact, order-independent) and
+  *    come back as DOUBLE;
+  *  - every window/top-k has a total-order tiebreak;
+  *  - timestamps in outputs are formatted to strings (parquet physical-type
+  *    parity between engines);
+  *  - DuckDB `sum(int)` returns HUGEINT → always CAST to BIGINT.
+  */
+object Queries {
+
+  final case class Q(name: String,
+                     fn: (SparkSession, String) => DataFrame,
+                     oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts arrives as long nanos (nanosAsLong) — second-precision
+    * timestamp reconstruction via integer division (no double precision
+    * loss on ~1e18 nano values). */
+  private val eventsTs: Column = expr("timestamp_seconds(ts DIV 1000000000)")
+
+  // ---------------------------------------------------------------- q01
+  // A1-A3/F26 — pricing summary (hash agg with partial aggregation;
+  // filter + projection pushed to the parquet scan).
+  private val q01 = Q("q01_pricing_summary",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1997-06-30 23:59:59").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base_price"),
+          (sum(col("l_discount").cast(DecimalType(18, 6))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+            CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+            count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1997-06-30 23:59:59'
+            GROUP BY l_returnflag, l_linestatus"""))
+
+  // ---------------------------------------------------------------- q02
+  // O1/O3 — top-k (TakeOrderedAndProject: no full sort, no full shuffle).
+  private val q02 = Q("q02_top_orders",
+    (s, dir) => t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  // ---------------------------------------------------------------- q03
+  // P1/P2/P6/P7/P9/P10 — predicate stack pushed into the scan.
+  private val q03 = Q("q03_filter_project",
+    (s, dir) => t(s, dir, "customer")
+      .filter(col("c_acctbal").between(1000.0, 5000.0) &&
+        col("c_mktsegment").isin("BUILDING", "MACHINERY") &&
+        col("c_nationkey") =!= 3)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment")),
+    Some("""SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+            WHERE c_acctbal BETWEEN 1000.0 AND 5000.0
+              AND c_mktsegment IN ('BUILDING','MACHINERY')
+              AND c_nationkey <> 3"""))
+
+  // ---------------------------------------------------------------- q04/q05
+  // J2/J3 — semi/anti key validation.
+  private val q04 = Q("q04_semi_join",
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 200000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name")),
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)"""))
+
+  private val q05 = Q("q05_anti_join",
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 250000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name")),
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000.0)"""))
+
+  // ---------------------------------------------------------------- q06
+  // J1/A2 — star-schema revenue rollup; dims broadcast.
+  private val q06 = Q("q06_star_revenue",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT r_name, n_name,
+            CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+            count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name"""))
+
+  // ---------------------------------------------------------------- q07
+  // W1 — keep-first per key by explicit order.
+  private val q07 = Q("q07_keep_first",
+    (s, dir) => {
+      // l_linenumber is not unique per order in the synthetic data — build a
+      // total ingest order (the _ingest_id discipline from SURVEY.md §4).
+      val li = t(s, dir, "lineitem")
+        .withColumn("_ord", concat_ws(":",
+          lpad(col("l_linenumber").cast(StringType), 4, "0"),
+          lpad(col("l_partkey").cast(StringType), 12, "0"),
+          lpad(col("l_suppkey").cast(StringType), 12, "0")))
+      Dedup.keepFirst(
+        li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("_ord")),
+        Seq("l_orderkey"), "_ord").drop("_ord")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem
+            QUALIFY row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY lpad(CAST(l_linenumber AS VARCHAR), 4, '0') || ':' ||
+                       lpad(CAST(l_partkey AS VARCHAR), 12, '0') || ':' ||
+                       lpad(CAST(l_suppkey AS VARCHAR), 12, '0')) = 1"""))
+
+  // ---------------------------------------------------------------- q08
+  // W4 — per-key latest.
+  private val q08 = Q("q08_latest_per_key",
+    (s, dir) => Eligibility.latestPerFlight(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate_s"),
+          col("o_totalprice")),
+        "o_custkey", "o_orderdate_s", tieBreak = Seq("o_orderkey")),
+    Some("""SELECT o_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s, o_totalprice
+            FROM orders
+            QUALIFY row_number() OVER (PARTITION BY o_custkey
+              ORDER BY strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') DESC, o_orderkey) = 1"""))
+
+  // ---------------------------------------------------------------- q09
+  // W2 — forward fill (pandas ffill parity) over an explicit order.
+  private val q09 = Q("q09_ffill",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("price_gap",
+          when(col("o_orderstatus") === "P", lit(null).cast(DoubleType))
+            .otherwise(col("o_totalprice")))
+      FfillRepair.ffill(o, "price_gap", "o_orderkey")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("price_gap"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+            last_value(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END IGNORE NULLS)
+              OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price_gap
+            FROM orders"""))
+
+  // ---------------------------------------------------------------- q10
+  // A5/U-family — distinct projection.
+  private val q10 = Q("q10_distinct",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority")).distinct(),
+    Some("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"))
+
+  // ---------------------------------------------------------------- q11
+  // A4 — grouped duplicate detection.
+  private val q11 = Q("q11_dup_keys",
+    (s, dir) => Dedup.duplicateKeys(
+        t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey")),
+    Some("""SELECT l_partkey, l_suppkey, count(*) AS dup_count FROM lineitem
+            GROUP BY l_partkey, l_suppkey HAVING count(*) > 1"""))
+
+  // ---------------------------------------------------------------- q12
+  // M10 flagship — eligibility: per-key latest + delay + threshold + reasons.
+  private val q12 = Q("q12_eligibility",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      // "flight updates": one row per shipment; actual departure nulled for
+      // a deterministic slice to exercise missing_time_data.
+      val updates = li.select(
+        col("l_orderkey").as("flight_number"),
+        when(col("l_orderkey") % 13 === 5, lit(null).cast(TimestampType))
+          .otherwise(col("l_shipdate")).as("actual_departure"),
+        col("l_shipdate").as("_ship_ts"), col("l_linenumber"))
+      val latest = Eligibility.latestPerFlight(updates, "flight_number", "_ship_ts",
+          tieBreak = Seq("l_linenumber"))
+        .select(col("flight_number"), col("actual_departure"))
+      val sched = o.select(col("o_orderkey").as("flight_number"),
+        col("o_orderdate").as("scheduled_departure"))
+      val flights = sched.join(latest, Seq("flight_number"))
+      val requests = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("flight_number"))
+        .union(s.range(-3, 0).select(col("id").cast(LongType).as("flight_number")))
+      Eligibility.check(requests, flights, "flight_number",
+          "scheduled_departure", "actual_departure")
+        .select(col("flight_number"), col("delay_minutes"), col("reason"), col("eligible"))
+    },
+    Some("""WITH updates AS (
+              SELECT l_orderkey AS flight_number,
+                     CASE WHEN l_orderkey % 13 = 5 THEN NULL ELSE l_shipdate END AS actual_departure,
+                     l_shipdate AS ship_ts, l_linenumber
+              FROM lineitem),
+            latest AS (
+              SELECT flight_number, actual_departure FROM updates
+              QUALIFY row_number() OVER (PARTITION BY flight_number
+                ORDER BY ship_ts DESC, l_linenumber DESC) = 1),
+            flights AS (
+              SELECT o_orderkey AS flight_number, o_orderdate AS scheduled_departure,
+                     l.actual_departure
+              FROM orders JOIN latest l ON o_orderkey = l.flight_number),
+            requests AS (
+              SELECT o_orderkey AS flight_number FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL SELECT * FROM (VALUES (-3),(-2),(-1)) v(flight_number))
+            SELECT r.flight_number,
+              CASE WHEN f.scheduled_departure IS NOT NULL AND f.actual_departure IS NOT NULL
+                   THEN CAST(round(date_diff('second', f.scheduled_departure, f.actual_departure) / 60.0) AS BIGINT)
+              END AS delay_minutes,
+              CASE WHEN f.scheduled_departure IS NULL AND f.actual_departure IS NULL THEN 'flight_not_found'
+                   WHEN f.scheduled_departure IS NULL OR f.actual_departure IS NULL THEN 'missing_time_data'
+                   WHEN round(date_diff('second', f.scheduled_departure, f.actual_departure) / 60.0) >= 120 THEN 'delay_threshold_met'
+                   ELSE 'delay_below_threshold' END AS reason,
+              (CASE WHEN f.scheduled_departure IS NULL AND f.actual_departure IS NULL THEN 'flight_not_found'
+                   WHEN f.scheduled_departure IS NULL OR f.actual_departure IS NULL THEN 'missing_time_data'
+                   WHEN round(date_diff('second', f.scheduled_departure, f.actual_departure) / 60.0) >= 120 THEN 'delay_threshold_met'
+                   ELSE 'delay_below_threshold' END) = 'delay_threshold_met' AS eligible
+            FROM requests r LEFT JOIN flights f ON r.flight_number = f.flight_number"""))
+
+  // ---------------------------------------------------------------- q13
+  // M8 — SCD2 dimension build as pure DataFrame algebra.
+  private val q13 = Q("q13_scd2",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val dim = c.filter(col("c_custkey") % 10 =!= 0).select(
+        col("c_custkey"), col("c_acctbal").as("acctbal"),
+        lit(java.sql.Date.valueOf("2024-01-01")).as("valid_from"),
+        lit(null).cast(DateType).as("valid_to"),
+        lit(true).as("is_current"))
+      val staging = c.select(col("c_custkey"),
+        (col("c_acctbal") + when(col("c_custkey") % 3 === 0, lit(100.0)).otherwise(lit(0.0))).as("acctbal"))
+      Scd2(dim, staging,
+        Scd2.Config(Seq("c_custkey"), Seq("acctbal")),
+        lit(java.sql.Date.valueOf("2024-06-01")))
+        // dates → ISO strings: date32 vs timestamp physical-type ambiguity
+        // between engines would otherwise break the value compare.
+        .withColumn("valid_from", date_format(col("valid_from"), "yyyy-MM-dd"))
+        .withColumn("valid_to", date_format(col("valid_to"), "yyyy-MM-dd"))
+    },
+    Some("""WITH dim AS (
+              SELECT c_custkey, c_acctbal AS acctbal, DATE '2024-01-01' AS valid_from,
+                     CAST(NULL AS DATE) AS valid_to, true AS is_current
+              FROM customer WHERE c_custkey % 10 <> 0),
+            stg AS (
+              SELECT c_custkey,
+                     c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN 100.0 ELSE 0.0 END AS acctbal
+              FROM customer)
+            SELECT d.c_custkey, d.acctbal, strftime(d.valid_from, '%Y-%m-%d') AS valid_from,
+                   strftime(d.valid_to, '%Y-%m-%d') AS valid_to, d.is_current
+            FROM dim d JOIN stg s USING (c_custkey) WHERE s.acctbal = d.acctbal
+            UNION ALL
+            SELECT d.c_custkey, d.acctbal, strftime(d.valid_from, '%Y-%m-%d'), '2024-06-01', false
+            FROM dim d JOIN stg s USING (c_custkey) WHERE s.acctbal <> d.acctbal
+            UNION ALL
+            SELECT s.c_custkey, s.acctbal, '2024-06-01', CAST(NULL AS VARCHAR), true
+            FROM stg s LEFT JOIN dim d USING (c_custkey)
+            WHERE d.c_custkey IS NULL OR s.acctbal <> d.acctbal"""))
+
+  // ---------------------------------------------------------------- q14
+  // J4 — fuzzy dictionary repair (broadcast + levenshtein ratio + top-1).
+  private val q14 = Q("q14_fuzzy_repair",
+    (s, dir) => {
+      val n = t(s, dir, "nation")
+      val dirty = n.select(col("n_nationkey"),
+        when(col("n_nationkey") % 2 === 0,
+          concat(substring(col("n_name"), 1, 1), substring(col("n_name"), 3, Int.MaxValue)))
+          .otherwise(col("n_name")).as("dirty_name"))
+      FuzzyJoin.fuzzyFix(dirty, "dirty_name", n, "n_name", 85.0, "repaired")
+        .select(col("n_nationkey"), col("dirty_name"), col("repaired"))
+    },
+    Some("""WITH dict AS (SELECT DISTINCT n_name FROM nation),
+            dirty AS (
+              SELECT n_nationkey,
+                     CASE WHEN n_nationkey % 2 = 0
+                          THEN substr(n_name,1,1) || substr(n_name,3)
+                          ELSE n_name END AS dirty_name
+              FROM nation),
+            misses AS (
+              SELECT DISTINCT dirty_name FROM dirty d
+              WHERE NOT EXISTS (SELECT 1 FROM dict x WHERE x.n_name = d.dirty_name)),
+            scored AS (
+              SELECT m.dirty_name, v.n_name AS cand,
+                     100.0 * (1.0 - CAST(levenshtein(upper(m.dirty_name), upper(v.n_name)) AS DOUBLE)
+                       / greatest(length(m.dirty_name), length(v.n_name))) AS score
+              FROM misses m CROSS JOIN dict v),
+            best AS (
+              SELECT dirty_name, cand, score FROM scored
+              QUALIFY row_number() OVER (PARTITION BY dirty_name ORDER BY score DESC, cand) = 1)
+            SELECT d.n_nationkey, d.dirty_name,
+                   coalesce(CASE WHEN b.score >= 85.0 THEN b.cand END, d.dirty_name) AS repaired
+            FROM dirty d LEFT JOIN best b ON d.dirty_name = b.dirty_name"""))
+
+  // ---------------------------------------------------------------- q15
+  // F17/F18 — multi-format date parse round-trip.
+  private val q15 = Q("q15_multiformat_dates",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val dirty = o.withColumn("dirty_date",
+        when(col("o_orderkey") % 4 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .when(col("o_orderkey") % 4 === 1, date_format(col("o_orderdate"), "dd/MM/yyyy"))
+          .when(col("o_orderkey") % 4 === 2, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy/MMM/dd")))
+      dirty.select(col("o_orderkey"), col("dirty_date"),
+        CF.toIsoDate(CF.parseDateMulti(col("dirty_date"))).as("parsed_iso"),
+        (CF.toIsoDate(CF.parseDateMulti(col("dirty_date"))) ===
+          date_format(col("o_orderdate"), "yyyy-MM-dd")).as("roundtrip_ok"))
+    },
+    Some("""WITH dirty AS (
+              SELECT o_orderkey, o_orderdate,
+                     CASE o_orderkey % 4
+                       WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                       WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+                       WHEN 2 THEN strftime(o_orderdate, '%m/%d/%Y')
+                       ELSE strftime(o_orderdate, '%Y/%b/%d') END AS dirty_date
+              FROM orders),
+            parsed AS (
+              SELECT o_orderkey, o_orderdate, dirty_date,
+                     coalesce(try_strptime(dirty_date, '%Y-%m-%d'),
+                              try_strptime(dirty_date, '%d/%m/%Y'),
+                              try_strptime(dirty_date, '%m/%d/%Y'),
+                              try_strptime(dirty_date, '%Y/%m/%d'),
+                              try_strptime(dirty_date, '%d-%m-%Y'),
+                              try_strptime(replace(dirty_date, '-', '/'), '%Y/%b/%d')) AS p
+              FROM dirty)
+            SELECT o_orderkey, dirty_date,
+                   strftime(p, '%Y-%m-%d') AS parsed_iso,
+                   strftime(p, '%Y-%m-%d') = strftime(o_orderdate, '%Y-%m-%d') AS roundtrip_ok
+            FROM parsed"""))
+
+  // ---------------------------------------------------------------- q16
+  // F6/F25/F26/F27 — money cleaning round-trip.
+  private val q16 = Q("q16_money_clean",
+    (s, dir) => {
+      // integer-cents synthesis → "$1,234.56"-style strings with no
+      // float-formatting ambiguity between engines.
+      val li = t(s, dir, "lineitem").filter(col("l_linenumber") === 1)
+      val cents = (col("l_orderkey") * 137 + col("l_partkey") * 7) % 10000000000L
+      li.select(col("l_orderkey"),
+          concat(lit("$"), format_number((cents / 100).cast(LongType), 0),
+            lit("."), lpad((cents % 100).cast(StringType), 2, "0")).as("dirty_money"))
+        .withColumn("cleaned", CF.cleanMoney(col("dirty_money")))
+    },
+    Some("""WITH x AS (
+              SELECT l_orderkey,
+                     (l_orderkey * 137 + l_partkey * 7) % 10000000000 AS cents
+              FROM lineitem WHERE l_linenumber = 1),
+            d AS (
+              SELECT l_orderkey,
+                     '$' || format('{:,}', cents // 100) || '.' ||
+                       lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS dirty_money
+              FROM x)
+            SELECT l_orderkey, dirty_money,
+                   least(round(CAST(replace(replace(dirty_money, '$', ''), ',', '') AS DOUBLE), 2), 99999999.99) AS cleaned
+            FROM d"""))
+
+  // ---------------------------------------------------------------- q17
+  // F14/F15 — PII masking + MD5 surrogate keys.
+  private val q17 = Q("q17_pii_mask",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val email = concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", ".")),
+        lit("@example.com"))
+      c.select(col("c_custkey"),
+        email.as("email"),
+        CF.maskEmail(email).as("email_masked"),
+        CF.md5Key(col("c_name"), col("c_custkey")).as("surrogate_key"))
+    },
+    Some("""SELECT c_custkey,
+                   lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g')) || '@example.com' AS email,
+                   substr(lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g')), 1, 2) || '***@example.com' AS email_masked,
+                   md5(upper(trim(c_name)) || '|' || upper(trim(CAST(c_custkey AS VARCHAR)))) AS surrogate_key
+            FROM customer"""))
+
+  // ---------------------------------------------------------------- q18
+  // F28 — haversine over synthesized coordinates.
+  private val q18 = Q("q18_haversine",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val lat1 = (col("c_custkey") % 180 - 90).cast(DoubleType) + lit(0.5)
+      val lon1 = (col("c_custkey") % 360 - 180).cast(DoubleType) + lit(0.25)
+      val lat2 = (col("c_nationkey") * 7 % 180 - 90).cast(DoubleType)
+      val lon2 = (col("c_nationkey") * 13 % 360 - 180).cast(DoubleType)
+      c.select(col("c_custkey"),
+        bround(CF.haversineKm(lat1, lon1, lat2, lon2), 4).as("dist_km"))
+    },
+    Some("""SELECT c_custkey,
+              round(6371.0 * 2.0 * atan2(
+                sqrt(pow(sin(radians(CAST(c_nationkey * 7 % 180 - 90 AS DOUBLE) - (CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5)) / 2), 2)
+                  + cos(radians(CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5)) * cos(radians(CAST(c_nationkey * 7 % 180 - 90 AS DOUBLE)))
+                  * pow(sin(radians(CAST(c_nationkey * 13 % 360 - 180 AS DOUBLE) - (CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.25)) / 2), 2)),
+                sqrt(1.0 - (pow(sin(radians(CAST(c_nationkey * 7 % 180 - 90 AS DOUBLE) - (CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5)) / 2), 2)
+                  + cos(radians(CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5)) * cos(radians(CAST(c_nationkey * 7 % 180 - 90 AS DOUBLE)))
+                  * pow(sin(radians(CAST(c_nationkey * 13 % 360 - 180 AS DOUBLE) - (CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.25)) / 2), 2)))), 4) AS dist_km
+            FROM customer"""))
+
+  // ---------------------------------------------------------------- q19
+  // F29/F33 — static-map currency conversion.
+  private val q19 = Q("q19_currency",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val target = element_at(
+        typedLit(Seq("EUR", "GBP", "JPY", "CAD", "AUD", "USD")),
+        (col("o_orderkey") % 6 + 1).cast(IntegerType))
+      o.select(col("o_orderkey"), col("o_totalprice"), target.as("target_ccy"),
+        bround(CF.convertCurrency(col("o_totalprice"), lit("USD"), target), 4).as("converted"))
+    },
+    Some("""SELECT o_orderkey, o_totalprice,
+                   ['EUR','GBP','JPY','CAD','AUD','USD'][CAST(o_orderkey % 6 + 1 AS INT)] AS target_ccy,
+                   round(o_totalprice / 1.0 * (CASE ['EUR','GBP','JPY','CAD','AUD','USD'][CAST(o_orderkey % 6 + 1 AS INT)]
+                     WHEN 'EUR' THEN 0.92 WHEN 'GBP' THEN 0.79 WHEN 'JPY' THEN 149.50
+                     WHEN 'CAD' THEN 1.36 WHEN 'AUD' THEN 1.52 ELSE 1.0 END), 4) AS converted
+            FROM orders"""))
+
+  // ---------------------------------------------------------------- q20
+  // F34/F35/F36 — JSON round-trip on events.props.
+  private val q20 = Q("q20_json",
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+        to_json(struct(col("event_id"), col("event_type"))).as("as_json")),
+    Some("""SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS as_json
+            FROM events"""))
+
+  // ---------------------------------------------------------------- q21
+  // §2.9 superset — event-time tumbling window aggregation (batch form).
+  private val q21 = Q("q21_event_windows",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", eventsTs), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value")),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2"""))
+
+  // ---------------------------------------------------------------- q22
+  // P5/P11 — completeness check with missing-field report.
+  private val q22 = Q("q22_completeness",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("name_maybe",
+          when(col("c_custkey") % 11 === 0, lit(null).cast(StringType)).otherwise(col("c_name")))
+        .withColumn("segment_maybe",
+          when(col("c_custkey") % 13 === 0, lit("")).otherwise(col("c_mktsegment")))
+      c.select(col("c_custkey"),
+        CF.isComplete(Seq(col("name_maybe"), col("segment_maybe"))).as("is_complete"),
+        array_join(CF.missingFields(scala.collection.immutable.ListMap(
+          "name" -> col("name_maybe"), "segment" -> col("segment_maybe"))), ",").as("missing"))
+    },
+    Some("""WITH x AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_name END AS name_maybe,
+                     CASE WHEN c_custkey % 13 = 0 THEN '' ELSE c_mktsegment END AS segment_maybe
+              FROM customer)
+            SELECT c_custkey,
+                   (name_maybe IS NOT NULL AND length(trim(name_maybe)) > 0
+                    AND segment_maybe IS NOT NULL AND length(trim(segment_maybe)) > 0) AS is_complete,
+                   coalesce(array_to_string(list_filter(
+                     [CASE WHEN name_maybe IS NULL OR length(trim(name_maybe)) = 0 THEN 'name' END,
+                      CASE WHEN segment_maybe IS NULL OR length(trim(segment_maybe)) = 0 THEN 'segment' END],
+                     x -> x IS NOT NULL), ','), '') AS missing
+            FROM x"""))
+
+  // ---------------------------------------------------------------- q23
+  // U2 — EXCEPT set operation.
+  private val q23 = Q("q23_except",
+    (s, dir) => t(s, dir, "customer").select(col("c_custkey"))
+      .except(t(s, dir, "orders").filter(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey").as("c_custkey"))),
+    Some("""SELECT c_custkey FROM customer
+            EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000.0"""))
+
+  // ---------------------------------------------------------------- q24
+  // O2 — top-N per group.
+  private val q24 = Q("q24_topn_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("l_returnflag"), col("rank").cast(IntegerType).as("rank"),
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    },
+    Some("""SELECT l_returnflag, CAST(rank AS INT) AS rank, l_orderkey, l_linenumber, l_extendedprice
+            FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+                  FROM lineitem) WHERE rank <= 3"""))
+
+  /** All registered queries, in declaration order. */
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
+    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+}

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * tokenization, token counting, language-ID, quality scoring, document
+  * fingerprinting, shingling. All pure Catalyst expressions (split /
+  * higher-order functions / hashes) — no UDFs, so they stay codegen'd and
+  * shuffle-free per row, which is what makes them viable over 100 TB of
+  * documents.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty strings removed. */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast(LongType)
+
+  /** BPE-ish subword proxy count: words contribute ceil(len/4) pieces,
+    * numbers and punctuation runs one each — a cheap, deterministic
+    * stand-in for a real tokenizer's token count. */
+  def bpeTokenCount(c: Column): Column = {
+    val pieces = regexp_count(c, lit("[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]"))
+    pieces.cast(LongType)
+  }
+
+  // Stopword marker sets for the n-gram/stopword language heuristic.
+  val EnStop = Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+  val EsStop = Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por")
+  val FrStop = Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est")
+  val DeStop = Seq("der", "die", "und", "das", "ist", "von", "den", "mit", "ein", "zu")
+
+  private def stopHits(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  /** Language ID by stopword-hit counts with a deterministic en>es>fr>de
+    * tiebreak; 'und' (undetermined) when nothing hits. */
+  def langId(c: Column): Column = {
+    val t = tokens(c)
+    val en = stopHits(t, EnStop); val es = stopHits(t, EsStop)
+    val fr = stopHits(t, FrStop); val de = stopHits(t, DeStop)
+    when(greatest(en, es, fr, de) === 0, lit("und"))
+      .when(en >= es && en >= fr && en >= de, lit("en"))
+      .when(es >= fr && es >= de, lit("es"))
+      .when(fr >= de, lit("fr"))
+      .otherwise(lit("de"))
+  }
+
+  /** Document quality score in [0,1]: blends token count (saturating at
+    * 200), mean token length sanity (peak near 3-10 chars), punctuation
+    * ratio penalty, and stopword presence. Deterministic; mirrors the usual
+    * length/punct/stopword heuristics used for pretraining-data filtering. */
+  def qualityScore(c: Column): Column = {
+    val t = tokens(c)
+    val nTok = size(t).cast(DoubleType)
+    val chars = length(c).cast(DoubleType)
+    val punct = regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast(DoubleType)
+    val stopR = when(nTok > 0, stopHits(t, EnStop).cast(DoubleType) / nTok).otherwise(lit(0.0))
+    val lenScore  = least(nTok / 200.0, lit(1.0))
+    val punctPen  = when(chars > 0, least(punct / chars * 5.0, lit(1.0))).otherwise(lit(1.0))
+    val meanTokLen = when(nTok > 0, chars / nTok).otherwise(lit(0.0))
+    val tokLenScore = when(meanTokLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    bround(lit(0.4) * lenScore + lit(0.2) * tokLenScore +
+      lit(0.2) * (lit(1.0) - punctPen) + lit(0.2) * least(stopR * 5.0, lit(1.0)), 6)
+  }
+
+  /** Character n-gram shingles (default 5), distinct. */
+  def charShingles(c: Column, n: Int = 5): Column = {
+    val s = lower(CleanFunctions.normalizeWhitespace(c))
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
+      i => s.substr(i, lit(n))))
+  }
+
+  /** Word n-gram shingles over whitespace tokens, distinct. */
+  def wordShingles(c: Column, n: Int = 3): Column = {
+    val t = tokens(c)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+      i => array_join(slice(t, i, lit(n)), " ")))
+  }
+
+  /** Rolling polynomial fingerprint of the normalized text: fold
+    * acc = acc * 31 + xxhash64(token) over whitespace tokens (64-bit
+    * wraparound). Equal normalized token streams <=> equal fingerprints. */
+  def fingerprint(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** Exact-dup content key: md5 of whitespace-normalized lowercased text. */
+  def contentKey(c: Column): Column =
+    md5(lower(CleanFunctions.normalizeWhitespace(c)))
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions
+
+/** Near-duplicate detection over document text — the deduplication family a
+  * large-scale training-data pipeline needs (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard). Designed for the 100 TB shape:
+  *
+  *  - Exact dedup is a single hash-aggregate on a 16-byte content key.
+  *  - MinHash signatures are one codegen'd projection per document (k hash
+  *    mins over the shingle array); LSH banding turns the quadratic pairwise
+  *    problem into an equi-join on (band, bandHash) — only co-bucketed
+  *    documents ever meet, so the shuffle carries (docId, bandKey) pairs,
+  *    not text.
+  *  - Verification (true Jaccard) runs only on candidate pairs.
+  *
+  * Skew note: a degenerate band bucket (e.g. thousands of boilerplate docs)
+  * explodes quadratically; `maxBucketSize` drops such buckets the way
+  * production dedup pipelines cap posting lists.
+  */
+object TextDedup {
+
+  /** Exact duplicate groups: rows whose normalized text hashes equal.
+    * Returns (content_key, dup_count) for groups with >1 member. */
+  def exactDupGroups(docs: DataFrame, textCol: String): DataFrame =
+    docs.groupBy(TextFunctions.contentKey(col(textCol)).as("content_key"))
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Keep one representative per exact-duplicate group (lowest id). */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(TextFunctions.contentKey(col(textCol)))
+      .orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** MinHash signature: array of `numHashes` minima of seeded xxhash64 over
+    * the document's shingles. One projection, no shuffle. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** LSH candidate pairs via banding. Returns (idA, idB) with idA < idB.
+    *
+    * @param bands x rowsPerBand = numHashes. P(candidate) ≈
+    *   1-(1-j^r)^b for true Jaccard j — 16x4 targets j ≳ 0.5.
+    */
+  def minHashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 5, bands: Int = 16,
+                        rowsPerBand: Int = 4,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = docs
+      .select(col(idCol).as("_id"),
+        minHashSignature(TextFunctions.charShingles(col(textCol), shingleSize), numHashes).as("_sig"))
+
+    // band rows: (id, band, hash(slice of signature))
+    val banded = sig.select(col("_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(concat_ws(",",
+              slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
+        }: _*)).as("bs"))
+      .select(col("_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
+
+    // cap pathological buckets before the self-join explodes
+    val counted = banded.withColumn("_bc",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("_bc") <= maxBucketSize)
+      .drop("_bc")
+
+    val a = counted.as("a"); val b = counted.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs verified by true shingle Jaccard. */
+  def minHashNearDups(docs: DataFrame, textCol: String, idCol: String,
+                      threshold: Double = 0.8, shingleSize: Int = 5,
+                      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val cands = minHashCandidates(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
+    val sh = docs.select(col(idCol).as("_jid"),
+      TextFunctions.charShingles(col(textCol), shingleSize).as("_sh"))
+    cands
+      .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+      .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast(DoubleType) /
+          size(array_union(col("_sh_a"), col("_sh_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), bround(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Pairwise n-gram Jaccard for an (already small / pre-filtered) set —
+    * the brute-force oracle for the LSH path. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("_id"),
+      TextFunctions.charShingles(col(textCol), shingleSize).as("_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("a._id") < col("b._id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a._sh"), col("b._sh"))).cast(DoubleType) /
+          size(array_union(col("a._sh"), col("b._sh"))).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        bround(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted by
+    * each token's hash bit, then take signs. Returned as array<int> of 64
+    * bits (msb first) plus a packed long. */
+  def simHashBits(c: Column): Column = {
+    val toks = TextFunctions.tokens(c)
+    val sums = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, j) => a + when(call_function("shiftright", h, j).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L)))
+      })
+    transform(sums, s => when(s >= 0L, 1).otherwise(0))
+  }
+
+  /** Pack simhash bit array into one long (bit 0 = first element). */
+  def packBits(bits: Column): Column =
+    aggregate(bits, lit(0L), (acc, b) => acc * 2L + b.cast(LongType))
+
+  /** Hamming distance between two equal-length bit arrays. */
+  def hamming(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x =!= y), x => x))
+
+  /** SimHash near-dup pairs: block on 4 x 16-bit chunks (near-dups within
+    * hamming distance <= 3 share at least one exact chunk), verify by full
+    * hamming distance. */
+  def simHashNearDups(docs: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val withBits = docs.select(col(idCol).as("_id"), simHashBits(col(textCol)).as("_bits"))
+    val chunked = withBits.select(col("_id"), col("_bits"),
+        explode(array((0 until 4).map { ch =>
+          struct(lit(ch).as("chunk"),
+            xxhash64(concat_ws(",", slice(col("_bits"), ch * 16 + 1, 16))).as("ch_hash"))
+        }: _*)).as("cs"))
+      .select(col("_id"), col("_bits"), col("cs.chunk").as("chunk"), col("cs.ch_hash").as("ch_hash"))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ch_hash") === col("b.ch_hash") &&
+        col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        hamming(col("a._bits"), col("b._bits")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}
