@@ -1,0 +1,342 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipelines.CleaningPipelines
+import Queries.Q
+
+/** Demo queries for the cleaning pipelines (SURVEY.md §2.10 M2-M7): each
+  * synthesizes a deterministic dirty all-string table from the TPC-H-ish
+  * test data (FIXTURES.md fault taxonomy), runs the pipeline, and returns
+  * the clean or quarantine partition. The DuckDB oracles replicate every
+  * cleaning step in SQL — including title-casing (DuckDB has no initcap),
+  * the ffill+1 id-repair window, and keep-first dedup by ingest order.
+  */
+object QueriesClean {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // DuckDB title-case emulation (initcap equivalent after whitespace
+  // collapse): upper first letter, lower rest, per space-separated word.
+  private val duckTitle =
+    """array_to_string(list_transform(
+      |  string_split(regexp_replace(trim(%s), '\s+', ' ', 'g'), ' '),
+      |  w -> upper(w[1:1]) || lower(w[2:])), ' ')""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  // M3 airlines pipeline — clean partition.
+  private def airlinesInput(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    c.select(
+      col("c_custkey").cast(LongType).as(CleaningPipelines.IngestId),
+      // 2-letter key from custkey, with deterministic dirt: lowercase,
+      // length-violating suffix, padding
+      (concat(chr(col("c_custkey") % 26 + 65), chr((col("c_custkey") / 26) % 26 + 65)))
+        .as("_k0"),
+      regexp_replace(lower(col("c_name")), "#", " ").as("_n0"),
+      element_at(typedLit(Seq("oneworld", "SKY TEAM", "staralliance",
+        "Star Alliance", "none", "garbage", "", "SkyTeam")),
+        (col("c_custkey") % 8 + 1).cast(IntegerType)).as("alliance"))
+      .withColumn("airlinekey",
+        when(col(CleaningPipelines.IngestId) % 7 === 0, lower(col("_k0")))
+          .when(col(CleaningPipelines.IngestId) % 11 === 0, concat(col("_k0"), lit("XXX")))
+          .when(col(CleaningPipelines.IngestId) % 13 === 0, concat(lit("  "), col("_k0"), lit(" ")))
+          .otherwise(col("_k0")))
+      .withColumn("airlinename",
+        when(col(CleaningPipelines.IngestId) % 5 === 0,
+          regexp_replace(col("_n0"), " ", "   ")).otherwise(col("_n0")))
+      .drop("_k0", "_n0")
+  }
+
+  private val airlinesInputSql =
+    """raw AS (
+      |  SELECT c_custkey AS _ingest_id,
+      |         chr(CAST(c_custkey % 26 + 65 AS INT)) || chr(CAST(c_custkey // 26 % 26 + 65 AS INT)) AS k0,
+      |         regexp_replace(lower(c_name), '#', ' ', 'g') AS n0,
+      |         ['oneworld','SKY TEAM','staralliance','Star Alliance','none','garbage','','SkyTeam'][CAST(c_custkey % 8 + 1 AS INT)] AS alliance
+      |  FROM customer),
+      |inp AS (
+      |  SELECT _ingest_id,
+      |         CASE WHEN _ingest_id % 7 = 0 THEN lower(k0)
+      |              WHEN _ingest_id % 11 = 0 THEN k0 || 'XXX'
+      |              WHEN _ingest_id % 13 = 0 THEN '  ' || k0 || ' '
+      |              ELSE k0 END AS airlinekey,
+      |         CASE WHEN _ingest_id % 5 = 0 THEN regexp_replace(n0, ' ', '   ', 'g') ELSE n0 END AS airlinename,
+      |         alliance
+      |  FROM raw),
+      |norm AS (
+      |  SELECT _ingest_id,
+      |         upper(trim(airlinekey)) AS airlinekey,
+      |         coalesce(TITLE(airlinename), upper(trim(airlinekey))) AS airlinename,
+      |         CASE WHEN upper(trim(airlinekey)) = 'VS' THEN 'SkyTeam'
+      |              WHEN upper(trim(airlinekey)) = 'AZ' THEN 'None'
+      |              ELSE (CASE lower(trim(alliance))
+      |                      WHEN 'skyteam' THEN 'SkyTeam' WHEN 'sky team' THEN 'SkyTeam'
+      |                      WHEN 'star alliance' THEN 'Star Alliance' WHEN 'staralliance' THEN 'Star Alliance'
+      |                      WHEN 'oneworld' THEN 'Oneworld' WHEN 'one world' THEN 'Oneworld'
+      |                      WHEN 'none' THEN lower(trim(alliance))
+      |                      ELSE coalesce(lower(trim(alliance)), '') END)
+      |         END AS alliance0
+      |  FROM inp),
+      |norm2 AS (
+      |  SELECT _ingest_id, airlinekey, airlinename,
+      |         CASE WHEN alliance0 IN ('Oneworld','SkyTeam','Star Alliance','None') THEN alliance0 ELSE 'None' END AS alliance
+      |  FROM norm),
+      |flagged AS (
+      |  SELECT *, row_number() OVER (PARTITION BY airlinekey ORDER BY _ingest_id) > 1 AS isdup
+      |  FROM norm2)""".stripMargin
+      .replace("TITLE(airlinename)", duckTitle.format("airlinename"))
+
+  private val q36 = Q("q36_airlines_clean",
+    (s, dir) => CleaningPipelines.airlines(airlinesInput(s, dir)).clean
+      .select(col(CleaningPipelines.IngestId), col("airlinekey"),
+        col("airlinename"), col("alliance")),
+    Some(s"""WITH $airlinesInputSql
+             SELECT _ingest_id, airlinekey, airlinename, alliance
+             FROM flagged
+             WHERE regexp_matches(airlinekey, '^[A-Z0-9]{2,3}$$')
+               AND regexp_matches(airlinename, '^[A-Za-z0-9\\s\\.\\-\\&]+$$')
+               AND NOT isdup"""))
+
+  // ---------------------------------------------------------------- q37/q38
+  // M2 transactions pipeline — clean + quarantine partitions.
+  private def transactionsInput(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey") % 7013 // shared row seed → exact-dup groups
+    def money(mul: Int, off: Int): Column = {
+      val cents = (k * mul + off) % 1000000L
+      concat(lit("$"), format_number((cents / 100).cast(LongType), 0),
+        lit("."), lpad((cents % 100).cast(StringType), 2, "0"))
+    }
+    o.select(
+      col("o_orderkey").cast(LongType).as(CleaningPipelines.IngestId),
+      when(k % 97 === 0, lit("4AN"))
+        .otherwise((lit(40000L) + (k * 7) % 9999L).cast(StringType)).as("transactionid"),
+      when(k % 89 === 0, lit("not-a-date"))
+        .when(k % 4 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .when(k % 4 === 1, date_format(col("o_orderdate"), "dd/MM/yyyy"))
+        .when(k % 4 === 2, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy/MMM/dd")).as("transactiondate"),
+      concat(lit("P"), lpad(((k * 3) % 90000L).cast(StringType), 5, "0")).as("passengerid"),
+      when(k % 83 === 0, lit(""))
+        .otherwise(concat(chr(k % 26 + 65), (k % 99999L + 1).cast(StringType))).as("flightid"),
+      money(11, 3).as("ticketprice"), money(13, 7).as("taxes"),
+      money(17, 1).as("baggagefees"), money(19, 9).as("totalamount"))
+  }
+
+  private val transactionsSql =
+    """raw AS (
+      |  SELECT o_orderkey AS _ingest_id, o_orderkey % 7013 AS k, o_orderdate FROM orders),
+      |inp AS (
+      |  SELECT _ingest_id,
+      |    CASE WHEN k % 97 = 0 THEN '4AN' ELSE CAST(40000 + (k*7) % 9999 AS VARCHAR) END AS transactionid,
+      |    CASE WHEN k % 89 = 0 THEN 'not-a-date'
+      |         WHEN k % 4 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+      |         WHEN k % 4 = 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+      |         WHEN k % 4 = 2 THEN strftime(o_orderdate, '%m/%d/%Y')
+      |         ELSE strftime(o_orderdate, '%Y/%b/%d') END AS transactiondate,
+      |    'P' || lpad(CAST((k*3) % 90000 AS VARCHAR), 5, '0') AS passengerid,
+      |    CASE WHEN k % 83 = 0 THEN '' ELSE chr(CAST(k % 26 + 65 AS INT)) || CAST(k % 99999 + 1 AS VARCHAR) END AS flightid,
+      |    '$' || format('{:,}', ((k*11+3) % 1000000) // 100) || '.' || lpad(CAST((k*11+3) % 100 AS VARCHAR), 2, '0') AS ticketprice,
+      |    '$' || format('{:,}', ((k*13+7) % 1000000) // 100) || '.' || lpad(CAST((k*13+7) % 100 AS VARCHAR), 2, '0') AS taxes,
+      |    '$' || format('{:,}', ((k*17+1) % 1000000) // 100) || '.' || lpad(CAST((k*17+1) % 100 AS VARCHAR), 2, '0') AS baggagefees,
+      |    '$' || format('{:,}', ((k*19+9) % 1000000) // 100) || '.' || lpad(CAST((k*19+9) % 100 AS VARCHAR), 2, '0') AS totalamount
+      |  FROM raw),
+      |rep AS (
+      |  SELECT _ingest_id,
+      |    CAST(coalesce(
+      |      CASE WHEN regexp_matches(transactionid, '^[0-9]+$') THEN CAST(transactionid AS BIGINT) END,
+      |      coalesce(last_value(CASE WHEN regexp_matches(transactionid, '^[0-9]+$') THEN CAST(transactionid AS BIGINT) END IGNORE NULLS)
+      |                 OVER (ORDER BY _ingest_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 40000) + 1
+      |    ) AS VARCHAR) AS transactionid,
+      |    CASE WHEN p IS NOT NULL THEN strftime(p, '%Y-%m-%d') END AS transactiondate,
+      |    passengerid, flightid,
+      |    least(round(CAST(replace(replace(ticketprice, '$', ''), ',', '') AS DOUBLE), 2), 99999999.99) AS ticketprice,
+      |    least(round(CAST(replace(replace(taxes, '$', ''), ',', '') AS DOUBLE), 2), 99999999.99) AS taxes,
+      |    least(round(CAST(replace(replace(baggagefees, '$', ''), ',', '') AS DOUBLE), 2), 99999999.99) AS baggagefees,
+      |    least(round(CAST(replace(replace(totalamount, '$', ''), ',', '') AS DOUBLE), 2), 99999999.99) AS totalamount
+      |  FROM (SELECT *,
+      |          coalesce(try_strptime(trim(transactiondate), '%Y-%m-%d'),
+      |                   try_strptime(trim(transactiondate), '%d/%m/%Y'),
+      |                   try_strptime(trim(transactiondate), '%m/%d/%Y'),
+      |                   try_strptime(trim(transactiondate), '%Y/%m/%d'),
+      |                   try_strptime(trim(transactiondate), '%d-%m-%Y'),
+      |                   try_strptime(replace(trim(transactiondate), '-', '/'), '%Y/%b/%d'),
+      |                   try_strptime(trim(transactiondate), '%d-%b-%y')) AS p
+      |        FROM inp)),
+      |flagged AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY transactionid, transactiondate, passengerid, flightid,
+      |                                    ticketprice, taxes, baggagefees, totalamount
+      |                       ORDER BY _ingest_id) > 1 AS rowdup,
+      |    row_number() OVER (PARTITION BY transactionid ORDER BY _ingest_id) > 1 AS iddup
+      |  FROM rep),
+      |judged AS (
+      |  SELECT *,
+      |    (regexp_matches(transactionid, '^4[0-9]{4}$')
+      |     AND transactiondate IS NOT NULL
+      |     AND regexp_matches(passengerid, '^P[0-8][0-9]{4}$')
+      |     AND regexp_matches(flightid, '^[A-Z]{1,2}[0-9]{1,5}$')
+      |     AND NOT rowdup AND NOT iddup) AS ok
+      |  FROM flagged)""".stripMargin
+
+  private val txnCols = Seq("_ingest_id", "transactionid", "transactiondate",
+    "passengerid", "flightid", "ticketprice", "taxes", "baggagefees", "totalamount")
+
+  private val q37 = Q("q37_transactions_clean",
+    (s, dir) => CleaningPipelines.transactions(transactionsInput(s, dir)).clean
+      .select(txnCols.map(col): _*),
+    Some(s"""WITH $transactionsSql
+             SELECT ${txnCols.mkString(", ")} FROM judged WHERE ok"""))
+
+  private val q38 = Q("q38_transactions_quarantine",
+    (s, dir) => CleaningPipelines.transactions(transactionsInput(s, dir)).quarantine
+      .select(txnCols.map(col): _*),
+    Some(s"""WITH $transactionsSql
+             SELECT ${txnCols.mkString(", ")} FROM judged WHERE NOT ok"""))
+
+  // ---------------------------------------------------------------- q39
+  // M5 passengers pipeline — clean partition.
+  private def passengersInput(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val k = col("c_custkey")
+    val first = element_at(typedLit(Seq("john", "mary", "alice", "bob", "eve")),
+      (k % 5 + 1).cast(IntegerType))
+    val last0 = element_at(typedLit(Seq("smith", "jones", "lee", "brown", "chen")),
+      (k % 7 % 5 + 1).cast(IntegerType))
+    val key = concat(lit("P"), lpad((k % 90000).cast(StringType), 5, "0"))
+    c.select(
+      k.cast(LongType).as(CleaningPipelines.IngestId),
+      when(k % 19 === 0, lit("")).otherwise(key).as("passengerkey"),
+      when(k % 23 === 0, first)
+        .when(k % 3 === 0, concat(upper(first), lit(" "), last0))
+        .otherwise(concat(first, lit(" "), last0)).as("fullname"),
+      when(k % 29 === 0, concat(first, lit("."), last0, lit("@other.com")))
+        .otherwise(concat(first, lit("."), last0,
+          regexp_replace(key, "[^0-9]", ""), lit("@example.com"))).as("email"),
+      element_at(typedLit(Seq("gold", "SILVER", "Bronze ", "platinum!", "copper")),
+        (k % 5 + 1).cast(IntegerType)).as("loyaltystatus"))
+  }
+
+  private val passengersSql =
+    """raw AS (
+      |  SELECT c_custkey AS _ingest_id,
+      |         ['john','mary','alice','bob','eve'][CAST(c_custkey % 5 + 1 AS INT)] AS fn,
+      |         ['smith','jones','lee','brown','chen'][CAST(c_custkey % 7 % 5 + 1 AS INT)] AS ln,
+      |         'P' || lpad(CAST(c_custkey % 90000 AS VARCHAR), 5, '0') AS pk
+      |  FROM customer),
+      |inp AS (
+      |  SELECT _ingest_id,
+      |         CASE WHEN _ingest_id % 19 = 0 THEN '' ELSE pk END AS passengerkey,
+      |         CASE WHEN _ingest_id % 23 = 0 THEN fn
+      |              WHEN _ingest_id % 3 = 0 THEN upper(fn) || ' ' || ln
+      |              ELSE fn || ' ' || ln END AS fullname,
+      |         CASE WHEN _ingest_id % 29 = 0 THEN fn || '.' || ln || '@other.com'
+      |              ELSE fn || '.' || ln || regexp_replace(pk, '[^0-9]', '', 'g') || '@example.com' END AS email,
+      |         ['gold','SILVER','Bronze ','platinum!','copper'][CAST(_ingest_id % 5 + 1 AS INT)] AS ls
+      |  FROM raw),
+      |norm AS (
+      |  SELECT _ingest_id,
+      |         trim(passengerkey) AS passengerkey,
+      |         lower(trim(
+      |           CASE WHEN dg <> '' AND nopad IS NOT NULL AND len(nopad) > 0
+      |                THEN replace(replace(email, dg, ''), nopad, '')
+      |                WHEN dg <> '' THEN replace(email, dg, '')
+      |                ELSE email END)) AS email,
+      |         TITLE(fullname) AS fullname,
+      |         upper(stripped[1:1]) || lower(stripped[2:]) AS loyaltystatus
+      |  FROM (SELECT *,
+      |          regexp_replace(trim(passengerkey), '[^0-9]', '', 'g') AS dg,
+      |          CAST(TRY_CAST(regexp_replace(trim(passengerkey), '[^0-9]', '', 'g') AS BIGINT) AS VARCHAR) AS nopad,
+      |          regexp_replace(trim(ls), '[^a-zA-Z]', '', 'g') AS stripped
+      |        FROM inp)),
+      |flagged AS (
+      |  SELECT *, row_number() OVER (PARTITION BY fullname, email, loyaltystatus ORDER BY _ingest_id) > 1 AS isdup
+      |  FROM norm)""".stripMargin
+      .replace("TITLE(fullname)", duckTitle.format("fullname"))
+
+  private val q39 = Q("q39_passengers_clean",
+    (s, dir) => CleaningPipelines.passengers(passengersInput(s, dir)).clean
+      .select(col(CleaningPipelines.IngestId), col("passengerkey"),
+        col("fullname"), col("email"), col("loyaltystatus")),
+    Some(s"""WITH $passengersSql
+             SELECT _ingest_id, passengerkey, fullname, email, loyaltystatus
+             FROM flagged
+             WHERE passengerkey IS NOT NULL AND length(trim(passengerkey)) > 0
+               AND fullname IS NOT NULL AND length(trim(fullname)) > 0
+               AND email IS NOT NULL AND length(trim(email)) > 0
+               AND loyaltystatus IS NOT NULL AND length(trim(loyaltystatus)) > 0
+               AND regexp_matches(fullname, '^[A-Za-z]+(?:\\s+[A-Za-z]+)+$$')
+               AND regexp_matches(email, '^[a-z0-9]+(?:[._][a-z0-9]+)*@example\\.com$$')
+               AND loyaltystatus IN ('Bronze','Silver','Gold','Platinum')
+               AND NOT isdup"""))
+
+  // ---------------------------------------------------------------- q40
+  // M4 flights pipeline — fuzzy repair path; rows-only (the fuzzy steps
+  // are covered by q14's oracle + ScalaTest fixtures).
+  private val q40 = Q("q40_flights_clean",
+    (s, dir) => {
+      val n = t(s, dir, "nation")
+      // airline dim: 2-letter keys; airport dim: 3-letter codes
+      val airlines = n.select(concat(chr(col("n_nationkey") % 26 + 65),
+        chr((col("n_nationkey") * 7) % 26 + 65)).as("airlinekey")).distinct()
+      val airports = n.select(concat(chr(col("n_nationkey") % 26 + 65),
+        chr((col("n_nationkey") * 3) % 26 + 65),
+        chr((col("n_nationkey") * 5) % 26 + 65)).as("airportkey")).distinct()
+      val o = t(s, dir, "orders")
+      val k = col("o_orderkey") % 1000
+      val input = o.select(
+        col("o_orderkey").cast(LongType).as(CleaningPipelines.IngestId),
+        concat(chr(k % 26 + 65), chr((k * 7) % 26 + 65),
+          (k % 9999 + 1).cast(StringType)).as("flightkey"),
+        when(k % 31 === 0, lit("JK"))
+          .otherwise(concat(chr(k % 26 + 65), chr((k * 3) % 26 + 65),
+            chr((k * 5) % 26 + 65))).as("originairportkey"),
+        concat(chr((k + 1) % 26 + 65), chr(((k + 1) * 3) % 26 + 65),
+          chr(((k + 1) * 5) % 26 + 65)).as("destinationairportkey"),
+        element_at(typedLit(Seq("boeing  737", "AIRBUS a320", "embraer 190")),
+          (k % 3 + 1).cast(IntegerType)).as("aircrafttype"))
+      CleaningPipelines.flights(input, airlines, "airlinekey",
+        airports, "airportkey").clean
+    },
+    None)
+
+  // ---------------------------------------------------------------- q41
+  // M7 airline-sales pipeline — clean partition.
+  private val q41 = Q("q41_airlinesales_clean",
+    (s, dir) => {
+      // two synthetic sale rows per order (explode) → guaranteed-unique
+      // ingest ids, natural transactionid dups across orders via % 2011.
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), explode(array(lit(1), lit(2))).as("i"))
+      val cents = (col("o_orderkey") * 31 + col("i") * 7) % 10000000L
+      val input = o.select(
+        (col("o_orderkey") * 10 + col("i")).cast(LongType)
+          .as(CleaningPipelines.IngestId),
+        when(col("o_orderkey") % 53 === 0, lit(""))
+          .otherwise((col("o_orderkey") % 2011L).cast(StringType)).as("transactionid"),
+        concat(lit("$"), format_number((cents / 100).cast(LongType), 0),
+          lit("."), lpad((cents % 100).cast(StringType), 2, "0")).as("ticketprice"))
+      CleaningPipelines.airlinesales(input).clean
+    },
+    Some("""WITH inp AS (
+              SELECT o_orderkey * 10 + i AS _ingest_id,
+                     CASE WHEN o_orderkey % 53 = 0 THEN '' ELSE CAST(o_orderkey % 2011 AS VARCHAR) END AS transactionid,
+                     '$' || format('{:,}', ((o_orderkey*31 + i*7) % 10000000) // 100) || '.' ||
+                       lpad(CAST((o_orderkey*31 + i*7) % 100 AS VARCHAR), 2, '0') AS ticketprice
+              FROM orders, (SELECT unnest([1, 2]) AS i)),
+            norm AS (
+              SELECT _ingest_id, transactionid,
+                     least(round(CAST(replace(replace(ticketprice, '$', ''), ',', '') AS DOUBLE), 2), 99999999.99) AS ticketprice
+              FROM inp),
+            flagged AS (
+              SELECT *, row_number() OVER (PARTITION BY transactionid ORDER BY _ingest_id) > 1 AS isdup
+              FROM norm)
+            SELECT _ingest_id, transactionid, ticketprice FROM flagged
+            WHERE transactionid IS NOT NULL AND length(trim(transactionid)) > 0 AND NOT isdup"""))
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q41)
+}

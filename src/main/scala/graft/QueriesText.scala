@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators._
+import Queries.Q
+
+/** North-star LLM-data-pipeline queries: text analysis, deduplication
+  * (exact / MinHash+LSH / SimHash / n-gram Jaccard), and embedding
+  * similarity search over the `documents` and `embeddings` tables.
+  *
+  * Hash-sketch operators (MinHash / SimHash / LSH) have no DuckDB oracle —
+  * xxhash64 is not available there — so they register rows-only checks;
+  * their correctness oracle is the ScalaTest suite, which compares them
+  * against the brute-force operators that DO have SQL oracles.
+  */
+object QueriesText {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents ∪ shifted copy of every 5th doc — deterministic duplicate
+    * injection so dedup operators have work to do. */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionByName(
+      d.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L))
+  }
+
+  // ---------------------------------------------------------------- q25
+  // Language ID via stopword-hit heuristic.
+  private val q25 = Q("q25_lang_id",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TF.langId(col("text")).as("lang_guess")),
+    Some("""WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            hits AS (
+              SELECT doc_id, lang,
+                len(list_filter(tk, t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS en,
+                len(list_filter(tk, t -> list_contains(['el','la','de','que','y','en','un','los','se','por'], t))) AS es,
+                len(list_filter(tk, t -> list_contains(['le','la','de','et','les','des','un','une','du','est'], t))) AS fr,
+                len(list_filter(tk, t -> list_contains(['der','die','und','das','ist','von','den','mit','ein','zu'], t))) AS de
+              FROM toks)
+            SELECT doc_id, lang,
+                   CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+                        WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+                        WHEN es >= fr AND es >= de THEN 'es'
+                        WHEN fr >= de THEN 'fr'
+                        ELSE 'de' END AS lang_guess
+            FROM hits"""))
+
+  // ---------------------------------------------------------------- q26
+  // Quality scoring (length / punctuation / stopword blend).
+  private val q26 = Q("q26_quality_score",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), TF.qualityScore(col("text")).as("quality")),
+    Some("""WITH x AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk,
+                     CAST(length(text) AS DOUBLE) AS chars,
+                     CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct
+              FROM documents),
+            y AS (
+              SELECT doc_id,
+                     CAST(len(tk) AS DOUBLE) AS ntok, chars, punct,
+                     CASE WHEN len(tk) > 0 THEN
+                       CAST(len(list_filter(tk, t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS DOUBLE) / len(tk)
+                     ELSE 0.0 END AS stopr
+              FROM x)
+            SELECT doc_id,
+                   round(0.4 * least(ntok / 200.0, 1.0)
+                       + 0.2 * (CASE WHEN ntok > 0 AND chars / ntok BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                       + 0.2 * (1.0 - (CASE WHEN chars > 0 THEN least(punct / chars * 5.0, 1.0) ELSE 1.0 END))
+                       + 0.2 * least(stopr * 5.0, 1.0), 6) AS quality
+            FROM y"""))
+
+  // ---------------------------------------------------------------- q27
+  // Token counting: whitespace + BPE-ish subword proxy.
+  private val q27 = Q("q27_token_counts",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TF.tokenCount(col("text")).as("ws_tokens"),
+        TF.bpeTokenCount(col("text")).as("bpe_tokens")),
+    Some("""SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                        t -> len(t) > 0)) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+            FROM documents"""))
+
+  // ---------------------------------------------------------------- q28
+  // Document fingerprint (rolling hash) — xxhash64-based, no SQL oracle;
+  // grouped so the row set is stable and small.
+  private val q28 = Q("q28_fingerprint",
+    (s, dir) => docsWithDups(s, dir)
+      .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") > 1),
+    None)
+
+  // ---------------------------------------------------------------- q29
+  // Exact-duplicate groups via content key.
+  private val q29 = Q("q29_exact_dup_docs",
+    (s, dir) => TextDedup.exactDupGroups(docsWithDups(s, dir), "text"),
+    Some("""WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0)
+            SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key,
+                   count(*) AS dup_count
+            FROM d GROUP BY 1 HAVING count(*) > 1"""))
+
+  // ---------------------------------------------------------------- q30
+  // MinHash+LSH near-dup pairs (verified by true Jaccard). No SQL oracle
+  // (xxhash64); ScalaTest cross-checks against q31's brute force.
+  private val q30 = Q("q30_minhash_neardup",
+    (s, dir) => TextDedup.minHashNearDups(docsWithDups(s, dir), "text", "doc_id",
+      threshold = 0.8),
+    None)
+
+  // ---------------------------------------------------------------- q31
+  // Brute-force n-gram Jaccard pairs on a bounded slice (the oracle for
+  // LSH): doc_id < 60 keeps the cross product tiny at any SF.
+  private val q31 = Q("q31_ngram_jaccard",
+    (s, dir) => TextDedup.ngramJaccardPairs(
+      docsWithDups(s, dir).filter(col("doc_id") % 10000000L < 60),
+      "text", "doc_id", shingleSize = 5, threshold = 0.2),
+    Some("""WITH d AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 60
+              UNION ALL
+              SELECT doc_id + 10000000, text FROM documents
+              WHERE doc_id % 5 = 0 AND doc_id < 60),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(s) - 4, 1) + 1),
+                       i -> substr(s, i, 5))) AS shingles
+              FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s FROM d)),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                       len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+            FROM pairs WHERE jaccard >= 0.2"""))
+
+  // ---------------------------------------------------------------- q32
+  // SimHash near-dup pairs (hamming <= 3 via 16-bit chunk blocking).
+  // xxhash64-based — rows-only check; ScalaTest is the oracle.
+  private val q32 = Q("q32_simhash_neardup",
+    (s, dir) => TextDedup.simHashNearDups(docsWithDups(s, dir), "text", "doc_id"),
+    None)
+
+  // ---------------------------------------------------------------- q33
+  // Brute-force cosine top-k (every 50th vector queries the corpus).
+  private val q33 = Q("q33_cosine_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 3)
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            s AS (
+              SELECT query_id, neighbor_id,
+                list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) /
+                (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                 sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+              FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+            r AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+              FROM s)
+            SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rank
+            FROM r WHERE rn <= 3"""))
+
+  // ---------------------------------------------------------------- q34
+  // LSH-bucketed ANN — the scale path; rows-only (recall asserted vs q33
+  // in ScalaTest).
+  private val q34 = Q("q34_ann_lsh",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", k = 3)
+    },
+    None)
+
+  // ---------------------------------------------------------------- q35
+  // Embedding-cosine near-duplicate pairs via LSH buckets.
+  private val q35 = Q("q35_embedding_neardup",
+    (s, dir) => {
+      // random embeddings have no natural near-dups — inject a perturbed
+      // copy of every 20th vector (one component nudged: cosine ~0.99).
+      val e = t(s, dir, "embeddings")
+      val perturbed = e.filter(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000000L)
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(0.05f)).otherwise(x)))
+      Similarity.embeddingNearDups(e.unionByName(perturbed),
+        "vec_id", "embedding", threshold = 0.9)
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
+}
