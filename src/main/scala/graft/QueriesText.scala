@@ -211,5 +211,26 @@ object QueriesText {
     },
     None)
 
-  val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
+  // ---------------------------------------------------------------- q42
+  // Multimodal plumbing: binary payload column + (stubbed) decode +
+  // byte-histogram feature extract + frame sampling. Rows-only: the codec
+  // is a deterministic stub (no image libs in this environment); the
+  // Spark-side schema/partitioning/batch shape is real.
+  private val q42 = Q("q42_multimodal",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+      val decoded = media
+        .withColumn("meta", Multimodal.fakeDecode(col("payload")))
+        .withColumn("features", Multimodal.byteHistogram(col("payload")))
+      Multimodal.frameSample(decoded, chunkBytes = 64, stride = 4)
+        .join(decoded.select(col("media_id"), col("media_type"),
+          col("meta.width").as("width"), col("features")), Seq("media_id"))
+        .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"),
+          col("media_type"), col("width"), size(col("features")).as("n_feature_buckets"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42)
 }

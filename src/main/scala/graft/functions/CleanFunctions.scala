@@ -38,8 +38,12 @@ object CleanFunctions {
     * (null on failure, = pandas to_numeric(errors='coerce')), banker's-round
     * to 2dp (pandas parity → bround), cap at 99,999,999.99
     * (cleaning.py:574-576). */
-  def cleanMoney(c: Column, cap: Double = 9.999999999e7): Column =
-    least(bround(stripCurrency(trim(c)).cast(DoubleType), 2), lit(cap))
+  def cleanMoney(c: Column, cap: Double = 9.999999999e7): Column = {
+    val x = bround(stripCurrency(trim(c)).cast(DoubleType), 2)
+    // guard: least() skips nulls, which would turn unparseable money into
+    // the cap — null must stay null (pandas to_numeric coerce parity).
+    when(x.isNull, lit(null).cast(DoubleType)).otherwise(least(x, lit(cap)))
+  }
 
   /** F32 — str.isdigit() equivalent (cleaning.py:556). */
   def isDigits(c: Column): Column = c.rlike("^[0-9]+$")

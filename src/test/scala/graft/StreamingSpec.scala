@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{EligibilityStream, EventWindows}
+
+/** T1-T6 streaming path driven by MemoryStream (stands in for the Kafka
+  * source — offline environment), exactly as SURVEY.md §7 PR 6 plans. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val flights = {
+    val f = Seq(
+      (100L, "2024-01-01 10:00:00", "2024-01-01 13:00:00"), // 180 min → met
+      (200L, "2024-01-01 10:00:00", "2024-01-01 10:30:00")  // 30 min → below
+    ).toDF("flight_number", "s", "a")
+    f.select(col("flight_number"),
+      to_timestamp(col("s")).as("scheduled_departure"),
+      to_timestamp(col("a")).as("actual_departure"))
+  }
+
+  test("T1-T5: message parse w/ raw fallback → stream-static join → reasons") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    input.addData(
+      """{"type":"eligibility_check","requested_at":"t1","payload":{"firstName":"A","lastName":"B","flightNumber":"100","passengerId":"P1"}}""",
+      """{"type":"eligibility_check","requested_at":"t2","payload":{"firstName":"C","lastName":"D","flightNumber":"200","passengerId":"P2"}}""",
+      """{"type":"eligibility_check","requested_at":"t3","payload":{"firstName":"E","lastName":"F","flightNumber":"999","passengerId":"P3"}}""",
+      """{"type":"other_message","requested_at":"t4","payload":{}}""",
+      """not json at all""")
+
+    val parsed = EligibilityStream.parseMessages(input.toDF())
+    val results = EligibilityStream.process(parsed, flights)
+    val q = results.writeStream.format("memory").queryName("elig")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("elig")
+      .orderBy("passenger_id")
+      .select("passenger_id", "reason", "eligible")
+      .as[(String, String, Boolean)].collect.toSeq
+    assert(got == Seq(
+      ("P1", "delay_threshold_met", true),
+      ("P2", "delay_below_threshold", false),
+      ("P3", "flight_not_found", false)))
+  }
+
+  test("S14 audit captures every message including non-JSON") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    input.addData("""{"type":"x"}""", "garbage")
+    val q = EligibilityStream.audit(input.toDF())
+      .writeStream.format("memory").queryName("audit")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("audit").count() == 2)
+  }
+
+  test("event-time tumbling windows with watermark aggregate by hour") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    input.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), "click", 4.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), "view", 8.0))
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = EventWindows.tumbling(events, "ts", "event_type", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("win")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // append mode emits only watermark-closed windows; re-read as complete
+    // via a second batch run over the same logic for value assertions:
+    val batch = EventWindows.tumbling(
+      Seq(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), "click", 4.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), "view", 8.0)
+      ).toDF("ts", "event_type", "value"), "ts", "event_type", "1 hour")
+    val rows = batch.orderBy("window_start", "event_type")
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect.toSeq
+    assert(rows == Seq(
+      ("10:00", "click", 2L, 3.0),
+      ("10:00", "view", 1L, 8.0),
+      ("11:00", "click", 1L, 4.0)))
+  }
+
+  test("T6 recent-N feed returns latest n by timestamp") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 11:00:00"),
+      (3L, "2024-01-01 12:00:00"), (4L, "2024-01-01 09:00:00"))
+      .toDF("id", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = EventWindows.recentN(df, "ts", 2, "id").select("id").as[Long].collect.toSeq
+    assert(got == Seq(3L, 2L))
+  }
+
+  test("session windows group events within the gap") {
+    val df = Seq(
+      ("2024-01-01 10:00:00", "u1", 1.0),
+      ("2024-01-01 10:03:00", "u1", 1.0),  // same session (gap 5m)
+      ("2024-01-01 10:20:00", "u1", 1.0),  // new session
+      ("2024-01-01 10:01:00", "u2", 1.0))
+      .toDF("ts", "user", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = EventWindows.session(df, "ts", "user", "5 minutes")
+    assert(got.count() == 3)
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{TextDedup, Similarity}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    Seq(
+      (1L, base),
+      (2L, base),                                    // exact dup of 1
+      (3L, base.replace("quick", "swift")),          // near dup of 1
+      (4L, "completely different text about spark engines and query planning systems"),
+      (5L, "another unrelated document on warehouse schemas and dimension tables")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds the identical pair and keeps lowest id") {
+    assert(TextDedup.exactDupGroups(docs, "text").count() == 1)
+    val kept = TextDedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect.toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash candidates contain every true near-dup pair (recall)") {
+    val trueDups = TextDedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 5, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(trueDups.contains((1L, 2L)) && trueDups.contains((1L, 3L)))
+    val cands = TextDedup.minHashCandidates(docs, "text", "doc_id")
+      .as[(Long, Long)].collect.toSet
+    assert(trueDups.subsetOf(cands), s"missed: ${trueDups -- cands}")
+  }
+
+  test("minhash near-dups = LSH candidates verified by true jaccard") {
+    val got = TextDedup.minHashNearDups(docs, "text", "doc_id", threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).size == 2 })
+  }
+
+  test("simhash: identical docs distance 0; near-dups within 3; unrelated far") {
+    val bits = docs.select(col("doc_id"), TextDedup.simHashBits(col("text")).as("b"))
+    val pairs = bits.as("x").join(bits.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        TextDedup.hamming(col("x.b"), col("y.b")).as("h"))
+      .as[(Long, Long, Int)].collect
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs((1L, 3L)) <= 8)
+    assert(pairs((1L, 4L)) > 8)
+    val nd = TextDedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(nd.contains((1L, 2L)))
+  }
+
+  test("fingerprint equality ⇔ same normalized token stream") {
+    val fp = docs.select(col("doc_id"), TF.fingerprint(col("text")).as("f"))
+      .as[(Long, Long)].collect.toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      "the cat and the dog in a house is that it for",
+      "el perro y la casa de que un los se por",
+      "le chat et les maisons des une du est la",
+      "der hund und das haus ist von den mit ein zu",
+      "xyzzy plugh quux").toDF("text")
+    val got = df.select(TF.langId(col("text"))).as[String].collect.toSeq
+    assert(got == Seq("en", "es", "fr", "de", "und"))
+  }
+
+  test("cosine + brute-force top-k are exact") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 1), vecs,
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect.toSeq
+    assert(got == Seq(2L, 3L, 4L))
+    val c = vecs.filter(col("vec_id") === 1).crossJoin(
+        vecs.filter(col("vec_id") === 4).select(col("embedding").as("e2")))
+      .select(VF.cosine(col("embedding"), col("e2"))).head.getDouble(0)
+    assert(c == -1.0)
+  }
+
+  test("LSH top-k achieves high recall vs brute force on clustered vectors") {
+    // 8 clusters x 25 members in 16 dims: LSH must find same-cluster neighbors
+    val rng = new scala.util.Random(7)
+    val centers = Seq.fill(8)(Array.fill(16)(rng.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 8; m <- 0 until 25) yield {
+      val v = centers(c).map(x => x + 0.05f * rng.nextGaussian().toFloat)
+      ((c * 25 + m).toLong, v)
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect.toSet
+    val approx = Similarity.lshTopK(queries, vecs, "vec_id", "embedding",
+        k = 5, dim = 16, tables = 8, planesPerTable = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect.toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("embeddingNearDups finds a perturbed copy") {
+    val rng = new scala.util.Random(11)
+    val base = (0 until 20).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val dup = (100L, base(3)._2.map(x => x * 1.01f))
+    val vecs = (base :+ dup).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+        threshold = 0.99, dim = 16, tables = 8, planesPerTable = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(got.contains((3L, 100L)))
+  }
+}
