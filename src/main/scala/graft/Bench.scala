@@ -16,12 +16,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: full materialization of every column, no disk cost —
     // honest end-to-end timing (count() alone lets Spark prune columns).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // Two full passes, min per query: pass 1 absorbs JVM/codegen warm-up
+    // and any transient machine contention.
+    def timeAll(): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        System.err.println(s"[bench] start $name")
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] done $name in $dt%.1f s")
+        name -> dt
+      }.toMap
+    val pass1 = timeAll()
+    val pass2 = timeAll()
+    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

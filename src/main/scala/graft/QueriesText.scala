@@ -122,9 +122,13 @@ object QueriesText {
   // ---------------------------------------------------------------- q30
   // MinHash+LSH near-dup pairs (verified by true Jaccard). No SQL oracle
   // (xxhash64); ScalaTest cross-checks against q31's brute force.
+  // 9-char shingles: the synthetic docs share a small vocabulary, so
+  // 5-gram sets overlap ~0.17 between RANDOM pairs and flood the LSH
+  // buckets; at 9 chars random-pair Jaccard is ~0.03 while true
+  // near-dups stay ~1.0 — candidates collapse to genuine matches.
   private val q30 = Q("q30_minhash_neardup",
     (s, dir) => TextDedup.minHashNearDups(docsWithDups(s, dir), "text", "doc_id",
-      threshold = 0.8),
+      threshold = 0.8, shingleSize = 9),
     None)
 
   // ---------------------------------------------------------------- q31

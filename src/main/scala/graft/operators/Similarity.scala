@@ -25,11 +25,17 @@ object Similarity {
     * Output: (query id, neighbor id, cosine), k rows per query. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int = 10): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    // norms hoisted to one per ROW (not per pair): same IEEE results as
+    // cosine(), a third of the per-pair flops.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      norm2(col(vecCol)).as("_qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      norm2(col(vecCol)).as("_cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+      .withColumn("cosine",
+        when(col("_qn") === 0.0 || col("_cn") === 0.0, lit(null).cast("double"))
+          .otherwise(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("_rn", row_number().over(w))
@@ -50,7 +56,8 @@ object Similarity {
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
           explode(array(planeSets.zipWithIndex.map { case (ps, t) =>
-            concat_ws(":", lit(t), hyperplaneBucket(col(vecCol), ps))
+            concat_ws(":", lit(t),
+              graft.plans.SketchExpressions.hyperplaneBucket(col(vecCol), ps))
           }: _*)).as("_bucket"))
 
     val q = bucketed(queries, "query_id", "_qv")
@@ -78,7 +85,8 @@ object Similarity {
     val planeSets = (0 until tables).map(t => randomPlanes(planesPerTable, dim, seed + t))
     val b = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       explode(array(planeSets.zipWithIndex.map { case (ps, t) =>
-        concat_ws(":", lit(t), hyperplaneBucket(col(vecCol), ps))
+        concat_ws(":", lit(t),
+          graft.plans.SketchExpressions.hyperplaneBucket(col(vecCol), ps))
       }: _*)).as("_bucket"))
     val l = b.as("l"); val r = b.as("r")
     l.join(r, col("l._bucket") === col("r._bucket") && col("l._id") < col("r._id"))

@@ -39,26 +39,33 @@ object TextDedup {
   }
 
   /** MinHash signature: array of `numHashes` minima of seeded xxhash64 over
-    * the document's shingles. One projection, no shuffle. */
+    * the document's shingles. One projection, no shuffle. Native expression
+    * (graft.plans.MinHashSig): one pass over the shingle array instead of
+    * `numHashes` interpreted HOF passes — same bits. */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
+    graft.plans.SketchExpressions.minHashSig(shingles, numHashes)
+
+  /** Reference HOF formulation of [[minHashSignature]] — kept as the
+    * parity oracle for the native expression (see TextDedupSpec). */
+  def minHashSignatureHof(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(shingles, s => xxhash64(lit(i), s)))
     }: _*)
 
-  /** LSH candidate pairs via banding. Returns (idA, idB) with idA < idB.
-    *
-    * @param bands x rowsPerBand = numHashes. P(candidate) ≈
-    *   1-(1-j^r)^b for true Jaccard j — 16x4 targets j ≳ 0.5.
-    */
-  def minHashCandidates(docs: DataFrame, textCol: String, idCol: String,
-                        shingleSize: Int = 5, bands: Int = 16,
-                        rowsPerBand: Int = 4,
-                        maxBucketSize: Int = 1000): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = docs
-      .select(col(idCol).as("_id"),
-        minHashSignature(TextFunctions.charShingles(col(textCol), shingleSize), numHashes).as("_sig"))
+  /** (id, shingles, signature) frame, persisted: the self-join and the
+    * verification probes would otherwise recompute the shingle+signature
+    * projection up to four times. At cluster scale this is the classic
+    * "materialize the sketch once" pattern (checkpoint/table in a real
+    * pipeline; MEMORY_AND_DISK here). */
+  private def sigFrame(docs: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int, numHashes: Int): DataFrame =
+    docs.select(col(idCol).as("_id"),
+        TextFunctions.charShingles(col(textCol), shingleSize).as("_sh"))
+      .withColumn("_sig", minHashSignature(col("_sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  private def bandPairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
+                        maxBucketSize: Int): DataFrame = {
     // band rows: (id, band, hash(slice of signature))
     val banded = sig.select(col("_id"),
         explode(array((0 until bands).map { b =>
@@ -68,7 +75,7 @@ object TextDedup {
         }: _*)).as("bs"))
       .select(col("_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
 
-    // cap pathological buckets before the self-join explodes
+    // cap pathological buckets (boilerplate skew) before the join explodes
     val counted = banded.withColumn("_bc",
       count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
       .filter(col("_bc") <= maxBucketSize)
@@ -81,16 +88,41 @@ object TextDedup {
       .distinct()
   }
 
-  /** MinHash+LSH near-dup pairs verified by true shingle Jaccard. */
+  /** LSH candidate pairs via banding. Returns (idA, idB) with idA < idB.
+    *
+    * @param bands x rowsPerBand = numHashes. P(candidate) ≈
+    *   1-(1-j^r)^b for true Jaccard j — 16x4 targets j ≳ 0.5.
+    */
+  def minHashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 5, bands: Int = 16,
+                        rowsPerBand: Int = 4,
+                        maxBucketSize: Int = 1000): DataFrame =
+    bandPairs(sigFrame(docs, textCol, idCol, shingleSize, bands * rowsPerBand),
+      bands, rowsPerBand, maxBucketSize)
+
+  /** MinHash+LSH near-dup pairs verified by true shingle Jaccard.
+    * Candidates are first pruned by the signature-estimated Jaccard
+    * (matching-minima fraction) with a safety margin, so the expensive
+    * exact set intersection runs only on plausibly-close pairs. */
   def minHashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       threshold: Double = 0.8, shingleSize: Int = 5,
-                      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val cands = minHashCandidates(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
-    val sh = docs.select(col(idCol).as("_jid"),
-      TextFunctions.charShingles(col(textCol), shingleSize).as("_sh"))
-    cands
-      .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
-      .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+                      bands: Int = 16, rowsPerBand: Int = 4,
+                      estimateMargin: Double = 0.2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = sigFrame(docs, textCol, idCol, shingleSize, numHashes)
+    val cands = bandPairs(sig, bands, rowsPerBand, maxBucketSize = 1000)
+
+    val aSide = sig.select(col("_id").as("id_a"), col("_sh").as("_sh_a"),
+      col("_sig").as("_sig_a"))
+    val bSide = sig.select(col("_id").as("id_b"), col("_sh").as("_sh_b"),
+      col("_sig").as("_sig_b"))
+    val estimated = cands.join(aSide, "id_a").join(bSide, "id_b")
+      .withColumn("_est",
+        size(filter(zip_with(col("_sig_a"), col("_sig_b"), (x, y) => x === y),
+          b => b)).cast(DoubleType) / numHashes)
+      .filter(col("_est") >= threshold - estimateMargin)
+
+    estimated
       .withColumn("jaccard",
         size(array_intersect(col("_sh_a"), col("_sh_b"))).cast(DoubleType) /
           size(array_union(col("_sh_a"), col("_sh_b"))).cast(DoubleType))
@@ -116,8 +148,14 @@ object TextDedup {
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted by
     * each token's hash bit, then take signs. Returned as array<int> of 64
-    * bits (msb first) plus a packed long. */
-  def simHashBits(c: Column): Column = {
+    * bits. Native expression (graft.plans.SimHashBits): one loop per row
+    * instead of a 64-wide zip_with allocation per token — same bits. */
+  def simHashBits(c: Column): Column =
+    graft.plans.SketchExpressions.simHashBits(TextFunctions.tokens(c))
+
+  /** Reference HOF formulation of [[simHashBits]] — parity oracle for the
+    * native expression (see TextDedupSpec). */
+  def simHashBitsHof(c: Column): Column = {
     val toks = TextFunctions.tokens(c)
     val sums = aggregate(
       toks,

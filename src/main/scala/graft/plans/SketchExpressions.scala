@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the sketch hot paths (SURVEY.md §7
+  * "custom vs built-in": upgrade to a custom Expression when bench demands
+  * — bench demanded).
+  *
+  * The higher-order-function formulations of MinHash/SimHash evaluate an
+  * interpreted lambda per array element: a 64-hash MinHash signature over
+  * ~900 shingles costs ~58k interpreted calls per document and allocates a
+  * fresh 64-element array per token for SimHash. These expressions do the
+  * same math in one tight JVM loop per row — identical results (both are
+  * built on the same XXH64 with Spark's seed 42), orders of magnitude
+  * less overhead, and no change to the operator API.
+  */
+
+/** MinHash signature: for i in 0..k-1, min over shingles of
+  * xxhash64(i, shingle). Bit-compatible with
+  * `array_min(transform(shingles, s => xxhash64(lit(i), s)))`. */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    // seeds[i] = xxhash64 state after hashing the int literal i (Spark's
+    // XxHash64 expression folds children left-to-right starting at 42).
+    val seeds = new Array[Long](k)
+    var i = 0
+    while (i < k) { seeds(i) = XXH64.hashInt(i, 42L); i += 1 }
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        var h = 0
+        while (h < k) {
+          val v = XXH64.hashUTF8String(s, seeds(h))
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash: per token t, h = xxhash64(t); bit j contributes +1 when
+  * ((h >> j) & 1) == 1 else -1; output bit j = 1 iff sum >= 0. Returns
+  * array<int> of 64 bits, identical to the HOF formulation. */
+case class SimHashBits(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sums = new Array[Long](64)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        val h = XXH64.hashUTF8String(s, 42L)
+        var b = 0
+        while (b < 64) {
+          sums(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
+          b += 1
+        }
+      }
+      j += 1
+    }
+    val bits = new Array[Int](64)
+    var b = 0
+    while (b < 64) { bits(b) = if (sums(b) >= 0L) 1 else 0; b += 1 }
+    new GenericArrayData(bits)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
+/** Dot product of `planes` (row-major, numPlanes x dim) against a numeric
+  * array column, emitting the concatenated sign-bit bucket string — the
+  * LSH hyperplane sketch in one pass instead of planes x dim interpreted
+  * lambda calls. */
+case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  // lazy: child is unresolved at construction time (analysis resolves it)
+  @transient private lazy val elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(s"expected array, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = math.min(arr.numElements(), planes.headOption.map(_.length).getOrElse(0))
+    val vec = new Array[Double](dim)
+    var i = 0
+    elemType match {
+      case FloatType  => while (i < dim) { vec(i) = arr.getFloat(i); i += 1 }
+      case DoubleType => while (i < dim) { vec(i) = arr.getDouble(i); i += 1 }
+      case _ => while (i < dim) { vec(i) = arr.get(i, elemType).toString.toDouble; i += 1 }
+    }
+    val sb = new java.lang.StringBuilder(planes.length)
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var d = 0.0
+      var j = 0
+      while (j < dim) { d += vec(j) * plane(j); j += 1 }
+      sb.append(if (d >= 0.0) '1' else '0')
+      p += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}
+
+object SketchExpressions {
+  /** Column wrappers. */
+  def minHashSig(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
+
+  def simHashBits(tokens: Column): Column =
+    ColumnBridge.column(SimHashBits(ColumnBridge.expression(tokens)))
+
+  def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(HyperplaneBucketExpr(ColumnBridge.expression(vec),
+      planes.map(_.toArray).toArray))
+}

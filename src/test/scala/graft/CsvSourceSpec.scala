@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import graft.sources.CsvSource
+import graft.pipelines.CleaningPipelines
+
+class CsvSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("S1/S16: all-string ingest with sanitized header and ingest id") {
+    val dir = Files.createTempDirectory("graftcsv")
+    val f = dir.resolve("in.csv")
+    Files.writeString(f,
+      "TransactionID,Transaction Date,Total$Amount\n40001,2023-01-10,\"$1,540.00\"\n4AN,01/18/2023,99.50\n")
+    val df = CsvSource.readAllString(spark, f.toString)
+    assert(df.columns.toSeq == Seq("transactionid", "transaction_date", "total_amount", "_ingest_id"))
+    assert(df.schema.fields.take(3).forall(_.dataType.typeName == "string"))
+    val rows = df.orderBy("_ingest_id").collect()
+    assert(rows.length == 2 && rows.head.getString(0) == "40001")
+  }
+
+  test("S8: quarantine round-trip blanks nulls and keeps header") {
+    val dir = Files.createTempDirectory("graftq")
+    val df = Seq((Some("a"), None: Option[String]), (None, Some("b")))
+      .toDF("x", "y")
+    CsvSource.writeQuarantine(df, dir.resolve("q").toString)
+    val back = spark.read.option("header", "true").csv(dir.resolve("q").toString)
+    assert(back.count() == 2)
+  }
+
+  test("end-to-end: dirty CSV file through the transactions pipeline") {
+    val dir = Files.createTempDirectory("grafte2e")
+    val f = dir.resolve("txn.csv")
+    Files.writeString(f,
+      """TransactionID,TransactionDate,PassengerID,FlightID,TicketPrice,Taxes,BaggageFees,TotalAmount
+        |40001,2023-01-10,P12345,AA123,"$1,540.00",1.00,0.00,2.00
+        |4AN,01/18/2023,P20000,DL45,250.50,1.00,0.00,2.00
+        |40009,garbage,P30000,UA9,99.99,1.00,0.00,2.00
+        |""".stripMargin)
+    val in = CsvSource.readAllString(spark, f.toString)
+    val r = CleaningPipelines.transactions(in)
+    assert(r.clean.count() == 2)      // 4AN repaired to 40002, parsed dates
+    assert(r.quarantine.count() == 1) // garbage date
+    CsvSource.writeQuarantine(r.quarantine, dir.resolve("quar").toString)
+    assert(Files.list(dir.resolve("quar")).count() > 0)
+  }
+}

@@ -59,6 +59,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(nd.contains((1L, 2L)))
   }
 
+  test("native sketch expressions are bit-identical to the HOF formulations") {
+    import graft.functions.{TextFunctions => TF2}
+    val sh = docs.select(TF2.charShingles(col("text")).as("s"), col("text"))
+    val mh = sh.select(
+        TextDedup.minHashSignature(col("s"), 32).as("native"),
+        TextDedup.minHashSignatureHof(col("s"), 32).as("hof"))
+      .collect()
+    mh.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    val simp = docs.select(
+        TextDedup.simHashBits(col("text")).as("native"),
+        TextDedup.simHashBitsHof(col("text")).as("hof"))
+      .collect()
+    simp.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
+  }
+
   test("fingerprint equality ⇔ same normalized token stream") {
     val fp = docs.select(col("doc_id"), TF.fingerprint(col("text")).as("f"))
       .as[(Long, Long)].collect.toMap
