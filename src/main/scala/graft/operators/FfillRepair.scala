@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Forward-fill and id-repair operators (SURVEY.md §2.5 W2/W3).
   *
@@ -12,24 +12,83 @@ import org.apache.spark.sql.types.LongType
   * (cleaning.py:554-569). That is order-dependent; here the order is an
   * explicit column.
   *
-  * Scale note: an unpartitioned ffill is a single global ordering — on a
-  * real cluster that is one task. Callers with a natural partition key
-  * should pass `partitionBy` so the window parallelizes; the global form
-  * exists only for exact pandas parity on modest inputs.
+  * Scale: a naive global-order ffill is a one-partition window — the
+  * whole dataset funnels through a single task. Instead this implements
+  * the distributed prefix-scan: range-partition on the order column,
+  * forward-fill WITHIN each partition in parallel, aggregate one
+  * (partition, last-non-null) row per partition, prefix-scan that tiny
+  * summary on the driver, and broadcast the carry-in back. Two parallel
+  * shuffles, no single-task stage, bit-identical to the global window.
   */
 object FfillRepair {
 
-  private def w(orderCol: String, partitionBy: Seq[String]) = {
-    val base =
-      if (partitionBy.isEmpty) Window.orderBy(col(orderCol))
-      else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderCol))
-    base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  private val Pid = "_ffill_pid"
+  private val Carry = "_ffill_carry"
+
+  /** df + `out` column = last non-null `value` over the global order of
+    * `orderCol` (inclusive of the current row when `inclusive`). The core
+    * scalable prefix-scan shared by [[ffill]] and [[repairIds]]. */
+  private def prefixLast(df: DataFrame, value: Column, orderCol: String,
+                         inclusive: Boolean, out: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+
+    val parted = df
+      .repartitionByRange(n, col(orderCol))
+      .withColumn(Pid, spark_partition_id())
+      .withColumn("_ffill_v", value)
+      .persist()
+
+    // one row per partition: the last non-null value it holds
+    val summary = parted
+      .filter(col("_ffill_v").isNotNull)
+      .groupBy(col(Pid))
+      .agg(max_by(col("_ffill_v"), col(orderCol)).as("_last"))
+      .collect()
+      .map(r => r.getInt(0) -> r.get(1))
+      .toMap
+
+    // driver-side prefix scan over ≤ numShufflePartitions entries:
+    // carry(p) = last non-null value of any partition before p
+    val valueType = parted.schema("_ffill_v").dataType
+    var running: Any = null
+    val carries = (0 until n).map { p =>
+      val c = running
+      summary.get(p).foreach(v => running = v)
+      Row(p, c)
+    }
+    val carryDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(carries, 1),
+      StructType(Seq(StructField(Pid, IntegerType, nullable = false),
+                     StructField(Carry, valueType, nullable = true))))
+
+    val frameEnd = if (inclusive) 0L else -1L
+    val w = Window.partitionBy(col(Pid)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, frameEnd)
+    // parted stays cached (the summary collect materialized it) so the
+    // result plan reuses the same physical partitioning; if the executor
+    // evicts it, the recompute is deterministic (range boundaries are
+    // sampled with fixed seeds), so partition ids — and results — hold.
+    parted
+      .join(broadcast(carryDf), Pid)
+      .withColumn(out,
+        coalesce(last(col("_ffill_v"), ignoreNulls = true).over(w), col(Carry)))
+      .drop(Pid, Carry, "_ffill_v")
   }
 
-  /** W2 — pandas ffill(): last non-null value up to the current row. */
+  /** W2 — pandas ffill(): last non-null value up to the current row.
+    * With `partitionBy` the fill restarts per group (one parallel window);
+    * without it, the scalable global prefix-scan above. */
   def ffill(df: DataFrame, c: String, orderCol: String,
             partitionBy: Seq[String] = Nil): DataFrame =
-    df.withColumn(c, last(col(c), ignoreNulls = true).over(w(orderCol, partitionBy)))
+    if (partitionBy.nonEmpty) {
+      val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    } else {
+      prefixLast(df, col(c), orderCol, inclusive = true, out = "_ffill_out")
+        .withColumn(c, col("_ffill_out")).drop("_ffill_out")
+    }
 
   /** W3 — id repair with the reference's exact quirk: every non-numeric id
     * becomes (previous NUMERIC id) + 1, so CONSECUTIVE bad rows get the SAME
@@ -39,10 +98,10 @@ object FfillRepair {
   def repairIds(df: DataFrame, idCol: String, orderCol: String,
                 seed: Long = 40000L, out: String = "id_repaired"): DataFrame = {
     val numeric = when(col(idCol).rlike("^[0-9]+$"), col(idCol).cast(LongType))
-    val prev = last(numeric, ignoreNulls = true)
-      .over(w(orderCol, Nil).rowsBetween(Window.unboundedPreceding, -1))
-    df.withColumn(out,
-      when(numeric.isNotNull, numeric)
-        .otherwise(coalesce(prev, lit(seed)) + 1))
+    prefixLast(df, numeric, orderCol, inclusive = false, out = "_ffill_prev")
+      .withColumn(out,
+        when(numeric.isNotNull, numeric)
+          .otherwise(coalesce(col("_ffill_prev"), lit(seed)) + 1))
+      .drop("_ffill_prev")
   }
 }

@@ -1,12 +1,11 @@
 package graft.pipelines
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{CleanFunctions => CF}
-import graft.operators.{Dedup, FuzzyJoin}
+import graft.operators.{Dedup, FfillRepair, FuzzyJoin}
 
 /** The reference's six file-type cleaning pipelines (SURVEY.md §2.10
   * M2-M7; `/root/reference/backend/etl_scripts/cleaning.py:314-767`),
@@ -159,21 +158,12 @@ object CleaningPipelines {
     * (F17/F18), whole-row + id dedup, pattern validation. */
   def transactions(in: DataFrame): CleanResult = {
     val df0 = withIngestId(normalizeColumns(in))
-    val numeric = when(col("transactionid").rlike("^[0-9]+$"),
-      col("transactionid").cast(LongType))
-    val prevW = Window.orderBy(col(IngestId))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val moneyCols = Seq("ticketprice", "taxes", "baggagefees", "totalamount")
 
-    val df = df0
-      .withColumn("_numeric_id", numeric)
-      .withColumn("transactionid",
-        when(col("_numeric_id").isNotNull, col("_numeric_id"))
-          .otherwise(coalesce(
-            last(col("_numeric_id"), ignoreNulls = true).over(prevW),
-            lit(40000L)) + 1)
-          .cast(StringType))
-      .drop("_numeric_id")
+    val df = FfillRepair
+      .repairIds(df0, "transactionid", IngestId, seed = 40000L, out = "_id_rep")
+      .withColumn("transactionid", col("_id_rep").cast(StringType))
+      .drop("_id_rep")
       .transform(d => moneyCols.filter(d.columns.contains).foldLeft(d)((dd, c) =>
         dd.withColumn(c, CF.cleanMoney(col(c)))))
       .withColumn("transactiondate",
