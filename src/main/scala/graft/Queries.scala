@@ -521,8 +521,54 @@ object Queries {
                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
                   FROM lineitem) WHERE rank <= 3"""))
 
+  // ---------------------------------------------------------------- q43
+  // S6/S7 — upsert sink semantics as MERGE algebra: latest incoming
+  // version per key wins, untouched existing rows survive.
+  private val q43 = Q("q43_upsert",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val existing = c.filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal").as("acctbal"),
+          col("c_mktsegment").as("segment"))
+      // two versions per incoming key; version 2 must win
+      val incoming = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), explode(array(lit(1), lit(2))).as("version"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .select(col("c_custkey"),
+          (col("c_acctbal") + col("version") * 10).as("acctbal"),
+          concat(col("c_mktsegment"), lit("_v"), col("version")).as("segment"),
+          col("version"))
+      graft.sources.UpsertSink.upsert(existing, incoming,
+        Seq("c_custkey"), "version")
+    },
+    Some("""WITH existing AS (
+              SELECT c_custkey, c_acctbal AS acctbal, c_mktsegment AS segment
+              FROM customer WHERE c_custkey % 3 <> 0),
+            incoming AS (
+              SELECT c_custkey, c_acctbal + version * 10 AS acctbal,
+                     c_mktsegment || '_v' || version AS segment, version
+              FROM customer, (SELECT unnest([1, 2]) AS version)
+              WHERE c_custkey % 2 = 0),
+            latest AS (
+              SELECT c_custkey, acctbal, segment FROM incoming
+              QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC) = 1)
+            SELECT e.c_custkey, e.acctbal, e.segment FROM existing e
+            WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = e.c_custkey)
+            UNION ALL SELECT c_custkey, acctbal, segment FROM latest"""))
+
+  // ---------------------------------------------------------------- q44
+  // IVF ANN — coarse-quantizer cells + nprobe probing. No SQL oracle
+  // (k-means training); ScalaTest checks recall vs brute force.
+  private val q44 = Q("q44_ann_ivf",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
+    },
+    None)
+
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
-    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24) ++
+    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44) ++
     QueriesText.all ++ QueriesClean.all
 }

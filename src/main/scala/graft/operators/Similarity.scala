@@ -76,6 +76,106 @@ object Similarity {
         col("_rn").cast("int").as("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path beyond LSH.
+    *
+    * Index shape follows the standard IVF recipe: train `nlist` centroids
+    * with Lloyd's iterations on a bounded driver-side SAMPLE (production
+    * IVF indexes train the quantizer on a sample too — training data
+    * never needs the cluster), then assign fully distributed:
+    *
+    *  - corpus: nearest-centroid cell id in ONE codegen-friendly
+    *    projection — the centroids ride along as an array literal inside
+    *    higher-order functions, so there is NO join and NO shuffle to
+    *    build the index;
+    *  - queries: the `nprobe` closest cells each (explode);
+    *  - score only same-cell pairs; per-query top-k window.
+    *
+    * At 100 TB: index build is a map-only pass; the probe join shuffles
+    * on cell id, and each cell holds ~corpus/nlist rows — tune nlist so
+    * cells fit a task. Recall tunes with nprobe (nprobe = nlist ==
+    * exact). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+              sampleSize: Int = 4096, iters: Int = 5, seed: Long = 42L): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, sampleSize, iters, seed)
+    val centroidsLit = typedLit(centroids.map(_.toSeq))
+
+    // dot(unit(v), centroid_i) for every centroid — one array column
+    def cellDots(vec: Column): Column =
+      transform(centroidsLit, c =>
+        aggregate(zip_with(normalize(vec), c, (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+
+    def bestCell(vec: Column): Column = {
+      val d = cellDots(vec)
+      array_position(d, array_max(d)).cast("int")
+    }
+
+    // top-nprobe cells: sort (dot, index) structs descending, slice
+    def probeCells(vec: Column): Column = {
+      val d = cellDots(vec)
+      val pairs = zip_with(d, sequence(lit(1), lit(centroids.length)),
+        (dot, i) => struct(dot.as("d"), i.as("i")))
+      transform(slice(reverse(array_sort(pairs)), 1, math.min(nprobe, centroids.length)),
+        p => p.getField("i").cast("int"))
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      bestCell(col(vecCol)).as("_cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      explode(probeCells(col(vecCol))).as("_cell"))
+
+    val scored = c.join(q.hint("broadcast"), Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), bround(col("cosine"), 6).as("cosine"),
+        col("_rn").cast("int").as("rank"))
+  }
+
+  /** Lloyd's k-means on a deterministic sample, spherical (unit-norm)
+    * variant: centroids re-normalized each round so dot == cosine. */
+  private def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                             nlist: Int, sampleSize: Int, iters: Int,
+                             seed: Long): Array[Array[Double]] = {
+    val sample = corpus
+      .select(normalize(col(vecCol)).as("_v"), xxhash64(col(idCol).cast("string"), lit(seed)).as("_h"))
+      .orderBy(col("_h"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "ivfTopK: empty corpus")
+
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    var cents = sample.take(math.min(nlist, sample.length))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](cents(0).length))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue
+        var i = 0
+        while (i < cents.length) {
+          var d = 0.0; var j = 0
+          while (j < v.length) { d += v(j) * cents(i)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = i }
+          i += 1
+        }
+        var j = 0
+        while (j < v.length) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map(i =>
+        if (counts(i) == 0) cents(i) else unit(sums(i))).toArray
+    }
+    cents
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold)
     * via LSH buckets — the embedding twin of TextDedup.minHashNearDups. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,

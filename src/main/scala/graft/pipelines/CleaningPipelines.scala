@@ -202,4 +202,31 @@ object CleaningPipelines {
     val df = withIngestId(normalizeColumns(in))
     CleanResult(df, df.filter(lit(false)))
   }
+
+  // ------------------------------------------------------------------ M1
+  /** File-type dispatch (cleaning.py:524-767 `clean_file` router): routes
+    * a raw all-string frame to the right pipeline by file-type tag. The
+    * dimension frames are required only by the flights pipeline (its
+    * prefix/fuzzy repairs). */
+  def cleanFile(fileType: String, df: DataFrame,
+                airlineKeys: Option[DataFrame] = None,
+                airlineKeyCol: String = "airlinekey",
+                airportKeys: Option[DataFrame] = None,
+                airportKeyCol: String = "airportkey"): CleanResult =
+    fileType.trim.toLowerCase match {
+      case "airlines"     => airlines(df)
+      case "passengers"   => passengers(df)
+      case "transactions" => transactions(df)
+      case "airports"     => airports(df)
+      case "airlinesales" | "airline_sales" => airlinesales(df)
+      case "flights" =>
+        val al = airlineKeys.getOrElse(throw new IllegalArgumentException(
+          "flights pipeline needs airlineKeys (cleaning.py:422-436 key validation)"))
+        val ap = airportKeys.getOrElse(throw new IllegalArgumentException(
+          "flights pipeline needs airportKeys (cleaning.py:422-436 key validation)"))
+        flights(df, al, airlineKeyCol, ap, airportKeyCol)
+      case other =>
+        throw new IllegalArgumentException(s"unknown file type '$other' " +
+          "(expected one of: airlines flights passengers transactions airports airlinesales)")
+    }
 }

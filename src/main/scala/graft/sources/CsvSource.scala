@@ -63,4 +63,32 @@ object CsvSource {
     * upload-dir / outbox pattern as a Structured Streaming source. */
   def streamDirectory(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.option("header", "true").schema(schema).csv(dir)
+
+  /** S16 — dynamic DDL from a CSV header (server.js:47-113): sanitize the
+    * header into identifiers, `CREATE TABLE IF NOT EXISTS` with all-STRING
+    * columns plus an `inserted_at` timestamp; if a table of that name
+    * already exists with NON-string data columns, fall back to a parallel
+    * `<table>_raw` (server.js:81-90). Returns the table actually targeted.
+    */
+  def createTableFromHeader(spark: SparkSession, csvPath: String,
+                            table: String, location: Option[String] = None): String = {
+    val header = spark.read.option("header", "false").csv(csvPath).limit(1)
+      .collect().headOption.map(_.toSeq.map(v => Option(v).fold("")(_.toString)))
+      .getOrElse(Seq.empty)
+    val schema = allStringSchema(header)
+
+    val target =
+      if (spark.catalog.tableExists(table)) {
+        val existing = spark.table(table).schema
+        val typed = existing.fields.exists(f =>
+          f.name != "inserted_at" && f.dataType != StringType)
+        if (typed) s"${table}_raw" else table
+      } else table
+
+    val cols = schema.fields.map(f => s"${f.name} STRING").mkString(", ")
+    val loc = location.fold("")(l => s" LOCATION '$l'")
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $target ($cols, inserted_at TIMESTAMP) USING parquet$loc")
+    target
+  }
 }

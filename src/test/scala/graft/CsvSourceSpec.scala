@@ -30,6 +30,45 @@ class CsvSourceSpec extends AnyFunSuite {
     assert(back.count() == 2)
   }
 
+  test("S16: dynamic DDL from header + _raw fallback for typed tables") {
+    val dir = Files.createTempDirectory("graftddl")
+    val f = dir.resolve("in.csv")
+    Files.writeString(f, "Some Key,Total$Amount\nA,1\n")
+    val t1 = CsvSource.createTableFromHeader(spark, f.toString, "graft_ddl_t",
+      Some(dir.resolve("t").toString))
+    assert(t1 == "graft_ddl_t")
+    val schema = spark.table("graft_ddl_t").schema
+    assert(schema.fieldNames.toSeq == Seq("some_key", "total_amount", "inserted_at"))
+    assert(schema("some_key").dataType.typeName == "string")
+
+    // pre-existing TYPED table of the same name → parallel _raw target
+    spark.sql("CREATE TABLE graft_ddl_typed (k INT) USING parquet " +
+      s"LOCATION '${dir.resolve("typed")}'")
+    val t2 = CsvSource.createTableFromHeader(spark, f.toString, "graft_ddl_typed",
+      Some(dir.resolve("typed_raw").toString))
+    assert(t2 == "graft_ddl_typed_raw")
+    assert(spark.catalog.tableExists("graft_ddl_typed_raw"))
+    Seq("graft_ddl_t", "graft_ddl_typed", "graft_ddl_typed_raw")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("S6/S7: upsert — latest incoming version wins, others survive") {
+    import graft.sources.UpsertSink
+    val existing = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val incoming = Seq((2L, "b2", 21.0, 1), (2L, "b3", 22.0, 2), (4L, "d", 40.0, 1))
+      .toDF("k", "name", "bal", "version")
+    val got = UpsertSink.upsert(existing, incoming, Seq("k"), "version")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b3", 22.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // idempotent: re-applying the same batch changes nothing
+    val again = UpsertSink.upsert(
+      UpsertSink.upsert(existing, incoming, Seq("k"), "version"),
+      incoming, Seq("k"), "version")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(again == got)
+  }
+
   test("end-to-end: dirty CSV file through the transactions pipeline") {
     val dir = Files.createTempDirectory("grafte2e")
     val f = dir.resolve("txn.csv")

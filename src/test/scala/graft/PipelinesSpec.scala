@@ -117,4 +117,20 @@ class PipelinesSpec extends AnyFunSuite {
     assert(rr.clean.select("ticketprice").as[Double].collect.toSeq == Seq(10.00))
     assert(rr.quarantine.count() == 2)
   }
+
+  test("M1 cleanFile dispatches by file type and rejects unknown types") {
+    val airlines = Seq((0L, "AA", "american", "oneworld"))
+      .toDF(IngestId, "airlinekey", "airlinename", "alliance")
+    assert(CleaningPipelines.cleanFile("airlines", airlines).clean.count() == 1)
+    assert(CleaningPipelines.cleanFile(" Airports ",
+      Seq((0L, "JFK")).toDF(IngestId, "airportkey")).clean.count() == 1)
+    // flights without dims is a hard error, matching the reference's
+    // mandatory key-validation inputs
+    intercept[IllegalArgumentException] {
+      CleaningPipelines.cleanFile("flights", airlines)
+    }
+    intercept[IllegalArgumentException] {
+      CleaningPipelines.cleanFile("nonsense", airlines)
+    }
+  }
 }

@@ -125,6 +125,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("IVF top-k achieves high recall vs brute force on clustered vectors") {
+    val rng = new scala.util.Random(7)
+    val centers = Seq.fill(8)(Array.fill(16)(rng.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 8; m <- 0 until 25) yield {
+      val v = centers(c).map(x => x + 0.05f * rng.nextGaussian().toFloat)
+      ((c * 25 + m).toLong, v)
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect.toSet
+    val approx = Similarity.ivfTopK(queries, vecs, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 2, sampleSize = 200, iters = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect.toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("embeddingNearDups finds a perturbed copy") {
     val rng = new scala.util.Random(11)
     val base = (0 until 20).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
