@@ -45,12 +45,14 @@ object Queries {
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base_price"),
           (sum(col("l_discount").cast(DecimalType(18, 6))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+          max(col("l_quantity")).as("max_qty"),
           count(lit(1)).as("count_order"))
     },
     Some("""SELECT l_returnflag, l_linestatus,
             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
             CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+            max(l_quantity) AS max_qty,
             count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1997-06-30 23:59:59'
