@@ -69,6 +69,33 @@ class CsvSourceSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("bucketed tables join with NO shuffle exchange (co-located join)") {
+    import graft.sources.Bucketing
+    val dir = Files.createTempDirectory("graftbucket")
+    val facts = (1L to 200L).map(i => (i % 40, i, i * 1.5)).toDF("k", "id", "amt")
+    val dims = (0L until 40L).map(i => (i, s"dim_$i")).toDF("k", "name")
+    Bucketing.writeBucketed(facts, "graft_b_facts", 8, Seq("k"), dir.resolve("f").toString)
+    Bucketing.writeBucketed(dims, "graft_b_dims", 8, Seq("k"), dir.resolve("d").toString)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = Bucketing.readBucketed(spark, "graft_b_facts")
+        .join(Bucketing.readBucketed(spark, "graft_b_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 200)
+      // and a groupBy on the bucket key also skips the exchange
+      val agg = Bucketing.readBucketed(spark, "graft_b_facts")
+        .groupBy("k").sum("amt")
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      Seq("graft_b_facts", "graft_b_dims")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("end-to-end: dirty CSV file through the transactions pipeline") {
     val dir = Files.createTempDirectory("grafte2e")
     val f = dir.resolve("txn.csv")

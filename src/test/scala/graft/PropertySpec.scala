@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, FfillRepair}
+import graft.functions.{CleanFunctions => CF}
+
+/** ScalaCheck property tests for the order-sensitive rewrites
+  * (SURVEY.md §5): the Spark operators must agree with a direct in-memory
+  * model of the pandas semantics on arbitrary inputs — not just the
+  * curated fixtures. Iteration counts are small because every case runs
+  * real Spark jobs. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def check(name: String, p: Prop, n: Int = 12): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("W2 ffill == in-memory forward fill for arbitrary null patterns") {
+    val gen = Gen.listOfN(60, Gen.option(Gen.choose(0, 9)))
+    check("ffill", Prop.forAll(gen) { xs =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toDouble)) }
+        .toDF("ord", "v")
+        .select(col("ord"), col("v").cast("double").as("v"))
+      val got = FfillRepair.ffill(df, "v", "ord")
+        .orderBy("ord").select("v").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toList
+      val expected = xs.scanLeft(Option.empty[Double]) {
+        case (prev, cur) => cur.map(_.toDouble).orElse(prev)
+      }.tail
+      got == expected
+    })
+  }
+
+  test("W3 repairIds == in-memory model incl. consecutive-bad-rows quirk") {
+    val gen = Gen.listOfN(40, Gen.oneOf(
+      Gen.choose(40000, 40020).map(_.toString),
+      Gen.oneOf("4AN", "x", "", "12b")))
+    check("repairIds", Prop.forAll(gen) { ids =>
+      val df = ids.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("ord", "id")
+      val got = FfillRepair.repairIds(df, "id", "ord", seed = 40000L)
+        .orderBy("ord").select("id_repaired").as[Long].collect().toList
+      // model: prev = last numeric id seen strictly before; bad -> prev+1
+      var prev = Option.empty[Long]
+      val expected = ids.map { v =>
+        val num = if (v.nonEmpty && v.forall(_.isDigit)) Some(v.toLong) else None
+        val out = num.getOrElse(prev.getOrElse(40000L) + 1)
+        prev = num.orElse(prev)
+        out
+      }
+      got == expected
+    })
+  }
+
+  test("W1 keepFirst == first row per key in explicit order") {
+    val gen = Gen.listOfN(50, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 100)))
+    check("keepFirst", Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("ord", "k", "v")
+      val got = Dedup.keepFirst(df, Seq("k"), "ord")
+        .orderBy("ord").select("k", "v").as[(Int, Int)].collect().toList
+      val expected = rows.zipWithIndex
+        .groupBy(_._1._1).values.map(_.minBy(_._2)).toList
+        .sortBy(_._2).map(_._1)
+      got == expected
+    })
+  }
+
+  test("F17 date precedence: earlier format wins on ambiguous strings") {
+    // 03/04/2023 parses as dd/MM (April 3rd), NOT MM/dd — order matters
+    val one = Seq("03/04/2023").toDF("d")
+      .select(CF.toIsoDate(CF.parseDateMulti(col("d"))).as("iso"))
+    assert(one.as[String].head() == "2023-04-03")
+
+    val gen = Gen.zip(Gen.choose(1, 28), Gen.choose(1, 12), Gen.choose(2000, 2030))
+    check("datePrecedence", Prop.forAll(gen) { case (d, m, y) =>
+      val iso = f"$y%04d-$m%02d-$d%02d"
+      val variants = Seq(
+        iso,
+        f"$d%02d/$m%02d/$y%04d",
+        f"$y%04d/$m%02d/$d%02d",
+        f"$d%02d-$m%02d-$y%04d")
+      val parsed = variants.toDF("d")
+        .select(CF.toIsoDate(CF.parseDateMulti(col("d"))).as("iso"))
+        .as[String].collect().toSeq
+      // every variant of a valid date parses; the unambiguous ones
+      // (day > 12, where dd/MM vs MM/dd cannot flip) all round-trip
+      if (d > 12) parsed.forall(_ == iso) else parsed.forall(_ != null)
+    })
+  }
+}
