@@ -569,8 +569,42 @@ object Queries {
     },
     None)
 
+  // ---------------------------------------------------------------- q45
+  // OLAP superset — ROLLUP with grouping id: subtotal + grand-total rows
+  // (Catalyst expands to a single-shuffle Expand+Aggregate).
+  private val q45 = Q("q45_rollup",
+    (s, dir) => t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"),
+        count(lit(1)).as("n"),
+        grouping_id().cast(LongType).as("gid")),
+    Some("""SELECT o_orderstatus, o_orderpriority,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                   count(*) AS n,
+                   CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""))
+
+  // ---------------------------------------------------------------- q46
+  // OLAP superset — exact quantiles per group (single-shuffle sort-based
+  // percentile; the approximate twin is asserted in ScalaTest with a
+  // relative-error bound, since approx sketches differ across engines).
+  private val q46 = Q("q46_quantiles",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99")),
+    Some("""SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                   round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+            FROM lineitem GROUP BY l_returnflag"""))
+
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
-    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44) ++
+    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
+    q45, q46) ++
     QueriesText.all ++ QueriesClean.all
 }

@@ -123,4 +123,23 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("k").select("v").as[String].collect.toSeq
     assert(got == Seq("b", "c"))
   }
+
+  test("skew salting: salted join and salted sum are result-identical") {
+    // 90% of rows share one hot key
+    val large = (1L to 1000L).map(i => (if (i % 10 == 0) i % 7 else 0L, i))
+      .toDF("k", "v")
+    val small = (0L until 7L).map(i => (i, s"d$i")).toDF("k", "name")
+
+    val plain = large.join(small, "k").orderBy("v")
+      .select("k", "v", "name").collect().toSeq
+    val salted = Skew.saltedJoin(large, small, "k", parts = 8).orderBy("v")
+      .select("k", "v", "name").collect().toSeq
+    assert(salted == plain)
+
+    val plainSum = large.groupBy("k").agg(sum("v").as("sum"))
+      .orderBy("k").collect().toSeq
+    val saltedSum = Skew.saltedSum(large, "k", "v", parts = 8)
+      .orderBy("k").collect().toSeq
+    assert(saltedSum == plainSum)
+  }
 }
