@@ -18,8 +18,13 @@ object Bench {
     // honest end-to-end timing (count() alone lets Spark prune columns).
     // Two full passes, min per query: pass 1 absorbs JVM/codegen warm-up
     // and any transient machine contention.
+    // SPARK_GRAFT_ONLY=q44_ann_ivf,q30_minhash_neardup -> time a subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     def timeAll(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.isEmpty || only.contains(n) }
+        .map { case (name, fn) =>
         System.err.println(s"[bench] start $name")
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }

@@ -98,32 +98,16 @@ object Similarity {
               vecCol: String, k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
               sampleSize: Int = 4096, iters: Int = 5, seed: Long = 42L): DataFrame = {
     val centroids = trainCentroids(corpus, idCol, vecCol, nlist, sampleSize, iters, seed)
-    val centroidsLit = typedLit(centroids.map(_.toSeq))
 
-    // dot(unit(v), centroid_i) for every centroid — one array column
-    def cellDots(vec: Column): Column =
-      transform(centroidsLit, c =>
-        aggregate(zip_with(normalize(vec), c, (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x))
-
-    def bestCell(vec: Column): Column = {
-      val d = cellDots(vec)
-      array_position(d, array_max(d)).cast("int")
-    }
-
-    // top-nprobe cells: sort (dot, index) structs descending, slice
-    def probeCells(vec: Column): Column = {
-      val d = cellDots(vec)
-      val pairs = zip_with(d, sequence(lit(1), lit(centroids.length)),
-        (dot, i) => struct(dot.as("d"), i.as("i")))
-      transform(slice(reverse(array_sort(pairs)), 1, math.min(nprobe, centroids.length)),
-        p => p.getField("i").cast("int"))
-    }
-
+    // native single-pass assignment (graft.plans.NearestCentroids): the
+    // HOF formulation re-evaluated normalize+dot per centroid per
+    // occurrence — interpreted lambdas get no CSE
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-      bestCell(col(vecCol)).as("_cell"))
+      element_at(graft.plans.SketchExpressions.nearestCentroids(
+        col(vecCol), centroids, 1), 1).as("_cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      explode(probeCells(col(vecCol))).as("_cell"))
+      explode(graft.plans.SketchExpressions.nearestCentroids(
+        col(vecCol), centroids, nprobe)).as("_cell"))
 
     val scored = c.join(q.hint("broadcast"), Seq("_cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -140,6 +140,74 @@ case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Top-`nprobe` nearest centroids (1-based indices, by cosine, ties to
+  * the lower index) for a numeric-array vector — the IVF coarse-quantizer
+  * assignment in one pass. The HOF formulation re-evaluates the
+  * normalize/dot subtrees per centroid and per occurrence (interpreted
+  * lambdas get no common-subexpression elimination), which is quadratic
+  * in practice; this is a plain loop. */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
+                            nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(s"expected array, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = math.min(arr.numElements(), centroids.headOption.map(_.length).getOrElse(0))
+    val vec = new Array[Double](dim)
+    var i = 0
+    elemType match {
+      case FloatType  => while (i < dim) { vec(i) = arr.getFloat(i); i += 1 }
+      case DoubleType => while (i < dim) { vec(i) = arr.getDouble(i); i += 1 }
+      case _ => while (i < dim) { vec(i) = arr.get(i, elemType).toString.toDouble; i += 1 }
+    }
+    var n2 = 0.0
+    i = 0
+    while (i < dim) { n2 += vec(i) * vec(i); i += 1 }
+    val inv = if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
+
+    val k = centroids.length
+    val dots = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = centroids(c)
+      var d = 0.0
+      var j = 0
+      while (j < dim) { d += vec(j) * cent(j); j += 1 }
+      dots(c) = d * inv
+      c += 1
+    }
+    // selection of top-nprobe by dot desc, ties -> lower index
+    val m = math.min(nprobe, k)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var bestDot = Double.NegativeInfinity
+      c = 0
+      while (c < k) {
+        if (!taken(c) && dots(c) > bestDot) { bestDot = dots(c); best = c }
+        c += 1
+      }
+      taken(best) = true
+      out(r) = best + 1
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   /** Column wrappers. */
   def minHashSig(shingles: Column, k: Int): Column =
@@ -151,4 +219,9 @@ object SketchExpressions {
   def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(HyperplaneBucketExpr(ColumnBridge.expression(vec),
       planes.map(_.toArray).toArray))
+
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]],
+                       nprobe: Int): Column =
+    ColumnBridge.column(NearestCentroids(ColumnBridge.expression(vec),
+      centroids, nprobe))
 }
