@@ -602,9 +602,64 @@ object Queries {
                    round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
             FROM lineitem GROUP BY l_returnflag"""))
 
+  // ---------------------------------------------------------------- q47
+  // As-of join: every error event joined to the latest click of the same
+  // user at-or-before it (union-scan formulation, one keyed shuffle).
+  // Oracle: DuckDB's native ASOF LEFT JOIN.
+  private val q47 = Q("q47_asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events") // ts is long nanos (nanosAsLong);
+      // compare in MICROS — DuckDB reads TIMESTAMP(NANOS) at micro precision
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("t"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          expr("ts DIV 1000").as("click_t"))
+      AsofJoin.backward(errors, clicks, Seq("user_id"), "t", "click_t",
+        rightPrefix = "")
+    },
+    Some("""WITH l AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+              WHERE event_type = 'error'),
+            r AS (
+              SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_t
+              FROM events WHERE event_type = 'click')
+            SELECT l.user_id, l.event_id, l.t, r.click_id, r.click_t
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.t >= r.click_t"""))
+
+  // ---------------------------------------------------------------- q48
+  // Range join: lineitem ship-days inside synthetic promo periods —
+  // bucketed equi-join (hash shuffle) instead of BroadcastNestedLoop.
+  private val q48 = Q("q48_range_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), lit("1970-01-01").cast(DateType)).cast(LongType).as("ship_day"))
+      val periods = t(s, dir, "nation")
+        .select(col("n_nationkey").as("period_id"),
+          (lit(9131L) + col("n_nationkey") * 150).as("start_day"),
+          (lit(9131L) + col("n_nationkey") * 150 + 89).as("end_day"))
+      RangeJoin.intervalJoin(li, "ship_day", periods, "start_day", "end_day",
+          bucketWidth = 64)
+        .select(col("l_orderkey"), col("l_linenumber"), col("ship_day"),
+          col("period_id"), col("start_day"), col("end_day"))
+    },
+    Some("""WITH p AS (
+              SELECT n_nationkey AS period_id,
+                     CAST(9131 + n_nationkey * 150 AS BIGINT) AS start_day,
+                     CAST(9131 + n_nationkey * 150 + 89 AS BIGINT) AS end_day
+              FROM nation),
+            l AS (
+              SELECT l_orderkey, l_linenumber,
+                     datediff('day', DATE '1970-01-01', l_shipdate) AS ship_day
+              FROM lineitem)
+            SELECT l_orderkey, l_linenumber, ship_day, period_id, start_day, end_day
+            FROM l JOIN p ON ship_day BETWEEN start_day AND end_day"""))
+
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
-    q45, q46) ++
+    q45, q46, q47, q48) ++
     QueriesText.all ++ QueriesClean.all
 }

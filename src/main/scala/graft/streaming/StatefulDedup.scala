@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming deduplication via `flatMapGroupsWithState` —
+  * the custom-state streaming surface (SURVEY.md §2.9 superset; the
+  * reference's consumer is stateless at-least-once, so replayed Kafka
+  * messages produce duplicate eligibility rows — this closes that gap
+  * exactly-once-per-key).
+  *
+  * State per key is a single boolean ("seen"), so state size is
+  * O(distinct keys); with a processing-time timeout keys expire after
+  * `stateTtl`, bounding state for unbounded key domains (the trade:
+  * a key re-arriving after the TTL is emitted again — the standard
+  * watermark-style contract).
+  *
+  * Scale: Spark partitions state by key across executors; each
+  * micro-batch touches only the keys it carries.
+  */
+object StatefulDedup {
+
+  /** Keep only the FIRST row per key across the whole stream. Input rows
+    * are carried as (key, payload-json); emitted rows keep that shape —
+    * join back or `from_json` downstream as needed. */
+  def firstOccurrence(df: DataFrame, keyCol: String,
+                      stateTtl: Option[String] = None): Dataset[(String, String)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .select(col(keyCol).cast("string").as("k"),
+        to_json(struct(df.columns.map(col): _*)).as("payload"))
+      .as[(String, String)]
+
+    val timeoutConf = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, String)](
+        OutputMode.Append, timeoutConf) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            Iterator.empty // key already emitted in an earlier batch
+          } else {
+            state.update(true)
+            stateTtl.foreach(state.setTimeoutDuration)
+            rows.take(1) // first occurrence within this batch, drop the rest
+          }
+      }
+  }
+}

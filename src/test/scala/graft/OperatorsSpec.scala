@@ -124,6 +124,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq("b", "c"))
   }
 
+  test("as-of join: latest right row at-or-before each left row per key") {
+    val trades = Seq(
+      ("A", 10L, 100.0), ("A", 20L, 110.0), ("A", 5L, 90.0),
+      ("B", 15L, 50.0)).toDF("sym", "t", "price")
+    val quotes = Seq(
+      ("A", 10L, 99.0),   // equal time -> inclusive match for t=10
+      ("A", 12L, 101.0),
+      ("B", 99L, 42.0)    // after B's trade -> no match
+    ).toDF("sym", "qt", "bid")
+    val got = AsofJoin.backward(trades, quotes, Seq("sym"), "t", "qt")
+      .orderBy("sym", "t")
+      .select(col("sym"), col("t"), col("r_bid"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got == Seq(
+      ("A", 5L, None),            // before any quote
+      ("A", 10L, Some(99.0)),     // inclusive equal-time match
+      ("A", 20L, Some(101.0)),    // latest of the two prior quotes
+      ("B", 15L, None)))          // only later quotes exist
+  }
+
+  test("range join: bucketed interval join == naive between join") {
+    val points = (0L to 300L by 7).map(v => (v, s"p$v")).toDF("v", "tag")
+    val intervals = Seq((1L, 0L, 50L), (2L, 40L, 45L), (3L, 200L, 310L), (4L, 400L, 500L))
+      .toDF("iid", "s", "e")
+    val got = RangeJoin.intervalJoin(points, "v", intervals, "s", "e", bucketWidth = 32)
+      .select("v", "iid").as[(Long, Long)].collect.toSet
+    val naive = points.join(intervals, col("v").between(col("s"), col("e")))
+      .select("v", "iid").as[(Long, Long)].collect.toSet
+    assert(got == naive && got.nonEmpty)
+  }
+
   test("skew salting: salted join and salted sum are result-identical") {
     // 90% of rows share one hot key
     val large = (1L to 1000L).map(i => (if (i % 10 == 0) i % 7 else 0L, i))

@@ -101,6 +101,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(3L, 2L))
   }
 
+  test("stateful dedup: first occurrence per key across micro-batches") {
+    import graft.streaming.StatefulDedup
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val deduped = StatefulDedup.firstOccurrence(
+      input.toDF().toDF("k", "v"), "k")
+    val q = deduped.toDF().toDF("k", "payload")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    input.addData(("a", 1), ("a", 2), ("b", 3)) // a twice in one batch
+    q.processAllAvailable()
+    input.addData(("a", 4), ("c", 5))           // a replayed across batches
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdedup").select("k", "payload")
+      .as[(String, String)].collect.toMap
+    assert(got.keySet == Set("a", "b", "c"))
+    assert(got("a").contains("\"v\":1"), s"must keep the FIRST a: ${got("a")}")
+  }
+
   test("session windows group events within the gap") {
     val df = Seq(
       ("2024-01-01 10:00:00", "u1", 1.0),
