@@ -157,6 +157,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == naive && got.nonEmpty)
   }
 
+  test("approximate aggregates: HLL count-distinct and approx percentile " +
+       "land within tolerance of exact") {
+    val df = (1L to 20000L).map(i => (i % 997, i.toDouble)).toDF("k", "v")
+    val exact = df.select(countDistinct(col("k"))).head.getLong(0)
+    val approx = df.select(approx_count_distinct(col("k"), 0.02)).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL estimate $approx vs exact $exact")
+
+    val exactP50 = df.select(expr("percentile(v, 0.5)")).head.getDouble(0)
+    val approxP50 = df.select(percentile_approx(col("v"), lit(0.5), lit(1000)))
+      .head.getDouble(0)
+    assert(math.abs(approxP50 - exactP50) / exactP50 < 0.02,
+      s"approx p50 $approxP50 vs exact $exactP50")
+  }
+
   test("skew salting: salted join and salted sum are result-identical") {
     // 90% of rows share one hot key
     val large = (1L to 1000L).map(i => (if (i % 10 == 0) i % 7 else 0L, i))

@@ -121,6 +121,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got("a").contains("\"v\":1"), s"must keep the FIRST a: ${got("a")}")
   }
 
+  test("S17/S12: streaming file source over a landing directory") {
+    import java.nio.file.Files
+    import graft.sources.CsvSource
+    val dir = Files.createTempDirectory("graftlanding")
+    Files.writeString(dir.resolve("batch1.csv"), "k,v\na,1\nb,2\n")
+    val stream = CsvSource.streamDirectory(spark, dir.toString,
+      CsvSource.allStringSchema(Seq("k", "v")))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("landing")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    // a second file arriving in the directory is picked up incrementally
+    Files.writeString(dir.resolve("batch2.csv"), "k,v\nc,3\n")
+    val q2 = stream.writeStream.format("memory").queryName("landing2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q.stop(); q2.stop()
+    assert(spark.table("landing").count() == 2)
+    assert(spark.table("landing2").count() == 3)
+  }
+
   test("session windows group events within the gap") {
     val df = Seq(
       ("2024-01-01 10:00:00", "u1", 1.0),
