@@ -602,6 +602,22 @@ object Queries {
                    round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
             FROM lineitem GROUP BY l_returnflag"""))
 
+  // ---------------------------------------------------------------- q49
+  // OLAP superset — CUBE: all 2^n grouping combinations in one
+  // Expand+Aggregate pass.
+  private val q49 = Q("q49_cube",
+    (s, dir) => t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty"),
+        count(lit(1)).as("n"),
+        grouping_id().cast(LongType).as("gid")),
+    Some("""SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+                   count(*) AS n,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+
   // ---------------------------------------------------------------- q47
   // As-of join: every error event joined to the latest click of the same
   // user at-or-before it (union-scan formulation, one keyed shuffle).
@@ -660,6 +676,6 @@ object Queries {
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
-    q45, q46, q47, q48) ++
+    q45, q46, q47, q48, q49) ++
     QueriesText.all ++ QueriesClean.all
 }

@@ -95,5 +95,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_parse_date") { a => CF.parseDateMulti(a.head) }
     inject("graft_similarity_ratio") { a => FuzzyJoin.similarityRatio(a(0), a(1)) }
     inject("graft_cosine") { a => VF.cosine(a(0), a(1)) }
+    // edit-distance bound prefilter (see LevenshteinPrefilter)
+    ext.injectOptimizerRule(_ => LevenshteinPrefilter)
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.plans.GraftFunctions
 
 class GraftFunctionsSpec extends AnyFunSuite {
@@ -32,5 +33,32 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val plan = spark.sql("SELECT graft_clean_money('$5.00')").queryExecution.optimizedPlan
     // constant-folded by Catalyst → proof the optimizer sees through it
     assert(plan.toString.contains("5.0"))
+  }
+
+  test("LevenshteinPrefilter rule injects the O(1) length bound") {
+    import graft.plans.LevenshteinPrefilter
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev :+ LevenshteinPrefilter
+      // spark.range source: a literal Seq collapses to LocalRelation and
+      // the optimizer evaluates the filter away before the rule matters
+      val df = spark.range(3)
+        .select(col("id"),
+          element_at(typedLit(Seq("kitten", "abc", "same")), (col("id") + 1).cast("int")).as("a"),
+          element_at(typedLit(Seq("sitting", "abcdefghij", "same")), (col("id") + 1).cast("int")).as("b"))
+        .filter(levenshtein(col("a"), col("b")) <= 2)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      // the cheap |len(a)-len(b)| <= 2 bound is conjoined before the
+      // quadratic levenshtein (column refs may be inlined by pushdown)
+      assert(optimized.contains("abs((length("), optimized)
+      // results are unchanged: ("abc","abcdefghij") has length diff 7 -> out
+      val got = df.select("a").as[String].collect.toSet
+      assert(got == Set("same"))
+      // fixpoint-safe: the rule does not stack a second copy of the bound
+      val bounds = "abs\\(\\(length\\(".r.findAllIn(optimized).size
+      assert(bounds == 1, s"expected exactly one injected bound:\n$optimized")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+    }
   }
 }
