@@ -63,10 +63,14 @@ object Similarity {
     val q = bucketed(queries, "query_id", "_qv")
     val c = bucketed(corpus, "neighbor_id", "_cv")
 
+    // dedup multi-table bucket collisions on the ID PAIR only — a
+    // distinct over (ids, vectors) would compare/shuffle the full float
+    // arrays as grouping keys; first() rides the vectors as values with
+    // map-side partial aggregation deduping before the shuffle.
     val cands = c.join(q.hint("broadcast"), Seq("_bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"))
-      .distinct()
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("_qv")).as("_qv"), first(col("_cv")).as("_cv"))
       .withColumn("cosine", cosine(col("_qv"), col("_cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -176,7 +180,8 @@ object Similarity {
     l.join(r, col("l._bucket") === col("r._bucket") && col("l._id") < col("r._id"))
       .select(col("l._id").as("id_a"), col("r._id").as("id_b"),
         col("l._v").as("_va"), col("r._v").as("_vb"))
-      .distinct()
+      .groupBy(col("id_a"), col("id_b")) // dedup on ids, vectors ride as values
+      .agg(first(col("_va")).as("_va"), first(col("_vb")).as("_vb"))
       .withColumn("cosine", cosine(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), bround(col("cosine"), 6).as("cosine"))
