@@ -586,16 +586,16 @@ object Queries {
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""))
 
   // ---------------------------------------------------------------- q46
-  // OLAP superset — exact quantiles per group (single-shuffle sort-based
-  // percentile; the approximate twin is asserted in ScalaTest with a
-  // relative-error bound, since approx sketches differ across engines).
+  // OLAP superset — exact interpolated quantiles per group WITHOUT a
+  // per-group value buffer (Quantiles.exact: frequency-reduce →
+  // cumulative-rank window over distinct values → interpolate). The
+  // sketch twin (Quantiles.approx) is asserted in ScalaTest with a
+  // rank-error bound, since approx sketches differ across engines.
   private val q46 = Q("q46_quantiles",
-    (s, dir) => t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99")),
+    (s, dir) => Quantiles.exact(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.5, 0.9, 0.99), Seq("p50", "p90", "p99"))
+      .select(col("l_returnflag"), round(col("p50"), 4).as("p50"),
+        round(col("p90"), 4).as("p90"), round(col("p99"), 4).as("p99")),
     Some("""SELECT l_returnflag,
                    round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                    round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
@@ -673,9 +673,123 @@ object Queries {
             SELECT l_orderkey, l_linenumber, ship_day, period_id, start_day, end_day
             FROM l JOIN p ON ship_day BETWEEN start_day AND end_day"""))
 
+  // ---------------------------------------------------------------- q50
+  // M10/T3 full fidelity — checkRaw over STRING keys and STRING time
+  // columns: all six reference reason codes in one run
+  // (kafkaworker.js:80-125 branch order), including alphanumeric flight
+  // numbers, present-but-unparseable timestamps (invalid_time_format vs
+  // missing_time_data), and the lookup-failure leg (db_query_error).
+  private val q50 = Q("q50_eligibility_full",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val k = col("o_orderkey")
+      // string flight keys; delays are whole minutes (k % 300) so the
+      // rounding is exact in both engines
+      val flights = o.filter(k % 3 =!= 0).select(
+        concat(lit("FL"), k.cast(StringType)).as("flight_number"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("scheduled_departure"),
+        when(k % 11 === 0, lit(""))
+          .when(k % 11 === 1, lit("not-a-timestamp"))
+          .otherwise(date_format(
+            timestamp_seconds(unix_timestamp(col("o_orderdate")) + (k % 300) * 60),
+            "yyyy-MM-dd HH:mm:ss")).as("actual_departure"))
+      val requests = o.filter(k % 2 === 0).select(
+        concat(lit("FL"), k.cast(StringType)).as("flight_number"),
+        (k % 17 === 3).as("db_err"))
+      Eligibility.checkRaw(requests, flights, "flight_number",
+          "scheduled_departure", "actual_departure", dbErrorCol = Some("db_err"))
+        .select(col("flight_number"), col("delay_minutes"), col("reason"),
+          col("eligible"))
+    },
+    Some("""WITH flights AS (
+              SELECT 'FL' || CAST(o_orderkey AS VARCHAR) AS flight_number,
+                     strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS s,
+                     CASE WHEN o_orderkey % 11 = 0 THEN ''
+                          WHEN o_orderkey % 11 = 1 THEN 'not-a-timestamp'
+                          ELSE strftime(o_orderdate + (o_orderkey % 300) * INTERVAL 1 MINUTE,
+                                        '%Y-%m-%d %H:%M:%S') END AS a
+              FROM orders WHERE o_orderkey % 3 <> 0),
+            requests AS (
+              SELECT 'FL' || CAST(o_orderkey AS VARCHAR) AS flight_number,
+                     o_orderkey % 17 = 3 AS db_err
+              FROM orders WHERE o_orderkey % 2 = 0),
+            j AS (
+              SELECT r.flight_number, r.db_err,
+                     f.flight_number IS NOT NULL AS found, f.s, f.a,
+                     try_strptime(f.s, '%Y-%m-%d %H:%M:%S') AS st,
+                     try_strptime(f.a, '%Y-%m-%d %H:%M:%S') AS act
+              FROM requests r LEFT JOIN flights f ON r.flight_number = f.flight_number),
+            judged AS (
+              SELECT flight_number,
+                     CASE WHEN db_err THEN 'db_query_error'
+                          WHEN NOT found THEN 'flight_not_found'
+                          WHEN s IS NULL OR s = '' OR a IS NULL OR a = '' THEN 'missing_time_data'
+                          WHEN st IS NULL OR act IS NULL THEN 'invalid_time_format'
+                          WHEN round(date_diff('second', st, act) / 60.0) >= 120 THEN 'delay_threshold_met'
+                          ELSE 'delay_below_threshold' END AS reason,
+                     CAST(round(date_diff('second', st, act) / 60.0) AS BIGINT) AS delay
+              FROM j)
+            SELECT flight_number,
+                   CASE WHEN reason IN ('delay_threshold_met','delay_below_threshold')
+                        THEN delay END AS delay_minutes,
+                   reason,
+                   reason = 'delay_threshold_met' AS eligible
+            FROM judged"""))
+
+  // ---------------------------------------------------------------- q51
+  // M8 complete — config-driven staging → pre-fact → dimension (SCD2) →
+  // fact chain (table_configs.json:1-13 semantics), two batches deep so
+  // the upserts and the SCD2 close/reopen both fire. The fact output
+  // transitively verifies every layer: measures come through staging and
+  // pre-fact, dim_valid_from points at the post-merge CURRENT dimension
+  // version.
+  private val q51 = Q("q51_warehouse",
+    (s, dir) => {
+      import graft.warehouse.Warehouse
+      val c = t(s, dir, "customer")
+      val b1 = c.select(
+        col("c_custkey").cast(StringType).as("booking_reference"),
+        col("c_mktsegment").as("segment"),
+        col("c_acctbal").as("amount"),
+        col("c_custkey").as("_ingest_id"))
+      val b2 = c.filter(col("c_custkey") % 2 === 0).select(
+        col("c_custkey").cast(StringType).as("booking_reference"),
+        when(col("c_custkey") % 3 === 0, concat(col("c_mktsegment"), lit("_X")))
+          .otherwise(col("c_mktsegment")).as("segment"),
+        (col("c_acctbal") + 50.0).as("amount"),
+        col("c_custkey").as("_ingest_id"))
+      val cfg = Warehouse.bookingSales
+      val dims = Seq("segment"); val measures = Seq("amount")
+      val l0 = Warehouse.emptyLayers(cfg, b1, dims, measures, "_ingest_id")
+      val l1 = Warehouse.run(cfg, b1, l0, dims, measures, "_ingest_id",
+        lit(java.sql.Date.valueOf("2024-01-01")))
+      val l2 = Warehouse.run(cfg, b2, l1, dims, measures, "_ingest_id",
+        lit(java.sql.Date.valueOf("2024-06-01")))
+      l2.fact.select(col("booking_reference"), col("amount"),
+        date_format(col("dim_valid_from"), "yyyy-MM-dd").as("dim_valid_from"),
+        col("_ingest_id"))
+    },
+    Some("""WITH b1 AS (
+              SELECT CAST(c_custkey AS VARCHAR) AS booking_reference,
+                     c_mktsegment AS segment, c_acctbal AS amount,
+                     c_custkey AS _ingest_id
+              FROM customer),
+            b2 AS (
+              SELECT CAST(c_custkey AS VARCHAR) AS booking_reference,
+                     CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment || '_X'
+                          ELSE c_mktsegment END AS segment,
+                     c_acctbal + 50.0 AS amount, c_custkey AS _ingest_id
+              FROM customer WHERE c_custkey % 2 = 0)
+            SELECT b1.booking_reference,
+                   coalesce(b2.amount, b1.amount) AS amount,
+                   CASE WHEN b2.booking_reference IS NOT NULL AND b2.segment <> b1.segment
+                        THEN '2024-06-01' ELSE '2024-01-01' END AS dim_valid_from,
+                   coalesce(b2._ingest_id, b1._ingest_id) AS _ingest_id
+            FROM b1 LEFT JOIN b2 ON b1.booking_reference = b2.booking_reference"""))
+
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
-    q45, q46, q47, q48, q49) ++
+    q45, q46, q47, q48, q49, q50, q51) ++
     QueriesText.all ++ QueriesClean.all
 }

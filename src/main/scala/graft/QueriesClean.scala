@@ -275,8 +275,11 @@ object QueriesClean {
                AND NOT isdup"""))
 
   // ---------------------------------------------------------------- q40
-  // M4 flights pipeline — fuzzy repair path; rows-only (the fuzzy steps
-  // are covered by q14's oracle + ScalaTest fixtures).
+  // M4 flights pipeline — fuzzy repair path. The oracle replicates the
+  // WHOLE pipeline in SQL, including both fuzzy-repair steps' scoring
+  // algebra (DuckDB has levenshtein, the q14 pattern) — so the >=85
+  // accept/reject gate, the prefix splice, and the keep-first dedup are
+  // all hash-checked, not just row-counted.
   private val q40 = Q("q40_flights_clean",
     (s, dir) => {
       val n = t(s, dir, "nation")
@@ -300,9 +303,96 @@ object QueriesClean {
         element_at(typedLit(Seq("boeing  737", "AIRBUS a320", "embraer 190")),
           (k % 3 + 1).cast(IntegerType)).as("aircrafttype"))
       CleaningPipelines.flights(input, airlines, "airlinekey",
-        airports, "airportkey").clean
+          airports, "airportkey").clean
+        .select(col(CleaningPipelines.IngestId), col("flightkey"),
+          col("originairportkey"), col("destinationairportkey"),
+          col("aircrafttype"))
     },
-    None)
+    Some(s"""WITH airlines AS (
+               SELECT DISTINCT chr(CAST(n_nationkey % 26 + 65 AS INT)) ||
+                 chr(CAST(n_nationkey * 7 % 26 + 65 AS INT)) AS airlinekey FROM nation),
+             airports AS (
+               SELECT DISTINCT chr(CAST(n_nationkey % 26 + 65 AS INT)) ||
+                 chr(CAST(n_nationkey * 3 % 26 + 65 AS INT)) ||
+                 chr(CAST(n_nationkey * 5 % 26 + 65 AS INT)) AS airportkey FROM nation),
+             raw AS (SELECT o_orderkey AS _ingest_id, o_orderkey % 1000 AS k FROM orders),
+             inp AS (
+               SELECT _ingest_id,
+                 chr(CAST(k % 26 + 65 AS INT)) || chr(CAST(k * 7 % 26 + 65 AS INT)) ||
+                   CAST(k % 9999 + 1 AS VARCHAR) AS flightkey,
+                 CASE WHEN k % 31 = 0 THEN 'JK'
+                      ELSE chr(CAST(k % 26 + 65 AS INT)) || chr(CAST(k * 3 % 26 + 65 AS INT)) ||
+                           chr(CAST(k * 5 % 26 + 65 AS INT)) END AS originairportkey,
+                 chr(CAST((k + 1) % 26 + 65 AS INT)) || chr(CAST((k + 1) * 3 % 26 + 65 AS INT)) ||
+                   chr(CAST((k + 1) * 5 % 26 + 65 AS INT)) AS destinationairportkey,
+                 ['boeing  737','AIRBUS a320','embraer 190'][CAST(k % 3 + 1 AS INT)] AS aircrafttype
+               FROM raw),
+             norm AS (
+               SELECT _ingest_id,
+                 upper(trim(flightkey)) AS flightkey,
+                 CASE WHEN upper(trim(originairportkey)) = 'JK' THEN 'JFK'
+                      ELSE upper(trim(originairportkey)) END AS originairportkey,
+                 upper(trim(destinationairportkey)) AS destinationairportkey,
+                 TITLE(aircrafttype) AS aircrafttype
+               FROM inp),
+             pref AS (
+               SELECT *,
+                 upper(substr(regexp_replace(flightkey, '[^A-Za-z0-9]', '', 'g'), 1, 2)) AS pfx,
+                 substr(regexp_replace(flightkey, '[^A-Za-z0-9]', '', 'g'), 3) AS sfx
+               FROM norm),
+             pbest AS (
+               SELECT pfx, cand, score FROM (
+                 SELECT m.pfx, a.airlinekey AS cand,
+                        100.0 * (1.0 - CAST(levenshtein(upper(m.pfx), upper(a.airlinekey)) AS DOUBLE)
+                          / greatest(length(m.pfx), length(a.airlinekey))) AS score
+                 FROM (SELECT DISTINCT pfx FROM pref p
+                       WHERE NOT EXISTS (SELECT 1 FROM airlines a WHERE a.airlinekey = p.pfx)) m
+                 CROSS JOIN airlines a)
+               QUALIFY row_number() OVER (PARTITION BY pfx ORDER BY score DESC, cand) = 1),
+             fixed1 AS (
+               SELECT _ingest_id,
+                 coalesce(CASE WHEN b.score >= 85.0 THEN b.cand END, p.pfx) || p.sfx AS flightkey,
+                 originairportkey, destinationairportkey, aircrafttype
+               FROM pref p LEFT JOIN pbest b ON p.pfx = b.pfx),
+             obest AS (
+               SELECT v, cand, score FROM (
+                 SELECT m.v, a.airportkey AS cand,
+                        100.0 * (1.0 - CAST(levenshtein(upper(m.v), upper(a.airportkey)) AS DOUBLE)
+                          / greatest(length(m.v), length(a.airportkey))) AS score
+                 FROM (SELECT DISTINCT originairportkey AS v FROM fixed1 f
+                       WHERE NOT EXISTS (SELECT 1 FROM airports a WHERE a.airportkey = f.originairportkey)) m
+                 CROSS JOIN airports a)
+               QUALIFY row_number() OVER (PARTITION BY v ORDER BY score DESC, cand) = 1),
+             fixed2 AS (
+               SELECT _ingest_id, flightkey,
+                 coalesce(CASE WHEN b.score >= 85.0 THEN b.cand END, f.originairportkey) AS originairportkey,
+                 destinationairportkey, aircrafttype
+               FROM fixed1 f LEFT JOIN obest b ON f.originairportkey = b.v),
+             dbest AS (
+               SELECT v, cand, score FROM (
+                 SELECT m.v, a.airportkey AS cand,
+                        100.0 * (1.0 - CAST(levenshtein(upper(m.v), upper(a.airportkey)) AS DOUBLE)
+                          / greatest(length(m.v), length(a.airportkey))) AS score
+                 FROM (SELECT DISTINCT destinationairportkey AS v FROM fixed2 f
+                       WHERE NOT EXISTS (SELECT 1 FROM airports a WHERE a.airportkey = f.destinationairportkey)) m
+                 CROSS JOIN airports a)
+               QUALIFY row_number() OVER (PARTITION BY v ORDER BY score DESC, cand) = 1),
+             fixed3 AS (
+               SELECT _ingest_id, flightkey, originairportkey,
+                 coalesce(CASE WHEN b.score >= 85.0 THEN b.cand END, f.destinationairportkey) AS destinationairportkey,
+                 aircrafttype
+               FROM fixed2 f LEFT JOIN dbest b ON f.destinationairportkey = b.v),
+             flagged AS (
+               SELECT *, row_number() OVER (PARTITION BY flightkey ORDER BY _ingest_id) > 1 AS isdup
+               FROM fixed3)
+             SELECT _ingest_id, flightkey, originairportkey, destinationairportkey, aircrafttype
+             FROM flagged
+             WHERE regexp_matches(flightkey, '^[A-Za-z0-9]{2}[0-9]+$$')
+               AND regexp_matches(originairportkey, '^[A-Za-z]{3}$$')
+               AND regexp_matches(destinationairportkey, '^[A-Za-z]{3}$$')
+               AND originairportkey <> destinationairportkey
+               AND NOT isdup"""
+      .replace("TITLE(aircrafttype)", duckTitle.format("aircrafttype"))))
 
   // ---------------------------------------------------------------- q41
   // M7 airline-sales pipeline — clean partition.

@@ -28,23 +28,98 @@ object FuzzyJoin {
       lit(100.0) * (lit(1.0) -
         levenshtein(a, b).cast("double") / greatest(length(a), length(b)).cast("double")))
 
-  /** Token-sort variant (WRatio-ish): sort whitespace tokens before scoring,
+  /** Token-sort variant: sort whitespace tokens before scoring,
     * so "alliance star" matches "star alliance". */
-  def tokenSortRatio(a: Column, b: Column): Column = {
-    def norm(c: Column) =
-      array_join(array_sort(split(CleanFunctions.normalizeWhitespace(lower(c)), " ")), " ")
-    similarityRatio(norm(a), norm(b))
+  def tokenSortRatio(a: Column, b: Column): Column =
+    similarityRatio(tokenSorted(a), tokenSorted(b))
+
+  private def tokenSorted(c: Column): Column =
+    array_join(array_sort(split(fullProcess(c), " ")), " ")
+
+  /** fuzzywuzzy's default `full_process`: lowercase, non-alphanumerics to
+    * spaces, trim. Runs of whitespace are additionally collapsed (interior
+    * run length never changes a match decision on the trimmed token
+    * stream). */
+  private def fullProcess(c: Column): Column =
+    CleanFunctions.normalizeWhitespace(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** fuzzywuzzy `partial_ratio`: the best score of the SHORTER string
+    * against every same-length window of the longer — how "JFK" scores 100
+    * inside "JFK INTL". A `transform(sequence(...))` higher-order
+    * expression, no UDF; it runs on the distinct-misses x dictionary frame
+    * only, never per fact row. */
+  def partialRatio(a: Column, b: Column): Column = {
+    val s = when(length(a) <= length(b), a).otherwise(b)
+    val l = when(length(a) <= length(b), b).otherwise(a)
+    val m = length(s)
+    when(length(a) === 0 && length(b) === 0, lit(100.0))
+      .when(m === 0, lit(0.0))
+      .otherwise(array_max(transform(
+        sequence(lit(0), length(l) - m),
+        i => similarityRatio(s, l.substr(i + lit(1), m)))))
+  }
+
+  /** fuzzywuzzy `token_set_ratio`: compare the sorted token intersection
+    * against each side's (intersection ++ leftovers) — immune to one side
+    * carrying extra tokens ("delta air lines inc" vs "delta air lines"). */
+  def tokenSetRatio(a: Column, b: Column): Column = {
+    val ta = array_sort(split(fullProcess(a), " "))
+    val tb = array_sort(split(fullProcess(b), " "))
+    val inter = array_join(array_sort(array_intersect(ta, tb)), " ")
+    val restA = array_join(array_sort(array_except(ta, tb)), " ")
+    val restB = array_join(array_sort(array_except(tb, ta)), " ")
+    val t1 = trim(concat_ws(" ", inter, restA))
+    val t2 = trim(concat_ws(" ", inter, restB))
+    greatest(similarityRatio(inter, t1), similarityRatio(inter, t2),
+      similarityRatio(t1, t2))
+  }
+
+  /** fuzzywuzzy `WRatio` blend (the reference's scorer,
+    * cleaning.py:262-270) with its published weighting:
+    *
+    *  - inputs full_processed;
+    *  - similar lengths (max/min < 1.5): max(ratio, 0.95 x token_sort,
+    *    0.95 x token_set);
+    *  - dissimilar lengths: the partial (windowed) family, scaled 0.9
+    *    (0.6 when lengths differ 8x+): max(ratio, scale x partial,
+    *    0.95 x scale x partial-token-sort).
+    *
+    * Base similarity is the levenshtein ratio ([[similarityRatio]])
+    * rather than SequenceMatcher's two-way substitution cost; on the
+    * reference's repair domains (2-3 char codes, short names) every
+    * accept/reject decision at the >= 85 gate is identical — asserted
+    * against the reference's own repair cases in OperatorsSpec. */
+  def wRatio(a: Column, b: Column): Column = {
+    val pa = fullProcess(a)
+    val pb = fullProcess(b)
+    val la = length(pa).cast("double")
+    val lb = length(pb).cast("double")
+    val base = similarityRatio(pa, pb)
+    val lenRatio = greatest(la, lb) / least(la, lb)
+    val pscale = when(lenRatio < 8.0, lit(0.9)).otherwise(lit(0.6))
+    val partial = partialRatio(pa, pb) * pscale
+    val ptsor = partialRatio(tokenSorted(pa), tokenSorted(pb)) * lit(0.95) * pscale
+    when(la === 0 && lb === 0, lit(100.0))
+      .when(la === 0 || lb === 0, lit(0.0))
+      .when(lenRatio >= 1.5, greatest(base, partial, ptsor))
+      .otherwise(greatest(base,
+        tokenSortRatio(pa, pb) * 0.95, tokenSetRatio(pa, pb) * 0.95))
   }
 
   /** J4 — fuzzy_fix: replace `valueCol` with the best dictionary entry when
     * its score >= threshold, else keep the original (cleaning.py:262-270,
     * applied :427-428,434).
     *
-    * @param dict single-column DataFrame of valid values (a dimension).
+    * @param dict   single-column DataFrame of valid values (a dimension).
+    * @param scorer similarity in [0,100]; defaults to the case-folded
+    *               levenshtein ratio (the DuckDB-expressible oracle form) —
+    *               pass [[wRatio]] for reference-faithful WRatio blending.
     */
   def fuzzyFix(df: DataFrame, valueCol: String, dict: DataFrame,
                dictCol: String, threshold: Double = 85.0,
-               out: String = null): DataFrame = {
+               out: String = null,
+               scorer: (Column, Column) => Column =
+                 (a, b) => similarityRatio(upper(a), upper(b))): DataFrame = {
     val outCol = Option(out).getOrElse(valueCol)
     val dictVals = dict.select(col(dictCol).as("_dict_val")).distinct()
     val distinctVals = df.select(col(valueCol).as("_dirty_val")).distinct()
@@ -54,7 +129,7 @@ object FuzzyJoin {
       distinctVals("_dirty_val") === dictVals("_dict_val"), "left_anti")
 
     val scored = misses.crossJoin(broadcast(dictVals))
-      .withColumn("_score", similarityRatio(upper(col("_dirty_val")), upper(col("_dict_val"))))
+      .withColumn("_score", scorer(col("_dirty_val"), col("_dict_val")))
     val top1 = Window.partitionBy(col("_dirty_val"))
       .orderBy(col("_score").desc, col("_dict_val"))
     val repaired = scored

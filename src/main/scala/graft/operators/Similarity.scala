@@ -45,11 +45,20 @@ object Similarity {
   }
 
   /** LSH-bucketed cosine top-k: candidates = rows sharing a hyperplane
-    * sign-bucket with the query in ANY of `tables` hash tables. */
+    * sign-bucket with the query in ANY of `tables` hash tables.
+    *
+    * `maxBucketSize` drops degenerate corpus buckets (e.g. near-zero
+    * vectors all sharing one sign pattern) before they flood every query
+    * in the bucket with candidates. The cap is enforced WITHOUT shuffling
+    * the corpus: bucket ids live in a bounded space (tables x
+    * 2^planesPerTable), so the per-bucket counts hash-aggregate down to
+    * at most that many rows and broadcast back as a semi-join filter —
+    * two map passes over the corpus, zero corpus shuffles, matching the
+    * broadcast-join probe design. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int = 10, dim: Int = 64,
               tables: Int = 8, planesPerTable: Int = 8,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
     val planeSets = (0 until tables).map(t =>
       randomPlanes(planesPerTable, dim, seed + t))
 
@@ -61,7 +70,12 @@ object Similarity {
           }: _*)).as("_bucket"))
 
     val q = bucketed(queries, "query_id", "_qv")
-    val c = bucketed(corpus, "neighbor_id", "_cv")
+    val c0 = bucketed(corpus, "neighbor_id", "_cv")
+    val okBuckets = c0.groupBy(col("_bucket"))
+      .agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") <= maxBucketSize)
+      .select(col("_bucket"))
+    val c = c0.join(broadcast(okBuckets), Seq("_bucket"), "left_semi")
 
     // dedup multi-table bucket collisions on the ID PAIR only — a
     // distinct over (ids, vectors) would compare/shuffle the full float
@@ -165,17 +179,28 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold)
-    * via LSH buckets — the embedding twin of TextDedup.minHashNearDups. */
+    * via LSH buckets — the embedding twin of TextDedup.minHashNearDups.
+    *
+    * `maxBucketSize` caps the self-join's bucket fan-out exactly like
+    * TextDedup.bandPairs: one degenerate bucket (near-zero vectors all
+    * hashing to the same sign pattern) would otherwise go quadratic. The
+    * count window partitions by `_bucket` — the same distribution the
+    * self-join shuffles on — so the exchange is planned once and reused,
+    * not paid twice. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, dim: Int = 64,
                         tables: Int = 8, planesPerTable: Int = 8,
-                        seed: Long = 42L): DataFrame = {
+                        seed: Long = 42L, maxBucketSize: Int = 1000): DataFrame = {
     val planeSets = (0 until tables).map(t => randomPlanes(planesPerTable, dim, seed + t))
-    val b = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+    val exploded = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       explode(array(planeSets.zipWithIndex.map { case (ps, t) =>
         concat_ws(":", lit(t),
           graft.plans.SketchExpressions.hyperplaneBucket(col(vecCol), ps))
       }: _*)).as("_bucket"))
+    val b = exploded
+      .withColumn("_bc", count(lit(1)).over(Window.partitionBy(col("_bucket"))))
+      .filter(col("_bc") <= maxBucketSize)
+      .drop("_bc")
     val l = b.as("l"); val r = b.as("r")
     l.join(r, col("l._bucket") === col("r._bucket") && col("l._id") < col("r._id"))
       .select(col("l._id").as("id_a"), col("r._id").as("id_b"),

@@ -172,6 +172,95 @@ class OperatorsSpec extends AnyFunSuite {
       s"approx p50 $approxP50 vs exact $exactP50")
   }
 
+  test("J4 wRatio: fuzzywuzzy-parity accept/reject on the reference's repair domains") {
+    // fixture shape = cleaning.py:427-434 (airport codes / airline keys /
+    // airline names); expected decisions computed with fuzzywuzzy WRatio >= 85
+    val cases = Seq(
+      ("JFK", "JFK", true),                 // exact
+      ("JFX", "JFK", false),                // 1-of-3 edit: 67, rejected
+      ("JFK INTL", "JFK", true),            // code embedded in longer string: partial 90
+      ("LHRX", "LHR", false),               // similar lengths, 75 < 85
+      ("AB", "AA", false),                  // 2-char keys: 50
+      ("star alliance", "alliance star", true),      // token sort 95
+      ("delta air lines inc", "delta air lines", true), // token set 95
+      ("  jfk ", "JFK", true))              // full_process trims + case-folds
+    val df = cases.toDF("a", "b", "expected")
+      .withColumn("w", FuzzyJoin.wRatio(col("a"), col("b")))
+    val bad = df.filter((col("w") >= 85.0) =!= col("expected")).collect()
+    assert(bad.isEmpty, s"decision mismatches: ${bad.mkString(", ")}")
+
+    // the simple ratio misses the substring case — wRatio is the fix
+    val simple = Seq(("JFK INTL", "JFK")).toDF("a", "b")
+      .select(FuzzyJoin.similarityRatio(upper(col("a")), upper(col("b"))))
+      .head.getDouble(0)
+    assert(simple < 85.0)
+
+    // end to end: fuzzyFix with the WRatio scorer repairs the long form
+    val dirty = Seq("JFK INTL", "LAX", "zzz").toDF("airport")
+    val dict = Seq("JFK", "LAX", "LHR").toDF("code")
+    val fixed = FuzzyJoin.fuzzyFix(dirty, "airport", dict, "code",
+        scorer = FuzzyJoin.wRatio)
+      .orderBy("airport").select("airport").as[String].collect.toSeq
+    assert(fixed == Seq("JFK", "LAX", "zzz"))
+  }
+
+  test("M10 checkRaw: all six reason codes, string keys, JS-falsy parity") {
+    val flights = Seq(
+      ("100",   "2024-01-01 10:00:00", "2024-01-01 12:00:00"), // 120 → met
+      ("101",   "2024-01-01 10:00:00", "2024-01-01 11:59:00"), // 119 → below
+      ("102",   "2024-01-01 10:00:00", ""),                    // empty → missing
+      ("103",   "2024-01-01 10:00:00", "garbage"),             // unparseable → invalid
+      ("104",   " ",                   "2024-01-01 11:00:00"), // whitespace is JS-truthy → invalid
+      ("AA105", "2024-01-01 10:00:00", "2024-01-01 13:00:00")  // alphanumeric key
+    ).toDF("flight_number", "sched", "act")
+    val requests = Seq(
+      ("100", false), ("101", false), ("102", false), ("103", false),
+      ("104", false), ("AA105", false), ("999", false),
+      ("100", true) // lookup failure wins over everything
+    ).toDF("flight_number", "db_err")
+    val got = Eligibility.checkRaw(requests, flights, "flight_number",
+        "sched", "act", dbErrorCol = Some("db_err"))
+      .orderBy("flight_number", "db_err")
+      .select("flight_number", "reason", "delay_minutes")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(got == Seq(
+      ("100", "delay_threshold_met", Some(120L)),
+      ("100", "db_query_error", None),
+      ("101", "delay_below_threshold", Some(119L)),
+      ("102", "missing_time_data", None),
+      ("103", "invalid_time_format", None),
+      ("104", "invalid_time_format", None),
+      ("999", "flight_not_found", None),
+      ("AA105", "delay_threshold_met", Some(180L))))
+  }
+
+  test("quantiles: exact == Spark's buffering percentile, approx within rank tolerance") {
+    // duplicate-heavy values, uneven group sizes, a single-row group
+    val rows = (1L to 5000L).map(i => ("g" + (i % 3), (i % 40).toDouble)) :+ (("solo", 7.0))
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.25, 0.5, 0.9, 0.99)
+    val got = Quantiles.exact(df, Seq("g"), "v", ps)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), (1 to 4).map(r.getDouble))).toSeq
+    val want = df.groupBy("g")
+      .agg(expr("percentile(v, 0.25)"), expr("percentile(v, 0.5)"),
+        expr("percentile(v, 0.9)"), expr("percentile(v, 0.99)"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), (1 to 4).map(r.getDouble))).toSeq
+    got.zip(want).foreach { case ((g1, a), (g2, b)) =>
+      assert(g1 == g2)
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9, s"group $g1: exact $x vs percentile $y") }
+    }
+    // sketch twin: p50 of each group within 1% rank error of exact
+    val approx = Quantiles.approx(df, Seq("g"), "v", Seq(0.5), accuracy = 10000)
+      .orderBy("g").collect().map(r => r.getDouble(1)).toSeq
+    approx.zip(want.map(_._2(1))).foreach { case (a, e) =>
+      assert(math.abs(a - e) <= 1.0, s"approx p50 $a vs exact $e") }
+  }
+
   test("skew salting: salted join and salted sum are result-identical") {
     // 90% of rows share one hot key
     val large = (1L to 1000L).map(i => (if (i % 10 == 0) i % 7 else 0L, i))

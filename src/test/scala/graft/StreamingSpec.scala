@@ -12,24 +12,31 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private val flights = {
-    val f = Seq(
-      (100L, "2024-01-01 10:00:00", "2024-01-01 13:00:00"), // 180 min → met
-      (200L, "2024-01-01 10:00:00", "2024-01-01 10:30:00")  // 30 min → below
-    ).toDF("flight_number", "s", "a")
-    f.select(col("flight_number"),
-      to_timestamp(col("s")).as("scheduled_departure"),
-      to_timestamp(col("a")).as("actual_departure"))
-  }
+  // raw string-typed dim, the shape the reference's DB hands back
+  // (kafkaworker.js:109-125): present-but-garbage times and alphanumeric
+  // flight numbers included.
+  private val flights = Seq(
+    ("100",   "2024-01-01 10:00:00", "2024-01-01 13:00:00"), // 180 min → met
+    ("200",   "2024-01-01 10:00:00", "2024-01-01 10:30:00"), // 30 min → below
+    ("300",   "2024-01-01 10:00:00", ""),                    // missing_time_data
+    ("400",   "2024-01-01 10:00:00", "not-a-timestamp"),     // invalid_time_format
+    ("AA500", "2024-01-01 10:00:00", "2024-01-01 12:05:00")  // string key, 125 min → met
+  ).toDF("flight_number", "scheduled_departure", "actual_departure")
 
-  test("T1-T5: message parse w/ raw fallback → stream-static join → reasons") {
+  private def eligMsg(t: String, flight: String, pid: String) =
+    s"""{"type":"eligibility_check","requested_at":"$t","payload":{"firstName":"A","lastName":"B","flightNumber":"$flight","passengerId":"$pid"}}"""
+
+  test("T1-T5: message parse w/ raw fallback → stream-static join → all 6 reasons") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
     input.addData(
-      """{"type":"eligibility_check","requested_at":"t1","payload":{"firstName":"A","lastName":"B","flightNumber":"100","passengerId":"P1"}}""",
-      """{"type":"eligibility_check","requested_at":"t2","payload":{"firstName":"C","lastName":"D","flightNumber":"200","passengerId":"P2"}}""",
-      """{"type":"eligibility_check","requested_at":"t3","payload":{"firstName":"E","lastName":"F","flightNumber":"999","passengerId":"P3"}}""",
-      """{"type":"other_message","requested_at":"t4","payload":{}}""",
+      eligMsg("t1", "100", "P1"),
+      eligMsg("t2", "200", "P2"),
+      eligMsg("t3", "999", "P3"),   // flight_not_found
+      eligMsg("t4", "300", "P4"),   // missing_time_data (empty actual)
+      eligMsg("t5", "400", "P5"),   // invalid_time_format (garbage actual)
+      eligMsg("t6", "AA500", "P6"), // alphanumeric key joins as string
+      """{"type":"other_message","requested_at":"t7","payload":{}}""",
       """not json at all""")
 
     val parsed = EligibilityStream.parseMessages(input.toDF())
@@ -45,7 +52,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(
       ("P1", "delay_threshold_met", true),
       ("P2", "delay_below_threshold", false),
-      ("P3", "flight_not_found", false)))
+      ("P3", "flight_not_found", false),
+      ("P4", "missing_time_data", false),
+      ("P5", "invalid_time_format", false),
+      ("P6", "delay_threshold_met", true)))
+    // delay is emitted only on the threshold branches (kafkaworker.js:105-119)
+    val delays = spark.table("elig")
+      .select("passenger_id", "delay_minutes")
+      .as[(String, Option[Long])].collect.toMap
+    assert(delays("P1").contains(180L) && delays("P2").contains(30L) &&
+      delays("P6").contains(125L))
+    assert(Seq("P3", "P4", "P5").forall(delays(_).isEmpty))
+  }
+
+  test("T3 failure leg: lookup failure → db_query_error rows, not a crash") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    input.addData(eligMsg("t1", "100", "P1"), eligMsg("t2", "999", "P2"))
+    val parsed = EligibilityStream.parseMessages(input.toDF())
+    val results = EligibilityStream.processSafe(parsed,
+      () => throw new RuntimeException("connection refused"))
+    val q = results.writeStream.format("memory").queryName("eligerr")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("eligerr")
+      .select("passenger_id", "reason", "eligible", "delay_minutes")
+      .as[(String, String, Boolean, Option[Long])].collect.toSeq.sorted
+    assert(got == Seq(("P1", "db_query_error", false, None),
+      ("P2", "db_query_error", false, None)))
+    // the success leg of processSafe is process itself
+    val ok = EligibilityStream.processSafe(parsed, () => flights)
+    assert(ok.columns.toSeq == Seq("passenger_id", "flight_number",
+      "delay_minutes", "reason", "eligible", "processed_at"))
+  }
+
+  test("S10/S11: Kafka source/sink config surface (no broker in env)") {
+    val opts = EligibilityStream.KafkaOptions(
+      bootstrapServers = "broker1:9092,broker2:9092", topic = "outbox",
+      extra = Map("kafka.security.protocol" -> "SASL_SSL"))
+    assert(opts.sourceOptions == Map(
+      "kafka.bootstrap.servers" -> "broker1:9092,broker2:9092",
+      "subscribe" -> "outbox",
+      "startingOffsets" -> "latest", // fromBeginning: false, kafkaworker.js:37
+      "kafka.group.id" -> "graft-outbox",
+      "kafka.security.protocol" -> "SASL_SSL"))
+    // reader builds without contacting a broker (validation happens at load)
+    assert(EligibilityStream.fromKafka(spark, opts) != null)
+    val (framed, sinkOpts) = EligibilityStream.toKafkaFrame(
+      Seq(("P1", "ok")).toDF("passenger_id", "status"), col("passenger_id"), opts)
+    assert(framed.columns.toSeq == Seq("key", "value"))
+    val row = framed.as[(String, String)].collect.head
+    assert(row._1 == "P1" && row._2.contains("\"status\":\"ok\""))
+    assert(sinkOpts("topic") == "outbox")
   }
 
   test("S14 audit captures every message including non-JSON") {

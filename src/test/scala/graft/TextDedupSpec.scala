@@ -153,4 +153,30 @@ class TextDedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect.toSet
     assert(got.contains((3L, 100L)))
   }
+
+  test("embeddingNearDups bucket cap drops a degenerate bucket, keeps real dups") {
+    val rng = new scala.util.Random(13)
+    // 200 identical vectors: every (table, bucket) they land in holds >= 200
+    // rows — with an uncapped self-join that alone is ~20k same-bucket pairs
+    val degenerate = (0 until 200).map(i =>
+      ((1000 + i).toLong, Array.fill(16)(0.001f)))
+    val base = (0 until 10).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val dup = (100L, base(3)._2.map(x => x * 1.01f))
+    val vecs = (base ++ degenerate :+ dup).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+        threshold = 0.99, dim = 16, tables = 8, planesPerTable = 4,
+        maxBucketSize = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(got.contains((3L, 100L)), "real near-dup must survive the cap")
+    assert(!got.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      "degenerate-bucket pairs must be dropped by the cap")
+
+    // same guard on the top-k probe path: capped corpus buckets only
+    val queries = vecs.filter(col("vec_id") === 3L)
+    val topk = Similarity.lshTopK(queries, vecs, "vec_id", "embedding",
+        k = 3, dim = 16, tables = 8, planesPerTable = 4, maxBucketSize = 50)
+      .select("neighbor_id").as[Long].collect.toSet
+    assert(topk.contains(100L), "capped lshTopK still finds the true neighbor")
+    assert(topk.forall(_ < 1000L), "members of over-cap buckets are not candidates")
+  }
 }
