@@ -238,15 +238,15 @@ object Queries {
               UNION ALL SELECT * FROM (VALUES (-3),(-2),(-1)) v(flight_number))
             SELECT r.flight_number,
               CASE WHEN f.scheduled_departure IS NOT NULL AND f.actual_departure IS NOT NULL
-                   THEN CAST(round(date_diff('second', f.scheduled_departure, f.actual_departure) / 60.0) AS BIGINT)
+                   THEN CAST(floor(date_diff('second', f.scheduled_departure, f.actual_departure) / 60.0 + 0.5) AS BIGINT)
               END AS delay_minutes,
               CASE WHEN f.scheduled_departure IS NULL AND f.actual_departure IS NULL THEN 'flight_not_found'
                    WHEN f.scheduled_departure IS NULL OR f.actual_departure IS NULL THEN 'missing_time_data'
-                   WHEN round(date_diff('second', f.scheduled_departure, f.actual_departure) / 60.0) >= 120 THEN 'delay_threshold_met'
+                   WHEN floor(date_diff('second', f.scheduled_departure, f.actual_departure) / 60.0 + 0.5) >= 120 THEN 'delay_threshold_met'
                    ELSE 'delay_below_threshold' END AS reason,
               (CASE WHEN f.scheduled_departure IS NULL AND f.actual_departure IS NULL THEN 'flight_not_found'
                    WHEN f.scheduled_departure IS NULL OR f.actual_departure IS NULL THEN 'missing_time_data'
-                   WHEN round(date_diff('second', f.scheduled_departure, f.actual_departure) / 60.0) >= 120 THEN 'delay_threshold_met'
+                   WHEN floor(date_diff('second', f.scheduled_departure, f.actual_departure) / 60.0 + 0.5) >= 120 THEN 'delay_threshold_met'
                    ELSE 'delay_below_threshold' END) = 'delay_threshold_met' AS eligible
             FROM requests r LEFT JOIN flights f ON r.flight_number = f.flight_number"""))
 
@@ -725,9 +725,9 @@ object Queries {
                           WHEN NOT found THEN 'flight_not_found'
                           WHEN s IS NULL OR s = '' OR a IS NULL OR a = '' THEN 'missing_time_data'
                           WHEN st IS NULL OR act IS NULL THEN 'invalid_time_format'
-                          WHEN round(date_diff('second', st, act) / 60.0) >= 120 THEN 'delay_threshold_met'
+                          WHEN floor(date_diff('second', st, act) / 60.0 + 0.5) >= 120 THEN 'delay_threshold_met'
                           ELSE 'delay_below_threshold' END AS reason,
-                     CAST(round(date_diff('second', st, act) / 60.0) AS BIGINT) AS delay
+                     CAST(floor(date_diff('second', st, act) / 60.0 + 0.5) AS BIGINT) AS delay
               FROM j)
             SELECT flight_number,
                    CASE WHEN reason IN ('delay_threshold_met','delay_below_threshold')

@@ -97,15 +97,32 @@ object QueriesText {
             FROM documents"""))
 
   // ---------------------------------------------------------------- q28
-  // Document fingerprint (rolling hash) — xxhash64-based, no SQL oracle;
-  // grouped so the row set is stable and small.
+  // Document fingerprint grouping. The demo query fingerprints with the
+  // md5-chain form (DuckDB-expressible -> hash-checked oracle); the
+  // xxhash64 rolling form stays the production scale path and the spec
+  // asserts both induce the SAME duplicate grouping.
   private val q28 = Q("q28_fingerprint",
     (s, dir) => docsWithDups(s, dir)
-      .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), TF.md5Fingerprint(col("text")).as("fp"))
       .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc_id"))
       .filter(col("n_docs") > 1),
-    None)
+    Some("""WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0),
+            tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM d),
+            fp AS (
+              SELECT doc_id,
+                     list_reduce(list_prepend('', list_transform(tk, t -> md5(t))),
+                                 (acc, h) -> md5(acc || h)) AS fp
+              FROM tk)
+            SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc_id
+            FROM fp GROUP BY 1 HAVING count(*) > 1"""))
 
   // ---------------------------------------------------------------- q29
   // Exact-duplicate groups via content key.

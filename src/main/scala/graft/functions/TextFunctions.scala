@@ -96,4 +96,13 @@ object TextFunctions {
   /** Exact-dup content key: md5 of whitespace-normalized lowercased text. */
   def contentKey(c: Column): Column =
     md5(lower(CleanFunctions.normalizeWhitespace(c)))
+
+  /** md5-chain fingerprint: fold acc = md5(acc || md5(token)) over the
+    * whitespace tokens, zero "". Same equality contract as [[fingerprint]]
+    * (equal normalized token streams <=> equal fingerprints) but built
+    * from md5 only, so a SQL engine without xxhash64 (the DuckDB oracle)
+    * can reproduce it exactly with a list_reduce. */
+  def md5Fingerprint(c: Column): Column =
+    aggregate(transform(tokens(c), t => md5(t)), lit(""),
+      (acc, h) => md5(concat(acc, h)))
 }

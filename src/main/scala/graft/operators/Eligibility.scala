@@ -26,6 +26,15 @@ object Eligibility {
 
   val ThresholdMinutes = 120L
 
+  /** JS `Math.round` parity — half rounds toward +infinity (so -1.5 -> -1),
+    * where Spark/DuckDB `round` rounds half away from zero (-1.5 -> -2).
+    * The reference computes delay with Math.round (kafkaworker.js:113), so
+    * an early departure at an exact half minute differs under plain round;
+    * eligibility outcome is unaffected (negatives are always below
+    * threshold) but the emitted delay_minutes matters. */
+  private def jsRound(minutes: Column): Column =
+    floor(minutes + lit(0.5)).cast("long")
+
   /** Reduce a flights table to its latest row per flight number —
     * row_number over (partition by key, order by scheduled desc). */
   def latestPerFlight(flights: DataFrame, keyCol: String, timeCol: String,
@@ -71,8 +80,7 @@ object Eligibility {
     // non-ANSI session (SparkEntry.prep): unparseable -> null, not error
     val schedT = to_timestamp(schedS)
     val actT   = to_timestamp(actS)
-    val delay  = round((unix_timestamp(actT) - unix_timestamp(schedT)) / 60.0)
-      .cast("long")
+    val delay  = jsRound((unix_timestamp(actT) - unix_timestamp(schedT)) / 60.0)
     val dbErr = dbErrorCol.map(col).getOrElse(lit(false))
 
     joined
@@ -108,7 +116,7 @@ object Eligibility {
 
     joined
       .withColumn("delay_minutes",
-        when(sched.isNotNull && act.isNotNull, round(delay).cast("long")))
+        when(sched.isNotNull && act.isNotNull, jsRound(delay)))
       .withColumn("reason",
         when(col("_found").isNull, lit("flight_not_found"))
           .when(sched.isNull || act.isNull, lit("missing_time_data"))

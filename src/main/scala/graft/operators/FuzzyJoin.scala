@@ -63,15 +63,30 @@ object FuzzyJoin {
     * against each side's (intersection ++ leftovers) — immune to one side
     * carrying extra tokens ("delta air lines inc" vs "delta air lines"). */
   def tokenSetRatio(a: Column, b: Column): Column = {
+    val (inter, t1, t2) = tokenSetStrings(a, b)
+    greatest(similarityRatio(inter, t1), similarityRatio(inter, t2),
+      similarityRatio(t1, t2))
+  }
+
+  /** fuzzywuzzy `partial_token_set_ratio`: the token_set construction with
+    * the windowed [[partialRatio]] as the pairwise scorer — any shared
+    * token makes the intersection a prefix of both combined strings, so
+    * this saturates fast (the reason WRatio scales it by 0.95). */
+  def partialTokenSetRatio(a: Column, b: Column): Column = {
+    val (inter, t1, t2) = tokenSetStrings(a, b)
+    greatest(partialRatio(inter, t1), partialRatio(inter, t2),
+      partialRatio(t1, t2))
+  }
+
+  /** (sorted intersection, intersection++restA, intersection++restB) —
+    * the three comparison strings of fuzzywuzzy's `_token_set`. */
+  private def tokenSetStrings(a: Column, b: Column): (Column, Column, Column) = {
     val ta = array_sort(split(fullProcess(a), " "))
     val tb = array_sort(split(fullProcess(b), " "))
     val inter = array_join(array_sort(array_intersect(ta, tb)), " ")
     val restA = array_join(array_sort(array_except(ta, tb)), " ")
     val restB = array_join(array_sort(array_except(tb, ta)), " ")
-    val t1 = trim(concat_ws(" ", inter, restA))
-    val t2 = trim(concat_ws(" ", inter, restB))
-    greatest(similarityRatio(inter, t1), similarityRatio(inter, t2),
-      similarityRatio(t1, t2))
+    (inter, trim(concat_ws(" ", inter, restA)), trim(concat_ws(" ", inter, restB)))
   }
 
   /** fuzzywuzzy `WRatio` blend (the reference's scorer,
@@ -81,8 +96,9 @@ object FuzzyJoin {
     *  - similar lengths (max/min < 1.5): max(ratio, 0.95 x token_sort,
     *    0.95 x token_set);
     *  - dissimilar lengths: the partial (windowed) family, scaled 0.9
-    *    (0.6 when lengths differ 8x+): max(ratio, scale x partial,
-    *    0.95 x scale x partial-token-sort).
+    *    (0.6 when lengths differ MORE than 8x): max(ratio, scale x
+    *    partial, 0.95 x scale x partial-token-sort, 0.95 x scale x
+    *    partial-token-set).
     *
     * Base similarity is the levenshtein ratio ([[similarityRatio]])
     * rather than SequenceMatcher's two-way substitution cost; on the
@@ -96,12 +112,13 @@ object FuzzyJoin {
     val lb = length(pb).cast("double")
     val base = similarityRatio(pa, pb)
     val lenRatio = greatest(la, lb) / least(la, lb)
-    val pscale = when(lenRatio < 8.0, lit(0.9)).otherwise(lit(0.6))
+    val pscale = when(lenRatio > 8.0, lit(0.6)).otherwise(lit(0.9))
     val partial = partialRatio(pa, pb) * pscale
     val ptsor = partialRatio(tokenSorted(pa), tokenSorted(pb)) * lit(0.95) * pscale
+    val ptset = partialTokenSetRatio(pa, pb) * lit(0.95) * pscale
     when(la === 0 && lb === 0, lit(100.0))
       .when(la === 0 || lb === 0, lit(0.0))
-      .when(lenRatio >= 1.5, greatest(base, partial, ptsor))
+      .when(lenRatio >= 1.5, greatest(base, partial, ptsor, ptset))
       .otherwise(greatest(base,
         tokenSortRatio(pa, pb) * 0.95, tokenSetRatio(pa, pb) * 0.95))
   }

@@ -37,8 +37,12 @@ object Quantiles {
                 else ps.map(p => s"p${(p * 100).toInt}")
     val kcols = keys.map(col)
 
-    // 1. value-frequency reduction: the only pass over the raw rows
-    val counts = df.groupBy((kcols :+ col(valueCol).as("_v")): _*)
+    // 1. value-frequency reduction: the only pass over the raw rows.
+    // NULLs are skipped (quantile_cont / Spark percentile semantics) —
+    // without the filter they'd become a distinct _v that sorts first,
+    // inflating _n and shifting every quantile position.
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy((kcols :+ col(valueCol).as("_v")): _*)
       .agg(count(lit(1)).as("_cnt"))
 
     // 2. one shuffle by group key: cumulative position of each distinct
@@ -63,11 +67,17 @@ object Quantiles {
     }
     val picked = ranked.groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
 
+    // a group whose values are ALL null still emits a row (with null
+    // quantiles), matching grouped quantile_cont/percentile output
+    val withAllGroups =
+      if (keys.isEmpty) picked
+      else picked.join(df.select(kcols: _*).distinct(), keys, "right")
+
     val outCols = kcols ++ ps.indices.map { i =>
       (col(s"_lo$i") + (col(s"_hi$i") - col(s"_lo$i")) * col(s"_frac$i"))
         .as(names(i))
     }
-    picked.select(outCols: _*)
+    withAllGroups.select(outCols: _*)
   }
 
   /** Sketch-based grouped quantiles: bounded memory, mergeable partials.

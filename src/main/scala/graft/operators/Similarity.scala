@@ -54,11 +54,21 @@ object Similarity {
     * 2^planesPerTable), so the per-bucket counts hash-aggregate down to
     * at most that many rows and broadcast back as a semi-join filter —
     * two map passes over the corpus, zero corpus shuffles, matching the
-    * broadcast-join probe design. */
+    * broadcast-join probe design.
+    *
+    * RECALL TRADE-OFF: the cap is a silent filter. A query whose every
+    * co-bucket is over-cap gets zero candidates and VANISHES from the
+    * output — indistinguishable from "no neighbors" downstream. Pass
+    * `onDroppedBuckets` to observe capped runs (it receives the count of
+    * dropped buckets, computed from the already-aggregated per-bucket
+    * counts — one extra tiny job, nothing recomputed over the corpus);
+    * raise `maxBucketSize` or add tables/planes if the count is nonzero
+    * and recall matters more than the worst-case join blow-up. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int = 10, dim: Int = 64,
               tables: Int = 8, planesPerTable: Int = 8,
-              seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
+              seed: Long = 42L, maxBucketSize: Int = 10000,
+              onDroppedBuckets: Option[Long => Unit] = None): DataFrame = {
     val planeSets = (0 until tables).map(t =>
       randomPlanes(planesPerTable, dim, seed + t))
 
@@ -71,8 +81,12 @@ object Similarity {
 
     val q = bucketed(queries, "query_id", "_qv")
     val c0 = bucketed(corpus, "neighbor_id", "_cv")
-    val okBuckets = c0.groupBy(col("_bucket"))
+    val bucketCounts = c0.groupBy(col("_bucket"))
       .agg(count(lit(1)).as("_bc"))
+    onDroppedBuckets.foreach { f =>
+      f(bucketCounts.filter(col("_bc") > maxBucketSize).count())
+    }
+    val okBuckets = bucketCounts
       .filter(col("_bc") <= maxBucketSize)
       .select(col("_bucket"))
     val c = c0.join(broadcast(okBuckets), Seq("_bucket"), "left_semi")
@@ -186,17 +200,29 @@ object Similarity {
     * hashing to the same sign pattern) would otherwise go quadratic. The
     * count window partitions by `_bucket` — the same distribution the
     * self-join shuffles on — so the exchange is planned once and reused,
-    * not paid twice. */
+    * not paid twice.
+    *
+    * RECALL TRADE-OFF: capping silently drops pairs that only co-occur in
+    * over-cap buckets — they simply don't appear in the output. Pass
+    * `onDroppedBuckets` to observe whether a run was capped (count of
+    * over-cap buckets; one extra small aggregate job over the exploded
+    * bucket ids), and widen tables/planes or raise the cap if recall on
+    * dense regions matters more than the quadratic worst case. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, dim: Int = 64,
                         tables: Int = 8, planesPerTable: Int = 8,
-                        seed: Long = 42L, maxBucketSize: Int = 1000): DataFrame = {
+                        seed: Long = 42L, maxBucketSize: Int = 1000,
+                        onDroppedBuckets: Option[Long => Unit] = None): DataFrame = {
     val planeSets = (0 until tables).map(t => randomPlanes(planesPerTable, dim, seed + t))
     val exploded = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       explode(array(planeSets.zipWithIndex.map { case (ps, t) =>
         concat_ws(":", lit(t),
           graft.plans.SketchExpressions.hyperplaneBucket(col(vecCol), ps))
       }: _*)).as("_bucket"))
+    onDroppedBuckets.foreach { f =>
+      f(exploded.groupBy(col("_bucket")).agg(count(lit(1)).as("_bc"))
+        .filter(col("_bc") > maxBucketSize).count())
+    }
     val b = exploded
       .withColumn("_bc", count(lit(1)).over(Window.partitionBy(col("_bucket"))))
       .filter(col("_bc") <= maxBucketSize)

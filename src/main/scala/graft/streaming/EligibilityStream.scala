@@ -128,13 +128,29 @@ object EligibilityStream {
     * (kafkaworker.js:80-90): when the flight lookup itself fails, every
     * pending request still gets a result row with reason db_query_error
     * and a null delay instead of crashing the worker. `flightsLatest` is
-    * a thunk so a failing dim load (missing table, bad credentials) is
-    * caught here, mirroring the reference's per-lookup try/catch. */
+    * a thunk so a failing dim load is caught here, mirroring the
+    * reference's per-lookup try/catch.
+    *
+    * SCOPE: Spark is lazy, so by default the guard covers failures raised
+    * while CONSTRUCTING the dim (missing table/path, bad credentials,
+    * schema mismatch — anything load/analysis-time). A dim that analyzes
+    * fine but fails at execution time (file deleted mid-batch, transient
+    * source error) still fails the query, unlike the reference's per-batch
+    * try/catch. Set `eager = true` to also catch execution-time failures:
+    * the dim is persisted and fully materialized inside the guard, so a
+    * source that can't actually be read lands on the db_query_error leg —
+    * at the cost of one blocking materialization (fine for the small
+    * per-key-latest dims this path joins; the caller owns unpersist). */
   def processSafe(messages: DataFrame, flightsLatest: () => DataFrame,
                   flightKeyCol: String = "flight_number",
                   scheduledCol: String = "scheduled_departure",
-                  actualCol: String = "actual_departure"): DataFrame =
-    Try(flightsLatest()) match {
+                  actualCol: String = "actual_departure",
+                  eager: Boolean = false): DataFrame =
+    Try {
+      val dim = flightsLatest()
+      if (eager) { dim.persist(); dim.count() }
+      dim
+    } match {
       case Success(dim) =>
         process(messages, dim, flightKeyCol, scheduledCol, actualCol)
       case Failure(_) =>

@@ -183,7 +183,14 @@ class OperatorsSpec extends AnyFunSuite {
       ("AB", "AA", false),                  // 2-char keys: 50
       ("star alliance", "alliance star", true),      // token sort 95
       ("delta air lines inc", "delta air lines", true), // token set 95
-      ("  jfk ", "JFK", true))              // full_process trims + case-folds
+      ("  jfk ", "JFK", true),              // full_process trims + case-folds
+      // partial_token_set: tokens shared but not contiguous in either
+      // string — only the token-set + partial blend crosses 85 (0.95 x 0.9
+      // x 100 = 85.5)
+      ("lines delta", "delta air lines international", true),
+      // lenRatio exactly 8 (2 vs 16 processed chars): fuzzywuzzy scales
+      // 0.6 only when ratio > 8, so partial stays 100 x 0.9 = 90
+      ("ab", "ab cdefghijklmno", true))
     val df = cases.toDF("a", "b", "expected")
       .withColumn("w", FuzzyJoin.wRatio(col("a"), col("b")))
     val bad = df.filter((col("w") >= 85.0) =!= col("expected")).collect()
@@ -259,6 +266,21 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("g").collect().map(r => r.getDouble(1)).toSeq
     approx.zip(want.map(_._2(1))).foreach { case (a, e) =>
       assert(math.abs(a - e) <= 1.0, s"approx p50 $a vs exact $e") }
+  }
+
+  test("quantiles: NULL values are skipped, all-null groups still emit a row") {
+    // group a: nulls interleaved with values — quantiles over {1,2,3} only;
+    // group b: every value null — one output row with null quantiles
+    // (quantile_cont / Spark percentile semantics)
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(2.0)),
+        ("a", None), ("a", Some(3.0)), ("b", None), ("b", None))
+      .toDF("g", "v")
+    val got = Quantiles.exact(df, Seq("g"), "v", Seq(0.5, 1.0))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got == Seq(("a", Some(2.0), Some(3.0)), ("b", None, None)))
   }
 
   test("skew salting: salted join and salted sum are result-identical") {

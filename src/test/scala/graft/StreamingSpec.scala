@@ -84,6 +84,23 @@ class StreamingSpec extends AnyFunSuite {
     val ok = EligibilityStream.processSafe(parsed, () => flights)
     assert(ok.columns.toSeq == Seq("passenger_id", "flight_number",
       "delay_minutes", "reason", "eligible", "processed_at"))
+
+    // eager=true catches EXECUTION-time dim failures too (lazy Spark:
+    // a dim that analyzes fine but can't be read lands on the error leg
+    // only when materialized inside the guard)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dim").toString
+    flights.write.mode("overwrite").parquet(dimDir)
+    val lazyDim = spark.read.parquet(dimDir) // analysis OK: footer present
+    // delete the data files AFTER analysis — execution now fails
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dimDir)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    val eager = EligibilityStream.processSafe(parsed, () => lazyDim, eager = true)
+    val q2 = eager.writeStream.format("memory").queryName("eligerr2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    val got2 = spark.table("eligerr2").select("reason").as[String].collect.toSeq
+    assert(got2.nonEmpty && got2.forall(_ == "db_query_error"))
   }
 
   test("S10/S11: Kafka source/sink config surface (no broker in env)") {

@@ -81,6 +81,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("md5 fingerprint induces the same dup grouping as the xxhash64 form") {
+    // the oracle-checkable md5-chain (q28) and the production rolling hash
+    // must partition documents identically
+    val both = docs.select(
+        TF.fingerprint(col("text")).as("x"),
+        TF.md5Fingerprint(col("text")).as("m"))
+    assert(both.select("x").distinct.count() == both.select("m").distinct.count())
+    assert(both.select("x", "m").distinct.count() == both.select("x").distinct.count())
+    // whitespace/case normalization parity between the two forms
+    val norm = Seq((1L, "A  b\tC"), (2L, "a b c")).toDF("id", "t")
+      .select(TF.md5Fingerprint(col("t")).as("m")).distinct
+    assert(norm.count() == 1)
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       "the cat and the dog in a house is that it for",
@@ -163,20 +177,32 @@ class TextDedupSpec extends AnyFunSuite {
     val base = (0 until 10).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
     val dup = (100L, base(3)._2.map(x => x * 1.01f))
     val vecs = (base ++ degenerate :+ dup).toDF("vec_id", "embedding")
+    var dropped = -1L
     val got = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
         threshold = 0.99, dim = 16, tables = 8, planesPerTable = 4,
-        maxBucketSize = 50)
+        maxBucketSize = 50, onDroppedBuckets = Some(n => dropped = n))
       .select("id_a", "id_b").as[(Long, Long)].collect.toSet
     assert(got.contains((3L, 100L)), "real near-dup must survive the cap")
     assert(!got.exists { case (a, b) => a >= 1000L && b >= 1000L },
       "degenerate-bucket pairs must be dropped by the cap")
+    assert(dropped > 0, "capped run must be observable via onDroppedBuckets")
 
     // same guard on the top-k probe path: capped corpus buckets only
+    var droppedTopK = -1L
     val queries = vecs.filter(col("vec_id") === 3L)
     val topk = Similarity.lshTopK(queries, vecs, "vec_id", "embedding",
-        k = 3, dim = 16, tables = 8, planesPerTable = 4, maxBucketSize = 50)
+        k = 3, dim = 16, tables = 8, planesPerTable = 4, maxBucketSize = 50,
+        onDroppedBuckets = Some(n => droppedTopK = n))
       .select("neighbor_id").as[Long].collect.toSet
     assert(topk.contains(100L), "capped lshTopK still finds the true neighbor")
     assert(topk.forall(_ < 1000L), "members of over-cap buckets are not candidates")
+    assert(droppedTopK > 0)
+
+    // an uncapped run reports zero dropped buckets
+    var droppedUncapped = -1L
+    Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.99, dim = 16, tables = 8, planesPerTable = 4,
+      maxBucketSize = Int.MaxValue, onDroppedBuckets = Some(n => droppedUncapped = n))
+    assert(droppedUncapped == 0)
   }
 }
