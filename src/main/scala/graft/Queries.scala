@@ -618,6 +618,28 @@ object Queries {
                    CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
 
+  // ---------------------------------------------------------------- q52
+  // OLAP superset — explicit GROUPING SETS (the general form rollup and
+  // cube specialize): chosen combinations only, still one Expand+Aggregate
+  // pass and a single shuffle.
+  private val q52 = Q("q52_grouping_sets",
+    (s, dir) => t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"),
+        count(lit(1)).as("n"),
+        grouping_id().cast(LongType).as("gid")),
+    Some("""SELECT o_orderstatus, o_orderpriority,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                   count(*) AS n,
+                   CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())"""))
+
   // ---------------------------------------------------------------- q47
   // As-of join: every error event joined to the latest click of the same
   // user at-or-before it (union-scan formulation, one keyed shuffle).
@@ -760,11 +782,16 @@ object Queries {
         col("c_custkey").as("_ingest_id"))
       val cfg = Warehouse.bookingSales
       val dims = Seq("segment"); val measures = Seq("amount")
+      // persist each layer like the reference's per-batch table writes —
+      // lazily chained, batch 2's plan would re-evaluate batch 1's whole
+      // chain once per downstream consumer
+      val pin = (df: org.apache.spark.sql.DataFrame) =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val l0 = Warehouse.emptyLayers(cfg, b1, dims, measures, "_ingest_id")
       val l1 = Warehouse.run(cfg, b1, l0, dims, measures, "_ingest_id",
-        lit(java.sql.Date.valueOf("2024-01-01")))
+        lit(java.sql.Date.valueOf("2024-01-01")), materialize = pin)
       val l2 = Warehouse.run(cfg, b2, l1, dims, measures, "_ingest_id",
-        lit(java.sql.Date.valueOf("2024-06-01")))
+        lit(java.sql.Date.valueOf("2024-06-01")), materialize = pin)
       l2.fact.select(col("booking_reference"), col("amount"),
         date_format(col("dim_valid_from"), "yyyy-MM-dd").as("dim_valid_from"),
         col("_ingest_id"))
@@ -790,6 +817,6 @@ object Queries {
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
-    q45, q46, q47, q48, q49, q50, q51) ++
+    q45, q46, q47, q48, q49, q50, q51, q52) ++
     QueriesText.all ++ QueriesClean.all
 }

@@ -253,5 +253,51 @@ object QueriesText {
     },
     None)
 
-  val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42)
+  // ---------------------------------------------------------------- q53
+  // Deterministic train/val/test split: a pure function of doc_id
+  // (md5 bucket), so re-runs and other engines reproduce it exactly —
+  // no document ever migrates between splits.
+  private val q53 = Q("q53_doc_split",
+    (s, dir) => Split.assign(t(s, dir, "documents"),
+        col("doc_id"), Seq("train" -> 12, "val" -> 2, "test" -> 2))
+      .select(col("doc_id"), col("bucket"), col("split")),
+    Some("""WITH b AS (
+              SELECT doc_id,
+                     CAST(strpos('0123456789abcdef',
+                                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                          AS BIGINT) AS bucket
+              FROM documents)
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 12 THEN 'train'
+                        WHEN bucket < 14 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b"""))
+
+  // ---------------------------------------------------------------- q54
+  // Within-document repetition (Gopher/C4-style quality filter):
+  // duplicate word-bigram fraction per doc, flag heavy repeaters.
+  private val q54 = Q("q54_repetition",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        round(TF.dupNgramFraction(col("text"), 2), 6).as("dup_bigram_frac"),
+        (TF.dupNgramFraction(col("text"), 2) > 0.2).as("repetitive")),
+    Some("""WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) < 2 THEN 0.0
+                          ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                                 range(1, len(tk)),
+                                 i -> tk[i] || ' ' || tk[i + 1]))) AS DOUBLE)
+                               / (len(tk) - 1) END AS frac
+              FROM tk)
+            SELECT doc_id, round(frac, 6) AS dup_bigram_frac,
+                   frac > 0.2 AS repetitive
+            FROM f"""))
+
+  val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
+    q42, q53, q54)
 }

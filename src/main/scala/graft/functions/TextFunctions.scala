@@ -97,6 +97,19 @@ object TextFunctions {
   def contentKey(c: Column): Column =
     md5(lower(CleanFunctions.normalizeWhitespace(c)))
 
+  /** Duplicate word-n-gram fraction in [0,1] — the Gopher/C4-style
+    * within-document repetition signal (a doc whose bigrams are mostly
+    * repeats is boilerplate or a generation loop). 0 when the doc has
+    * fewer than n tokens. One projection, no shuffle. */
+  def dupNgramFraction(c: Column, n: Int = 2): Column = {
+    val tk = tokens(c)
+    val cnt = (size(tk) - (n - 1)).cast(DoubleType)
+    val ngrams = transform(sequence(lit(1), size(tk) - (n - 1)),
+      i => array_join(slice(tk, i, lit(n)), " "))
+    when(size(tk) < n, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(ngrams)).cast(DoubleType) / cnt)
+  }
+
   /** md5-chain fingerprint: fold acc = md5(acc || md5(token)) over the
     * whitespace tokens, zero "". Same equality contract as [[fingerprint]]
     * (equal normalized token streams <=> equal fingerprints) but built

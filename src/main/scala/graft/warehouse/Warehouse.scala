@@ -69,28 +69,36 @@ object Warehouse {
     * @param measureCols fact measure columns
     * @param versionCol  intra-batch ordering for upserts (ingest order)
     * @param asOf        effective date stamped on opened/closed versions
+    * @param materialize applied to each produced layer. The reference
+    *                    writes every layer to its own table per batch;
+    *                    lazily chaining batches instead re-evaluates each
+    *                    upstream layer once per downstream consumer (and
+    *                    compounds across batches). Pass `_.persist()` (or
+    *                    a write-then-read-back) to pin each layer once —
+    *                    the default keeps the algebra fully lazy.
     */
   def run(cfg: Config, batch: DataFrame, existing: Layers,
           dimCols: Seq[String], measureCols: Seq[String],
-          versionCol: String, asOf: Column): Layers = {
+          versionCol: String, asOf: Column,
+          materialize: DataFrame => DataFrame = identity): Layers = {
     require(cfg.scdType == 2,
       s"only scdType 2 is declared by the reference (got ${cfg.scdType})")
     val key = cfg.naturalKey
 
     // 1. staging: latest incoming version per conflict key wins
-    val staging = UpsertSink.upsert(existing.staging, batch,
-      cfg.stagingOnConflict, versionCol)
+    val staging = materialize(UpsertSink.upsert(existing.staging, batch,
+      cfg.stagingOnConflict, versionCol))
 
     // 2. pre-fact: measure projection of staging, upserted
     val preFactProj = staging.select(
       (key ++ measureCols :+ versionCol).distinct.map(col): _*)
-    val preFact = UpsertSink.upsert(existing.preFact, preFactProj,
-      cfg.preFactOnConflict, versionCol)
+    val preFact = materialize(UpsertSink.upsert(existing.preFact, preFactProj,
+      cfg.preFactOnConflict, versionCol))
 
     // 3. dimension: SCD-2 merge of the staged attribute snapshot
     val dimSnapshot = staging.select((key ++ dimCols).distinct.map(col): _*)
-    val dimension = Scd2(existing.dimension, dimSnapshot,
-      Scd2.Config(key, dimCols), asOf)
+    val dimension = materialize(Scd2(existing.dimension, dimSnapshot,
+      Scd2.Config(key, dimCols), asOf))
 
     // 4. fact: measures + pointer to the current dimension version
     val curDim = dimension.filter(col("is_current"))
@@ -98,8 +106,8 @@ object Warehouse {
       .withColumnRenamed("valid_from", "dim_valid_from")
     val factRows = preFact.join(curDim, key)
       .select((key ++ measureCols ++ Seq("dim_valid_from", versionCol)).map(col): _*)
-    val fact = UpsertSink.upsert(existing.fact, factRows,
-      cfg.factOnConflict, versionCol)
+    val fact = materialize(UpsertSink.upsert(existing.fact, factRows,
+      cfg.factOnConflict, versionCol))
 
     Layers(staging, preFact, dimension, fact)
   }

@@ -95,6 +95,37 @@ class TextDedupSpec extends AnyFunSuite {
     assert(norm.count() == 1)
   }
 
+  test("dupNgramFraction: repetition signal on duplicate bigrams") {
+    val df = Seq(
+      ("a b a b a b", 0.6),   // 5 bigrams, 2 distinct -> 1 - 2/5
+      ("one two three four", 0.0), // all bigrams unique
+      ("solo", 0.0),          // fewer tokens than n
+      ("", 0.0)
+    ).toDF("text", "want")
+    val bad = df.filter(
+      abs(TF.dupNgramFraction(col("text"), 2) - col("want")) > 1e-9).count()
+    assert(bad == 0)
+  }
+
+  test("hash split: deterministic, uniform-ish, every label present") {
+    import graft.operators.Split
+    val ids = (0L until 1600L).toDF("id")
+    val got = Split.assign(ids, col("id"), Seq("train" -> 12, "val" -> 2, "test" -> 2))
+    val counts = got.groupBy("split").count()
+      .as[(String, Long)].collect.toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // md5 buckets are uniform: expect ~1200/200/200, allow wide slack
+    assert(counts("train") > 1000 && counts("val") > 100 && counts("test") > 100)
+    // pure function of the id: a reshuffled re-run assigns identically
+    val again = Split.assign(ids.repartition(7), col("id"),
+      Seq("train" -> 12, "val" -> 2, "test" -> 2))
+    assert(got.select("id", "split").except(again.select("id", "split")).count() == 0)
+    // buckets must cover 0..15 exactly
+    intercept[IllegalArgumentException] {
+      Split.assign(ids, col("id"), Seq("train" -> 10, "val" -> 2))
+    }
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       "the cat and the dog in a house is that it for",
