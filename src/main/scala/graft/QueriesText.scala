@@ -298,6 +298,65 @@ object QueriesText {
                    frac > 0.2 AS repetitive
             FROM f"""))
 
+  // ---------------------------------------------------------------- q55
+  // Train/eval decontamination: eval docs are 40-token prefixes of every
+  // 10th document, so each flags (at least) its source doc with
+  // overlap 1.0. Word-8-gram overlap, GPT-3-data-card style.
+  private val q55 = Q("q55_decontaminate",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val eval = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          array_join(slice(TF.tokens(col("text")), 1, 40), " ").as("text"))
+      Decontaminate.overlapPairs(d, eval, "text", "doc_id",
+        n = 8, threshold = 0.5)
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            trg AS (
+              SELECT doc_id AS train_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(tk) - 7, 1) + 1),
+                       i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS gs
+              FROM tok),
+            evg AS (
+              SELECT doc_id + 20000000 AS eval_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(list_slice(tk, 1, 40)) - 7, 1) + 1),
+                       i -> array_to_string(list_slice(list_slice(tk, 1, 40), i, i + 7), ' '))) AS gs
+              FROM tok WHERE doc_id % 10 = 0),
+            p AS (
+              SELECT t.train_id, e.eval_id,
+                     CAST(len(list_intersect(t.gs, e.gs)) AS DOUBLE) / len(e.gs) AS f
+              FROM trg t CROSS JOIN evg e)
+            SELECT train_id, eval_id, round(f, 6) AS overlap_frac
+            FROM p WHERE f >= 0.5"""))
+
+  // ---------------------------------------------------------------- q56
+  // Deterministic data mixing: all English docs + a 25 % hash-sample of
+  // the rest — the sampling decision is a pure function of doc_id
+  // (md5 bucket of 65536), identical across engines and re-runs.
+  private val q56 = Q("q56_hash_mix",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      Split.mix(Seq(
+        ("en", d.filter(col("lang") === "en"), 1.0),
+        ("other", d.filter(col("lang") =!= "en"), 0.25)), "doc_id")
+    },
+    Some("""WITH b AS (
+              SELECT doc_id, lang,
+                (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bucket
+              FROM documents)
+            SELECT doc_id, lang, 'en' AS source FROM b WHERE lang = 'en' AND bucket < 65536
+            UNION ALL
+            SELECT doc_id, lang, 'other' AS source FROM b WHERE lang <> 'en' AND bucket < 16384"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
-    q42, q53, q54)
+    q42, q53, q54, q55, q56)
 }

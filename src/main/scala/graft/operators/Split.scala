@@ -25,6 +25,35 @@ object Split {
     (instr(lit("0123456789abcdef"), substring(md5(id.cast("string")), 1, 1)) - 1)
       .cast("long")
 
+  /** Hash bucket in [0, 65536): first four md5 hex digits of the id as an
+    * integer — fine-grained cousin of [[bucket16]] for fractional
+    * sampling. Still a pure codegen'd projection, and still portable: any
+    * engine with md5 reproduces it (the DuckDB oracle uses per-digit
+    * strpos arithmetic for the identical value). */
+  def bucket65536(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Deterministic Bernoulli sample: keep a row iff its [[bucket65536]]
+    * falls under `fraction` (granularity 1/65536 ≈ 0.0015 %). Unlike
+    * `df.sample`, the decision is a pure function of the id — re-runs,
+    * backfills, and other engines keep exactly the same rows, and a row's
+    * fate never depends on partitioning or a seed. */
+  def hashSample(df: DataFrame, id: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    df.filter(bucket65536(id) < math.round(fraction * 65536.0))
+  }
+
+  /** Weighted mixture of sources — the data-mixing step of a training
+    * pipeline (e.g. 100 % curated + 10 % of a web crawl). Each source is
+    * [[hashSample]]d at its rate and tagged with its label; sources are
+    * combined with unionByName. Deterministic end-to-end. */
+  def mix(sources: Seq[(String, DataFrame, Double)], id: String): DataFrame = {
+    require(sources.nonEmpty, "mix needs at least one source")
+    sources.map { case (label, df, rate) =>
+      hashSample(df, col(id), rate).withColumn("source", lit(label))
+    }.reduce(_ unionByName _)
+  }
+
   /** Assign each row a split label from `weights` — (label, bucketCount)
     * pairs that must sum to 16, e.g. Seq("train" -> 12, "val" -> 2,
     * "test" -> 2) for a 75/12.5/12.5 split. Adds `bucket` and `split`. */

@@ -177,22 +177,29 @@ object TextDedup {
     size(filter(zip_with(a, b, (x, y) => x =!= y), x => x))
 
   /** SimHash near-dup pairs: block on 4 x 16-bit chunks (near-dups within
-    * hamming distance <= 3 share at least one exact chunk), verify by full
-    * hamming distance. */
+    * hamming distance <= 3 share at least one exact chunk — pigeonhole over
+    * any partition of the 64 bits into 4 groups), verify by full hamming
+    * distance.
+    *
+    * The sketch is packed into ONE long per document before the join:
+    * chunk keys are bit-slices (`shiftright` + mask) and verification is a
+    * single `bit_count(a ^ b)` — no arrays ever reach the shuffle, so each
+    * joined row is (id, long, int, long) regardless of document size. */
   def simHashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val withBits = docs.select(col(idCol).as("_id"), simHashBits(col(textCol)).as("_bits"))
-    val chunked = withBits.select(col("_id"), col("_bits"),
+    val packed = docs.select(col(idCol).as("_id"),
+      packBits(simHashBits(col(textCol))).as("_ph"))
+    val chunked = packed.select(col("_id"), col("_ph"),
         explode(array((0 until 4).map { ch =>
           struct(lit(ch).as("chunk"),
-            xxhash64(concat_ws(",", slice(col("_bits"), ch * 16 + 1, 16))).as("ch_hash"))
+            shiftright(col("_ph"), ch * 16).bitwiseAND(0xFFFFL).as("ch_val"))
         }: _*)).as("cs"))
-      .select(col("_id"), col("_bits"), col("cs.chunk").as("chunk"), col("cs.ch_hash").as("ch_hash"))
+      .select(col("_id"), col("_ph"), col("cs.chunk").as("chunk"), col("cs.ch_val").as("ch_val"))
     val a = chunked.as("a"); val b = chunked.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ch_hash") === col("b.ch_hash") &&
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ch_val") === col("b.ch_val") &&
         col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
-        hamming(col("a._bits"), col("b._bits")).as("hamming"))
+        bit_count(col("a._ph").bitwiseXOR(col("b._ph"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

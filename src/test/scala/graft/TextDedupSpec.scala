@@ -95,6 +95,56 @@ class TextDedupSpec extends AnyFunSuite {
     assert(norm.count() == 1)
   }
 
+  test("simhash packed-long hamming == bit-array hamming") {
+    val bits = docs.select(col("doc_id"),
+      TextDedup.simHashBits(col("text")).as("b"))
+    val both = bits.as("x").join(bits.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(
+        TextDedup.hamming(col("x.b"), col("y.b")).as("arr"),
+        bit_count(TextDedup.packBits(col("x.b"))
+          .bitwiseXOR(TextDedup.packBits(col("y.b")))).as("packed"))
+    assert(both.filter(col("arr") =!= col("packed")).count() == 0)
+  }
+
+  test("decontaminate: eval prefix flags its source doc, clean drops it") {
+    import graft.operators.Decontaminate
+    val train = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve thirteen"),
+      (3L, "totally separate words with no shared phrasing at all in this doc here")
+    ).toDF("doc_id", "text")
+    // eval doc = the first 10 tokens of train doc 1
+    val eval = Seq(
+      (100L, "alpha bravo charlie delta echo foxtrot golf hotel india juliett")
+    ).toDF("doc_id", "text")
+    val pairs = Decontaminate.overlapPairs(train, eval, "text", "doc_id",
+      n = 8, threshold = 0.5)
+      .select("train_id", "eval_id").as[(Long, Long)].collect.toSet
+    assert(pairs == Set((1L, 100L)))
+    val kept = Decontaminate.clean(train, eval, "text", "doc_id", n = 8)
+      .select("doc_id").as[Long].collect.toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("hashSample: deterministic, rate-accurate, mix labels sources") {
+    import graft.operators.Split
+    val ids = (0L until 4096L).toDF("id")
+    val s1 = Split.hashSample(ids, col("id"), 0.25)
+    val n = s1.count()
+    // md5 buckets: expect ~1024 of 4096, generous slack
+    assert(n > 820 && n < 1230, s"got $n")
+    // re-run under different partitioning keeps exactly the same rows
+    val s2 = Split.hashSample(ids.repartition(13), col("id"), 0.25)
+    assert(s1.except(s2).count() == 0 && s2.except(s1).count() == 0)
+    assert(Split.hashSample(ids, col("id"), 0.0).count() == 0)
+    assert(Split.hashSample(ids, col("id"), 1.0).count() == 4096)
+    val mixed = Split.mix(Seq(
+      ("a", ids.filter(col("id") < 2048), 1.0),
+      ("b", ids.filter(col("id") >= 2048), 0.25)), "id")
+    val bySrc = mixed.groupBy("source").count().as[(String, Long)].collect.toMap
+    assert(bySrc("a") == 2048 && bySrc("b") > 380 && bySrc("b") < 640)
+  }
+
   test("dupNgramFraction: repetition signal on duplicate bigrams") {
     val df = Seq(
       ("a b a b a b", 0.6),   // 5 bigrams, 2 distinct -> 1 - 2/5
