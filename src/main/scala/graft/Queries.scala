@@ -640,6 +640,18 @@ object Queries {
             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                     (o_orderstatus), ())"""))
 
+  // ---------------------------------------------------------------- q57
+  // Contiguous global row index WITHOUT a single-task window: the
+  // distributed prefix-scan (range partition + per-partition counts +
+  // broadcast carry offsets) from Pack.globalIndex.
+  private val q57 = Q("q57_global_index",
+    (s, dir) => Pack.globalIndex(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      "o_orderkey"),
+    Some("""SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (ORDER BY o_orderkey) - 1 AS row_idx
+            FROM orders"""))
+
   // ---------------------------------------------------------------- q47
   // As-of join: every error event joined to the latest click of the same
   // user at-or-before it (union-scan formulation, one keyed shuffle).
@@ -817,6 +829,6 @@ object Queries {
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
-    q45, q46, q47, q48, q49, q50, q51, q52) ++
+    q45, q46, q47, q48, q49, q50, q51, q52, q57) ++
     QueriesText.all ++ QueriesClean.all
 }

@@ -357,6 +357,34 @@ object QueriesText {
             UNION ALL
             SELECT doc_id, lang, 'other' AS source FROM b WHERE lang <> 'en' AND bucket < 16384"""))
 
+  // ---------------------------------------------------------------- q58
+  // GPT-style sequence packing: concatenate documents in doc_id order,
+  // cut every 2048 tokens. The global token offset comes from the
+  // distributed prefix-scan (no single-task ORDER BY window).
+  private val q58 = Q("q58_seq_pack",
+    (s, dir) => Pack.packByTokenBudget(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        TF.tokenCount(col("text")), "doc_id", budget = 2048)
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        col("seq_first"), col("seq_last"), col("spans_boundary")),
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                          x -> len(x) > 0)) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+              FROM t)
+            SELECT doc_id, n_tokens, tok_offset,
+                   tok_offset // 2048 AS seq_first,
+                   CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 2048
+                        ELSE tok_offset // 2048 END AS seq_last,
+                   (CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 2048
+                         ELSE tok_offset // 2048 END) > (tok_offset // 2048) AS spans_boundary
+            FROM c"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
-    q42, q53, q54, q55, q56)
+    q42, q53, q54, q55, q56, q58)
 }

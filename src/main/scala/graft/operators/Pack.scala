@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Global ordering operators for training pipelines: contiguous row
+  * indexing and GPT-style sequence packing (concatenate all documents in
+  * a fixed order, cut every `budget` tokens).
+  *
+  * Both need an order-wide running total — the textbook case where the
+  * naive formulation (`row_number()`/`sum() over (ORDER BY ...)` with no
+  * partition) collapses Spark into ONE task holding the whole dataset.
+  * Like [[FfillRepair]], this uses the distributed prefix-scan instead:
+  * range-partition on the order column, aggregate one partial sum per
+  * partition, prefix-scan that ≤ numShufflePartitions-row summary on the
+  * driver, and broadcast the carry-in offsets back. Two parallel
+  * shuffles, no single-task stage, identical to the global window.
+  */
+object Pack {
+
+  private val Pid = "_pack_pid"
+  private val Off = "_pack_off"
+
+  /** df + `out` = the EXCLUSIVE running sum of `value` over the global
+    * order of `orderCol` (0 for the first row). `orderCol` must be a
+    * total order (unique), or the result is ambiguous — same contract as
+    * any ORDER BY prefix sum. */
+  def prefixSum(df: DataFrame, value: Column, orderCol: String,
+                out: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+
+    val parted = df
+      .repartitionByRange(n, col(orderCol))
+      .withColumn(Pid, spark_partition_id())
+      .withColumn("_pack_v", coalesce(value.cast(LongType), lit(0L)))
+      .persist()
+
+    // one partial sum per range partition — bounded by the shuffle
+    // partition count, so the collect is a ≤ n-row driver hop
+    val sums = parted.groupBy(col(Pid))
+      .agg(sum(col("_pack_v")).as("_s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+
+    var running = 0L
+    val offsets = (0 until n).map { p =>
+      val c = running; running += sums.getOrElse(p, 0L); Row(p, c)
+    }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets, 1),
+      StructType(Seq(StructField(Pid, IntegerType, nullable = false),
+                     StructField(Off, LongType, nullable = false))))
+
+    // local exclusive cumsum within each partition + the partition's
+    // broadcast carry-in; parted stays cached so the windows reuse the
+    // same physical range partitioning (deterministic on recompute)
+    val w = Window.partitionBy(col(Pid)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    parted
+      .join(broadcast(offDf), Pid)
+      .withColumn(out, coalesce(sum(col("_pack_v")).over(w), lit(0L)) + col(Off))
+      .drop(Pid, Off, "_pack_v")
+  }
+
+  /** Contiguous 0-based global row index in `orderCol` order — the
+    * scalable replacement for `row_number() OVER (ORDER BY ...)`
+    * (which is a single-task window) and for `zipWithIndex` (which
+    * drops to RDDs). */
+  def globalIndex(df: DataFrame, orderCol: String,
+                  out: String = "row_idx"): DataFrame =
+    prefixSum(df, lit(1L), orderCol, out)
+
+  /** GPT-style sequence packing: documents are concatenated in
+    * `orderCol` order and cut into fixed `budget`-token training
+    * sequences; a document whose token span crosses a cut belongs to
+    * both sequences (`spans_boundary`). Emits per document:
+    * `tok_offset` (global token start), `seq_first`, `seq_last`.
+    *
+    * This is the concat-and-chunk packing used for pretraining data —
+    * deterministic given the order column, and resumable: a new batch
+    * appended after the last order key continues exactly where the
+    * previous run's running total left off. */
+  def packByTokenBudget(df: DataFrame, tokenCount: Column, orderCol: String,
+                        budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    prefixSum(df.withColumn("n_tokens", coalesce(tokenCount.cast(LongType), lit(0L))),
+        col("n_tokens"), orderCol, "tok_offset")
+      .withColumn("seq_first",
+        floor(col("tok_offset") / budget).cast(LongType))
+      .withColumn("seq_last",
+        when(col("n_tokens") > 0,
+          floor((col("tok_offset") + col("n_tokens") - 1) / budget))
+          .otherwise(floor(col("tok_offset") / budget)).cast(LongType))
+      .withColumn("spans_boundary", col("seq_last") > col("seq_first"))
+  }
+}
