@@ -276,11 +276,15 @@ object QueriesText {
   // ---------------------------------------------------------------- q54
   // Within-document repetition (Gopher/C4-style quality filter):
   // duplicate word-bigram fraction per doc, flag heavy repeaters.
+  // The flag derives from the already-rounded fraction in a SECOND
+  // Project: the interpreted HOF is evaluated once per row (CollapseProject
+  // refuses to duplicate non-cheap expressions, SPARK-36718) instead of
+  // twice — this halved the query's cost at sf0.1.
   private val q54 = Q("q54_repetition",
     (s, dir) => t(s, dir, "documents")
       .select(col("doc_id"),
-        round(TF.dupNgramFraction(col("text"), 2), 6).as("dup_bigram_frac"),
-        (TF.dupNgramFraction(col("text"), 2) > 0.2).as("repetitive")),
+        round(TF.dupNgramFraction(col("text"), 2), 6).as("dup_bigram_frac"))
+      .withColumn("repetitive", col("dup_bigram_frac") > 0.2),
     Some("""WITH tk AS (
               SELECT doc_id,
                      list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -295,7 +299,7 @@ object QueriesText {
                                / (len(tk) - 1) END AS frac
               FROM tk)
             SELECT doc_id, round(frac, 6) AS dup_bigram_frac,
-                   frac > 0.2 AS repetitive
+                   round(frac, 6) > 0.2 AS repetitive
             FROM f"""))
 
   // ---------------------------------------------------------------- q55

@@ -100,8 +100,15 @@ object TextFunctions {
   /** Duplicate word-n-gram fraction in [0,1] — the Gopher/C4-style
     * within-document repetition signal (a doc whose bigrams are mostly
     * repeats is boilerplate or a generation loop). 0 when the doc has
-    * fewer than n tokens. One projection, no shuffle. */
-  def dupNgramFraction(c: Column, n: Int = 2): Column = {
+    * fewer than n tokens. One projection, no shuffle; native expression
+    * (graft.plans.DupNgramFraction) — one loop + hash set per row
+    * instead of an interpreted lambda per gram position. */
+  def dupNgramFraction(c: Column, n: Int = 2): Column =
+    graft.plans.SketchExpressions.dupNgramFraction(tokens(c), n)
+
+  /** Reference HOF formulation of [[dupNgramFraction]] — kept as the
+    * parity oracle for the native expression (see TextDedupSpec). */
+  def dupNgramFractionHof(c: Column, n: Int = 2): Column = {
     val tk = tokens(c)
     val cnt = (size(tk) - (n - 1)).cast(DoubleType)
     val ngrams = transform(sequence(lit(1), size(tk) - (n - 1)),

@@ -49,8 +49,14 @@ object Decontaminate {
   def overlapPairs(train: DataFrame, eval: DataFrame, textCol: String,
                    idCol: String, n: Int = 8, threshold: Double = 0.5,
                    maxDocFreq: Int = 10000): DataFrame = {
+    // persisted: the doc-frequency aggregation AND the overlap join both
+    // consume the exploded grams — without the pin the whole interpreted
+    // shingle projection runs twice over the corpus (the "materialize the
+    // sketch once" rule from TextDedup.sigFrame; a table/checkpoint write
+    // at cluster scale)
     val tr = train.select(col(idCol).as("train_id"),
         explode(ngramHashes(col(textCol), n)).as("_g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tr.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq)
       .select(col("_g"))

@@ -208,6 +208,48 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Duplicate word-n-gram fraction: 1 - distinct/total over the n-grams of
+  * a token array, 0.0 when the document has fewer than n tokens — the
+  * Gopher/C4 repetition signal. Value-identical to the HOF formulation
+  * (grams joined with a single space; token arrays never hold nulls after
+  * TextFunctions.tokens), but one loop + one hash set per row instead of
+  * an interpreted slice/array_join lambda per gram position. */
+case class DupNgramFraction(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val t = arr.numElements()
+    if (t < n) 0.0
+    else {
+      val total = t - n + 1
+      val seen = new java.util.HashSet[String](total * 2)
+      var i = 0
+      while (i < total) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          val s = arr.getUTF8String(i + j)
+          if (s != null) {
+            if (j > 0) sb.append(' ')
+            sb.append(s.toString)
+          }
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      1.0 - seen.size.toDouble / total
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DupNgramFraction =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   /** Column wrappers. */
   def minHashSig(shingles: Column, k: Int): Column =
@@ -224,4 +266,7 @@ object SketchExpressions {
                        nprobe: Int): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(vec),
       centroids, nprobe))
+
+  def dupNgramFraction(tokens: Column, n: Int): Column =
+    ColumnBridge.column(DupNgramFraction(ColumnBridge.expression(tokens), n))
 }

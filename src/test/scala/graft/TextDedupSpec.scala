@@ -155,6 +155,13 @@ class TextDedupSpec extends AnyFunSuite {
     val bad = df.filter(
       abs(TF.dupNgramFraction(col("text"), 2) - col("want")) > 1e-9).count()
     assert(bad == 0)
+    // native expression == HOF formulation, for several n
+    for (n <- Seq(1, 2, 3, 5)) {
+      val diff = docs.filter(
+        abs(TF.dupNgramFraction(col("text"), n) -
+          TF.dupNgramFractionHof(col("text"), n)) > 1e-12).count()
+      assert(diff == 0, s"native/HOF mismatch at n=$n")
+    }
   }
 
   test("hash split: deterministic, uniform-ish, every label present") {
