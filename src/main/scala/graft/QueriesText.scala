@@ -389,6 +389,31 @@ object QueriesText {
                          ELSE tok_offset // 2048 END) > (tok_offset // 2048) AS spans_boundary
             FROM c"""))
 
+  // ---------------------------------------------------------------- q59
+  // TF-IDF top-5 terms per document (explode -> tf hash-agg -> vocab df
+  // -> size-adaptive join -> WindowGroupLimit top-k).
+  private val q59 = Q("q59_tfidf",
+    (s, dir) => Tfidf.topTerms(t(s, dir, "documents"), "text", "doc_id", k = 5),
+    Some("""WITH tk AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                        t -> len(t) > 0)) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf
+              FROM tf JOIN df USING (term) CROSS JOIN n),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, term) AS rank
+              FROM s)
+            SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 5"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
-    q42, q53, q54, q55, q56, q58)
+    q42, q53, q54, q55, q56, q58, q59)
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions
+
+/** Corpus-level term statistics: TF-IDF and per-document top terms —
+  * the classic text-analysis pass a training-data pipeline runs for
+  * keyword extraction, topic drift checks, and boilerplate discovery.
+  *
+  * Shape at scale:
+  *  - (doc, term, tf) comes from one explode + hash aggregation
+  *    (map-side partial combine collapses repeated terms per doc before
+  *    the shuffle);
+  *  - document frequency aggregates the tf frame again — vocabulary-sized
+  *    output, tiny next to the corpus;
+  *  - the df join back is size-adaptive (Spark broadcasts the vocab side
+  *    when it fits, degrades to a shuffle join when it does not);
+  *  - top-k per doc is a row_number window → Spark 4 rewrites it to
+  *    partial+final WindowGroupLimit (pre-shuffle pruning to k rows per
+  *    doc per partition).
+  */
+object Tfidf {
+
+  /** Top-`k` TF-IDF terms per document: (doc_id, term, tf, df, tfidf,
+    * rank). tfidf = tf * ln(N / df); ties broken by term asc. */
+  def topTerms(docs: DataFrame, textCol: String, idCol: String,
+               k: Int = 5): DataFrame = {
+    // one scalar count job — the only driver-side value the plan needs
+    val n = docs.count()
+    val pairs = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = pairs.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        bround(col("tfidf"), 6).as("tfidf"), col("rank").cast(IntegerType).as("rank"))
+  }
+}
