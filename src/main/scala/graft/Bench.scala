@@ -20,7 +20,8 @@ object Bench {
     // and any transient machine contention.
     // SPARK_GRAFT_ONLY=q44_ann_ivf,q30_minhash_neardup -> time a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     def time1(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       System.err.println(s"[bench] start $name")
       val t0 = System.nanoTime()

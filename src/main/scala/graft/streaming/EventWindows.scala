@@ -49,4 +49,23 @@ object EventWindows {
     * last-5 history; the streaming side unions new appends in the sink). */
   def recentN(df: DataFrame, tsCol: String, n: Int, tieBreak: String): DataFrame =
     df.orderBy(col(tsCol).desc, col(tieBreak).desc).limit(n)
+
+  /** Stream-stream interval join: each left event matched to right
+    * events of the same key whose timestamp falls within
+    * [left.ts - before, left.ts + after]. Both sides carry watermarks, so
+    * with streaming inputs Spark bounds the join state to the interval +
+    * lateness window and evicts it as the watermark advances — the
+    * standard enrich-clicks-with-impressions shape. Works identically on
+    * batch frames (plain conditioned join, no state). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String,
+                   before: String = "10 minutes", after: String = "10 minutes",
+                   lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness).alias("l")
+    val r = right.withWatermark(rightTs, lateness).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after"))
+  }
 }

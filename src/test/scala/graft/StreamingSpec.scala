@@ -227,4 +227,40 @@ class StreamingSpec extends AnyFunSuite {
     val got = EventWindows.session(df, "ts", "user", "5 minutes")
     assert(got.count() == 3)
   }
+
+  test("stream-stream interval join matches within the window, stateful run works") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = Seq(
+      (ts("2024-01-01 10:00:00"), "u1", "c1"),
+      (ts("2024-01-01 10:30:00"), "u1", "c2"),
+      (ts("2024-01-01 10:00:00"), "u2", "c3"))
+    val imps = Seq(
+      (ts("2024-01-01 09:55:00"), "u1", "i1"),  // 5m before c1 -> match c1
+      (ts("2024-01-01 10:29:00"), "u1", "i2"),  // matches c2 only
+      (ts("2024-01-01 11:00:00"), "u2", "i3"))  // 60m after c3 -> no match
+    // batch semantics: plain interval-conditioned join
+    val got = EventWindows.intervalJoin(
+        clicks.toDF("cts", "user", "click_id"),
+        imps.toDF("its", "user", "imp_id"),
+        "user", "cts", "its", before = "10 minutes", after = "10 minutes")
+      .select("click_id", "imp_id").as[(String, String)].collect.toSet
+    assert(got == Set(("c1", "i1"), ("c2", "i2")))
+    // streaming run: both sides MemoryStreams, append sink — Spark accepts
+    // the stateful stream-stream join (watermarks on both sides) and
+    // emits the same matches
+    val lIn = MemoryStream[(java.sql.Timestamp, String, String)]
+    val rIn = MemoryStream[(java.sql.Timestamp, String, String)]
+    lIn.addData(clicks: _*); rIn.addData(imps: _*)
+    val joined = EventWindows.intervalJoin(
+      lIn.toDF().toDF("cts", "user", "click_id"),
+      rIn.toDF().toDF("its", "user", "imp_id"),
+      "user", "cts", "its", before = "10 minutes", after = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj").select("click_id", "imp_id")
+      .as[(String, String)].collect.toSet
+    assert(streamed == Set(("c1", "i1"), ("c2", "i2")))
+  }
 }
