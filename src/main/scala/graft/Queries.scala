@@ -652,6 +652,21 @@ object Queries {
                    row_number() OVER (ORDER BY o_orderkey) - 1 AS row_idx
             FROM orders"""))
 
+  // ---------------------------------------------------------------- q60
+  // One-pass column profiling (count/nulls/exact distinct/min/max per
+  // column, unpivoted to one row per column).
+  private def profCol(c: String) =
+    s"""SELECT '$c' AS "column", count(*) AS n_rows, count($c) AS n_nonnull,
+               count(*) - count($c) AS n_nulls,
+               count(DISTINCT $c) AS n_distinct,
+               CAST(min($c) AS VARCHAR) AS min, CAST(max($c) AS VARCHAR) AS max
+        FROM customer"""
+  private val q60 = Q("q60_profile",
+    (s, dir) => Profile.describe(t(s, dir, "customer"),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
+    Some(Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      .map(profCol).mkString("\nUNION ALL\n")))
+
   // ---------------------------------------------------------------- q47
   // As-of join: every error event joined to the latest click of the same
   // user at-or-before it (union-scan formulation, one keyed shuffle).
@@ -829,6 +844,6 @@ object Queries {
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
-    q45, q46, q47, q48, q49, q50, q51, q52, q57) ++
+    q45, q46, q47, q48, q49, q50, q51, q52, q57, q60) ++
     QueriesText.all ++ QueriesClean.all
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Data profiling — the per-column quality summary every warehouse
+  * ingest step wants (the reference eyeballs these in its cleaning
+  * notebooks; here it is one operator).
+  *
+  * One aggregation pass over the table produces every column's stats
+  * simultaneously; the result is then unpivoted to one row per column.
+  * Distinct counts are exact (Catalyst plans the multi-DISTINCT
+  * aggregation via Expand — one shuffled pass per distinct column);
+  * for ultra-wide tables at 100 TB swap `count_distinct` for
+  * `approx_count_distinct` (HLL, single pass) — the operator takes the
+  * aggregation function as a parameter for exactly that switch.
+  */
+object Profile {
+
+  /** (column, n_rows, n_nonnull, n_nulls, n_distinct, min, max) per
+    * profiled column. min/max are rendered as strings so one schema fits
+    * all column types; profile numeric columns separately if numeric
+    * stats are needed. */
+  def describe(df: DataFrame, cols: Seq[String],
+               distinctFn: String => org.apache.spark.sql.Column =
+                 c => count_distinct(col(c))): DataFrame = {
+    require(cols.nonEmpty, "describe needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        distinctFn(c).as(s"__d_$c"),
+        min(col(c)).cast(StringType).as(s"__min_$c"),
+        max(col(c)).cast(StringType).as(s"__max_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    row.select(col("__total"), explode(array(cols.map { c =>
+        struct(lit(c).as("column"),
+          col(s"__n_$c").as("n_nonnull"),
+          col(s"__d_$c").as("n_distinct"),
+          col(s"__min_$c").as("min"),
+          col(s"__max_$c").as("max"))
+      }: _*)).as("p"))
+      .select(col("p.column"), col("__total").as("n_rows"),
+        col("p.n_nonnull"), (col("__total") - col("p.n_nonnull")).as("n_nulls"),
+        col("p.n_distinct"), col("p.min"), col("p.max"))
+  }
+}
