@@ -414,6 +414,44 @@ object QueriesText {
                    CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 5"""))
 
+  // ---------------------------------------------------------------- q61
+  // In-text PII scrubbing (free-text twin of the column-level F14 masks):
+  // count and redact emails/phones inside document bodies. PII is
+  // injected deterministically into every 5th doc so the scrub has real
+  // work; patterns stay in the Java-regex ∩ RE2 dialect so the DuckDB
+  // oracle executes them verbatim. One codegen'd projection, no shuffle.
+  private val q61 = Q("q61_pii_scrub",
+    (s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+      val d = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 (555) 010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+      d.select(col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).cast(LongType).as("n_emails"),
+        regexp_count(col("text"), lit(phoneRe)).cast(LongType).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]")).as("scrubbed_md5"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com or +1 (555) 010-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE text END AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phones,
+                   md5(regexp_replace(regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                       '\+?[0-9][0-9 ()-]{7,}[0-9]', '[PHONE]', 'g')) AS scrubbed_md5
+            FROM d"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
-    q42, q53, q54, q55, q56, q58, q59)
+    q42, q53, q54, q55, q56, q58, q59, q61)
 }
