@@ -452,6 +452,44 @@ object QueriesText {
                        '\+?[0-9][0-9 ()-]{7,}[0-9]', '[PHONE]', 'g')) AS scrubbed_md5
             FROM d"""))
 
+  // ---------------------------------------------------------------- q62
+  // Near-dup pairs -> duplicate GROUPS: min-label-propagation connected
+  // components over the (bounded, oracle-expressible) jaccard pair set.
+  // The oracle computes the same components with a recursive CTE.
+  private val q62 = Q("q62_dup_components",
+    (s, dir) => {
+      val pairs = TextDedup.ngramJaccardPairs(
+        docsWithDups(s, dir).filter(col("doc_id") % 10000000L < 60),
+        "text", "doc_id", shingleSize = 5, threshold = 0.2)
+      Components.labelPropagate(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+    },
+    Some("""WITH RECURSIVE
+            d AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 60
+              UNION ALL
+              SELECT doc_id + 10000000, text FROM documents
+              WHERE doc_id % 5 = 0 AND doc_id < 60),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(s) - 4, 1) + 1),
+                       i -> substr(s, i, 5))) AS shingles
+              FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s FROM d)),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2),
+            e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+            SELECT a AS doc_id, least(a, min(b)) AS component
+            FROM reach GROUP BY a"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
-    q42, q53, q54, q55, q56, q58, q59, q61)
+    q42, q53, q54, q55, q56, q58, q59, q61, q62)
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over near-duplicate pairs — the step that turns
+  * the dedup family's PAIR output (minhash/simhash/embedding near-dups)
+  * into duplicate GROUPS so one representative per group can be kept.
+  *
+  * Algorithm: min-label propagation. Every vertex starts labeled with its
+  * own id; each round, a vertex takes the minimum label among itself and
+  * its neighbors; fixpoint = component id = minimum vertex id in the
+  * component. Rounds needed = graph diameter — near-dup clusters are
+  * dense and tiny (diameter 2-4), so this converges in a handful of
+  * rounds, each one join + one aggregation on (src, label).
+  *
+  * Scale notes: the per-round frames are persisted and the previous
+  * round unpersisted, so lineage does not snowball; on a real cluster
+  * give the session a checkpoint dir and swap the persist for
+  * `localCheckpoint()` on long chains. Convergence is detected with a
+  * bounded count action per round (the changed-label count).
+  */
+object Components {
+
+  /** (id, component) for every vertex that appears in `edges`
+    * (undirected). Component id = min vertex id of the component. */
+  def labelPropagate(edges: DataFrame, aCol: String, bCol: String,
+                     maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .union(edges.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = und
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      val updated = labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = updated.alias("u")
+        .join(labels.alias("l"), "id")
+        .filter(col("u.comp") =!= col("l.comp"))
+        .count()
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** Keep one representative per duplicate group: drop every doc whose
+    * component representative (min id) is a different doc. Docs in no
+    * pair are kept untouched. */
+  def dedupByComponents(docs: DataFrame, idCol: String,
+                        edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comps = labelPropagate(edges, aCol, bCol)
+    val losers = comps.filter(col("id") =!= col("comp")).select(col("id"))
+    // size-adaptive anti-join: Spark broadcasts the loser set when it
+    // fits and degrades to a shuffle join when dup volume is large
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+}

@@ -145,6 +145,19 @@ class TextDedupSpec extends AnyFunSuite {
     assert(bySrc("a") == 2048 && bySrc("b") > 380 && bySrc("b") < 640)
   }
 
+  test("connected components: chains merge, disjoint groups stay apart") {
+    import graft.operators.Components
+    // components: {1,2,3,4} via chain, {10,11}, singleton 20 not in edges
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Components.labelPropagate(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect.toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val kept = Components.dedupByComponents(docs, "doc_id", edges, "id_a", "id_b")
+      .as[Long].collect.toSet
+    assert(kept == Set(1L, 10L, 20L))
+  }
+
   test("dupNgramFraction: repetition signal on duplicate bigrams") {
     val df = Seq(
       ("a b a b a b", 0.6),   // 5 bigrams, 2 distinct -> 1 - 2/5
