@@ -667,6 +667,33 @@ object Queries {
     Some(Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
       .map(profCol).mkString("\nUNION ALL\n")))
 
+  // ---------------------------------------------------------------- q66
+  // Gap-based sessionization over the event log (6h inactivity gap):
+  // one keyed shuffle on user_id, window session assignment, per-session
+  // rollup. Timestamps compared at micros (TIMESTAMP(NANOS) parquet ->
+  // nanosAsLong here, epoch_us in DuckDB).
+  private val q66 = Q("q66_sessionize",
+    (s, dir) => Sessionize.sessionStats(t(s, dir, "events"),
+      "user_id", expr("ts DIV 1000"), col("event_id"),
+      gapMicros = 6L * 3600 * 1000000, valueCol = "value"),
+    Some("""WITH x AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+            y AS (
+              SELECT *, CASE WHEN tus - lag(tus) OVER
+                  (PARTITION BY user_id ORDER BY tus, event_id) > 21600000000
+                THEN 1 ELSE 0 END AS ns
+              FROM x),
+            z AS (
+              SELECT *, sum(ns) OVER
+                  (PARTITION BY user_id ORDER BY tus, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+              FROM y)
+            SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                   min(tus) AS session_start, max(tus) AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM z GROUP BY user_id, sid"""))
+
   // ---------------------------------------------------------------- q47
   // As-of join: every error event joined to the latest click of the same
   // user at-or-before it (union-scan formulation, one keyed shuffle).
@@ -844,6 +871,6 @@ object Queries {
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
-    q45, q46, q47, q48, q49, q50, q51, q52, q57, q60) ++
+    q45, q46, q47, q48, q49, q50, q51, q52, q57, q60, q66) ++
     QueriesText.all ++ QueriesClean.all
 }

@@ -490,6 +490,119 @@ object QueriesText {
             SELECT a AS doc_id, least(a, min(b)) AS component
             FROM reach GROUP BY a"""))
 
+  // ---------------------------------------------------------------- q63
+  // End-to-end keep-one dedup: near-dup PAIRS -> connected components ->
+  // drop everything but each component's min-id representative. Same
+  // bounded jaccard pair set (and recursive-CTE oracle) as q62, plus the
+  // survivor anti-join.
+  private val q63 = Q("q63_dedup_keep_one",
+    (s, dir) => {
+      val docs = docsWithDups(s, dir).filter(col("doc_id") % 10000000L < 60)
+      val pairs = TextDedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleSize = 5, threshold = 0.2)
+      Components.dedupByComponents(docs, "doc_id", pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("n_chars"))
+    },
+    Some("""WITH RECURSIVE
+            d AS (
+              SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 60
+              UNION ALL
+              SELECT doc_id + 10000000, text, n_chars FROM documents
+              WHERE doc_id % 5 = 0 AND doc_id < 60),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(s) - 4, 1) + 1),
+                       i -> substr(s, i, 5))) AS shingles
+              FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s FROM d)),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2),
+            e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+            losers AS (
+              SELECT a AS doc_id FROM reach GROUP BY a
+              HAVING least(a, min(b)) <> a)
+            SELECT doc_id, n_chars FROM d
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""))
+
+  // ---------------------------------------------------------------- q64
+  // Gopher-style quality rule bundle: word count bounds, mean word
+  // length window, stopword presence, within-doc repetition — each signal
+  // emitted, plus the conjunction verdict (thresholds sit inside this
+  // corpus's observed spread so both outcomes occur).
+  private val q64 = Q("q64_gopher_rules",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TF.tokenCount(col("text")).as("n_words"),
+        round(TF.meanTokenLen(col("text")), 6).as("mean_word_len"),
+        TF.stopwordHits(col("text")).as("stop_hits"),
+        round(TF.dupNgramFraction(col("text"), 2), 6).as("dup_bigram_frac"))
+      // second Project on the rounded columns: the heavy expressions are
+      // evaluated once per row (CollapseProject refuses to duplicate
+      // non-cheap expressions), same trick as q54
+      .withColumn("passes",
+        col("n_words").between(30L, 5000L) &&
+          col("mean_word_len").between(4.0, 5.0) &&
+          col("stop_hits") >= 1L &&
+          col("dup_bigram_frac") < 0.05),
+    Some("""WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     CAST(len(tk) AS BIGINT) AS n_words,
+                     round(CASE WHEN len(tk) > 0 THEN
+                         CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk)
+                       ELSE 0.0 END, 6) AS mean_word_len,
+                     CAST(len(list_filter(tk, t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS BIGINT) AS stop_hits,
+                     round(CASE WHEN len(tk) < 2 THEN 0.0
+                          ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                                 range(1, len(tk)),
+                                 i -> tk[i] || ' ' || tk[i + 1]))) AS DOUBLE)
+                               / (len(tk) - 1) END, 6) AS dup_bigram_frac
+              FROM tk)
+            SELECT doc_id, n_words, mean_word_len, stop_hits, dup_bigram_frac,
+                   (n_words BETWEEN 30 AND 5000)
+                     AND (mean_word_len BETWEEN 4.0 AND 5.0)
+                     AND stop_hits >= 1 AND dup_bigram_frac < 0.05 AS passes
+            FROM f"""))
+
+  // ---------------------------------------------------------------- q65
+  // Cross-document duplicated n-gram coverage (corpus-level repetition —
+  // the no-line-structure analogue of RefinedWeb line dedup): per doc,
+  // the fraction of its distinct word 5-grams with doc frequency >= 2.
+  private val q65 = Q("q65_crossdoc_dup_grams",
+    (s, dir) => TextDedup.crossDocDupGrams(docsWithDups(s, dir),
+      "text", "doc_id", n = 5),
+    Some("""WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0),
+            tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM d),
+            g AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(tk) - 4, 1) + 1),
+                       i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+              FROM tk),
+            c AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+            SELECT doc_id, count(*) AS n_grams,
+                   round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS dup_gram_frac
+            FROM g JOIN c USING (gram) GROUP BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
-    q42, q53, q54, q55, q56, q58, q59, q61, q62)
+    q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65)
 }

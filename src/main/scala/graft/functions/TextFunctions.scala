@@ -28,6 +28,21 @@ object TextFunctions {
     pieces.cast(LongType)
   }
 
+  /** Mean token length in characters; 0.0 for token-free docs. Computed
+    * as sum-of-token-lengths / token-count (NOT chars/tokens — that would
+    * count the separating whitespace). */
+  def meanTokenLen(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) > 0,
+      aggregate(t, lit(0L), (a, x) => a + length(x)).cast(DoubleType) / size(t))
+      .otherwise(lit(0.0))
+  }
+
+  /** English stopword hits (the langId marker set) — the "natural
+    * language, not a token dump" Gopher rule signal. */
+  def stopwordHits(c: Column): Column =
+    stopHits(tokens(c), EnStop).cast(LongType)
+
   // Stopword marker sets for the n-gram/stopword language heuristic.
   val EnStop = Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
   val EsStop = Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por")

@@ -203,4 +203,32 @@ object TextDedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Cross-document duplicated n-gram coverage — the corpus-level
+    * repetition signal (RefinedWeb/CCNet run line-level dedup; with no
+    * line structure in this corpus the unit is the word n-gram): for each
+    * doc, the fraction of its DISTINCT word n-grams that also occur in at
+    * least one OTHER doc (or twice here — doc frequency >= 2 over the
+    * per-doc-distinct gram stream).
+    *
+    * Scale: explode to (doc, gram), hash-aggregate gram -> doc frequency
+    * (partial map-side combine collapses the heavy hitters before the
+    * shuffle), join back on the SAME gram key (exchange reuse — the
+    * aggregate's partitioning is reused, no second shuffle of the gram
+    * frame), then re-aggregate by doc. No windows, no driver state; a
+    * pathological gram (appears in every doc) is just one hot reduce key
+    * whose count fits in a long. */
+  def crossDocDupGrams(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int = 5): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("_gram"))
+    val dfreq = grams.groupBy(col("_gram")).agg(count(lit(1)).as("_df"))
+    grams.join(dfreq, "_gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col(idCol), col("n_grams"),
+        round(col("n_dup_grams").cast(DoubleType) / col("n_grams"), 6)
+          .as("dup_gram_frac"))
+  }
 }

@@ -301,4 +301,33 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("k").collect().toSeq
     assert(saltedSum == plainSum)
   }
+
+  test("sessionize: gap starts a new session, bounds and counts roll up") {
+    // user 1: events at t=0s, 10s, 1000s (gap>60s -> new session), 1010s
+    // user 2: single event
+    val ev = Seq(
+      (1L, 10L, 0L, 1.0), (1L, 11L, 10_000_000L, 2.0),
+      (1L, 12L, 1000_000_000L, 4.0), (1L, 13L, 1010_000_000L, 8.0),
+      (2L, 20L, 5_000_000L, 16.0))
+      .toDF("user_id", "event_id", "tus", "value")
+    val got = Sessionize.sessionStats(ev, "user_id", col("tus"),
+        col("event_id"), gapMicros = 60_000_000L, valueCol = "value")
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[(Long, Long, Long, Long, Long, Double)].collect.toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 10_000_000L, 2L, 3.0),
+      (1L, 1L, 1000_000_000L, 1010_000_000L, 2L, 12.0),
+      (2L, 0L, 5_000_000L, 5_000_000L, 1L, 16.0)))
+  }
+
+  test("sessionize: equal timestamps break ties on the tie-break column") {
+    val ev = Seq((1L, 2L, 100L, 1.0), (1L, 1L, 100L, 2.0))
+      .toDF("user_id", "event_id", "tus", "value")
+    // same instant -> same session regardless of order; one session of 2
+    val got = Sessionize.sessionStats(ev, "user_id", col("tus"),
+        col("event_id"), gapMicros = 1L, valueCol = "value")
+      .select("n_events").as[Long].collect.toSeq
+    assert(got == Seq(2L))
+  }
 }

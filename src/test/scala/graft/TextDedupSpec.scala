@@ -158,6 +158,16 @@ class TextDedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 10L, 20L))
   }
 
+  test("crossDocDupGrams: shared n-grams counted by doc frequency") {
+    // docs a,b share their full text (all 2-grams df=2); c is unique
+    val docs = Seq((1L, "w x y z"), (2L, "w x y z"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextDedup
+      .crossDocDupGrams(docs, "text", "doc_id", n = 2)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect.toSeq
+    assert(got == Seq((1L, 3L, 1.0), (2L, 3L, 1.0), (3L, 3L, 0.0)))
+  }
+
   test("dupNgramFraction: repetition signal on duplicate bigrams") {
     val df = Seq(
       ("a b a b a b", 0.6),   // 5 bigrams, 2 distinct -> 1 - 2/5
