@@ -694,6 +694,106 @@ object Queries {
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM z GROUP BY user_id, sid"""))
 
+  // ---------------------------------------------------------------- q67
+  // Wide pivot with an EXPLICIT value list (static plan — no distinct-
+  // discovery job) and two aggregates per cell; compiles to ONE hash
+  // aggregation on the row key.
+  private val q67 = Q("q67_pivot",
+    (s, dir) => Reshape.pivotWide(
+      t(s, dir, "orders")
+        .withColumn("order_year", year(col("o_orderdate")).cast(LongType)),
+      Seq("order_year"), "o_orderstatus", Seq("F", "O", "P"),
+      Seq("cnt" -> count(lit(1)),
+        "rev" -> sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType))),
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                   nullif(count(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS F_cnt,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F'
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F_rev,
+                   nullif(count(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS O_cnt,
+                   CAST(sum(CASE WHEN o_orderstatus = 'O'
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O_rev,
+                   nullif(count(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS P_cnt,
+                   CAST(sum(CASE WHEN o_orderstatus = 'P'
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P_rev
+            FROM orders GROUP BY order_year"""))
+
+  // ---------------------------------------------------------------- q68
+  // Unpivot/melt back to long form — Spark's native unpivot is a map-only
+  // Expand (no shuffle); the wide input here is a small conditional agg.
+  private val q68 = Q("q68_melt",
+    (s, dir) => {
+      val wide = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+          count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+      Reshape.meltLong(wide, Seq("o_orderpriority"), Seq("n_f", "n_o", "n_p"),
+        "status_bucket", "n_orders")
+    },
+    Some("""WITH w AS (
+              SELECT o_orderpriority,
+                     count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+                     count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+                     count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+              FROM orders GROUP BY o_orderpriority)
+            SELECT o_orderpriority, 'n_f' AS status_bucket, n_f AS n_orders FROM w
+            UNION ALL
+            SELECT o_orderpriority, 'n_o', n_o FROM w
+            UNION ALL
+            SELECT o_orderpriority, 'n_p', n_p FROM w"""))
+
+  // ---------------------------------------------------------------- q70
+  // Order-insensitive table checksum (reconciliation): md5-derived 60-bit
+  // row hashes folded with XOR + exact decimal SUM + COUNT per group.
+  private val q70 = Q("q70_checksum",
+    (s, dir) => Checksum.tableChecksum(t(s, dir, "lineitem"),
+      Seq("l_returnflag"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+        "l_linestatus")),
+    Some("""WITH h AS (
+              SELECT l_returnflag,
+                     CAST(concat('0x', substr(md5(concat_ws('|',
+                          l_orderkey, l_partkey, l_suppkey, l_returnflag,
+                          l_linestatus)), 1, 15)) AS BIGINT) AS h
+              FROM lineitem)
+            SELECT l_returnflag, count(*) AS n_rows,
+                   bit_xor(h) AS xor_hash,
+                   CAST(sum(CAST(h AS DECIMAL(38,0))) AS DOUBLE) AS sum_hash
+            FROM h GROUP BY l_returnflag"""))
+
+  // ---------------------------------------------------------------- q71
+  // Group-wise z-score outliers: exact decimal moments (one hash agg),
+  // joined back — no fact-table sort, no per-group value buffering.
+  private val q71 = Q("q71_outliers",
+    (s, dir) => Outliers.zscore(
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value")),
+      Seq("event_type"), "value", 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("grp_n"), col("grp_mean"), col("grp_std"), col("z")),
+    Some("""WITH m AS (
+              SELECT event_type, count(*) AS grp_n,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                     -- one side widened to DECIMAL(19,6): DuckDB multiplies
+                     -- DECIMAL(18)s in int64 and overflows; 19 forces int128
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(19,6))
+                            * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ssq
+              FROM events WHERE value IS NOT NULL GROUP BY event_type),
+            e AS (
+              SELECT event_type, grp_n,
+                     s / CAST(grp_n AS DOUBLE) AS mean,
+                     sqrt(greatest(ssq / CAST(grp_n AS DOUBLE)
+                       - (s / CAST(grp_n AS DOUBLE)) * (s / CAST(grp_n AS DOUBLE)),
+                       0.0)) AS std
+              FROM m)
+            SELECT o.event_id, o.event_type, o.value,
+                   e.grp_n, round(e.mean, 6) AS grp_mean,
+                   round(e.std, 6) AS grp_std,
+                   round((o.value - e.mean) / e.std, 6) AS z
+            FROM events o JOIN e USING (event_type)
+            WHERE e.std > 0 AND abs(round((o.value - e.mean) / e.std, 6)) > 3.0"""))
+
   // ---------------------------------------------------------------- q47
   // As-of join: every error event joined to the latest click of the same
   // user at-or-before it (union-scan formulation, one keyed shuffle).
@@ -871,6 +971,7 @@ object Queries {
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
-    q45, q46, q47, q48, q49, q50, q51, q52, q57, q60, q66) ++
+    q45, q46, q47, q48, q49, q50, q51, q52, q57, q60, q66, q67, q68, q70,
+    q71) ++
     QueriesText.all ++ QueriesClean.all
 }

@@ -603,6 +603,26 @@ object QueriesText {
                          / count(*), 6) AS dup_gram_frac
             FROM g JOIN c USING (gram) GROUP BY doc_id"""))
 
+  // ---------------------------------------------------------------- q69
+  // RAG chunking: fixed 64-token windows, 16-token overlap (stride 48) —
+  // map-only generator plan, no shuffle; chunk ids derived per doc.
+  private val q69 = Q("q69_chunks",
+    (s, dir) => Chunk.tokenChunks(t(s, dir, "documents"),
+      "text", "doc_id", chunkSize = 64, overlap = 16),
+    Some("""WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            st AS (
+              SELECT doc_id, tk,
+                     unnest(range(1, greatest(len(tk) - 16, 1) + 1, 48)) AS s
+              FROM tk)
+            SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+                   CAST(len(tk[s:s+63]) AS BIGINT) AS n_tokens,
+                   array_to_string(tk[s:s+63], ' ') AS chunk_text
+            FROM st"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
-    q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65)
+    q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69)
 }

