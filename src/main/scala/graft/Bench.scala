@@ -45,10 +45,18 @@ object Bench {
       k -> (if (v <= 2.0) v
             else math.min(v, time1(k, qs0.find(_._1 == k).get._2)))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the driver parses the LAST stdout line; a truncated log tail has
+    // lost the total before, so the same JSON also lands in a file
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench.json"), json)
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    println(json)
     spark.stop()
   }
 }

@@ -18,15 +18,23 @@ import org.apache.spark.storage.StorageLevel
   * Scale notes: the per-round frames are persisted and the previous
   * round unpersisted, so lineage does not snowball; on a real cluster
   * give the session a checkpoint dir and swap the persist for
-  * `localCheckpoint()` on long chains. Convergence is detected with a
-  * bounded count action per round (the changed-label count).
+  * `localCheckpoint()` on long chains. Convergence costs exactly ONE
+  * action per round: the changed-label flag is computed inside the same
+  * update join and counted while the round's frame materializes into
+  * cache — no second join against the previous labels.
   */
 object Components {
 
   /** (id, component) for every vertex that appears in `edges`
-    * (undirected). Component id = min vertex id of the component. */
+    * (undirected). Component id = min vertex id of the component.
+    *
+    * @param requireConvergence throw if the labels are still changing
+    *   after `maxIter` rounds (a silent early exit would return WRONG
+    *   components for any chain with diameter > maxIter); pass false to
+    *   accept a best-effort labeling instead. */
   def labelPropagate(edges: DataFrame, aCol: String, bCol: String,
-                     maxIter: Int = 20): DataFrame = {
+                     maxIter: Int = 20,
+                     requireConvergence: Boolean = true): DataFrame = {
     val und = edges.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .union(edges.select(col(bCol).cast("long").as("src"),
@@ -37,26 +45,38 @@ object Components {
       .withColumn("comp", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // `persisted` tracks the cached handle (labels is a projection of it
+    // after round 1, and unpersist must hit the exact cached plan)
+    var persisted = labels
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val neighborMin = und
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      // the changed flag rides in the SAME frame, so counting it both
+      // materializes the round into cache and detects convergence — one
+      // job per round instead of update + compare-join
       val updated = labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (col("ncomp").isNotNull && col("ncomp") < col("comp")).as("_chg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = updated.alias("u")
-        .join(labels.alias("l"), "id")
-        .filter(col("u.comp") =!= col("l.comp"))
-        .count()
-      labels.unpersist()
-      labels = updated
+      changed = updated.filter(col("_chg")).count()
+      persisted.unpersist()
+      persisted = updated
+      labels = updated.drop("_chg")
       iter += 1
     }
     und.unpersist()
+    if (changed > 0) {
+      val msg = s"labelPropagate did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — component ids would be WRONG " +
+        "for chains longer than maxIter; raise maxIter"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     labels
   }
 

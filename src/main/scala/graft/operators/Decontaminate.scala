@@ -25,9 +25,10 @@ import graft.functions.TextFunctions
   *  - "stop n-grams" (boilerplate shared by half the corpus) would fan
   *    out quadratically; `maxDocFreq` drops n-grams occurring in more
   *    than that many TRAIN docs, the same posting-list cap production
-  *    dedup/decontamination pipelines use (cap computed by hash-agg on
-  *    the n-gram hash, broadcast back as a semi-join filter — two map
-  *    passes, no corpus shuffle).
+  *    dedup/decontamination pipelines use. The cap is a count window
+  *    over the gram partition — one Exchange of (train_id, gram_hash)
+  *    pairs that the overlap join then reuses, and the shingle
+  *    projection runs exactly once (no persist, no second pass).
   */
 object Decontaminate {
 
@@ -49,18 +50,19 @@ object Decontaminate {
   def overlapPairs(train: DataFrame, eval: DataFrame, textCol: String,
                    idCol: String, n: Int = 8, threshold: Double = 0.5,
                    maxDocFreq: Int = 10000): DataFrame = {
-    // persisted: the doc-frequency aggregation AND the overlap join both
-    // consume the exploded grams — without the pin the whole interpreted
-    // shingle projection runs twice over the corpus (the "materialize the
-    // sketch once" rule from TextDedup.sigFrame; a table/checkpoint write
-    // at cluster scale)
-    val tr = train.select(col(idCol).as("train_id"),
+    // the doc-frequency cap is a count window over the gram partition —
+    // the same single-Exchange shape as TextDedup.crossDocDupGrams: the
+    // exploded grams shuffle ONCE on _g, the cap filter reads the window
+    // count in place, and the overlap join keys on _g so it reuses that
+    // very partitioning (no second Exchange of the corpus side, no
+    // persist to leak, no broadcast of a gram blacklist, and the
+    // interpreted shingle projection runs exactly once)
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))
+    val trCapped = train.select(col(idCol).as("train_id"),
         explode(ngramHashes(col(textCol), n)).as("_g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df = tr.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxDocFreq)
-      .select(col("_g"))
-    val trCapped = tr.join(broadcast(df), Seq("_g"), "left_anti")
+      .withColumn("_df", count(lit(1)).over(byGram))
+      .filter(col("_df") <= maxDocFreq)
+      .drop("_df")
 
     val ev = eval.select(col(idCol).as("eval_id"),
         ngramHashes(col(textCol), n).as("_gs"))
@@ -78,12 +80,16 @@ object Decontaminate {
   }
 
   /** The decontaminated corpus: train rows minus every doc flagged by
-    * [[overlapPairs]] — one anti-join on the train id. */
+    * [[overlapPairs]] — one anti-join on the train id. No broadcast hint:
+    * a heavily contaminated corpus makes the flagged set corpus-sized,
+    * and forcing a broadcast there overrides Spark's size-based planning
+    * straight into the broadcast limit; AQE picks the right strategy. */
   def clean(train: DataFrame, eval: DataFrame, textCol: String,
-            idCol: String, n: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val flagged = overlapPairs(train, eval, textCol, idCol, n, threshold)
+            idCol: String, n: Int = 8, threshold: Double = 0.5,
+            maxDocFreq: Int = 10000): DataFrame = {
+    val flagged = overlapPairs(train, eval, textCol, idCol, n, threshold,
+        maxDocFreq)
       .select(col("train_id")).distinct()
-    train.join(broadcast(flagged),
-      train(idCol) === flagged("train_id"), "left_anti")
+    train.join(flagged, train(idCol) === flagged("train_id"), "left_anti")
   }
 }

@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.LongType
 
 /** Global ordering operators for training pipelines: contiguous row
   * indexing and GPT-style sequence packing (concatenate all documents in
@@ -14,9 +14,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * partition) collapses Spark into ONE task holding the whole dataset.
   * Like [[FfillRepair]], this uses the distributed prefix-scan instead:
   * range-partition on the order column, aggregate one partial sum per
-  * partition, prefix-scan that ≤ numShufflePartitions-row summary on the
-  * driver, and broadcast the carry-in offsets back. Two parallel
-  * shuffles, no single-task stage, identical to the global window.
+  * partition, prefix-scan that ≤ numShufflePartitions-row summary (a
+  * single-task window over a CONFIG-bounded frame, not a data-bounded
+  * one), and broadcast the carry-in offsets back. No driver collect.
+  *
+  * The range-partitioned frame is pinned with an eager
+  * `localCheckpoint()` — NOT `persist()`: `spark_partition_id()` is only
+  * meaningful if the partial-sum branch and the carry-join branch see
+  * the SAME physical partitioning, and with AQE a recomputed Exchange
+  * may be read back with different partition coalescing per branch
+  * (observed: wrong offsets). The checkpoint freezes the pids once, its
+  * blocks are released by the ContextCleaner when the frame becomes
+  * unreachable (no CacheManager entry to leak), and lineage is cut. On
+  * a real cluster swap for `checkpoint()` if executor loss matters.
   */
 object Pack {
 
@@ -36,28 +46,22 @@ object Pack {
       .repartitionByRange(n, col(orderCol))
       .withColumn(Pid, spark_partition_id())
       .withColumn("_pack_v", coalesce(value.cast(LongType), lit(0L)))
-      .persist()
+      .localCheckpoint() // pin pids (see scaladoc); GC-cleaned, not leaked
 
-    // one partial sum per range partition — bounded by the shuffle
-    // partition count, so the collect is a ≤ n-row driver hop
-    val sums = parted.groupBy(col(Pid))
+    // one partial sum per range partition, prefix-scanned into each
+    // partition's exclusive carry-in. The unpartitioned window is safe:
+    // it runs over at most `n` rows (the shuffle-partition count — a
+    // config constant, not a function of data volume). Missing pids
+    // (empty partitions) contribute 0 and have no rows to join anyway.
+    val wOff = Window.orderBy(col(Pid))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val offDf = parted.groupBy(col(Pid))
       .agg(sum(col("_pack_v")).as("_s"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
-
-    var running = 0L
-    val offsets = (0 until n).map { p =>
-      val c = running; running += sums.getOrElse(p, 0L); Row(p, c)
-    }
-    val offDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsets, 1),
-      StructType(Seq(StructField(Pid, IntegerType, nullable = false),
-                     StructField(Off, LongType, nullable = false))))
+      .select(col(Pid),
+        coalesce(sum(col("_s")).over(wOff), lit(0L)).as(Off))
 
     // local exclusive cumsum within each partition + the partition's
-    // broadcast carry-in; parted stays cached so the windows reuse the
-    // same physical range partitioning (deterministic on recompute)
+    // broadcast carry-in, both reading the pinned checkpoint
     val w = Window.partitionBy(col(Pid)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1L)
     parted

@@ -68,10 +68,20 @@ object Quantiles {
     val picked = ranked.groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
 
     // a group whose values are ALL null still emits a row (with null
-    // quantiles), matching grouped quantile_cont/percentile output
+    // quantiles), matching grouped quantile_cont/percentile output.
+    // Null-safe equality (<=>): a NULL group KEY is a real group and must
+    // match its computed quantiles row — plain equality would orphan it.
     val withAllGroups =
       if (keys.isEmpty) picked
-      else picked.join(df.select(kcols: _*).distinct(), keys, "right")
+      else {
+        val allGroups = df.select(kcols: _*).distinct().alias("_qg")
+        val cond = keys.map(k => col(s"_qp.$k") <=> col(s"_qg.$k"))
+          .reduce(_ && _)
+        picked.alias("_qp").join(allGroups, cond, "right")
+          .select(keys.map(k => col(s"_qg.$k").as(k)) ++
+            ps.indices.flatMap(i =>
+              Seq(col(s"_lo$i"), col(s"_hi$i"), col(s"_frac$i"))): _*)
+      }
 
     val outCols = kcols ++ ps.indices.map { i =>
       (col(s"_lo$i") + (col(s"_hi$i") - col(s"_lo$i")) * col(s"_frac$i"))

@@ -128,9 +128,19 @@ object Similarity {
     * exact). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
-              sampleSize: Int = 4096, iters: Int = 5, seed: Long = 42L): DataFrame = {
-    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, sampleSize, iters, seed)
+              sampleSize: Int = 4096, iters: Int = 5, seed: Long = 42L): DataFrame =
+    ivfTopKWithCentroids(queries, corpus, idCol, vecCol,
+      trainCentroids(corpus, idCol, vecCol, nlist, sampleSize, iters, seed),
+      k, nprobe)
 
+  /** IVF probe with a caller-supplied (pretrained) codebook — the common
+    * production split: the quantizer is trained once (sampled k-means,
+    * or any external tool) and reused; only the assignment + probe run
+    * per query batch. Centroids should be unit-norm so dot == cosine. */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String,
+                           centroids: Array[Array[Double]],
+                           k: Int = 10, nprobe: Int = 4): DataFrame = {
     // native single-pass assignment (graft.plans.NearestCentroids): the
     // HOF formulation re-evaluated normalize+dot per centroid per
     // occurrence — interpreted lambdas get no CSE
@@ -140,6 +150,10 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
       explode(graft.plans.SketchExpressions.nearestCentroids(
         col(vecCol), centroids, nprobe)).as("_cell"))
+    probeAndRank(c, q, k)
+  }
+
+  private def probeAndRank(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
 
     val scored = c.join(q.hint("broadcast"), Seq("_cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

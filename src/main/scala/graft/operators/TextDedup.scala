@@ -57,20 +57,27 @@ object TextDedup {
     * projection up to four times. At cluster scale this is the classic
     * "materialize the sketch once" pattern (checkpoint/table in a real
     * pipeline; MEMORY_AND_DISK here). */
-  private def sigFrame(docs: DataFrame, textCol: String, idCol: String,
-                       shingleSize: Int, numHashes: Int): DataFrame =
+  private def sigFrameWith(docs: DataFrame, textCol: String, idCol: String,
+                           shingleSize: Int, sigOf: Column => Column): DataFrame =
     docs.select(col(idCol).as("_id"),
         TextFunctions.charShingles(col(textCol), shingleSize).as("_sh"))
-      .withColumn("_sig", minHashSignature(col("_sh"), numHashes))
+      .withColumn("_sig", sigOf(col("_sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  private def bandPairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
-                        maxBucketSize: Int): DataFrame = {
-    // band rows: (id, band, hash(slice of signature))
+  private def sigFrame(docs: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int, numHashes: Int): DataFrame =
+    sigFrameWith(docs, textCol, idCol, shingleSize, minHashSignature(_, numHashes))
+
+  private def bandPairsWith(sig: DataFrame, bands: Int, rowsPerBand: Int,
+                            maxBucketSize: Int,
+                            bandHash: Column => Column): DataFrame = {
+    // band rows: (id, band, hash(slice of signature)); ConcatWs coerces
+    // the sliced array<long> to array<string> (decimal rendering — the
+    // same string an external engine's array_to_string produces)
     val banded = sig.select(col("_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
-            xxhash64(concat_ws(",",
+            bandHash(concat_ws(",",
               slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
         }: _*)).as("bs"))
       .select(col("_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
@@ -88,6 +95,10 @@ object TextDedup {
       .distinct()
   }
 
+  private def bandPairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
+                        maxBucketSize: Int): DataFrame =
+    bandPairsWith(sig, bands, rowsPerBand, maxBucketSize, xxhash64(_))
+
   /** LSH candidate pairs via banding. Returns (idA, idB) with idA < idB.
     *
     * @param bands x rowsPerBand = numHashes. P(candidate) ≈
@@ -100,18 +111,9 @@ object TextDedup {
     bandPairs(sigFrame(docs, textCol, idCol, shingleSize, bands * rowsPerBand),
       bands, rowsPerBand, maxBucketSize)
 
-  /** MinHash+LSH near-dup pairs verified by true shingle Jaccard.
-    * Candidates are first pruned by the signature-estimated Jaccard
-    * (matching-minima fraction) with a safety margin, so the expensive
-    * exact set intersection runs only on plausibly-close pairs. */
-  def minHashNearDups(docs: DataFrame, textCol: String, idCol: String,
-                      threshold: Double = 0.8, shingleSize: Int = 5,
-                      bands: Int = 16, rowsPerBand: Int = 4,
-                      estimateMargin: Double = 0.2): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = sigFrame(docs, textCol, idCol, shingleSize, numHashes)
-    val cands = bandPairs(sig, bands, rowsPerBand, maxBucketSize = 1000)
-
+  private def verifiedNearDups(sig: DataFrame, cands: DataFrame,
+                               numHashes: Int, threshold: Double,
+                               estimateMargin: Double): DataFrame = {
     val aSide = sig.select(col("_id").as("id_a"), col("_sh").as("_sh_a"),
       col("_sig").as("_sig_a"))
     val bSide = sig.select(col("_id").as("id_b"), col("_sh").as("_sh_b"),
@@ -128,6 +130,55 @@ object TextDedup {
           size(array_union(col("_sh_a"), col("_sh_b"))).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), bround(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pairs verified by true shingle Jaccard.
+    * Candidates are first pruned by the signature-estimated Jaccard
+    * (matching-minima fraction) with a safety margin, so the expensive
+    * exact set intersection runs only on plausibly-close pairs. */
+  def minHashNearDups(docs: DataFrame, textCol: String, idCol: String,
+                      threshold: Double = 0.8, shingleSize: Int = 5,
+                      bands: Int = 16, rowsPerBand: Int = 4,
+                      estimateMargin: Double = 0.2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = sigFrame(docs, textCol, idCol, shingleSize, numHashes)
+    val cands = bandPairs(sig, bands, rowsPerBand, maxBucketSize = 1000)
+    verifiedNearDups(sig, cands, numHashes, threshold, estimateMargin)
+  }
+
+  // ------------------------------------------------------------------
+  // Oracle-mode variants: identical banding algebra, but every hash is
+  // md5-derived (graft.plans.OracleHashes), so an external SQL engine
+  // can recompute the ENTIRE pipeline — signatures, band buckets,
+  // bucket cap, candidates, estimate prefilter, exact Jaccard — and the
+  // queries built on these are hash-checked against the DuckDB oracle.
+  // Production paths stay on xxhash64; cross-mode agreement on the
+  // found pairs is spec-asserted (TextDedupSpec).
+  // ------------------------------------------------------------------
+
+  private def sigFrame31(docs: DataFrame, textCol: String, idCol: String,
+                         shingleSize: Int, numHashes: Int): DataFrame =
+    sigFrameWith(docs, textCol, idCol, shingleSize,
+      graft.plans.OracleHashExpressions.minHashSig31(_, numHashes))
+
+  /** [[minHashCandidates]] with SQL-reproducible hashing. */
+  def minHashCandidates31(docs: DataFrame, textCol: String, idCol: String,
+                          shingleSize: Int = 5, bands: Int = 16,
+                          rowsPerBand: Int = 4,
+                          maxBucketSize: Int = 1000): DataFrame =
+    bandPairsWith(sigFrame31(docs, textCol, idCol, shingleSize, bands * rowsPerBand),
+      bands, rowsPerBand, maxBucketSize, md5(_))
+
+  /** [[minHashNearDups]] with SQL-reproducible hashing. */
+  def minHashNearDups31(docs: DataFrame, textCol: String, idCol: String,
+                        threshold: Double = 0.8, shingleSize: Int = 5,
+                        bands: Int = 16, rowsPerBand: Int = 4,
+                        estimateMargin: Double = 0.2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = sigFrame31(docs, textCol, idCol, shingleSize, numHashes)
+    val cands = bandPairsWith(sig, bands, rowsPerBand, maxBucketSize = 1000,
+      md5(_))
+    verifiedNearDups(sig, cands, numHashes, threshold, estimateMargin)
   }
 
   /** Pairwise n-gram Jaccard for an (already small / pre-filtered) set —
@@ -168,7 +219,9 @@ object TextDedup {
     transform(sums, s => when(s >= 0L, 1).otherwise(0))
   }
 
-  /** Pack simhash bit array into one long (bit 0 = first element). */
+  /** Pack a simhash bit array into one long. Bit order: the FIRST array
+    * element lands in the MOST significant emitted bit (the fold is
+    * acc*2+b), so for a 64-element array, element 0 = bit 63. */
   def packBits(bits: Column): Column =
     aggregate(bits, lit(0L), (acc, b) => acc * 2L + b.cast(LongType))
 
@@ -193,6 +246,32 @@ object TextDedup {
         explode(array((0 until 4).map { ch =>
           struct(lit(ch).as("chunk"),
             shiftright(col("_ph"), ch * 16).bitwiseAND(0xFFFFL).as("ch_val"))
+        }: _*)).as("cs"))
+      .select(col("_id"), col("_ph"), col("cs.chunk").as("chunk"), col("cs.ch_val").as("ch_val"))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ch_val") === col("b.ch_val") &&
+        col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        bit_count(col("a._ph").bitwiseXOR(col("b._ph"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Oracle-mode SimHash near-dups: 60-bit md5-derived sketch
+    * (graft.plans.SimHash60), blocked on 4 x 15-bit chunks (pigeonhole:
+    * hamming <= 3 over any 4-way bit partition shares a chunk), verified
+    * by `bit_count(a ^ b)`. Same shape as [[simHashNearDups]] — one
+    * packed long per doc on the shuffle — but every step is plain SQL
+    * (`md5` hex parse + shifts), so the whole query is DuckDB-checkable. */
+  def simHashNearDups60(docs: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val packed = docs.select(col(idCol).as("_id"),
+      graft.plans.OracleHashExpressions.simHash60(
+        TextFunctions.tokens(col(textCol))).as("_ph"))
+    val chunked = packed.select(col("_id"), col("_ph"),
+        explode(array((0 until 4).map { ch =>
+          struct(lit(ch).as("chunk"),
+            shiftright(col("_ph"), ch * 15).bitwiseAND(0x7FFFL).as("ch_val"))
         }: _*)).as("cs"))
       .select(col("_id"), col("_ph"), col("cs.chunk").as("chunk"), col("cs.ch_val").as("ch_val"))
     val a = chunked.as("a"); val b = chunked.as("b")
