@@ -136,17 +136,80 @@ object QueriesText {
                    count(*) AS dup_count
             FROM d GROUP BY 1 HAVING count(*) > 1"""))
 
+  /** Oracle-SQL fragments for the md5/31-bit sketch pipelines, generated
+    * from the SAME constants the native expressions hash with
+    * (graft.plans.OracleHashes) — signature minima, band hashes, bucket
+    * cap, candidate join, estimate prefilter and exact-Jaccard verify are
+    * all recomputed by DuckDB, so the ENTIRE LSH pipeline is held to the
+    * rows+schema+hash bar, not a rows-only check. */
+  private object SketchSql {
+    import graft.plans.OracleHashes.{aConst, bConst}
+    val K = 32 // 8 bands x 4 rows
+
+    private val mins = (0 until K).map(i =>
+      s"min((${aConst(i)} * h + ${bConst(i)}) % 2147483647) AS s$i")
+      .mkString(", ")
+    private val sigList = (0 until K).map(i => s"s$i").mkString("[", ",", "]")
+
+    /** CTE chain from `documents` (+ injected dups) to `ver`
+      * (id_a, id_b, jaccard over candidate pairs). */
+    val minhashCtes: String =
+      s"""d AS (
+              SELECT doc_id, text, n_chars FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text, n_chars FROM documents WHERE doc_id % 5 = 0),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(s) - 8, 1) + 1),
+                       i -> substr(s, i, 9))) AS shingles
+              FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s FROM d)),
+            hh AS (
+              SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+              FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+            sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
+            sg AS (SELECT doc_id, $sigList AS sigs FROM sig),
+            band AS (
+              SELECT doc_id, b, md5(array_to_string(sigs[b*4+1 : b*4+4], ',')) AS bh
+              FROM sg CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+            capped AS (
+              SELECT doc_id, b, bh FROM (
+                SELECT doc_id, b, bh, count(*) OVER (PARTITION BY b, bh) AS bc FROM band)
+              WHERE bc <= 1000),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              FROM capped a JOIN capped b2
+                ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id),
+            est AS (
+              SELECT c.id_a, c.id_b, sa.shingles AS sha, sb.shingles AS shb
+              FROM cand c
+              JOIN sg ga ON ga.doc_id = c.id_a
+              JOIN sg gb ON gb.doc_id = c.id_b
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b
+              WHERE CAST(len(list_filter(range(1, ${K + 1}), i -> ga.sigs[i] = gb.sigs[i])) AS DOUBLE) / $K >= 0.6),
+            ver AS (
+              SELECT id_a, id_b,
+                     CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+                       len(list_distinct(list_concat(sha, shb))) AS jaccard
+              FROM est)"""
+  }
+
   // ---------------------------------------------------------------- q30
-  // MinHash+LSH near-dup pairs (verified by true Jaccard). No SQL oracle
-  // (xxhash64); ScalaTest cross-checks against q31's brute force.
+  // MinHash+LSH near-dup pairs (verified by true Jaccard) in oracle-mode
+  // hashing: md5-derived 31-bit universal hashes (same banding algebra as
+  // the xxhash64 production path; cross-mode pair agreement is
+  // spec-asserted). DuckDB recomputes the FULL pipeline.
   // 9-char shingles: the synthetic docs share a small vocabulary, so
   // 5-gram sets overlap ~0.17 between RANDOM pairs and flood the LSH
   // buckets; at 9 chars random-pair Jaccard is ~0.03 while true
   // near-dups stay ~1.0 — candidates collapse to genuine matches.
   private val q30 = Q("q30_minhash_neardup",
-    (s, dir) => TextDedup.minHashNearDups(docsWithDups(s, dir), "text", "doc_id",
-      threshold = 0.8, shingleSize = 9),
-    None)
+    (s, dir) => TextDedup.minHashNearDups31(docsWithDups(s, dir), "text", "doc_id",
+      threshold = 0.8, shingleSize = 9, bands = 8, rowsPerBand = 4),
+    Some(s"""WITH ${SketchSql.minhashCtes}
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+            FROM ver WHERE jaccard >= 0.8"""))
 
   // ---------------------------------------------------------------- q31
   // Brute-force n-gram Jaccard pairs on a bounded slice (the oracle for
@@ -175,11 +238,42 @@ object QueriesText {
             FROM pairs WHERE jaccard >= 0.2"""))
 
   // ---------------------------------------------------------------- q32
-  // SimHash near-dup pairs (hamming <= 3 via 16-bit chunk blocking).
-  // xxhash64-based — rows-only check; ScalaTest is the oracle.
+  // SimHash near-dup pairs (hamming <= 3 via 15-bit chunk blocking) in
+  // oracle-mode hashing: 60-bit md5-derived sketch, so DuckDB recomputes
+  // sketch, blocking, and hamming verify bit-for-bit. The xxhash64
+  // 64-bit production path stays (simHashNearDups); cross-mode pair
+  // agreement is spec-asserted.
   private val q32 = Q("q32_simhash_neardup",
-    (s, dir) => TextDedup.simHashNearDups(docsWithDups(s, dir), "text", "doc_id"),
-    None)
+    (s, dir) => TextDedup.simHashNearDups60(docsWithDups(s, dir), "text", "doc_id"),
+    Some {
+      val bits = (0 until 60).map(j =>
+        s"CASE WHEN sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN (1::BIGINT << $j) ELSE 0 END AS b$j")
+        .mkString(", ")
+      val packed = (0 until 60).map(j => s"b$j").mkString(" + ")
+      s"""WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0),
+            tok AS (
+              SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                                t -> len(t) > 0)) AS t
+              FROM d),
+            hh AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+            bs AS (SELECT doc_id, $bits FROM hh GROUP BY doc_id),
+            p0 AS (SELECT doc_id, $packed AS ph FROM bs),
+            ph AS (
+              SELECT dd.doc_id, coalesce(p0.ph, (1::BIGINT << 60) - 1) AS ph
+              FROM (SELECT doc_id FROM d) dd LEFT JOIN p0 USING (doc_id)),
+            ch AS (
+              SELECT doc_id, ph, c, (ph >> (c * 15)) & 32767 AS cv
+              FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                     CAST(bit_count(xor(a.ph, b2.ph)) AS INT) AS hamming
+              FROM ch a JOIN ch b2
+                ON a.c = b2.c AND a.cv = b2.cv AND a.doc_id < b2.doc_id)
+            SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3"""
+    })
 
   // ---------------------------------------------------------------- q33
   // Brute-force cosine top-k (every 50th vector queries the corpus).
@@ -603,6 +697,36 @@ object QueriesText {
                          / count(*), 6) AS dup_gram_frac
             FROM g JOIN c USING (gram) GROUP BY doc_id"""))
 
+  // ---------------------------------------------------------------- q72
+  // Keep-one dedup AT SCALE: the composition a 100 TB pipeline actually
+  // runs — full documents table -> MinHash+LSH candidate pairs (banded
+  // equi-join, bucket cap, estimate prefilter, exact-Jaccard verify) ->
+  // connected components -> drop all but each component's min-id doc.
+  // Unlike q63 (bounded brute-force pairs), nothing here is quadratic.
+  // Oracle-mode hashing makes every stage SQL-reproducible; the oracle
+  // rebuilds the pair set and resolves components with a recursive CTE.
+  private val q72 = Q("q72_dedup_at_scale",
+    (s, dir) => {
+      val docs = docsWithDups(s, dir)
+      val pairs = TextDedup.minHashNearDups31(docs, "text", "doc_id",
+        threshold = 0.8, shingleSize = 9, bands = 8, rowsPerBand = 4)
+      Components.dedupByComponents(docs, "doc_id", pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("n_chars"))
+    },
+    Some(s"""WITH RECURSIVE ${SketchSql.minhashCtes},
+            pairs AS (SELECT id_a, id_b FROM ver WHERE jaccard >= 0.8),
+            e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+            losers AS (
+              SELECT a AS doc_id FROM reach GROUP BY a
+              HAVING least(a, min(b)) <> a)
+            SELECT doc_id, n_chars FROM d
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""))
+
   // ---------------------------------------------------------------- q69
   // RAG chunking: fixed 64-token windows, 16-token overlap (stride 48) —
   // map-only generator plan, no shuffle; chunk ids derived per doc.
@@ -624,5 +748,5 @@ object QueriesText {
             FROM st"""))
 
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
-    q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69)
+    q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72)
 }
