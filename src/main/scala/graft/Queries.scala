@@ -559,15 +559,66 @@ object Queries {
             UNION ALL SELECT c_custkey, acctbal, segment FROM latest"""))
 
   // ---------------------------------------------------------------- q44
-  // IVF ANN — coarse-quantizer cells + nprobe probing. No SQL oracle
-  // (k-means training); ScalaTest checks recall vs brute force.
+  // IVF ANN — coarse-quantizer cells + nprobe probing, with a PINNED
+  // codebook (the normalized first 16 corpus vectors), the production
+  // "pretrained quantizer" split: index assignment, probing, and top-k
+  // stay fully distributed and the DuckDB oracle replays cell argmax,
+  // nprobe probe set, and per-query ranking exactly. The k-means-trained
+  // variant (ivfTopK) keeps its recall spec in TextDedupSpec.
   private val q44 = Q("q44_ann_ivf",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e,
-        "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
+      // bounded driver hop: 16 codebook rows, deterministic order
+      val cb = e.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.ivfTopKWithCentroids(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", cb, k = 3, nprobe = 4)
     },
-    None)
+    Some("""WITH cb AS (
+              SELECT vec_id + 1 AS ci,
+                     CASE WHEN n = 0 THEN vd ELSE list_transform(vd, x -> x / n) END AS cv
+              FROM (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+                           sqrt(list_sum(list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+                    FROM embeddings WHERE vec_id < 16)),
+            ev AS (
+              SELECT vec_id, embedding,
+                     list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv
+              FROM embeddings),
+            dots AS (
+              SELECT ev.vec_id, cb.ci,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(ev.embedding[i] AS DOUBLE) * cb.cv[i])) *
+                     (CASE WHEN ev.nv = 0 THEN 0.0 ELSE 1.0 / sqrt(ev.nv) END) AS dp
+              FROM ev CROSS JOIN cb),
+            ranked AS (
+              SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dp DESC, ci) AS rn
+              FROM dots),
+            ccell AS (SELECT vec_id AS neighbor_id, ci AS cell FROM ranked WHERE rn = 1),
+            qcell AS (SELECT vec_id AS query_id, ci AS cell FROM ranked
+                      WHERE rn <= 4 AND vec_id % 50 = 0),
+            sc AS (
+              SELECT q.query_id, c.neighbor_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))) /
+                     (sqrt(qe.nv) * sqrt(ce.nv)) AS cos
+              FROM qcell q
+              JOIN ccell c USING (cell)
+              JOIN ev qe ON qe.vec_id = q.query_id
+              JOIN ev ce ON ce.vec_id = c.neighbor_id
+              WHERE q.query_id <> c.neighbor_id),
+            r AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rn
+              FROM sc)
+            SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+                   CAST(rn AS INT) AS rank
+            FROM r WHERE rn <= 3"""))
 
   // ---------------------------------------------------------------- q45
   // OLAP superset — ROLLUP with grouping id: subtotal + grand-total rows

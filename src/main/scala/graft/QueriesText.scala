@@ -298,19 +298,85 @@ object QueriesText {
             SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rank
             FROM r WHERE rn <= 3"""))
 
+  /** Hyperplane-LSH oracle fragments: the SAME deterministic planes the
+    * operators draw (VectorFunctions.randomPlanes, fixed seed) are
+    * rendered as SQL literals, so DuckDB recomputes the sign-bit buckets,
+    * bucket caps, candidate joins, and cosines of the ANN queries — the
+    * full pipelines get hash-checked, not rows-only. Double literals are
+    * Java shortest-round-trip strings; DuckDB's parser is correctly
+    * rounding, so the bits survive the text hop. */
+  private object PlaneSql {
+    import graft.functions.VectorFunctions.randomPlanes
+
+    /** VALUES rows (t, pli, p) for `tables` x `planesPerTable` planes. */
+    def planeValues(tables: Int, planesPerTable: Int, dim: Int, seed: Long): String =
+      (0 until tables).flatMap { tt =>
+        randomPlanes(planesPerTable, dim, seed + tt).zipWithIndex.map {
+          case (p, i) => s"($tt, $i, [${p.mkString(",")}])"
+        }
+      }.mkString(", ")
+
+    /** Exact q33-proven cosine fragment over two FLOAT[] columns. */
+    def cosSql(qv: String, cv: String): String =
+      s"""list_sum(list_transform(range(1, 65), i -> CAST($qv[i] AS DOUBLE) * CAST($cv[i] AS DOUBLE))) /
+                (sqrt(list_sum(list_transform($qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                 sqrt(list_sum(list_transform($cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+
+    /** CTE producing (id, bucket) per hash table for rows of `src`
+      * (id column `idAs`): bucket = "t:" + concatenated sign bits of the
+      * plane dots, matching HyperplaneBucketExpr's sequential-sum signs. */
+    def bucketCte(name: String, src: String, idAs: String): String =
+      s"""$name AS (
+              SELECT $idAs, CAST(t AS VARCHAR) || ':' ||
+                     string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY pli) AS bucket
+              FROM (
+                SELECT s.vec_id AS $idAs, pl.t, pl.pli,
+                       list_sum(list_transform(range(1, 65),
+                         i -> CAST(s.embedding[i] AS DOUBLE) * pl.p[i])) AS dp
+                FROM $src s CROSS JOIN pl)
+              GROUP BY $idAs, t)"""
+  }
+
   // ---------------------------------------------------------------- q34
-  // LSH-bucketed ANN — the scale path; rows-only (recall asserted vs q33
-  // in ScalaTest).
+  // LSH-bucketed ANN — the scale path. The oracle rebuilds the 8x8
+  // hyperplane tables from embedded plane literals and replays the
+  // bucket join + top-k exactly.
   private val q34 = Q("q34_ann_lsh",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e.filter(col("vec_id") % 50 === 0), e,
         "vec_id", "embedding", k = 3)
     },
-    None)
+    Some(s"""WITH pl(t, pli, p) AS (VALUES ${PlaneSql.planeValues(8, 8, 64, 42L)}),
+            qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+            ${PlaneSql.bucketCte("bq", "qs", "query_id")},
+            ${PlaneSql.bucketCte("bc", "embeddings", "neighbor_id")},
+            cnt AS (SELECT bucket, count(*) AS n FROM bc GROUP BY bucket),
+            cok AS (SELECT bc.neighbor_id, bc.bucket
+                    FROM bc JOIN cnt USING (bucket) WHERE cnt.n <= 10000),
+            cand AS (
+              SELECT DISTINCT q.query_id, c.neighbor_id
+              FROM bq q JOIN cok c USING (bucket)
+              WHERE q.query_id <> c.neighbor_id),
+            sc AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     ${PlaneSql.cosSql("qe.embedding", "ce.embedding")} AS cos
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = cand.query_id
+              JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+            r AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rn
+              FROM sc)
+            SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+                   CAST(rn AS INT) AS rank
+            FROM r WHERE rn <= 3"""))
 
   // ---------------------------------------------------------------- q35
-  // Embedding-cosine near-duplicate pairs via LSH buckets.
+  // Embedding-cosine near-duplicate pairs via LSH buckets; same embedded
+  // plane literals, window bucket cap, pair self-join and cosine verify
+  // replayed by the oracle.
   private val q35 = Q("q35_embedding_neardup",
     (s, dir) => {
       // random embeddings have no natural near-dups — inject a perturbed
@@ -324,7 +390,30 @@ object QueriesText {
       Similarity.embeddingNearDups(e.unionByName(perturbed),
         "vec_id", "embedding", threshold = 0.9)
     },
-    None)
+    Some(s"""WITH pl(t, pli, p) AS (VALUES ${PlaneSql.planeValues(8, 8, 64, 42L)}),
+            corp AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000,
+                     list_concat([embedding[1] + CAST(0.05 AS FLOAT)], embedding[2:])
+              FROM embeddings WHERE vec_id % 20 = 0),
+            ${PlaneSql.bucketCte("bk", "corp", "vid")},
+            capped AS (
+              SELECT vid, bucket FROM (
+                SELECT vid, bucket, count(*) OVER (PARTITION BY bucket) AS bc FROM bk)
+              WHERE bc <= 1000),
+            cand AS (
+              SELECT DISTINCT a.vid AS id_a, b2.vid AS id_b
+              FROM capped a JOIN capped b2
+                ON a.bucket = b2.bucket AND a.vid < b2.vid),
+            sc AS (
+              SELECT cand.id_a, cand.id_b,
+                     ${PlaneSql.cosSql("ea.embedding", "eb.embedding")} AS cos
+              FROM cand
+              JOIN corp ea ON ea.vec_id = cand.id_a
+              JOIN corp eb ON eb.vec_id = cand.id_b)
+            SELECT id_a, id_b, round(cos, 6) AS cosine
+            FROM sc WHERE cos >= 0.9"""))
 
   // ---------------------------------------------------------------- q42
   // Multimodal plumbing: binary payload column + (stubbed) decode +
