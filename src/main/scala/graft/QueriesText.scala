@@ -416,25 +416,49 @@ object QueriesText {
             FROM sc WHERE cos >= 0.9"""))
 
   // ---------------------------------------------------------------- q42
-  // Multimodal plumbing: binary payload column + (stubbed) decode +
-  // byte-histogram feature extract + frame sampling. Rows-only: the codec
-  // is a deterministic stub (no image libs in this environment); the
-  // Spark-side schema/partitioning/batch shape is real.
+  // Multimodal plumbing: binary payloads carrying REAL container headers
+  // (PNG / JPEG-with-COM-segment / GIF), decoded back by the byte-level
+  // header parser (graft.plans.ImageMeta), plus byte-histogram feature
+  // extract and frame sampling. The oracle derives the expected
+  // width/height/format/payload-length from the id arithmetic the shim
+  // embeds — so a parser that misreads a single header byte
+  // hash-mismatches.
   private val q42 = Q("q42_multimodal",
     (s, dir) => {
       import graft.multimodal.Multimodal
       val media = Multimodal.asMedia(
         t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
       val decoded = media
-        .withColumn("meta", Multimodal.fakeDecode(col("payload")))
+        .withColumn("meta", Multimodal.decodeHeader(col("payload")))
         .withColumn("features", Multimodal.byteHistogram(col("payload")))
       Multimodal.frameSample(decoded, chunkBytes = 64, stride = 4)
         .join(decoded.select(col("media_id"), col("media_type"),
-          col("meta.width").as("width"), col("features")), Seq("media_id"))
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.format").as("format"), col("features")), Seq("media_id"))
         .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"),
-          col("media_type"), col("width"), size(col("features")).as("n_feature_buckets"))
+          col("media_type"), col("width"), col("height"), col("format"),
+          size(col("features")).as("n_feature_buckets"))
     },
-    None)
+    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            m AS (
+              SELECT doc_id AS media_id,
+                     CAST(doc_id % 1920 + 1 AS INT) AS width,
+                     CAST(doc_id % 1080 + 1 AS INT) AS height,
+                     CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+                     CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg' ELSE 'image/gif' END AS media_type,
+                     (CASE doc_id % 3 WHEN 0 THEN 29
+                           WHEN 1 THEN 16 + (doc_id % 7 + 1)
+                           ELSE 10 END) + octet_length(encode(text)) AS plen
+              FROM d),
+            f AS (
+              SELECT media_id, width, height, format, media_type, plen,
+                     unnest(range(0, CAST(ceil(plen / 64.0) AS BIGINT), 4)) AS frame_idx
+              FROM m)
+            SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(least(64, plen - frame_idx * 64) AS INT) AS frame_bytes,
+                   media_type, width, height, format,
+                   CAST(16 AS INT) AS n_feature_buckets
+            FROM f"""))
 
   // ---------------------------------------------------------------- q53
   // Deterministic train/val/test split: a pure function of doc_id

@@ -9,12 +9,12 @@ import org.apache.spark.sql.types._
   * (decode, feature-extract, frame-sample) are expressed as distributed
   * column operations so a 100 TB corpus partitions like any other table.
   *
-  * The actual codec step is STUBBED: this container has no image/audio
-  * libraries, so `fakeDecode` derives deterministic pseudo-metadata from
-  * the bytes. The Spark-side contract — schema, batch shape, partitioning,
-  * null behavior — is real and tested; swapping in a real decoder means
-  * replacing ONLY the marked expressions (e.g. with a JNI-backed UDF or a
-  * `mapInArrow` batch over the payload column).
+  * The header decode is REAL: [[decodeHeader]] parses PNG / GIF / JPEG
+  * container headers from the raw bytes (public byte-layout specs, no
+  * codec library — see graft.plans.ImageMeta). Pixel decoding would bind
+  * here the same way (a batch codec over the payload column); the
+  * byte-histogram and frame-sampling transforms below already operate on
+  * the full payload bytes.
   */
 object Multimodal {
 
@@ -27,27 +27,52 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("format", StringType))))))
 
-  /** Wrap any string column as a binary media payload (test-data shim). */
-  def asMedia(df: DataFrame, idCol: String, strCol: String): DataFrame =
-    df.select(col(idCol).cast(LongType).as("media_id"),
-      encode(col(strCol), "UTF-8").as("payload"),
-      element_at(typedLit(Seq("image/png", "image/jpeg", "audio/wav")),
-        (col(idCol) % 3 + 1).cast(IntegerType)).as("media_type"))
+  /** Decode container metadata (width/height/format) from the payload
+    * bytes — PNG signature+IHDR, GIF87a/89a logical screen, JPEG marker
+    * scan to SOFn. NULL payload or unrecognized container -> NULL meta
+    * (a decoder's failure contract). One codegen-adjacent projection,
+    * no shuffle. */
+  def decodeHeader(payload: Column): Column =
+    graft.plans.ImageExpressions.imageMeta(payload)
 
-  /** ??? STUB — deterministic fake decode. A real implementation binds an
-    * image codec here; everything downstream (schema, partitioning, null
-    * handling) is production-shaped. Null payload → null meta, matching a
-    * decoder's failure contract. */
-  def fakeDecode(payload: Column): Column =
-    when(payload.isNull, lit(null).cast(mediaSchema("meta").dataType))
-      .otherwise(struct(
-        (crc32(payload) % 1920 + 1).cast(IntegerType).as("width"),
-        (crc32(payload) % 1080 + 1).cast(IntegerType).as("height"),
-        when(crc32(payload) % 2 === 0, "rgb").otherwise("rgba").as("format")))
+  /** Test-data shim: wrap a string column as a binary media payload that
+    * carries a REAL image header — a valid PNG, JPEG, or GIF header
+    * (rotating on id) with dimensions derived from the id, followed by
+    * the text bytes as the opaque body. The JPEG variant inserts a
+    * variable-length COM segment before SOF0 so the marker scan in
+    * [[decodeHeader]] is exercised at varying offsets. */
+  def asMedia(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val id = col(idCol).cast(LongType)
+    val w = (id % 1920 + 1).cast(IntegerType)
+    val h = (id % 1080 + 1).cast(IntegerType)
+    val fmt = id % 3 // 0 = png, 1 = jpeg, 2 = gif
+    def beHex16(c: Column) = lpad(hex(c), 4, "0")
+    def beHex32(c: Column) = lpad(hex(c), 8, "0")
+    def leHex16(c: Column) =
+      concat(lpad(hex(c % 256), 2, "0"), lpad(hex((c / 256).cast(IntegerType)), 2, "0"))
+    val comLen = (id % 7 + 1).cast(IntegerType) // COM payload bytes
+
+    // PNG: signature, IHDR length+type, w/h u32be, bitdepth/color/etc
+    val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+      beHex32(w), beHex32(h), lit("0806000000"))
+    // JPEG: SOI, COM (variable length), SOF0 (len 17, precision 8,
+    // h u16be, w u16be, 3 components)
+    val jpgHex = concat(lit("FFD8FFFE"), beHex16(comLen + 2),
+      repeat(lit("78"), comLen),
+      lit("FFC0001108"), beHex16(h), beHex16(w), lit("03"))
+    // GIF: GIF89a, logical screen w/h u16le
+    val gifHex = concat(lit("474946383961"), leHex16(w), leHex16(h))
+
+    val headerHex = when(fmt === 0, pngHex).when(fmt === 1, jpgHex).otherwise(gifHex)
+    df.select(id.as("media_id"),
+      concat(unhex(headerHex), encode(col(strCol), "UTF-8")).as("payload"),
+      when(fmt === 0, "image/png").when(fmt === 1, "image/jpeg")
+        .otherwise("image/gif").as("media_type"))
+  }
 
   /** Byte-histogram feature vector (16 buckets) — a real, distributed
-    * feature-extract over the raw bytes (no stub): one pass per payload
-    * inside codegen, no shuffle. */
+    * feature-extract over the raw bytes: one pass per payload inside
+    * codegen, no shuffle. */
   def byteHistogram(payload: Column, buckets: Int = 16): Column = {
     // hex() → two chars per byte; bucket by first hex nibble.
     val hexed = hex(payload)

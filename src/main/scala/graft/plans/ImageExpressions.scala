@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real image-header decoding as pure byte arithmetic over a `binary`
+  * payload column — no codec library. Container formats are public
+  * specifications:
+  *
+  *  - PNG (RFC 2083 / W3C): 8-byte signature `89 50 4E 47 0D 0A 1A 0A`,
+  *    first chunk must be IHDR; width and height are big-endian u32 at
+  *    byte offsets 16 and 20.
+  *  - GIF (GIF87a/GIF89a spec): 6-byte magic, then logical-screen width
+  *    and height as little-endian u16 at offsets 6 and 8.
+  *  - JPEG (ITU T.81): `FF D8` (SOI), then marker segments scanned in
+  *    order — each `FF mm` with a big-endian u16 length (standalone
+  *    markers TEM/RSTn excepted, fill `FF` bytes allowed) — until a
+  *    start-of-frame marker SOFn (C0-CF minus C4/C8/CC, which are
+  *    DHT/JPG/DAC); the frame header carries height then width as
+  *    big-endian u16 at +5/+7. The scan is a real loop, so metadata
+  *    position varies per file (e.g. after COM/APPn segments).
+  *
+  * Output: struct(width INT, height INT, format STRING), or NULL when
+  * the payload matches no container (a decoder's failure contract).
+  */
+case class ImageMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("format", StringType)))
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    def u(i: Int): Int = b(i) & 0xFF
+    def be16(i: Int): Int = (u(i) << 8) | u(i + 1)
+    def be32(i: Int): Int =
+      ((u(i) << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)) & 0x7FFFFFFF
+    def row(w: Int, h: Int, fmt: String): InternalRow =
+      new GenericInternalRow(Array[Any](w, h, UTF8String.fromString(fmt)))
+
+    val n = b.length
+    if (n >= 24 &&
+        u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' && u(3) == 'G' &&
+        u(4) == 0x0D && u(5) == 0x0A && u(6) == 0x1A && u(7) == 0x0A &&
+        u(12) == 'I' && u(13) == 'H' && u(14) == 'D' && u(15) == 'R') {
+      row(be32(16), be32(20), "png")
+    } else if (n >= 10 &&
+        u(0) == 'G' && u(1) == 'I' && u(2) == 'F' && u(3) == '8' &&
+        (u(4) == '7' || u(4) == '9') && u(5) == 'a') {
+      row(u(6) | (u(7) << 8), u(8) | (u(9) << 8), "gif")
+    } else if (n >= 4 && u(0) == 0xFF && u(1) == 0xD8) {
+      // marker-segment scan for SOFn
+      var p = 2
+      var out: InternalRow = null
+      var done = false
+      while (!done && p + 1 < n) {
+        if (u(p) != 0xFF) done = true // desync — not a valid stream
+        else {
+          var q = p + 1
+          while (q < n && u(q) == 0xFF) q += 1 // fill bytes
+          if (q >= n) done = true
+          else {
+            val m = u(q)
+            val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+            if (isSof) {
+              // segment: len u16 at q+1, precision u8 at q+3,
+              // height u16 at q+4, width u16 at q+6
+              if (q + 7 < n) out = row(be16(q + 6), be16(q + 4), "jpeg")
+              done = true
+            } else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) {
+              p = q + 1 // standalone marker, no length field
+            } else if (q + 2 < n) {
+              val len = be16(q + 1)
+              if (len < 2) done = true else p = q + 1 + len
+            } else done = true
+          }
+        }
+      }
+      out
+    } else null
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageMeta =
+    copy(child = newChild)
+}
+
+object ImageExpressions {
+  def imageMeta(payload: Column): Column =
+    ColumnBridge.column(ImageMeta(ColumnBridge.expression(payload)))
+}

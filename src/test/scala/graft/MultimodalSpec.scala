@@ -4,41 +4,57 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 
-/** Multimodal plumbing: the codec is a stub, but the Spark-side contract
-  * (schema, batch shape, null behavior, determinism) is what a real
-  * decoder swap relies on — that is what these tests pin down. */
+/** Multimodal plumbing: payloads carry REAL container headers and
+  * decodeHeader parses them back byte-for-byte; schema, batch shape,
+  * null behavior and determinism are what a pixel-codec swap relies on. */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
   private val docs = Seq(
-    (1L, "hello world"),
-    (2L, "a much longer payload with plenty of bytes to chunk"),
-    (3L, "x")).toDF("doc_id", "text")
+    (0L, "hello world"), // png
+    (1L, "a much longer payload with plenty of bytes to chunk"), // jpeg
+    (2L, "gif body"), // gif
+    (3L, "x"), // png
+    (4L, "jpeg again, different COM length")).toDF("doc_id", "text")
 
   test("asMedia produces the media schema with binary payloads") {
     val m = Multimodal.asMedia(docs, "doc_id", "text")
     assert(m.columns.toSeq == Seq("media_id", "payload", "media_type"))
     assert(m.schema("payload").dataType.typeName == "binary")
     val types = m.select("media_type").as[String].collect.toSet
-    assert(types.subsetOf(Set("image/png", "image/jpeg", "audio/wav")))
+    assert(types == Set("image/png", "image/jpeg", "image/gif"))
   }
 
-  test("fakeDecode: deterministic metadata, null payload -> null meta") {
+  test("decodeHeader parses PNG/JPEG/GIF headers; null payload -> null meta") {
     val m = Multimodal.asMedia(docs, "doc_id", "text")
       .withColumn("payload", when(col("media_id") === 3, lit(null)).otherwise(col("payload")))
-      .withColumn("meta", Multimodal.fakeDecode(col("payload")))
+      .withColumn("meta", Multimodal.decodeHeader(col("payload")))
     val rows = m.orderBy("media_id").collect()
-    val meta1 = rows(0).getStruct(3)
-    assert(meta1.getInt(0) >= 1 && meta1.getInt(0) <= 1920)
-    assert(meta1.getInt(1) >= 1 && meta1.getInt(1) <= 1080)
-    assert(Set("rgb", "rgba").contains(meta1.getString(2)))
-    assert(rows(2).isNullAt(3), "null payload must decode to null meta")
-    // decode is a pure function of the bytes: two runs agree
-    val again = Multimodal.asMedia(docs, "doc_id", "text")
-      .withColumn("meta", Multimodal.fakeDecode(col("payload")))
-      .orderBy("media_id").collect()(0).getStruct(3)
-    assert(again == meta1)
+    // width/height/format must round-trip the id arithmetic of the shim
+    for (r <- rows if !r.isNullAt(3)) {
+      val id = r.getLong(0)
+      val meta = r.getStruct(3)
+      assert(meta.getInt(0) == (id % 1920 + 1).toInt, s"width of $id")
+      assert(meta.getInt(1) == (id % 1080 + 1).toInt, s"height of $id")
+      val expectFmt = (id % 3) match {
+        case 0 => "png"; case 1 => "jpeg"; case _ => "gif"
+      }
+      assert(meta.getString(2) == expectFmt, s"format of $id")
+    }
+    assert(rows(3).isNullAt(3), "null payload must decode to null meta")
+  }
+
+  test("decodeHeader: JPEG marker scan survives shifted SOF offsets and rejects garbage") {
+    // ids 1 and 4 embed different COM lengths -> SOF sits at different
+    // offsets; both must decode. Random text bytes must NOT decode.
+    val m = Multimodal.asMedia(docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+      .withColumn("meta", Multimodal.decodeHeader(col("payload")))
+    assert(m.filter(col("meta").isNull).count() == 0)
+    val garbage = docs.select(col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("meta", Multimodal.decodeHeader(col("payload")))
+    assert(garbage.filter(col("meta").isNotNull).count() == 0)
   }
 
   test("byteHistogram counts every byte exactly once") {
@@ -53,12 +69,12 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("frameSample keeps every stride-th fixed-size chunk") {
-    val m = Multimodal.asMedia(docs.filter(col("doc_id") === 2), "doc_id", "text")
+    val m = Multimodal.asMedia(docs.filter(col("doc_id") === 1), "doc_id", "text")
     val frames = Multimodal.frameSample(m, chunkBytes = 8, stride = 2)
       .orderBy("frame_idx").collect()
-    // 52 bytes -> 7 chunks -> indices 0,2,4,6 kept
-    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2, 4, 6))
-    // all sampled frames except the tail are exactly chunkBytes long
+    // payload = 16 + (1 % 7 + 1) = 18 header bytes + 52 text bytes = 70
+    // -> 9 chunks -> indices 0,2,4,6,8 kept
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2, 4, 6, 8))
     val lens = frames.map(_.getAs[Array[Byte]]("frame").length).toSeq
     assert(lens.init.forall(_ == 8) && lens.last <= 8)
   }
