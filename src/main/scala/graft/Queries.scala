@@ -1019,10 +1019,114 @@ object Queries {
                    coalesce(b2._ingest_id, b1._ingest_id) AS _ingest_id
             FROM b1 LEFT JOIN b2 ON b1.booking_reference = b2.booking_reference"""))
 
+  // ---------------------------------------------------------------- q73
+  // F20/F21 — business-day SLA arithmetic and inclusive range overlap,
+  // all in one codegen'd projection (map-only plan, zero shuffles). The
+  // oracle rewrites add-N-business-days into its closed form per weekday
+  // (any weekday start +5bd lands exactly one week out; Sat/Sun collapse
+  // to the preceding Friday's walk), independently deriving the same
+  // calendar the Spark side walks with its sequence+filter HOF.
+  private val q73 = Q("q73_business_calendar",
+    (s, dir) => {
+      val day = to_date(col("o_orderdate"))
+      t(s, dir, "orders").select(col("o_orderkey"),
+        date_format(day, "yyyy-MM-dd").as("order_day"),
+        date_format(CF.addBusinessDays(day, 1), "yyyy-MM-dd").as("next_bd"),
+        date_format(CF.addBusinessDays(day, 5), "yyyy-MM-dd").as("week_bd"),
+        CF.rangesOverlap(day, date_add(day, 30),
+          lit(java.sql.Date.valueOf("1995-03-01")),
+          lit(java.sql.Date.valueOf("1995-03-31"))).as("in_promo"),
+        // F22 — arrival synthesized −2..+93 h from departure, exercising
+        // the non-positive-span → NULL guard alongside real spans
+        CF.durationHours(col("o_orderdate"),
+          timestamp_seconds(unix_timestamp(col("o_orderdate")) +
+            ((col("o_orderkey") % 96) - 2) * lit(3600L))).as("leg_hours"))
+    },
+    Some("""SELECT o_orderkey,
+              strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_day,
+              strftime(CAST(o_orderdate AS DATE) +
+                CASE isodow(CAST(o_orderdate AS DATE))
+                  WHEN 5 THEN 3 WHEN 6 THEN 2 ELSE 1 END, '%Y-%m-%d') AS next_bd,
+              strftime(CAST(o_orderdate AS DATE) +
+                CASE isodow(CAST(o_orderdate AS DATE))
+                  WHEN 6 THEN 6 WHEN 7 THEN 5 ELSE 7 END, '%Y-%m-%d') AS week_bd,
+              CAST(o_orderdate AS DATE) <= DATE '1995-03-31'
+                AND DATE '1995-03-01' <= CAST(o_orderdate AS DATE) + 30 AS in_promo,
+              CASE WHEN o_orderkey % 96 - 2 <= 0 THEN NULL
+                   ELSE CAST(o_orderkey % 96 - 2 AS DOUBLE) END AS leg_hours
+            FROM orders"""))
+
+  // ---------------------------------------------------------------- q74
+  // F19/F30/F31 — age-from-DOB with birthday adjustment, amount
+  // reconciliation within tolerance, and clamped refund, over synthetic
+  // per-customer inputs derived from the key (deterministic, seedless).
+  // The oracle computes age as calendar-year difference minus a
+  // birthday-not-yet-passed flag — an independent formulation of
+  // floor(months_between/12). Money expressions mirror the exact
+  // arithmetic tree so IEEE doubles agree bit-for-bit; the reconcile
+  // drift (0.02 vs tol 0.01) sits safely away from the boundary.
+  private val q74 = Q("q74_age_reconcile_refund",
+    (s, dir) => {
+      val dob = date_add(lit(java.sql.Date.valueOf("1958-01-01")),
+        (col("c_custkey") * 7919 % 15000).cast(IntegerType))
+      val fees = (col("c_custkey") % 3) * lit(10.0)
+      val claimed = col("c_acctbal") * lit(1.1) + fees +
+        when(col("c_custkey") % 7 === 0, lit(0.02)).otherwise(lit(0.0))
+      t(s, dir, "customer").select(col("c_custkey"),
+        date_format(dob, "yyyy-MM-dd").as("dob"),
+        CF.ageYears(dob, lit(java.sql.Date.valueOf("2024-06-15"))).as("age"),
+        CF.amountsReconcile(col("c_acctbal"), col("c_acctbal") * lit(0.1),
+          fees, claimed).as("reconciled"),
+        CF.refundAmount(col("c_acctbal"),
+          (col("c_custkey") % 97).cast(DoubleType)).as("refund"))
+    },
+    Some("""WITH c AS (
+              SELECT c_custkey, c_acctbal,
+                     DATE '1958-01-01' + CAST(c_custkey * 7919 % 15000 AS INTEGER) AS dob,
+                     (c_custkey % 3) * 10.0 AS fees
+              FROM customer)
+            SELECT c_custkey,
+              strftime(dob, '%Y-%m-%d') AS dob,
+              CAST(date_diff('year', dob, DATE '2024-06-15')
+                - CASE WHEN month(dob) > 6 OR (month(dob) = 6 AND day(dob) > 15)
+                       THEN 1 ELSE 0 END AS INTEGER) AS age,
+              abs(c_acctbal + c_acctbal * 0.1 + fees
+                - (c_acctbal * 1.1 + fees
+                   + CASE WHEN c_custkey % 7 = 0 THEN 0.02 ELSE 0.0 END)) <= 0.01
+                AS reconciled,
+              greatest(0.0, c_acctbal
+                * (1.0 - CAST(c_custkey % 97 AS DOUBLE) / 100.0)) AS refund
+            FROM c"""))
+
+  // ---------------------------------------------------------------- q75
+  // F13 — name split (first token vs rest after whitespace collapse);
+  // single-token names take the empty-last-name path. Map-only plan.
+  private val q75 = Q("q75_name_split",
+    (s, dir) => {
+      val full = when(col("c_custkey") % 101 === 0, col("c_name"))
+        .otherwise(concat(lower(col("c_mktsegment")), lit("   "), col("c_name"),
+          when(col("c_custkey") % 5 === 0, lit(" van der berg")).otherwise(lit(""))))
+      t(s, dir, "customer").select(col("c_custkey"),
+        CF.firstName(full).as("first_name"),
+        CF.lastName(full).as("last_name"))
+    },
+    Some("""WITH f AS (
+              SELECT c_custkey,
+                     regexp_replace(trim(CASE WHEN c_custkey % 101 = 0 THEN c_name
+                       ELSE lower(c_mktsegment) || '   ' || c_name ||
+                         CASE WHEN c_custkey % 5 = 0 THEN ' van der berg' ELSE '' END
+                       END), '\s+', ' ', 'g') AS norm
+              FROM customer)
+            SELECT c_custkey,
+              split_part(norm, ' ', 1) AS first_name,
+              CASE WHEN strpos(norm, ' ') > 0
+                   THEN substr(norm, strpos(norm, ' ') + 1) ELSE '' END AS last_name
+            FROM f"""))
+
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q57, q60, q66, q67, q68, q70,
-    q71) ++
+    q71, q73, q74, q75) ++
     QueriesText.all ++ QueriesClean.all
 }

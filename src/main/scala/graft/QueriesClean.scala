@@ -196,7 +196,7 @@ object QueriesClean {
     (s, dir) => CleaningPipelines.transactions(transactionsInput(s, dir)).quarantine
       .select(txnCols.map(col): _*),
     Some(s"""WITH $transactionsSql
-             SELECT ${txnCols.mkString(", ")} FROM judged WHERE NOT ok"""))
+             SELECT ${txnCols.mkString(", ")} FROM judged WHERE ok IS NOT TRUE"""))
 
   // ---------------------------------------------------------------- q39
   // M5 passengers pipeline — clean partition.

@@ -286,9 +286,12 @@ object TextDedup {
   /** Cross-document duplicated n-gram coverage — the corpus-level
     * repetition signal (RefinedWeb/CCNet run line-level dedup; with no
     * line structure in this corpus the unit is the word n-gram): for each
-    * doc, the fraction of its DISTINCT word n-grams that also occur in at
-    * least one OTHER doc (or twice here — doc frequency >= 2 over the
-    * per-doc-distinct gram stream).
+    * doc, the fraction of its word-n-gram OCCURRENCES whose gram appears
+    * at least twice in the corpus-wide gram stream. Grams are NOT deduped
+    * per doc: a gram repeated within one doc counts toward the >= 2
+    * threshold by itself, and each occurrence counts separately in the
+    * denominator — i.e. this measures repeated-gram mass, not distinct-gram
+    * coverage (the oracle computes the same occurrence-level semantics).
     *
     * Scale: explode to (doc, gram) ONCE, count each gram's doc frequency
     * with an unordered window over the gram partition (one hash shuffle of

@@ -40,7 +40,11 @@ object CleaningPipelines {
 
   private def split(df: DataFrame, valid: Column,
                     dropCols: Seq[String] = Seq("_is_dup")): CleanResult = {
-    val flagged = df.withColumn("_valid", valid)
+    // NULL validity (e.g. a regex validator over a NULL column) must land
+    // in quarantine, not vanish from both partitions — pandas str.match
+    // with na=False quarantines missing values (cleaning.py:598-609), and
+    // three-valued filter(valid)/filter(!valid) would drop the row twice.
+    val flagged = df.withColumn("_valid", coalesce(valid, lit(false)))
     val drops = "_valid" +: dropCols.filter(df.columns.contains)
     CleanResult(
       flagged.filter(col("_valid")).drop(drops: _*),

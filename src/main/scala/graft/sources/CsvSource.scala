@@ -24,9 +24,11 @@ object CsvSource {
 
   val IngestId = "_ingest_id"
 
-  /** server.js:56-63 identifier sanitation: lowercase, non-[a-z0-9_] → _. */
+  /** server.js:56-63 identifier sanitation: lowercase, non-[a-z0-9_] → _.
+    * A UTF-8 BOM on the first header cell (the reference's upload fixtures
+    * carry one) is dropped, not sanitized into a leading underscore. */
   def sanitizeName(raw: String): String = {
-    val s = raw.trim.toLowerCase.replaceAll("[^a-z0-9_]", "_")
+    val s = raw.replace("﻿", "").trim.toLowerCase.replaceAll("[^a-z0-9_]", "_")
     if (s.isEmpty || s.head.isDigit) "c_" + s else s
   }
 

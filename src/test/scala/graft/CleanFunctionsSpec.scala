@@ -89,6 +89,44 @@ class CleanFunctionsSpec extends AnyFunSuite {
     assert(one(CF.refundAmount(lit(100.0), lit(25.0))) == 75.0)
   }
 
+  test("F21 rangesOverlap: inclusive bounds, disjoint, null propagation") {
+    def ov(a: String, b: String, c: String, d: String) =
+      one(CF.rangesOverlap(to_date(lit(a)), to_date(lit(b)),
+        to_date(lit(c)), to_date(lit(d))))
+    assert(ov("2024-01-01", "2024-01-10", "2024-01-05", "2024-01-20") == true)
+    assert(ov("2024-01-01", "2024-01-10", "2024-01-10", "2024-01-20") == true) // touching endpoints overlap (inclusive)
+    assert(ov("2024-01-01", "2024-01-10", "2024-01-11", "2024-01-20") == false)
+    // null endpoint -> three-valued null, never a spurious true/false
+    assert(one(CF.rangesOverlap(to_date(lit(null: String)), to_date(lit("2024-01-10")),
+      to_date(lit("2024-01-05")), to_date(lit("2024-01-20")))) == null)
+  }
+
+  test("F22 durationHours: positive span, non-positive -> null, null in -> null") {
+    def dur(dep: String, arr: String) =
+      one(CF.durationHours(to_timestamp(lit(dep)), to_timestamp(lit(arr))))
+    assert(dur("2024-01-01 10:00:00", "2024-01-01 13:30:00") == 3.5)
+    assert(dur("2024-01-01 10:00:00", "2024-01-01 10:00:00") == null) // arr == dep
+    assert(dur("2024-01-01 10:00:00", "2024-01-01 09:00:00") == null) // arr < dep
+    assert(one(CF.durationHours(to_timestamp(lit(null: String)),
+      to_timestamp(lit("2024-01-01 10:00:00")))) == null)
+  }
+
+  test("F19/F20 null dates propagate (no birthday/business-day fabrication)") {
+    assert(one(CF.ageYears(to_date(lit(null: String)), to_date(lit("2024-06-15")))) == null)
+    assert(one(CF.ageYears(to_date(lit("2000-06-15")), to_date(lit(null: String)))) == null)
+    assert(one(CF.addBusinessDays(to_date(lit(null: String)), 3)) == null)
+  }
+
+  test("F30/F31 null amounts: reconcile -> null, refund matches max(0, NaN) == 0") {
+    assert(one(CF.amountsReconcile(lit(null).cast("double"), lit(10.0),
+      lit(5.0), lit(115.0))) == null)
+    // a null on either side nulls the product, and greatest() skips nulls
+    // -> 0.0, the same result Python's max(0, nan) yields in the
+    // reference's scalar path (functions.py:315)
+    assert(one(CF.refundAmount(lit(100.0), lit(null).cast("double"))) == 0.0)
+    assert(one(CF.refundAmount(lit(null).cast("double"), lit(25.0))) == 0.0)
+  }
+
   test("P11 completeness + missing-fields report") {
     val df = Seq(("a", ""), (null, "b")).toDF("x", "y")
     val got = df.select(

@@ -118,6 +118,51 @@ class PipelinesSpec extends AnyFunSuite {
     assert(rr.quarantine.count() == 2)
   }
 
+  test("e2e dirty CSV: BOM header, every A1 fault class, exact split") {
+    // Checked-in fixture reproducing the reference upload's fault taxonomy
+    // (FIXTURES.md §A1, from 2025-12-09…_travel_agency_sales_001.csv): UTF-8
+    // BOM, mixed date formats, quoted $/comma money, non-numeric ids (two
+    // CONSECUTIVE, exercising the same-repaired-id quirk), a duplicate id
+    // that is also a whole-row duplicate, missing/out-of-range PassengerID,
+    // missing/malformed FlightID. Runs the real S1 CSV read, not a
+    // hand-built DataFrame, so header sanitation is part of the assertion.
+    val path = getClass.getResource("/fixtures/travel_agency_sales_dirty.csv").getPath
+    val raw = graft.sources.CsvSource.readAllString(spark, path)
+    // BOM stripped: first column is `transactionid`, not `_transactionid`
+    assert(raw.columns.head == "transactionid")
+
+    val r = CleaningPipelines.transactions(raw)
+    val cols = Seq("transactionid", "transactiondate", "passengerid",
+      "flightid", "ticketprice", "taxes", "baggagefees", "totalamount")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(IngestId).select(cols.map(col): _*)
+        .as[(String, String, String, String, Double, Double, Double, Double)]
+        .collect.toSeq
+
+    assert(rows(r.clean) == Seq(
+      ("40001", "2023-01-10", "P00101", "AA100", 1540.00, 154.00, 40.00, 1734.00),
+      ("40002", "2023-01-18", "P00102", "DL200", 620.00, 62.00, 0.00, 682.00),
+      // "4AN" repaired from the last numeric id before it: 40002 + 1
+      ("40003", "2023-01-20", "P00103", "UA300", 570.00, 57.00, 40.00, 667.00),
+      ("40009", "2023-01-20", "P00109", "UA301", 1000.00, 100.00, 0.00, 1100.00),
+      ("40011", "2023-02-01", "P00111", "QF7", 99999999.99, 0.00, 0.00, 99999999.99)))
+
+    val quar = r.quarantine.orderBy(IngestId)
+      .select(col("transactionid"), col("transactiondate"),
+        col("passengerid"), col("flightid"))
+      .as[(String, String, String, String)].collect.toSeq
+    assert(quar == Seq(
+      ("40002", "2023-01-18", "P00102", "DL200"),    // whole-row + id dup
+      // "4GW" follows "4AN": prev NUMERIC id is still 40002 (the quirk), so
+      // it repairs to the same 40003 as the row before it -> id dup
+      ("40003", "2024-01-05", "P00104", "WN500"),
+      ("40005", "2023-01-21", null, "B6400"),        // missing PassengerID
+      ("40006", "2023-01-22", "P90001", "AA101"),    // out-of-range P9xxxx
+      ("40007", "2023-01-23", "P00107", null),       // missing FlightID
+      ("40008", null, "P00108", "DL201"),            // unparseable date
+      ("40010", "2024-01-05", "P00110", "X123456"))) // FlightID digits > 5
+  }
+
   test("M1 cleanFile dispatches by file type and rejects unknown types") {
     val airlines = Seq((0L, "AA", "american", "oneworld"))
       .toDF(IngestId, "airlinekey", "airlinename", "alliance")
