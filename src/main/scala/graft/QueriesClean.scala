@@ -120,10 +120,16 @@ object QueriesClean {
         .when(k % 4 === 1, date_format(col("o_orderdate"), "dd/MM/yyyy"))
         .when(k % 4 === 2, date_format(col("o_orderdate"), "MM/dd/yyyy"))
         .otherwise(date_format(col("o_orderdate"), "yyyy/MMM/dd")).as("transactiondate"),
-      concat(lit("P"), lpad(((k * 3) % 90000L).cast(StringType), 5, "0")).as("passengerid"),
+      // genuinely-NULL ids (not just empty strings) — a NULL validator
+      // result must quarantine the row, never drop it from both partitions
+      when(k % 101 === 0, lit(null).cast(StringType))
+        .otherwise(concat(lit("P"), lpad(((k * 3) % 90000L).cast(StringType), 5, "0")))
+        .as("passengerid"),
       when(k % 83 === 0, lit(""))
+        .when(k % 103 === 0, lit(null).cast(StringType))
         .otherwise(concat(chr(k % 26 + 65), (k % 99999L + 1).cast(StringType))).as("flightid"),
-      money(11, 3).as("ticketprice"), money(13, 7).as("taxes"),
+      when(k % 107 === 0, lit(null).cast(StringType))
+        .otherwise(money(11, 3)).as("ticketprice"), money(13, 7).as("taxes"),
       money(17, 1).as("baggagefees"), money(19, 9).as("totalamount"))
   }
 
@@ -138,9 +144,9 @@ object QueriesClean {
       |         WHEN k % 4 = 1 THEN strftime(o_orderdate, '%d/%m/%Y')
       |         WHEN k % 4 = 2 THEN strftime(o_orderdate, '%m/%d/%Y')
       |         ELSE strftime(o_orderdate, '%Y/%b/%d') END AS transactiondate,
-      |    'P' || lpad(CAST((k*3) % 90000 AS VARCHAR), 5, '0') AS passengerid,
-      |    CASE WHEN k % 83 = 0 THEN '' ELSE chr(CAST(k % 26 + 65 AS INT)) || CAST(k % 99999 + 1 AS VARCHAR) END AS flightid,
-      |    '$' || format('{:,}', ((k*11+3) % 1000000) // 100) || '.' || lpad(CAST((k*11+3) % 100 AS VARCHAR), 2, '0') AS ticketprice,
+      |    CASE WHEN k % 101 = 0 THEN NULL ELSE 'P' || lpad(CAST((k*3) % 90000 AS VARCHAR), 5, '0') END AS passengerid,
+      |    CASE WHEN k % 83 = 0 THEN '' WHEN k % 103 = 0 THEN NULL ELSE chr(CAST(k % 26 + 65 AS INT)) || CAST(k % 99999 + 1 AS VARCHAR) END AS flightid,
+      |    CASE WHEN k % 107 = 0 THEN NULL ELSE '$' || format('{:,}', ((k*11+3) % 1000000) // 100) || '.' || lpad(CAST((k*11+3) % 100 AS VARCHAR), 2, '0') END AS ticketprice,
       |    '$' || format('{:,}', ((k*13+7) % 1000000) // 100) || '.' || lpad(CAST((k*13+7) % 100 AS VARCHAR), 2, '0') AS taxes,
       |    '$' || format('{:,}', ((k*17+1) % 1000000) // 100) || '.' || lpad(CAST((k*17+1) % 100 AS VARCHAR), 2, '0') AS baggagefees,
       |    '$' || format('{:,}', ((k*19+9) % 1000000) // 100) || '.' || lpad(CAST((k*19+9) % 100 AS VARCHAR), 2, '0') AS totalamount
@@ -154,10 +160,10 @@ object QueriesClean {
       |    ) AS VARCHAR) AS transactionid,
       |    CASE WHEN p IS NOT NULL THEN strftime(p, '%Y-%m-%d') END AS transactiondate,
       |    passengerid, flightid,
-      |    least(round(CAST(replace(replace(ticketprice, '$', ''), ',', '') AS DOUBLE), 2), 99999999.99) AS ticketprice,
-      |    least(round(CAST(replace(replace(taxes, '$', ''), ',', '') AS DOUBLE), 2), 99999999.99) AS taxes,
-      |    least(round(CAST(replace(replace(baggagefees, '$', ''), ',', '') AS DOUBLE), 2), 99999999.99) AS baggagefees,
-      |    least(round(CAST(replace(replace(totalamount, '$', ''), ',', '') AS DOUBLE), 2), 99999999.99) AS totalamount
+      |    CASE WHEN ticketprice IS NULL THEN NULL ELSE least(round(CAST(replace(replace(ticketprice, '$', ''), ',', '') AS DOUBLE), 2), 99999999.99) END AS ticketprice,
+      |    CASE WHEN taxes IS NULL THEN NULL ELSE least(round(CAST(replace(replace(taxes, '$', ''), ',', '') AS DOUBLE), 2), 99999999.99) END AS taxes,
+      |    CASE WHEN baggagefees IS NULL THEN NULL ELSE least(round(CAST(replace(replace(baggagefees, '$', ''), ',', '') AS DOUBLE), 2), 99999999.99) END AS baggagefees,
+      |    CASE WHEN totalamount IS NULL THEN NULL ELSE least(round(CAST(replace(replace(totalamount, '$', ''), ',', '') AS DOUBLE), 2), 99999999.99) END AS totalamount
       |  FROM (SELECT *,
       |          coalesce(try_strptime(trim(transactiondate), '%Y-%m-%d'),
       |                   try_strptime(trim(transactiondate), '%d/%m/%Y'),

@@ -860,6 +860,45 @@ object QueriesText {
                    array_to_string(tk[s:s+63], ' ') AS chunk_text
             FROM st"""))
 
+  // ---------------------------------------------------------------- q76
+  // Line-level dedup (the CCNet/RefinedWeb boilerplate strip). The test
+  // corpus has no newlines, so lines are synthesized as 6-word chunks —
+  // the multi-line shape a web corpus carries — then corpus-repeated
+  // lines are stripped with per-doc line order preserved. Duplicated
+  // docs get hollowed out (every line repeats); unique docs keep all
+  // lines except cross-doc boilerplate collisions.
+  private val q76 = Q("q76_strip_dup_lines",
+    (s, dir) => {
+      val words = split(col("text"), " ")
+      // Column./ is double division — cast back for the int sequence bound
+      val nch = ((size(words) + 5) / 6).cast(IntegerType)
+      val multi = docsWithDups(s, dir).select(col("doc_id"),
+        concat_ws("\n", transform(sequence(lit(0), nch - 1),
+          i => array_join(slice(words, i * lit(6) + 1, lit(6)), " "))).as("text"))
+      TextDedup.stripDupLines(multi, "text", "doc_id", minCount = 2L)
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0),
+            w AS (SELECT doc_id, string_split(text, ' ') AS words FROM d),
+            c AS (SELECT doc_id,
+                         list_transform(range((len(words) + 5) // 6),
+                           i -> array_to_string(words[i*6+1 : i*6+6], ' ')) AS lines
+                  FROM w),
+            u AS (SELECT doc_id, UNNEST(range(len(lines))) AS i, lines FROM c),
+            ln AS (SELECT doc_id, i, lines[i+1] AS line FROM u),
+            cnt AS (SELECT doc_id, i, line,
+                           count(*) OVER (PARTITION BY line) >= 2
+                             AND length(trim(line)) > 0 AS dropd
+                    FROM ln)
+            SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(sum(CASE WHEN dropd THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+              coalesce(string_agg(CASE WHEN NOT dropd THEN line END,
+                chr(10) ORDER BY i), '') AS text_clean
+            FROM cnt GROUP BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
-    q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72)
+    q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76)
 }

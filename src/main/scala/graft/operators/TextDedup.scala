@@ -38,6 +38,44 @@ object TextDedup {
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Line-level corpus dedup — the CCNet/RefinedWeb pre-cleaning step:
+    * strip boilerplate lines repeated across the corpus while preserving
+    * the rest of each document's structure. A line is "duplicated" when
+    * its exact content occurs at least `minCount` times in the corpus-wide
+    * line stream (occurrence-level, consistent with [[crossDocDupGrams]]:
+    * a line repeated `minCount` times inside ONE doc is also stripped);
+    * blank lines carry no boilerplate signal and are always kept.
+    *
+    * Output: (idCol, n_lines, n_dropped, `out`) — one row per input doc,
+    * including docs whose every line was stripped (empty `out`).
+    *
+    * Scale: posexplode to (doc, pos, line) once; ONE hash Exchange on the
+    * line content drives the frequency window; survivors re-aggregate per
+    * doc (partial combine before the doc Exchange) with the original line
+    * order restored by an in-array sort on position — two Exchanges total,
+    * no join, nothing corpus-sized on the driver. A pathological line
+    * (same boilerplate in millions of docs) is one hot window partition
+    * whose count fits in a long; AQE skew handling splits the sort. */
+  def stripDupLines(docs: DataFrame, textCol: String, idCol: String,
+                    minCount: Long = 2L, out: String = "text_clean"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+    val byLine = Window.partitionBy(col("_line"))
+    val dropped = col("_cnt") >= minCount && length(trim(col("_line"))) > 0
+    lines
+      .withColumn("_cnt", count(lit(1)).over(byLine))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(dropped, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(!dropped,
+              struct(col("_pos"), col("_line"))))),
+            x => x.getField("_line")),
+          "\n").as(out))
+  }
+
   /** MinHash signature: array of `numHashes` minima of seeded xxhash64 over
     * the document's shingles. One projection, no shuffle. Native expression
     * (graft.plans.MinHashSig): one pass over the shingle array instead of

@@ -316,4 +316,22 @@ class TextDedupSpec extends AnyFunSuite {
       maxBucketSize = Int.MaxValue, onDroppedBuckets = Some(n => droppedUncapped = n))
     assert(droppedUncapped == 0)
   }
+
+  test("stripDupLines drops corpus-repeated lines, keeps order and blanks") {
+    val multi = Seq(
+      (1L, "unique opening line\nshared boilerplate footer\n\nrepeated inside\nrepeated inside"),
+      (2L, "another unique line\nshared boilerplate footer"),
+      (3L, "shared boilerplate footer")              // hollows out entirely
+    ).toDF("doc_id", "text")
+    val out = TextDedup.stripDupLines(multi, "text", "doc_id", minCount = 2L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_dropped", "text_clean")
+      .as[(Long, Long, Long, String)].collect.toSeq
+    assert(out == Seq(
+      // footer (3 docs) and the within-doc repeat (2 occurrences) both
+      // drop; the blank line survives; original order is preserved
+      (1L, 5L, 3L, "unique opening line\n"),
+      (2L, 2L, 1L, "another unique line"),
+      (3L, 1L, 1L, "")))
+  }
 }
