@@ -46,8 +46,9 @@ object QueriesClean {
           .when(col(CleaningPipelines.IngestId) % 13 === 0, concat(lit("  "), col("_k0"), lit(" ")))
           .otherwise(col("_k0")))
       .withColumn("airlinename",
-        when(col(CleaningPipelines.IngestId) % 5 === 0,
-          regexp_replace(col("_n0"), " ", "   ")).otherwise(col("_n0")))
+        when(col(CleaningPipelines.IngestId) % 17 === 0, lit(null).cast(StringType))
+          .when(col(CleaningPipelines.IngestId) % 5 === 0,
+            regexp_replace(col("_n0"), " ", "   ")).otherwise(col("_n0")))
       .drop("_k0", "_n0")
   }
 
@@ -64,7 +65,8 @@ object QueriesClean {
       |              WHEN _ingest_id % 11 = 0 THEN k0 || 'XXX'
       |              WHEN _ingest_id % 13 = 0 THEN '  ' || k0 || ' '
       |              ELSE k0 END AS airlinekey,
-      |         CASE WHEN _ingest_id % 5 = 0 THEN regexp_replace(n0, ' ', '   ', 'g') ELSE n0 END AS airlinename,
+      |         CASE WHEN _ingest_id % 17 = 0 THEN NULL
+      |              WHEN _ingest_id % 5 = 0 THEN regexp_replace(n0, ' ', '   ', 'g') ELSE n0 END AS airlinename,
       |         alliance
       |  FROM raw),
       |norm AS (
@@ -220,7 +222,8 @@ object QueriesClean {
       when(k % 23 === 0, first)
         .when(k % 3 === 0, concat(upper(first), lit(" "), last0))
         .otherwise(concat(first, lit(" "), last0)).as("fullname"),
-      when(k % 29 === 0, concat(first, lit("."), last0, lit("@other.com")))
+      when(k % 37 === 0, lit(null).cast(StringType))
+        .when(k % 29 === 0, concat(first, lit("."), last0, lit("@other.com")))
         .otherwise(concat(first, lit("."), last0,
           regexp_replace(key, "[^0-9]", ""), lit("@example.com"))).as("email"),
       element_at(typedLit(Seq("gold", "SILVER", "Bronze ", "platinum!", "copper")),
@@ -240,7 +243,8 @@ object QueriesClean {
       |         CASE WHEN _ingest_id % 23 = 0 THEN fn
       |              WHEN _ingest_id % 3 = 0 THEN upper(fn) || ' ' || ln
       |              ELSE fn || ' ' || ln END AS fullname,
-      |         CASE WHEN _ingest_id % 29 = 0 THEN fn || '.' || ln || '@other.com'
+      |         CASE WHEN _ingest_id % 37 = 0 THEN NULL
+      |              WHEN _ingest_id % 29 = 0 THEN fn || '.' || ln || '@other.com'
       |              ELSE fn || '.' || ln || regexp_replace(pk, '[^0-9]', '', 'g') || '@example.com' END AS email,
       |         ['gold','SILVER','Bronze ','platinum!','copper'][CAST(_ingest_id % 5 + 1 AS INT)] AS ls
       |  FROM raw),
@@ -306,8 +310,9 @@ object QueriesClean {
             chr((k * 5) % 26 + 65))).as("originairportkey"),
         concat(chr((k + 1) % 26 + 65), chr(((k + 1) * 3) % 26 + 65),
           chr(((k + 1) * 5) % 26 + 65)).as("destinationairportkey"),
-        element_at(typedLit(Seq("boeing  737", "AIRBUS a320", "embraer 190")),
-          (k % 3 + 1).cast(IntegerType)).as("aircrafttype"))
+        when(k % 41 === 0, lit(null).cast(StringType))
+          .otherwise(element_at(typedLit(Seq("boeing  737", "AIRBUS a320", "embraer 190")),
+            (k % 3 + 1).cast(IntegerType))).as("aircrafttype"))
       CleaningPipelines.flights(input, airlines, "airlinekey",
           airports, "airportkey").clean
         .select(col(CleaningPipelines.IngestId), col("flightkey"),
@@ -331,7 +336,9 @@ object QueriesClean {
                            chr(CAST(k * 5 % 26 + 65 AS INT)) END AS originairportkey,
                  chr(CAST((k + 1) % 26 + 65 AS INT)) || chr(CAST((k + 1) * 3 % 26 + 65 AS INT)) ||
                    chr(CAST((k + 1) * 5 % 26 + 65 AS INT)) AS destinationairportkey,
-                 ['boeing  737','AIRBUS a320','embraer 190'][CAST(k % 3 + 1 AS INT)] AS aircrafttype
+                 CASE WHEN k % 41 = 0 THEN NULL
+                      ELSE ['boeing  737','AIRBUS a320','embraer 190'][CAST(k % 3 + 1 AS INT)]
+                 END AS aircrafttype
                FROM raw),
              norm AS (
                SELECT _ingest_id,
@@ -412,7 +419,8 @@ object QueriesClean {
       val input = o.select(
         (col("o_orderkey") * 10 + col("i")).cast(LongType)
           .as(CleaningPipelines.IngestId),
-        when(col("o_orderkey") % 53 === 0, lit(""))
+        when(col("o_orderkey") % 59 === 0, lit(null).cast(StringType))
+          .when(col("o_orderkey") % 53 === 0, lit(""))
           .otherwise((col("o_orderkey") % 2011L).cast(StringType)).as("transactionid"),
         concat(lit("$"), format_number((cents / 100).cast(LongType), 0),
           lit("."), lpad((cents % 100).cast(StringType), 2, "0")).as("ticketprice"))
@@ -420,7 +428,8 @@ object QueriesClean {
     },
     Some("""WITH inp AS (
               SELECT o_orderkey * 10 + i AS _ingest_id,
-                     CASE WHEN o_orderkey % 53 = 0 THEN '' ELSE CAST(o_orderkey % 2011 AS VARCHAR) END AS transactionid,
+                     CASE WHEN o_orderkey % 59 = 0 THEN NULL
+                          WHEN o_orderkey % 53 = 0 THEN '' ELSE CAST(o_orderkey % 2011 AS VARCHAR) END AS transactionid,
                      '$' || format('{:,}', ((o_orderkey*31 + i*7) % 10000000) // 100) || '.' ||
                        lpad(CAST((o_orderkey*31 + i*7) % 100 AS VARCHAR), 2, '0') AS ticketprice
               FROM orders, (SELECT unnest([1, 2]) AS i)),
