@@ -899,6 +899,23 @@ object QueriesText {
                 chr(10) ORDER BY i), '') AS text_clean
             FROM cnt GROUP BY doc_id"""))
 
+  // ---------------------------------------------------------------- q77
+  // Source balancing: cap every source at 15 docs, chosen by md5-hash
+  // order of the id — a seedless uniform quota that re-runs, backfills,
+  // and other engines reproduce exactly. WindowGroupLimit prunes to
+  // <= 40 rows per source per input partition BEFORE the shuffle.
+  private val q77 = Q("q77_source_cap",
+    (s, dir) => graft.operators.Split.capPerGroup(
+      t(s, dir, "documents").select(col("doc_id"), col("source")),
+      col("source"), col("doc_id"), n = 15),
+    Some("""SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 15"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
-    q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76)
+    q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
+    q77)
 }

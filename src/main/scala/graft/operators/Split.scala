@@ -54,6 +54,23 @@ object Split {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic per-group cap — the source-balancing step of a corpus
+    * mix (e.g. "at most N documents from any one domain"). Keeps the `n`
+    * rows of each group that rank first by md5-hash order of the id: a
+    * seedless uniform choice that is stable across runs, partitionings,
+    * and engines (id tiebreak makes the order total).
+    *
+    * Scale: one `row_number` window, which Spark rewrites to partial+final
+    * `WindowGroupLimit` — each input partition forwards at most `n` rows
+    * per group BEFORE the shuffle, so a group with millions of rows ships
+    * only n per upstream partition, never the whole group. */
+  def capPerGroup(df: DataFrame, group: Column, id: Column, n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(group)
+      .orderBy(md5(id.cast("string")), id)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= n).drop("_rn")
+  }
+
   /** Assign each row a split label from `weights` — (label, bucketCount)
     * pairs that must sum to 16, e.g. Seq("train" -> 12, "val" -> 2,
     * "test" -> 2) for a 75/12.5/12.5 split. Adds `bucket` and `split`. */

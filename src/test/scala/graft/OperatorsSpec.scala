@@ -330,4 +330,18 @@ class OperatorsSpec extends AnyFunSuite {
       .select("n_events").as[Long].collect.toSeq
     assert(got == Seq(2L))
   }
+
+  test("capPerGroup keeps exactly n per group by md5 order of the id") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "a"), (6L, "b"))
+      .toDF("id", "src")
+    // md5 hex order of "1".."5": a87..("4") < c4c..("1") < c81..("2")
+    // < e4d..("5") < ecc..("3") -> cap 2 keeps {4, 1}; group b under cap
+    val kept = Split.capPerGroup(df, col("src"), col("id"), 2)
+      .select("id").as[Long].collect.toSet
+    assert(kept == Set(4L, 1L, 6L))
+    // deterministic: a re-run selects the identical rows
+    val again = Split.capPerGroup(df.repartition(7), col("src"), col("id"), 2)
+      .select("id").as[Long].collect.toSet
+    assert(again == kept)
+  }
 }
