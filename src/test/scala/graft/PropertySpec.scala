@@ -93,4 +93,45 @@ class PropertySpec extends AnyFunSuite {
       if (d > 12) parsed.forall(_ == iso) else parsed.forall(_ != null)
     })
   }
+
+  test("stripDupLines == in-memory occurrence-count model") {
+    // small alphabet so cross- and within-doc line repeats actually occur
+    val lineGen = Gen.oneOf("aa", "bb", "cc", "dd", "")
+    val docGen = Gen.listOfN(6, lineGen).map(_.mkString("\n"))
+    val gen = Gen.listOfN(5, docGen)
+    check("stripDupLines", Prop.forAll(gen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.TextDedup
+        .stripDupLines(df, "text", "doc_id", minCount = 2L)
+        .orderBy("doc_id")
+        .select("n_lines", "n_dropped", "text_clean")
+        .as[(Long, Long, String)].collect().toList
+      val counts = texts.flatMap(_.split("\n", -1)).groupBy(identity)
+        .map { case (l, o) => l -> o.size }
+      val expected = texts.map { t =>
+        val ls = t.split("\n", -1).toList
+        val kept = ls.filter(l => l.trim.isEmpty || counts(l) < 2)
+        (ls.size.toLong, (ls.size - kept.size).toLong, kept.mkString("\n"))
+      }
+      got == expected
+    }, n = 10)
+  }
+
+  test("capPerGroup: exact per-group counts, subset, repartition-invariant") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 99L), Gen.oneOf("x", "y", "z")))
+    check("capPerGroup", Prop.forAll(gen) { rows0 =>
+      val rows = rows0.distinct // unique ids keep the md5 order total
+      val df = rows.toDF("id", "g")
+      val out = graft.operators.Split.capPerGroup(df, col("g"), col("id"), 3)
+        .select("id", "g").as[(Long, String)].collect().toList
+      val out2 = graft.operators.Split
+        .capPerGroup(df.repartition(5), col("g"), col("id"), 3)
+        .select("id", "g").as[(Long, String)].collect().toList
+      val sizes = rows.groupBy(_._2).map { case (g, r) => g -> r.map(_._1).distinct.size }
+      out.toSet.subsetOf(rows.toSet) &&
+        out.groupBy(_._2).forall { case (g, r) => r.size == math.min(3, sizes(g)) } &&
+        out.toSet == out2.toSet
+    }, n = 10)
+  }
 }
