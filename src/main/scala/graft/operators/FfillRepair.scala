@@ -33,11 +33,20 @@ object FfillRepair {
     val spark = df.sparkSession
     val n = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
 
+    // Eager localCheckpoint, NOT persist (the Pack.prefixSum pattern):
+    // the summary branch and the carry-join branch must see the SAME
+    // physical partitioning for the pids to line up, and a persist can
+    // be evicted under pressure — whereupon AQE may read the recomputed
+    // Exchange with different partition coalescing per branch (observed
+    // in Pack: wrong offsets). The checkpoint freezes pids once, cuts
+    // lineage, and its blocks are ContextCleaner-released when the frame
+    // becomes unreachable — no CacheManager entry to leak per call. On a
+    // real cluster swap for checkpoint() if executor loss matters.
     val parted = df
       .repartitionByRange(n, col(orderCol))
       .withColumn(Pid, spark_partition_id())
       .withColumn("_ffill_v", value)
-      .persist()
+      .localCheckpoint()
 
     // one row per partition: the last non-null value it holds
     val summary = parted
@@ -65,10 +74,6 @@ object FfillRepair {
     val frameEnd = if (inclusive) 0L else -1L
     val w = Window.partitionBy(col(Pid)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, frameEnd)
-    // parted stays cached (the summary collect materialized it) so the
-    // result plan reuses the same physical partitioning; if the executor
-    // evicts it, the recompute is deterministic (range boundaries are
-    // sampled with fixed seeds), so partition ids — and results — hold.
     parted
       .join(broadcast(carryDf), Pid)
       .withColumn(out,
