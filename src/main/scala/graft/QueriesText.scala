@@ -915,7 +915,60 @@ object QueriesText {
               FROM documents)
             WHERE rn <= 15"""))
 
+  // ---------------------------------------------------------------- q78
+  // CCNet-style bigram-LM perplexity filter: train a Laplace-smoothed
+  // bigram model on the corpus, score each doc by mean token
+  // log-probability, and flag the worst decile (exact interpolated p10
+  // cutoff) for dropping. Log-probs are 12dp-rounded and DECIMAL-summed
+  // so the per-doc aggregate is partition-order-independent — that is
+  // what lets DuckDB replay the whole pipeline hash-for-hash.
+  private val q78 = Q("q78_bigram_lm",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      NgramLM.perplexityFilter(docs, "text", "doc_id",
+        NgramLM.train(docs, "text"), tailFraction = 0.1)
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            bg AS (
+              SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN
+                       list_transform(range(1, len(tk)),
+                                      i -> tk[i] || ' ' || tk[i + 1])
+                     ELSE [] END) AS gram
+              FROM tk),
+            occ AS (SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1 FROM bg),
+            c12 AS (SELECT gram, count(*) AS c12 FROM bg GROUP BY gram),
+            c1 AS (SELECT string_split(gram, ' ')[1] AS w1, count(*) AS c1
+                   FROM bg GROUP BY 1),
+            v AS (SELECT count(DISTINCT tok) AS v
+                  FROM (SELECT unnest(tk) AS tok FROM tk)),
+            sc AS (
+              SELECT occ.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_bigrams,
+                     round(CAST(sum(CAST(round(ln(
+                         CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+                           / (coalesce(c1.c1, 0) + v.v)), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+                       AS avg_logprob
+              FROM occ
+              LEFT JOIN c12 USING (gram)
+              LEFT JOIN c1 USING (w1)
+              CROSS JOIN v
+              GROUP BY occ.doc_id),
+            cut AS (SELECT quantile_cont(avg_logprob, 0.1) AS cutoff FROM sc)
+            SELECT d.doc_id,
+                   coalesce(sc.n_bigrams, 0) AS n_bigrams,
+                   sc.avg_logprob,
+                   round(cut.cutoff, 6) AS cutoff,
+                   sc.avg_logprob > cut.cutoff AS keep
+            FROM documents d
+            LEFT JOIN sc USING (doc_id)
+            CROSS JOIN cut"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
-    q77)
+    q77, q78)
 }

@@ -29,10 +29,14 @@ import org.apache.spark.sql.functions._
 object Quantiles {
 
   /** Exact interpolated quantiles per group. Output: one row per group
-    * with `outNames` columns (defaults p50-style names from `ps`). */
+    * with `outNames` columns (defaults p50-style names from `ps`).
+    * With `keys` empty this is a GLOBAL quantile and delegates to the
+    * prefix-scan formulation ([[exactGlobal]]) — the grouped window
+    * path would otherwise sort all distinct values in one task. */
   def exact(df: DataFrame, keys: Seq[String], valueCol: String,
             ps: Seq[Double], outNames: Seq[String] = Nil): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    if (keys.isEmpty) return exactGlobal(df, valueCol, ps, outNames)
     val names = if (outNames.nonEmpty) outNames
                 else ps.map(p => s"p${(p * 100).toInt}")
     val kcols = keys.map(col)
@@ -88,6 +92,48 @@ object Quantiles {
         .as(names(i))
     }
     withAllGroups.select(outCols: _*)
+  }
+
+  /** Exact interpolated GLOBAL quantiles without a single-task window.
+    *
+    * The grouped path's cumulative-count window has no partition key when
+    * `keys` is empty, which Spark executes as ONE task holding every
+    * distinct value. Here the cumulative position comes from the
+    * distributed prefix-scan instead ([[Pack.prefixSum]]: range-partition
+    * the value-frequency frame by value, per-partition partial sums, a
+    * config-bounded summary scan, broadcast carry-in) — so the only
+    * data-sized stages are hash aggregations and a range Exchange of the
+    * DISTINCT values; the lone single-task stage is the ≤
+    * shuffle-partitions-row summary scan, bounded by config not data. */
+  def exactGlobal(df: DataFrame, valueCol: String, ps: Seq[Double],
+                  outNames: Seq[String] = Nil): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    val names = if (outNames.nonEmpty) outNames
+                else ps.map(p => s"p${(p * 100).toInt}")
+
+    // value-frequency reduction (the only pass over raw rows), then the
+    // exclusive prefix sum over value order = rows strictly below _v
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("_v")).agg(count(lit(1)).as("_cnt"))
+    val ranked = Pack.prefixSum(counts, col("_cnt"), "_v", "_below")
+      .withColumn("_cum", col("_below") + col("_cnt"))
+    val total = counts.agg(sum(col("_cnt")).as("_n"))
+
+    // same pick/interpolate algebra as the grouped path, as ONE global
+    // aggregation over the distinct-value frame
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
+      val h = (col("_n") - 1).cast("double") * lit(p)
+      def covering(rank: Column) =
+        max(when(col("_below") <= rank && rank < col("_cum"), col("_v")))
+      Seq(covering(floor(h)).as(s"_lo$i"),
+        covering(ceil(h)).as(s"_hi$i"),
+        first(h - floor(h)).as(s"_frac$i"))
+    }
+    val picked = ranked.crossJoin(broadcast(total)).agg(aggs.head, aggs.tail: _*)
+    picked.select(ps.indices.map { i =>
+      (col(s"_lo$i") + (col(s"_hi$i") - col(s"_lo$i")) * col(s"_frac$i"))
+        .as(names(i))
+    }: _*)
   }
 
   /** Sketch-based grouped quantiles: bounded memory, mergeable partials.

@@ -283,6 +283,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(("a", Some(2.0), Some(3.0)), ("b", None, None)))
   }
 
+  test("quantiles: global (no keys) matches percentile, via prefix-scan not a single-task window") {
+    val df = ((1L to 5000L).map(i => (i % 40).toDouble) :+ 7.5).toDF("v")
+    val ps = Seq(0.0, 0.1, 0.5, 0.99, 1.0)
+    val got = Quantiles.exact(df, Nil, "v", ps).collect().head
+    val want = df.agg(expr("percentile(v, array(0.0, 0.1, 0.5, 0.99, 1.0))"))
+      .collect().head.getSeq[Double](0)
+    ps.indices.foreach { i =>
+      assert(math.abs(got.getDouble(i) - want(i)) < 1e-9,
+        s"p=${ps(i)}: ${got.getDouble(i)} vs ${want(i)}") }
+    // all-null input still emits one row of null quantiles
+    val empty = Seq.empty[Option[Double]].toDF("v")
+    val nulls = Quantiles.exact(empty, Nil, "v", Seq(0.5)).collect()
+    assert(nulls.length == 1 && nulls.head.isNullAt(0))
+    // every Window in the plan belongs to the prefix-scan (partitioned by
+    // its pid, or the config-bounded per-pid summary) — no window ever
+    // sees the data-sized distinct-value stream unpartitioned
+    val plan = Quantiles.exact(df, Nil, "v", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("_pack_pid")), plan)
+  }
+
   test("skew salting: salted join and salted sum are result-identical") {
     // 90% of rows share one hot key
     val large = (1L to 1000L).map(i => (if (i % 10 == 0) i % 7 else 0L, i))
