@@ -1123,10 +1123,39 @@ object Queries {
                    THEN substr(norm, strpos(norm, ' ') + 1) ELSE '' END AS last_name
             FROM f"""))
 
+  // ---------------------------------------------------------------- q79
+  // Z-order layout stats: Morton-interleave (l_partkey, l_suppkey) and
+  // aggregate per 64-bucket z-range the bounds a pruning scan would
+  // consult. Tight min/max on BOTH keys per bucket is the measurable
+  // payoff of z-clustering (OPTIMIZE ZORDER BY); the z-value itself is a
+  // map-only codegen'd projection, the stats one hash aggregation.
+  private val q79 = Q("q79_zorder_layout",
+    (s, dir) => graft.operators.Layout.zBucketStats(
+      t(s, dir, "lineitem").select(
+        shiftright(col("l_partkey"), 3).as("part_blk"),
+        col("l_suppkey").as("supp_blk")),
+      Seq("part_blk", "supp_blk"), bits = 8, numBuckets = 64),
+    Some("""WITH z AS (
+              SELECT l_partkey >> 3 AS part_blk,
+                     l_suppkey AS supp_blk,
+                     CAST(list_sum(list_transform(range(8), i ->
+                         ((((l_partkey >> 3) & 255) >> i) & 1) << (i * 2)))
+                       + list_sum(list_transform(range(8), i ->
+                         (((l_suppkey & 255) >> i) & 1) << (i * 2 + 1)))
+                       AS BIGINT) AS zv
+              FROM lineitem)
+            SELECT zv >> 10 AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(part_blk) AS min_part_blk,
+                   max(part_blk) AS max_part_blk,
+                   min(supp_blk) AS min_supp_blk,
+                   max(supp_blk) AS max_supp_blk
+            FROM z GROUP BY 1"""))
+
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q57, q60, q66, q67, q68, q70,
-    q71, q73, q74, q75) ++
+    q71, q73, q74, q75, q79) ++
     QueriesText.all ++ QueriesClean.all
 }
