@@ -206,6 +206,47 @@ object Similarity {
     cents
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are assigned to quantizer cells
+    * (nearest pretrained centroid — ONE codegen'd projection, no join,
+    * no shuffle to build the partition), pairwise cosine runs ONLY
+    * within a cell, and the >= `threshold` pairs are connected into
+    * components so one representative (min id) survives per semantic
+    * group. Returns the surviving rows of `df` with their cell id.
+    *
+    * The quadratic term is bounded by the cell partition: each cell
+    * holds ~corpus/nlist rows, so the self-join cost is
+    * sum(cell²) ≈ corpus²/nlist — tune nlist with corpus growth exactly
+    * as the paper does. `maxCellSize` hard-caps degenerate cells (same
+    * RECALL TRADE-OFF as the LSH caps: capped cells are silently not
+    * deduped; observe with `onDroppedCells`). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               centroids: Array[Array[Double]], threshold: Double = 0.95,
+               maxCellSize: Int = 10000,
+               onDroppedCells: Option[Long => Unit] = None): DataFrame = {
+    val assigned = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      element_at(graft.plans.SketchExpressions.nearestCentroids(
+        col(vecCol), centroids, 1), 1).as("_cell"))
+    onDroppedCells.foreach { f =>
+      f(assigned.groupBy(col("_cell")).agg(count(lit(1)).as("_bc"))
+        .filter(col("_bc") > maxCellSize).count())
+    }
+    // the count window shares the cell distribution with the self-join
+    // below — one Exchange, planned once (the embeddingNearDups pattern)
+    val capped = assigned
+      .withColumn("_bc", count(lit(1)).over(Window.partitionBy(col("_cell"))))
+      .filter(col("_bc") <= maxCellSize)
+      .drop("_bc")
+    val l = capped.as("l"); val r = capped.as("r")
+    val pairs = l.join(r,
+        col("l._cell") === col("r._cell") && col("l._id") < col("r._id"))
+      .withColumn("cosine", cosine(col("l._v"), col("r._v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
+    Components.dedupByComponents(df, idCol, pairs, "id_a", "id_b")
+      .join(assigned.select(col("_id").as(idCol), col("_cell").as("cell")), idCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold)
     * via LSH buckets — the embedding twin of TextDedup.minHashNearDups.
     *

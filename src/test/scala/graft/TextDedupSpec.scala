@@ -317,6 +317,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(droppedUncapped == 0)
   }
 
+  test("semDedup keeps one representative per within-cell semantic group") {
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),     // cell 1
+      (2L, Seq(0.999, 0.01, 0.0, 0.0)),  // cell 1, ~dup of 1 -> dropped
+      (3L, Seq(0.8, 0.6, 0.0, 0.0)),     // cell 1, cosine 0.8 vs v1 -> kept
+      (4L, Seq(0.0, 1.0, 0.0, 0.0)),     // cell 2
+      (5L, Seq(0.01, 0.999, 0.0, 0.0))   // cell 2, ~dup of 4 -> dropped
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding", cents,
+        threshold = 0.95)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(out.keySet == Set(1L, 3L, 4L))
+    assert(out(1L) == 1 && out(3L) == 1 && out(4L) == 2)
+  }
+
+  test("semDedup misses cross-cell near-dups (the documented recall bound)") {
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    // cosine(v6, v7) ~ 0.99995, but they argmax to different cells
+    val vecs = Seq(
+      (6L, Seq(0.71, 0.703, 0.0, 0.0)),
+      (7L, Seq(0.703, 0.71, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding", cents,
+      threshold = 0.95)
+    assert(out.count() == 2) // both survive: cells partition the compare space
+  }
+
   test("stripDupLines drops corpus-repeated lines, keeps order and blanks") {
     val multi = Seq(
       (1L, "unique opening line\nshared boilerplate footer\n\nrepeated inside\nrepeated inside"),
