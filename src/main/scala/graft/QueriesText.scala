@@ -1042,7 +1042,64 @@ object QueriesText {
             FROM corp c JOIN cells USING (vec_id)
             WHERE c.vec_id NOT IN (SELECT vec_id FROM losers)"""))
 
+  // ---------------------------------------------------------------- q81
+  // Token-budget mixture: each source srcN targets share (N+1)/210 of a
+  // 60k-token budget — small-N sources upsample (epochs > 1), large-N
+  // downsample (keep_fraction < 1). The plan is one hash aggregation;
+  // applying it is one broadcast join + the md5-bucket filter. The
+  // oracle derives the same shares arithmetically from the source name
+  // and replays the bucket rule digit-for-digit.
+  private val q81 = Q("q81_token_budget",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shares = (0 until 20).map(i => s"src$i" -> (i + 1) / 210.0).toMap
+      val plan = Split.mixturePlan(docs, "source",
+        TF.tokenCount(col("text")), shares, budget = 60000L)
+      val sampled = Split.applyMixture(docs, "source", col("doc_id"), plan)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs_sampled"))
+      plan.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          bround(col("target_share"), 6).as("target_share"),
+          col("alloc_tokens"),
+          bround(col("rate"), 6).as("rate"), col("epochs"),
+          coalesce(col("n_docs_sampled"), lit(0L)).as("n_docs_sampled"))
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id, source,
+                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                          t -> len(t) > 0)) AS BIGINT) AS ntok
+              FROM documents),
+            agg AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(ntok) AS BIGINT) AS n_tokens
+              FROM tk GROUP BY source),
+            pl AS (
+              SELECT *,
+                     CAST(round(share * 60000, 0) AS BIGINT) AS alloc_tokens
+              FROM (SELECT agg.*,
+                      (CAST(substr(source, 4) AS INT) + 1) / 210.0 AS share
+                    FROM agg)),
+            pl2 AS (
+              SELECT *, CAST(alloc_tokens AS DOUBLE) / n_tokens AS rate
+              FROM pl),
+            samp AS (
+              SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs_sampled
+              FROM tk t JOIN pl2 USING (source)
+              WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+                  < round(least(rate, 1.0) * 65536.0, 0)
+              GROUP BY t.source)
+            SELECT pl2.source, n_docs, n_tokens,
+                   round(share, 6) AS target_share,
+                   alloc_tokens,
+                   round(rate, 6) AS rate,
+                   CAST(ceil(rate) AS BIGINT) AS epochs,
+                   coalesce(n_docs_sampled, 0) AS n_docs_sampled
+            FROM pl2 LEFT JOIN samp USING (source)"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
-    q77, q78, q80)
+    q77, q78, q80, q81)
 }

@@ -71,6 +71,49 @@ object Split {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= n).drop("_rn")
   }
 
+  /** Token-budget mixture planning — the budget sheet of a pretraining
+    * data mix: given each source's token inventory and its target share
+    * of a global token budget, compute the per-source sampling rate.
+    * Output per source: `n_docs`, `n_tokens`, `target_share`,
+    * `alloc_tokens` (= share x budget), `rate` (= alloc / inventory),
+    * `keep_fraction` (= min(rate, 1) — the downsample fraction), and
+    * `epochs` (= ceil(rate) — how many passes an upsampled source
+    * repeats). Sources absent from `targetShares` get NULL plan values
+    * (and are excluded by [[applyMixture]]) rather than silently 0.
+    *
+    * Scale: ONE hash aggregation over the corpus; the plan frame is
+    * source-cardinality-sized. */
+  def mixturePlan(df: DataFrame, sourceCol: String, tokens: Column,
+                  targetShares: Map[String, Double], budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val total = targetShares.values.sum
+    require(math.abs(total - 1.0) < 1e-6, s"target shares must sum to 1, got $total")
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
+      .withColumn("target_share", element_at(typedLit(targetShares), col(sourceCol)))
+      .withColumn("alloc_tokens",
+        round(col("target_share") * budget).cast("long"))
+      .withColumn("rate", col("alloc_tokens").cast("double") / col("n_tokens"))
+      // least() SKIPS nulls (returns the least non-null), which would turn
+      // an absent-source NULL rate into keep_fraction 1.0 — guard first
+      .withColumn("keep_fraction",
+        when(col("rate").isNull, lit(null).cast("double"))
+          .otherwise(least(col("rate"), lit(1.0))))
+      .withColumn("epochs", ceil(col("rate")).cast("long"))
+  }
+
+  /** Apply a [[mixturePlan]]: deterministically downsample every source
+    * at its `keep_fraction` (same md5-bucket rule as [[hashSample]], but
+    * the fraction comes from the joined plan row, so one pass covers all
+    * sources). Upsampling (epochs > 1) is left to the training loader —
+    * repeating rows here would inflate storage, not information. */
+  def applyMixture(df: DataFrame, sourceCol: String, id: Column,
+                   plan: DataFrame): DataFrame =
+    df.join(broadcast(plan.select(col(sourceCol), col("keep_fraction"))),
+        sourceCol)
+      .filter(bucket65536(id) < round(col("keep_fraction") * 65536.0))
+      .drop("keep_fraction")
+
   /** Assign each row a split label from `weights` — (label, bucketCount)
     * pairs that must sum to 16, e.g. Seq("train" -> 12, "val" -> 2,
     * "test" -> 2) for a 75/12.5/12.5 split. Adds `bucket` and `split`. */

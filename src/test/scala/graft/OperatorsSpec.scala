@@ -305,6 +305,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(windows.nonEmpty && windows.forall(_.contains("_pack_pid")), plan)
   }
 
+  test("mixturePlan budgets tokens per source; applyMixture samples deterministically") {
+    // source a: 4 docs x 100 tokens = 400; source b: 2 x 100 = 200;
+    // source c is NOT in the target mix
+    val docs = ((1L to 4L).map(i => (i, "a", 100L)) ++
+      (5L to 6L).map(i => (i, "b", 100L)) :+ ((7L, "c", 100L)))
+      .toDF("doc_id", "source", "ntok")
+    val plan = Split.mixturePlan(docs, "source", col("ntok"),
+      Map("a" -> 0.25, "b" -> 0.75), budget = 400L)
+    val rows = plan.collect().map(r => r.getString(0) -> r).toMap
+    // a: alloc 100 of 400 -> rate 0.25, keep 0.25, 1 epoch (downsample)
+    assert(rows("a").getLong(1) == 4L && rows("a").getLong(2) == 400L)
+    assert(rows("a").getLong(4) == 100L && rows("a").getDouble(5) == 0.25)
+    assert(rows("a").getDouble(6) == 0.25 && rows("a").getLong(7) == 1L)
+    // b: alloc 300 of 200 -> rate 1.5, keep capped at 1.0, 2 epochs
+    assert(rows("b").getDouble(5) == 1.5 && rows("b").getDouble(6) == 1.0)
+    assert(rows("b").getLong(7) == 2L)
+    // c: not in the mix -> NULL plan, not silent zero
+    assert(rows("c").isNullAt(3) && rows("c").isNullAt(5))
+
+    val kept = Split.applyMixture(docs, "source", col("doc_id"), plan)
+      .select("doc_id").as[Long].collect().toSet
+    // b keeps everything (fraction 1.0); a keeps the md5-bucket subset —
+    // exactly the rows hashSample(0.25) keeps; c is excluded entirely
+    val aSample = Split.hashSample(docs.filter(col("source") === "a"),
+      col("doc_id"), 0.25).select("doc_id").as[Long].collect().toSet
+    assert(kept == aSample ++ Set(5L, 6L))
+  }
+
   test("skew salting: salted join and salted sum are result-identical") {
     // 90% of rows share one hot key
     val large = (1L to 1000L).map(i => (if (i % 10 == 0) i % 7 else 0L, i))
