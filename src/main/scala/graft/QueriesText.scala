@@ -1099,7 +1099,42 @@ object QueriesText {
                    coalesce(n_docs_sampled, 0) AS n_docs_sampled
             FROM pl2 LEFT JOIN samp USING (source)"""))
 
+  // ---------------------------------------------------------------- q82
+  // Unicode text repair (ftfy-lite): every doc gets web-corpus dirt
+  // appended — a combining-acute sequence (NFC-composes to é), a
+  // zero-width space, a BEL control — and normalizeUnicode must compose
+  // the one and strip the others. Both engines implement spec-defined
+  // NFC, so lengths and tails hash-match exactly. Map-only plan.
+  private val q82 = Q("q82_normalize_text",
+    (s, dir) => {
+      val dirty = concat(col("text"),
+        // explicit escapes: combining acute U+0301, ZWSP U+200B, BEL U+0007
+        lit(" caf"), lit("e\u0301"), lit("\u200Bzw\u0007ctl"))
+      t(s, dir, "documents").select(col("doc_id"),
+        length(dirty).cast(LongType).as("n_raw"),
+        length(graft.functions.CleanFunctions.normalizeUnicode(dirty))
+          .cast(LongType).as("n_clean"),
+        substring(graft.functions.CleanFunctions.normalizeUnicode(dirty),
+          -12, 12).as("clean_tail"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                     text || ' caf' || 'e' || chr(769) ||
+                       chr(8203) || 'zw' || chr(7) || 'ctl' AS dirty
+              FROM documents),
+            c AS (
+              SELECT doc_id, dirty,
+                     regexp_replace(nfc_normalize(dirty),
+                       '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]|[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]',
+                       '', 'g') AS clean
+              FROM d)
+            SELECT doc_id,
+                   CAST(length(dirty) AS BIGINT) AS n_raw,
+                   CAST(length(clean) AS BIGINT) AS n_clean,
+                   right(clean, 12) AS clean_tail
+            FROM c"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
-    q77, q78, q80, q81)
+    q77, q78, q80, q81, q82)
 }

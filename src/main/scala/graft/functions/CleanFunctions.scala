@@ -19,6 +19,17 @@ object CleanFunctions {
   def normalizeWhitespace(c: Column): Column =
     regexp_replace(trim(c), "\\s+", " ")
 
+  /** Unicode text repair (ftfy-lite): NFC-compose combining sequences so
+    * visually identical text is byte-identical (dedup/shingle/join all
+    * depend on it), then strip the invisible characters a web corpus
+    * drags in — zero-widths (ZWSP/ZWNJ/ZWJ/ZWNBSP-BOM), soft hyphen, and
+    * C0/DEL controls except tab/newline/CR. The pattern stays in the
+    * Java-regex ∩ RE2 dialect so external engines run it verbatim. */
+  def normalizeUnicode(c: Column): Column =
+    regexp_replace(graft.plans.UnicodeExpressions.nfc(c),
+      "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{00AD}]|[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]",
+      "")
+
   /** F3 — trim + collapse whitespace + title-case (cleaning.py:340-341). */
   def titleCase(c: Column): Column = initcap(normalizeWhitespace(c))
 

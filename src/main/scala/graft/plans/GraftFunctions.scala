@@ -31,6 +31,7 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     // strings / cleaning
     colFn(spark, "graft_normalize_ws")     { a => CF.normalizeWhitespace(a.head) }
+    colFn(spark, "graft_normalize_unicode") { a => CF.normalizeUnicode(a.head) }
     colFn(spark, "graft_title_case")       { a => CF.titleCase(a.head) }
     colFn(spark, "graft_capitalize_first") { a => CF.capitalizeFirst(a.head) }
     colFn(spark, "graft_strip_non_alpha")  { a => CF.stripNonAlpha(a.head) }

@@ -21,6 +21,21 @@ class CleanFunctionsSpec extends AnyFunSuite {
     assert(one(CF.titleCase(lit("  american   AIRLINES  inc "))) == "American Airlines Inc")
   }
 
+  test("normalizeUnicode: NFC-composes, strips invisibles, keeps tab/newline") {
+    // combining e + U+0301 composes to the single char é
+    assert(one(CF.normalizeUnicode(lit("caf" + "e\u0301"))) == "caf\u00E9")
+    assert(one(length(CF.normalizeUnicode(lit("e\u0301")))) == 1)
+    // already-NFC input is untouched (fast path)
+    assert(one(CF.normalizeUnicode(lit("caf\u00E9"))) == "caf\u00E9")
+    // zero-widths, BOM, soft hyphen, C0 controls and DEL are stripped
+    assert(one(CF.normalizeUnicode(
+      lit("a\u200Bb\u200Cc\u200Dd\uFEFFe\u00ADf\u0007g\u007Fh"))) == "abcdefgh")
+    // structural whitespace survives: tab, newline, CR
+    assert(one(CF.normalizeUnicode(lit("a\tb\nc\rd"))) == "a\tb\nc\rd")
+    // null propagates
+    assert(one(CF.normalizeUnicode(lit(null: String))) == null)
+  }
+
   test("F6/F25-F27 money cleaning: strip, coerce, banker's-round, clip") {
     assert(one(CF.cleanMoney(lit("$1,540.00"))) == 1540.00)
     assert(one(CF.cleanMoney(lit("not money"))) == null) // coerce → null
