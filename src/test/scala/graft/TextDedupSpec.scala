@@ -317,6 +317,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(droppedUncapped == 0)
   }
 
+  test("incremental dedup equals the plain anti-join, at any fpp") {
+    import graft.operators.IncrementalDedup
+    import graft.functions.{TextFunctions => TF}
+    val history = (1L to 200L).map(i => (i, s"history document number $i payload"))
+      .toDF("doc_id", "text")
+    val inc = ((1L to 50L).map(i => (i + 1000L, s"history document number ${i * 3} payload")) ++
+      (1L to 30L).map(i => (i + 2000L, s"brand new increment doc $i")))
+      .toDF("doc_id", "text")
+    val naive = inc.withColumn("_k", TF.contentKey(col("text")))
+      .join(history.select(TF.contentKey(col("text")).as("_k")),
+        Seq("_k"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    // tight fpp and an absurdly loose one: the Bloom stage is an
+    // optimization, the answer must not move
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = IncrementalDedup.newDocs(inc, history, "text",
+        expectedHistoryKeys = 200L, fpp = fpp)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == naive, s"fpp=$fpp")
+    }
+    assert(naive == (1L to 30L).map(_ + 2000L).toSet)
+    // an all-duplicate increment yields nothing
+    assert(IncrementalDedup.newDocs(history, history, "text",
+      expectedHistoryKeys = 200L).count() == 0)
+  }
+
   test("semDedup keeps one representative per within-cell semantic group") {
     val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
     val vecs = Seq(
