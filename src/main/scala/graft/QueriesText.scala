@@ -923,11 +923,8 @@ object QueriesText {
   // so the per-doc aggregate is partition-order-independent — that is
   // what lets DuckDB replay the whole pipeline hash-for-hash.
   private val q78 = Q("q78_bigram_lm",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      NgramLM.perplexityFilter(docs, "text", "doc_id",
-        NgramLM.train(docs, "text"), tailFraction = 0.1)
-    },
+    (s, dir) => NgramLM.selfPerplexityFilter(t(s, dir, "documents"),
+      "text", "doc_id", tailFraction = 0.1),
     Some("""WITH tk AS (
               SELECT doc_id,
                      list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -1134,7 +1131,38 @@ object QueriesText {
                    right(clean, 12) AS clean_tail
             FROM c"""))
 
+  // ---------------------------------------------------------------- q83
+  // Incremental dedup: today's increment (re-sent docs + genuinely new
+  // v2 revisions) against the full history. The Bloom stage prunes
+  // definitely-new rows map-side and the exact probe settles false
+  // positives, so the answer equals a plain anti-join — which is exactly
+  // what the oracle computes (NOT IN over content keys). History rows
+  // never shuffle.
+  private val q83 = Q("q83_incremental_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val inc = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 30000000L).as("doc_id"),
+            concat(col("text"), lit(" v2")).as("text")))
+      IncrementalDedup.newDocs(inc, docs, "text",
+          expectedHistoryKeys = 1000L, fpp = 0.03)
+        .select(col("doc_id"), length(col("text")).cast(LongType).as("n_chars"))
+    },
+    Some("""WITH inc AS (
+              SELECT doc_id + 20000000 AS doc_id, text
+              FROM documents WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id + 30000000, text || ' v2'
+              FROM documents WHERE doc_id % 11 = 0)
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+            FROM inc
+            WHERE md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+              NOT IN (SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                      FROM documents)"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
-    q77, q78, q80, q81, q82)
+    q77, q78, q80, q81, q82, q83)
 }

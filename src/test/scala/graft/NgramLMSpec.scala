@@ -52,6 +52,14 @@ class NgramLMSpec extends AnyFunSuite {
     assert(row.getLong(1) == 1L && row.getDouble(2) == expect)
   }
 
+  test("scoreSelfTrained == train-then-score (single-explode fast path)") {
+    val viaTrain = NgramLM.score(docs, "text", "doc_id",
+      NgramLM.train(docs, "text")).collect().map(_.toString).sorted.toSeq
+    val viaSelf = NgramLM.scoreSelfTrained(docs, "text", "doc_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSelf == viaTrain)
+  }
+
   test("perplexityFilter: exact tail cutoff flags the worst docs") {
     val lm = NgramLM.train(docs, "text")
     val out = NgramLM.perplexityFilter(docs, "text", "doc_id", lm,
