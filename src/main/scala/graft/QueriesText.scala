@@ -1162,7 +1162,65 @@ object QueriesText {
               NOT IN (SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
                       FROM documents)"""))
 
+  // ---------------------------------------------------------------- q84
+  // Curriculum packing: order the corpus best-quality-first (composite
+  // key = inverted quality + id tiebreak — a total order both engines
+  // compute bit-identically) and pack it into 2048-token training
+  // sequences. The global running offset is the distributed prefix scan
+  // (q57/q58's shape), so "sort 100 TB by quality and concatenate" never
+  // funnels through one task.
+  private val q84 = Q("q84_curriculum_pack",
+    (s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TF.qualityScore(col("text")).as("quality"))
+      val keyed = scored.withColumn("_ckey",
+        (lit(1000000L) - round(col("quality") * 1e6).cast(LongType))
+          * 100000000L + col("doc_id"))
+      Pack.packByTokenBudget(keyed, TF.tokenCount(col("text")), "_ckey",
+          budget = 2048)
+        .select(col("doc_id"), col("quality"), col("n_tokens"),
+          col("tok_offset"), col("seq_first"), col("seq_last"))
+    },
+    Some("""WITH x AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk,
+                     CAST(length(text) AS DOUBLE) AS chars,
+                     CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct
+              FROM documents),
+            y AS (
+              SELECT doc_id,
+                     CAST(len(tk) AS BIGINT) AS n_tokens,
+                     CAST(len(tk) AS DOUBLE) AS ntok, chars, punct,
+                     CASE WHEN len(tk) > 0 THEN
+                       CAST(len(list_filter(tk, t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS DOUBLE) / len(tk)
+                     ELSE 0.0 END AS stopr
+              FROM x),
+            q AS (
+              SELECT doc_id, n_tokens,
+                     round(0.4 * least(ntok / 200.0, 1.0)
+                         + 0.2 * (CASE WHEN ntok > 0 AND chars / ntok BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                         + 0.2 * (1.0 - (CASE WHEN chars > 0 THEN least(punct / chars * 5.0, 1.0) ELSE 1.0 END))
+                         + 0.2 * least(stopr * 5.0, 1.0), 6) AS quality
+              FROM y),
+            k AS (
+              SELECT doc_id, quality, n_tokens,
+                     (1000000 - CAST(round(quality * 1000000.0, 0) AS BIGINT))
+                       * 100000000 + doc_id AS ckey
+              FROM q),
+            c AS (
+              SELECT doc_id, quality, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY ckey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+              FROM k)
+            SELECT doc_id, quality, n_tokens, tok_offset,
+                   tok_offset // 2048 AS seq_first,
+                   CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 2048
+                        ELSE tok_offset // 2048 END AS seq_last
+            FROM c"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
-    q77, q78, q80, q81, q82, q83)
+    q77, q78, q80, q81, q82, q83, q84)
 }
