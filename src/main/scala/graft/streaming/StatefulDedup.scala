@@ -21,6 +21,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulDedup {
 
+  /** Event-time-bounded streaming dedup on Spark's built-in state store:
+    * rows sharing `keyCols` within `delay` of each other collapse to the
+    * first arrival, and state is evicted by the WATERMARK rather than a
+    * processing-time TTL — the deterministic replay-safe contract
+    * (re-running the same input produces the same survivors, which a
+    * wall-clock TTL cannot promise). Prefer this when the dedup horizon
+    * is an event-time window; use [[firstOccurrence]] when dedup must
+    * span the whole stream or carry custom per-key logic. */
+  def withinWatermark(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                      delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Keep only the FIRST row per key across the whole stream. Input rows
     * are carried as (key, payload-json); emitted rows keep that shape —
     * join back or `from_json` downstream as needed. */

@@ -196,6 +196,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got("a").contains("\"v\":1"), s"must keep the FIRST a: ${got("a")}")
   }
 
+  test("watermark-bounded dedup: duplicates within the horizon collapse, state evicts by event time") {
+    import graft.streaming.StatefulDedup
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, Int)]
+    val deduped = StatefulDedup.withinWatermark(
+      input.toDF().toDF("k", "ts", "v")
+        .withColumn("ts", col("ts").cast("timestamp")),
+      Seq("k"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("wmdedup")
+      .outputMode("append").start()
+    // batch 1: duplicate key inside the horizon collapses to first arrival
+    input.addData(("a", "2024-01-01 10:00:00", 1),
+      ("a", "2024-01-01 10:05:00", 2), ("b", "2024-01-01 10:01:00", 3))
+    q.processAllAvailable()
+    // batch 2: still within a's horizon -> dropped; then the watermark
+    // advances far past it, so a LATE re-arrival of key a is a new row
+    input.addData(("a", "2024-01-01 10:06:00", 4))
+    q.processAllAvailable()
+    input.addData(("z", "2024-01-01 12:00:00", 9)) // advance watermark
+    q.processAllAvailable()
+    input.addData(("a", "2024-01-01 11:55:00", 5)) // beyond old horizon
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wmdedup").select("k", "v")
+      .as[(String, Int)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got("b") == Set(3) && got("z") == Set(9))
+    assert(got("a").contains(1) && !got("a").contains(2) && !got("a").contains(4),
+      s"in-horizon duplicates must collapse to the first arrival: ${got("a")}")
+  }
+
   test("S17/S12: streaming file source over a landing directory") {
     import java.nio.file.Files
     import graft.sources.CsvSource
