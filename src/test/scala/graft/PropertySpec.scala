@@ -134,4 +134,39 @@ class PropertySpec extends AnyFunSuite {
         out.toSet == out2.toSet
     }, n = 10)
   }
+
+  test("bigram LM score == in-memory Laplace model (incl. rounding path)") {
+    // tiny alphabet so gram/context counts collide; doc lengths 0-6 cover
+    // the unscorable (<2 tokens) edge
+    val docGen = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val gen = Gen.listOfN(5, docGen)
+    check("ngramLM", Prop.forAll(gen) { texts =>
+      def toks(t: String) = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toList
+      def grams(t: String) = toks(t).sliding(2).filter(_.size == 2).map(_.mkString(" ")).toList
+      val all = texts.flatMap(grams)
+      val c12 = all.groupBy(identity).map { case (g, o) => g -> o.size }
+      val c1 = all.map(_.split(" ")(0)).groupBy(identity).map { case (w, o) => w -> o.size }
+      val v = texts.flatMap(toks).distinct.size
+      val expected = texts.zipWithIndex.map { case (t, i) =>
+        val gs = grams(t)
+        val score = if (gs.isEmpty) None else {
+          val sum = gs.map { g =>
+            val lp = math.log((c12(g) + 1).toDouble / (c1(g.split(" ")(0)) + v))
+            BigDecimal(lp).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+          }.sum
+          Some(BigDecimal(sum.toDouble / gs.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+        }
+        (i.toLong, (gs.size.toLong, score))
+      }.toMap
+
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.NgramLM.scoreSelfTrained(df, "text", "doc_id")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      got == expected
+    }, n = 10)
+  }
 }
