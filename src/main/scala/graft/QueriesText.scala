@@ -1220,7 +1220,33 @@ object QueriesText {
                         ELSE tok_offset // 2048 END AS seq_last
             FROM c"""))
 
+  // ---------------------------------------------------------------- q85
+  // Materialized sequence packing: the actual 512-token training
+  // sequences, not just the offsets (q58's twin that a loader consumes
+  // directly). Global positions from the prefix scan; one token-level
+  // Exchange keyed by sequence id, each group <= budget tokens.
+  private val q85 = Q("q85_pack_sequences",
+    (s, dir) => Pack.assembleSequences(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "text", "doc_id", budget = 512),
+    Some("""WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            o AS (
+              SELECT doc_id, tk,
+                     CAST(coalesce(sum(len(tk)) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+              FROM tk),
+            u AS (SELECT off, tk, UNNEST(range(len(tk))) AS i FROM o),
+            p AS (SELECT off + i AS p, tk[i + 1] AS tok FROM u)
+            SELECT p // 512 AS seq_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   string_agg(tok, ' ' ORDER BY p) AS seq_text
+            FROM p GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
-    q77, q78, q80, q81, q82, q83, q84)
+    q77, q78, q80, q81, q82, q83, q84, q85)
 }

@@ -78,6 +78,36 @@ object Pack {
                   out: String = "row_idx"): DataFrame =
     prefixSum(df, lit(1L), orderCol, out)
 
+  /** Materialize the packed training sequences themselves: concatenate
+    * all documents in `orderCol` order and emit one row per
+    * `budget`-token sequence — (seq_id, n_tokens, seq_text). The final
+    * sequence may be partial; every other sequence holds exactly
+    * `budget` tokens.
+    *
+    * Scale shape: the global token offset is the distributed prefix scan
+    * (no single-task stage); assembly then explodes to token granularity
+    * ONCE and shuffles by sequence id — the unavoidable cost of
+    * physically materializing sequences, and each group is bounded by
+    * `budget` tokens regardless of corpus size, so no task ever holds
+    * more than one sequence's worth of state. */
+  def assembleSequences(df: DataFrame, textCol: String, orderCol: String,
+                        budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val withToks = df.withColumn("_toks",
+      graft.functions.TextFunctions.tokens(col(textCol)))
+    val withOff = prefixSum(withToks,
+      size(col("_toks")).cast(LongType), orderCol, "_off")
+    withOff
+      .select(col("_off"), posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+      .select((col("_off") + col("_pos")).as("_p"), col("_tok"))
+      .groupBy(floor(col("_p") / budget).cast(LongType).as("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("_p"), col("_tok")))),
+            x => x.getField("_tok")),
+          " ").as("seq_text"))
+  }
+
   /** GPT-style sequence packing: documents are concatenated in
     * `orderCol` order and cut into fixed `budget`-token training
     * sequences; a document whose token span crosses a cut belongs to

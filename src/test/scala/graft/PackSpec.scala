@@ -39,4 +39,26 @@ class PackSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 12L, 1L, 1L, false))) // empty doc, point-like
     assert(got(4) == ((5L, 12L, 1L, 2L, true)))  // 12..23 crosses cut at 20
   }
+
+  test("assembleSequences reconstructs the exact concatenation in budget cuts") {
+    val docs = Seq(
+      (1L, "a1 a2 a3"),
+      (2L, "b1 b2"),
+      (3L, ""),            // token-free doc contributes nothing
+      (4L, "c1 c2 c3 c4 c5")
+    ).toDF("doc_id", "text").repartition(3)
+    val got = Pack.assembleSequences(docs, "text", "doc_id", budget = 4)
+      .orderBy("seq_id")
+      .select("seq_id", "n_tokens", "seq_text")
+      .as[(Long, Long, String)].collect.toSeq
+    // global stream: a1 a2 a3 b1 | b2 c1 c2 c3 | c4 c5
+    assert(got == Seq(
+      (0L, 4L, "a1 a2 a3 b1"),
+      (1L, 4L, "b2 c1 c2 c3"),
+      (2L, 2L, "c4 c5")))
+    // every non-final sequence is exactly budget-sized; the stream
+    // round-trips to the original concatenation
+    val joined = got.map(_._3).mkString(" ")
+    assert(joined == "a1 a2 a3 b1 b2 c1 c2 c3 c4 c5")
+  }
 }
