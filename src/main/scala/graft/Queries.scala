@@ -987,11 +987,12 @@ object Queries {
         col("c_custkey").as("_ingest_id"))
       val cfg = Warehouse.bookingSales
       val dims = Seq("segment"); val measures = Seq("amount")
-      // persist each layer like the reference's per-batch table writes —
-      // lazily chained, batch 2's plan would re-evaluate batch 1's whole
-      // chain once per downstream consumer
-      val pin = (df: org.apache.spark.sql.DataFrame) =>
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize each layer like the reference's per-batch table
+      // writes — lazily chained, batch 2's plan would re-evaluate batch
+      // 1's whole chain once per downstream consumer. localCheckpoint,
+      // not persist: layer frames are never unpersisted, and cache
+      // entries would pile up across repeated runs in one session
+      val pin = (df: org.apache.spark.sql.DataFrame) => df.localCheckpoint()
       val l0 = Warehouse.emptyLayers(cfg, b1, dims, measures, "_ingest_id")
       val l1 = Warehouse.run(cfg, b1, l0, dims, measures, "_ingest_id",
         lit(java.sql.Date.valueOf("2024-01-01")), materialize = pin)

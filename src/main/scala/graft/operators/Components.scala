@@ -70,6 +70,13 @@ object Components {
       iter += 1
     }
     und.unpersist()
+    // hand back an auto-released copy and drop the last round's cache
+    // entry — returning the persisted frame itself would leak one
+    // CacheManager entry per call in long-lived sessions (labels is
+    // vertex-count-sized, so the eager checkpoint is cheap and reads
+    // straight from the still-cached round)
+    val out = labels.localCheckpoint()
+    persisted.unpersist()
     if (changed > 0) {
       val msg = s"labelPropagate did not converge in $maxIter rounds " +
         s"($changed labels still changing) — component ids would be WRONG " +
@@ -77,7 +84,7 @@ object Components {
       if (requireConvergence) throw new IllegalStateException(msg)
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
-    labels
+    out
   }
 
   /** Keep one representative per duplicate group: drop every doc whose

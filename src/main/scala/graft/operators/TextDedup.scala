@@ -90,17 +90,23 @@ object TextDedup {
       array_min(transform(shingles, s => xxhash64(lit(i), s)))
     }: _*)
 
-  /** (id, shingles, signature) frame, persisted: the self-join and the
-    * verification probes would otherwise recompute the shingle+signature
-    * projection up to four times. At cluster scale this is the classic
-    * "materialize the sketch once" pattern (checkpoint/table in a real
-    * pipeline; MEMORY_AND_DISK here). */
+  /** (id, shingles, signature) frame, materialized once: the self-join
+    * and the verification probes would otherwise recompute the
+    * shingle+signature projection up to four times. Eager
+    * `localCheckpoint`, NOT `persist`: a persisted frame stays
+    * registered in the CacheManager until an explicit unpersist, so a
+    * long-lived session running many dedup calls (the bench runs 85
+    * queries in one JVM) accumulates sketch caches until memory
+    * pressure throttles everything downstream — checkpoint blocks are
+    * ContextCleaner-released as soon as the frame is unreachable. At
+    * cluster scale this becomes a checkpoint/table write ("materialize
+    * the sketch once"). */
   private def sigFrameWith(docs: DataFrame, textCol: String, idCol: String,
                            shingleSize: Int, sigOf: Column => Column): DataFrame =
     docs.select(col(idCol).as("_id"),
         TextFunctions.charShingles(col(textCol), shingleSize).as("_sh"))
       .withColumn("_sig", sigOf(col("_sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
   private def sigFrame(docs: DataFrame, textCol: String, idCol: String,
                        shingleSize: Int, numHashes: Int): DataFrame =
