@@ -1153,10 +1153,63 @@ object Queries {
                    max(supp_blk) AS max_supp_blk
             FROM z GROUP BY 1"""))
 
+  // ---------------------------------------------------------------- q86
+  // Relational HyperLogLog: approximate distinct customers per order
+  // priority, next to the exact count and the relative error. The
+  // register table (groupBy (key, register) max rho) is the sketch —
+  // mergeable across shards/days with a plain re-aggregation, which is
+  // why it beats an opaque binary HLL buffer for incremental corpora.
+  // Deterministic to the bit: md5 hashing, exact integer indicator sum,
+  // and the DuckDB oracle replays the whole estimator.
+  private val q86 = Q("q86_hll_distinct",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val approx = Sketches.hllDistinct(o, col("o_custkey"), Seq("o_orderpriority"))
+      val exact = o.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      approx.join(exact, "o_orderpriority")
+        .withColumn("rel_err",
+          bround(abs(col("approx_distinct") - col("exact_distinct").cast("double"))
+            / col("exact_distinct").cast("double"), 6))
+    },
+    Some(s"""WITH approx AS (
+              ${Sketches.hllOracleSql("orders", "o_orderpriority", "o_custkey")}),
+            exact AS (
+              SELECT o_orderpriority,
+                     CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+              FROM orders GROUP BY 1)
+            SELECT o_orderpriority, approx_distinct, exact_distinct,
+                   round(abs(approx_distinct - CAST(exact_distinct AS DOUBLE))
+                         / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+            FROM approx JOIN exact USING (o_orderpriority)"""))
+
+  // ---------------------------------------------------------------- q87
+  // Deterministic stratified sample — class rebalancing (keep all of the
+  // rare P status, half of F, a tenth of O). Pure projection+filter, no
+  // shuffle; the keep decision is a function of (status fraction,
+  // order key) alone, so both engines and any re-run keep the same rows.
+  private val q87 = Q("q87_stratified_sample",
+    (s, dir) => Split.stratifiedSample(
+        t(s, dir, "orders"), col("o_orderstatus"),
+        Map("O" -> 0.1, "F" -> 0.5, "P" -> 1.0), col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+    Some("""WITH b AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice,
+                (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 4, 1)) - 1) AS bucket
+              FROM orders)
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM b
+            WHERE bucket < CASE o_orderstatus WHEN 'O' THEN 6554
+                                              WHEN 'F' THEN 32768
+                                              WHEN 'P' THEN 65536
+                                              ELSE 0 END"""))
+
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q57, q60, q66, q67, q68, q70,
-    q71, q73, q74, q75, q79) ++
+    q71, q73, q74, q75, q79, q86, q87) ++
     QueriesText.all ++ QueriesClean.all
 }

@@ -1246,7 +1246,39 @@ object QueriesText {
                    string_agg(tok, ' ' ORDER BY p) AS seq_text
             FROM p GROUP BY 1"""))
 
+  // ---------------------------------------------------------------- q88
+  // Inverted index over the corpus: per term, exact document/term
+  // frequencies plus a bounded postings preview (first 10 doc:tf pairs
+  // by doc id). The cap bounds per-term aggregation STATE — a stopword
+  // row carries 10 postings, not a corpus-sized list — while df and
+  // total_tf stay exact; `truncated` makes the cut observable (same
+  // contract as lshTopK's bucket cap).
+  private val q88 = Q("q88_inverted_index",
+    (s, dir) => Tfidf.invertedIndex(
+      t(s, dir, "documents"), "text", "doc_id", maxPostings = 10),
+    Some("""WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            tf AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, UNNEST(tk) AS term FROM tk)
+              GROUP BY term, doc_id),
+            r AS (
+              SELECT term, doc_id, tf,
+                     row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+              FROM tf)
+            SELECT term,
+                   CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS total_tf,
+                   coalesce(string_agg(
+                     CASE WHEN rn <= 10 THEN doc_id || ':' || tf END,
+                     ' ' ORDER BY rn), '') AS postings,
+                   max(rn) > 10 AS truncated
+            FROM r GROUP BY term"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
-    q77, q78, q80, q81, q82, q83, q84, q85)
+    q77, q78, q80, q81, q82, q83, q84, q85, q88)
 }

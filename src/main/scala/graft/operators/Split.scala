@@ -114,6 +114,26 @@ object Split {
       .filter(bucket65536(id) < round(col("keep_fraction") * 65536.0))
       .drop("keep_fraction")
 
+  /** Deterministic stratified sample: per-stratum keep fractions (e.g.
+    * class rebalancing — keep 100 % of the rare class, 5 % of the
+    * dominant one). Same md5-bucket rule as [[hashSample]], so the
+    * decision is a pure function of (stratum fraction, id): re-runs and
+    * other engines keep exactly the same rows. Strata absent from
+    * `fractions` are DROPPED (explicit allowlist, matching [[mix]]).
+    *
+    * Scale: one codegen'd projection + filter — no shuffle, no join;
+    * the fraction lookup is a literal map. */
+  def stratifiedSample(df: DataFrame, stratum: Column,
+                       fractions: Map[String, Double], id: Column): DataFrame = {
+    require(fractions.nonEmpty, "stratifiedSample needs at least one stratum")
+    fractions.values.foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction must be in [0,1], got $f"))
+    val thresholds: Map[String, Long] =
+      fractions.map { case (k, f) => k -> math.round(f * 65536.0) }
+    df.filter(bucket65536(id) <
+      coalesce(element_at(typedLit(thresholds), stratum.cast("string")), lit(0L)))
+  }
+
   /** Assign each row a split label from `weights` — (label, bucketCount)
     * pairs that must sum to 16, e.g. Seq("train" -> 12, "val" -> 2,
     * "test" -> 2) for a 75/12.5/12.5 split. Adds `bucket` and `split`. */

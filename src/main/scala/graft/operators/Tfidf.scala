@@ -44,4 +44,44 @@ object Tfidf {
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         bround(col("tfidf"), 6).as("tfidf"), col("rank").cast(IntegerType).as("rank"))
   }
+
+  /** Inverted index over the corpus: one row per term with document
+    * frequency, total term frequency, and a BOUNDED postings preview —
+    * the first `maxPostings` `doc:tf` entries in doc-id order, rendered
+    * as a string (engine-portable, no array-encoding ambiguity).
+    *
+    * The cap is the scale guard: a stopword's postings list is
+    * corpus-sized, and an unbounded `collect_list` per term recreates
+    * the hot-key problem LSH bucketing avoids elsewhere. `df`/`total_tf`
+    * stay EXACT (plain aggregates); only the preview is truncated, and
+    * `truncated` says so — same observable-cap contract as
+    * `Similarity.lshTopK`.
+    *
+    * Shape at scale: explode → (term, doc) hash agg with map-side
+    * combine shrinks the stream to distinct (term, doc) pairs; then ONE
+    * term-keyed Exchange feeds both the ranking window and the final
+    * vocabulary-sized agg (exact `df` needs every pair, so rows cannot
+    * be pruned pre-shuffle — the cap bounds per-term STATE, not the
+    * scan). `collect_list` skips the NULLs the cap injects, so no task
+    * ever buffers more than `maxPostings` postings per term. */
+  def invertedIndex(docs: DataFrame, textCol: String, idCol: String,
+                    maxPostings: Int = 20): DataFrame = {
+    require(maxPostings > 0, s"maxPostings must be positive, got $maxPostings")
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    tf.withColumn("_rn", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(
+              when(col("_rn") <= maxPostings,
+                struct(col("_rn").as("r"),
+                  concat_ws(":", col("doc_id"), col("tf")).as("p"))))),
+            x => x.getField("p"))).as("postings"),
+        (max(col("_rn")) > maxPostings).as("truncated"))
+  }
 }

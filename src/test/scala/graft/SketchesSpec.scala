@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hllDistinct estimates grouped cardinality within HLL error bounds") {
+    // m=256 registers → standard error 1.04/sqrt(256) = 6.5 %; assert 3σ
+    val df = (1 to 5000).map(i => (s"g${i % 2}", i)).toDF("g", "v")
+    val got = Sketches.hllDistinct(df, col("v"), Seq("g"))
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == Set("g0", "g1"))
+    got.values.foreach { est => assert(math.abs(est - 2500.0) / 2500.0 < 0.2) }
+  }
+
+  test("hllDistinct ignores NULL values like COUNT DISTINCT") {
+    val df = Seq(Some(1), Some(2), None, Some(2)).toDF("v")
+      .withColumn("g", lit("x"))
+    val est = Sketches.hllDistinct(df, col("v"), Seq("g"))
+      .select("approx_distinct").as[Double].head()
+    // 2 distinct values, small range → linear counting is near-exact
+    assert(est > 1.0 && est < 4.0)
+  }
+
+  test("hll register tables merge across shards to the same estimate") {
+    val all = (1 to 2000).map(i => ("g", i)).toDF("g", "v")
+    val shard1 = (1 to 1200).map(i => ("g", i)).toDF("g", "v")   // overlap
+    val shard2 = (1000 to 2000).map(i => ("g", i)).toDF("g", "v")
+    val direct = Sketches.hllDistinct(all, col("v"), Seq("g"))
+      .select("approx_distinct").as[Double].head()
+    val merged = Sketches.hllEstimate(
+      Sketches.hllRegisters(shard1, col("v"), Seq("g"))
+        .unionByName(Sketches.hllRegisters(shard2, col("v"), Seq("g")))
+        .groupBy("g", "_hll_reg").agg(max("_hll_rho").as("_hll_rho")),
+      Seq("g")).select("approx_distinct").as[Double].head()
+    assert(direct == merged) // bit-identical, not just close
+  }
+
+  test("stratifiedSample keeps per-stratum fractions and is deterministic") {
+    val df = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "big" else "rare"))
+      .toDF("id", "cls")
+    val out = Split.stratifiedSample(df, col("cls"),
+      Map("big" -> 0.1, "rare" -> 1.0), col("id"))
+    val counts = out.groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(counts("rare") == 2000L)                  // fraction 1.0 keeps all
+    assert(math.abs(counts("big") - 200L) < 60)      // ~10 % of 2000
+    // absent stratum is dropped, and a re-run keeps the identical rows
+    val out2 = Split.stratifiedSample(df, col("cls"),
+      Map("big" -> 0.1), col("id"))
+    assert(out2.filter(col("cls") === "rare").count() == 0)
+    assert(out2.exceptAll(out.filter(col("cls") === "big")).count() == 0)
+  }
+
+  test("invertedIndex: exact df/tf, capped ordered postings, truncation flag") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple banana banana")).toDF("doc_id", "text")
+    val idx = Tfidf.invertedIndex(docs, "text", "doc_id", maxPostings = 2)
+      .as[(String, Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(idx("apple") == ("apple", 2L, 3L, "1:2 3:1", false))
+    assert(idx("cherry") == ("cherry", 1L, 1L, "2:1", false))
+    // banana appears in 3 docs: preview capped at 2, counts stay exact
+    assert(idx("banana") == ("banana", 3L, 4L, "1:1 2:1", true))
+  }
+}
