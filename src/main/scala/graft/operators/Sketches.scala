@@ -45,8 +45,10 @@ object Sketches {
 
   /** Per-row (register, rho) pair for `value`; NULL values yield NULL
     * register and must be filtered by the caller (same as COUNT
-    * DISTINCT semantics). */
-  private def regRho(value: Column): (Column, Column) = {
+    * DISTINCT semantics). Public so streaming aggregations
+    * ([[graft.streaming.EventWindows.approxDistinctRegisters]]) can
+    * build per-window register tables with the identical hash layout. */
+  def regRho(value: Column): (Column, Column) = {
     val h = md5(value.cast("string"))
     val reg = hexVal(h, 1, 2)
     val v48 = hexVal(h, 3, 12)

@@ -45,6 +45,35 @@ object EventWindows {
         col("session_window.end").as("window_end"), col(keyCol),
         col("n_events"), col("sum_value"))
 
+  /** Approximate distinct `valueCol` per tumbling window, as a
+    * STREAMING-SAFE HyperLogLog register table: one stateful
+    * aggregation — `max(rho)` per (window, register) — whose state is
+    * bounded by 256 rows per open window and evicted by the watermark.
+    *
+    * The emitted register table IS the sketch
+    * ([[graft.operators.Sketches]]): feed the sink (or any union of
+    * sinks/shards/backfills — `max` per register merges them) through
+    * `Sketches.hllEstimate(_, Seq("window_start", "window_end"))` for
+    * the cardinality estimate, bit-identical to running
+    * `Sketches.hllDistinct` over the same events in batch. Splitting
+    * sketch-update (streaming) from estimation (read time) keeps the
+    * stream to ONE stateful operator — no chained-aggregation support
+    * needed — and is exactly how a register table would live in a
+    * 100 TB pipeline: appended per micro-batch, re-aggregated on read. */
+  def approxDistinctRegisters(events: DataFrame, tsCol: String,
+                              valueCol: String, width: String,
+                              lateness: String = "10 minutes"): DataFrame = {
+    val (reg, rho) = graft.operators.Sketches.regRho(col(valueCol))
+    events.withWatermark(tsCol, lateness)
+      .filter(col(valueCol).isNotNull)
+      .select(col(tsCol), reg.as("_hll_reg"), rho.as("_hll_rho"))
+      .groupBy(window(col(tsCol), width), col("_hll_reg"))
+      .agg(max(col("_hll_rho")).as("_hll_rho"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("_hll_reg"), col("_hll_rho"))
+  }
+
   /** T6 — recent-N feed: latest n rows by `tsCol` (livestream.jsx:36-40's
     * last-5 history; the streaming side unions new appends in the sink). */
   def recentN(df: DataFrame, tsCol: String, n: Int, tieBreak: String): DataFrame =

@@ -293,4 +293,50 @@ class StreamingSpec extends AnyFunSuite {
       .as[(String, String)].collect.toSet
     assert(streamed == Set(("c1", "i1"), ("c2", "i2")))
   }
+
+  test("streaming HLL register sink estimates bit-identically to batch") {
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    // two micro-batches of user ids across two hour-windows, with
+    // within- and cross-batch repeats (the sketch must count each once)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = (1 to 400).map(u => (ts("2024-01-01 10:10:00"), s"u$u")) ++
+      (1 to 50).map(u => (ts("2024-01-01 11:20:00"), s"u$u"))
+    val b2 = (201 to 600).map(u => (ts("2024-01-01 10:40:00"), s"u$u")) ++
+      (1 to 50).map(u => (ts("2024-01-01 11:20:00"), s"u$u"))
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    input.addData(b1: _*)
+    // lateness must cover b2's 10:40 arrivals after b1 advanced the
+    // watermark to 11:20 — with the default 10 minutes they'd be
+    // (correctly) dropped as late
+    val regs = EventWindows.approxDistinctRegisters(
+      input.toDF().toDF("ts", "user"), "ts", "user", "1 hour",
+      lateness = "2 hours")
+    // update mode: every micro-batch appends its current register rows —
+    // the sink accumulates and a read-time re-aggregation merges them,
+    // which is the point of the register-table representation
+    // default micro-batch trigger (NOT AvailableNow, which terminates
+    // after draining batch 1 and would never see b2)
+    val q = regs.writeStream.format("memory").queryName("hllregs")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable(); q.stop()
+    val merged = spark.table("hllregs")
+      .groupBy("window_start", "window_end", "_hll_reg")
+      .agg(max("_hll_rho").as("_hll_rho"))
+    val streamed = Sketches.hllEstimate(merged, Seq("window_start", "window_end"))
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+        col("approx_distinct"))
+      .as[(String, Double)].collect.toMap
+    val batch = Sketches.hllDistinct(
+      (b1 ++ b2).toDF("ts", "user")
+        .withColumn("w", date_format(date_trunc("hour", col("ts")), "HH:mm")),
+      col("user"), Seq("w"))
+      .as[(String, Double)].collect.toMap
+    assert(streamed == batch) // bit-identical estimates, not just close
+    // and within HLL tolerance of the truth (600 and 50 distinct users)
+    assert(math.abs(streamed("10:00") - 600.0) / 600.0 < 0.2)
+    assert(math.abs(streamed("11:00") - 50.0) / 50.0 < 0.2)
+  }
 }
