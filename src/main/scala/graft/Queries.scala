@@ -1206,10 +1206,70 @@ object Queries {
                                               WHEN 'P' THEN 65536
                                               ELSE 0 END"""))
 
+  // ---------------------------------------------------------------- q89
+  // Keyed table diff — the drill-down a failed checksum comparison
+  // (q70) needs: which keys were added / removed / changed between two
+  // table versions. The "right" version is derived deterministically
+  // in-query (md5-bucket 0 keys dropped, bucket 1 priorities edited,
+  // bucket 2 keys re-keyed as additions) so both engines diff the same
+  // pair. Each side collapses to (key, 60-bit row hash) at the scan;
+  // the full-outer join ships two slim columns, never the payload, and
+  // unchanged keys (~all of a real reconciliation) are filtered out.
+  private val q89 = Q("q89_table_diff",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority"))
+      val b = Split.bucket16(col("o_orderkey"))
+      val right = o.filter(b =!= 0)
+        .withColumn("o_orderpriority",
+          when(b === 1, concat(col("o_orderpriority"), lit("*")))
+            .otherwise(col("o_orderpriority")))
+        .unionByName(o.filter(b === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      Checksum.diffTables(o, right, "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+    },
+    Some("""WITH base AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                     CAST(strpos('0123456789abcdef',
+                                 substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1
+                          AS BIGINT) AS b
+              FROM orders),
+            right_t AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CASE WHEN b = 1 THEN o_orderpriority || '*'
+                          ELSE o_orderpriority END AS o_orderpriority
+              FROM base WHERE b <> 0
+              UNION ALL
+              SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                     o_orderpriority
+              FROM base WHERE b = 2),
+            lh AS (
+              SELECT o_orderkey AS k,
+                     CAST(concat('0x', substr(md5(concat_ws('|',
+                          o_custkey, o_orderstatus, o_orderpriority)), 1, 15))
+                       AS BIGINT) AS lh
+              FROM orders),
+            rh AS (
+              SELECT o_orderkey AS k,
+                     CAST(concat('0x', substr(md5(concat_ws('|',
+                          o_custkey, o_orderstatus, o_orderpriority)), 1, 15))
+                       AS BIGINT) AS rh
+              FROM right_t)
+            SELECT coalesce(lh.k, rh.k) AS o_orderkey,
+                   CASE WHEN lh.lh IS NULL THEN 'added'
+                        WHEN rh.rh IS NULL THEN 'removed'
+                        WHEN lh.lh <> rh.rh THEN 'changed' END AS status
+            FROM lh FULL OUTER JOIN rh ON lh.k = rh.k
+            WHERE (CASE WHEN lh.lh IS NULL THEN 'added'
+                        WHEN rh.rh IS NULL THEN 'removed'
+                        WHEN lh.lh <> rh.rh THEN 'changed' END) IS NOT NULL"""))
+
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q57, q60, q66, q67, q68, q70,
-    q71, q73, q74, q75, q79, q86, q87) ++
+    q71, q73, q74, q75, q79, q86, q87, q89) ++
     QueriesText.all ++ QueriesClean.all
 }

@@ -44,4 +44,48 @@ object Checksum {
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(_h)").as("xor_hash"),
         sum(col("_h").cast(DecimalType(38, 0))).cast(DoubleType).as("sum_hash"))
+
+  /** Keyed table diff — the row-level drill-down a failed
+    * [[tableChecksum]] comparison needs: which keys were `added` (only
+    * in `right`), `removed` (only in `left`), or `changed` (both sides,
+    * different [[rowHash]] over `cols`). Unchanged keys are dropped —
+    * on a 100 TB reconciliation they are ~all rows, and emitting them
+    * would turn a diff report into a table copy.
+    *
+    * `key` must be unique per side (enforce upstream with keep-first
+    * dedup if needed); `cols` follows rowHash's canonical-rendering
+    * caveat (round/format doubles first).
+    *
+    * Scale: each side collapses to (key, hash) at the scan — the join
+    * shuffles two slim columns, never the payload; one shuffle per side
+    * on the key, full-outer join co-partitioned, then a codegen'd
+    * status projection + filter. */
+  def diffTables(left: DataFrame, right: DataFrame, key: String,
+                 cols: Seq[String]): DataFrame = {
+    val l = left.select(col(key).as("_k"), rowHash(cols.map(col)).as("_lh"))
+    val r = right.select(col(key).as("_k"), rowHash(cols.map(col)).as("_rh"))
+    l.join(r, Seq("_k"), "full_outer")
+      .withColumn("status",
+        when(col("_lh").isNull, lit("added"))
+          .when(col("_rh").isNull, lit("removed"))
+          .when(col("_lh") =!= col("_rh"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("_k").as(key), col("status"))
+  }
+
+  /** One-row-per-status summary of [[diffTables]] plus the unchanged
+    * count (computed from the same join, so one pass total). */
+  def diffSummary(left: DataFrame, right: DataFrame, key: String,
+                  cols: Seq[String]): DataFrame = {
+    val l = left.select(col(key).as("_k"), rowHash(cols.map(col)).as("_lh"))
+    val r = right.select(col(key).as("_k"), rowHash(cols.map(col)).as("_rh"))
+    l.join(r, Seq("_k"), "full_outer")
+      .select(
+        when(col("_lh").isNull, lit("added"))
+          .when(col("_rh").isNull, lit("removed"))
+          .when(col("_lh") =!= col("_rh"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
 }

@@ -91,4 +91,16 @@ class ReshapeSpec extends AnyFunSuite {
     assert(dRow.getAs[Long]("xor_hash") == oRow.getAs[Long]("xor_hash"))
     assert(dRow.getAs[Long]("n_rows") != oRow.getAs[Long]("n_rows"))
   }
+
+  test("diffTables reports added/removed/changed keys and drops unchanged") {
+    val left = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val right = Seq((2L, "b"), (3L, "CHANGED"), (4L, "d")).toDF("k", "v")
+    val diff = Checksum.diffTables(left, right, "k", Seq("v"))
+      .as[(Long, String)].collect().toSet
+    assert(diff == Set((1L, "removed"), (3L, "changed"), (4L, "added")))
+    val summary = Checksum.diffSummary(left, right, "k", Seq("v"))
+      .as[(String, Long)].collect().toMap
+    assert(summary == Map("removed" -> 1L, "changed" -> 1L,
+      "added" -> 1L, "unchanged" -> 1L))
+  }
 }
