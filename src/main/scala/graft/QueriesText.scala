@@ -193,6 +193,22 @@ object QueriesText {
                      CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
                        len(list_distinct(list_concat(sha, shb))) AS jaccard
               FROM est)"""
+
+    /** DuckDB rendering of TextFunctions.qualityScore over `textExpr` —
+      * kept in lockstep with the q26 oracle formula. */
+    def qualitySql(textExpr: String): String =
+      s"""(SELECT round(0.4 * least(CAST(len(tk) AS DOUBLE) / 200.0, 1.0)
+         |     + 0.2 * (CASE WHEN len(tk) > 0
+         |                AND CAST(length($textExpr) AS DOUBLE) / len(tk) BETWEEN 3.0 AND 10.0
+         |              THEN 1.0 ELSE 0.5 END)
+         |     + 0.2 * (1.0 - (CASE WHEN length($textExpr) > 0
+         |              THEN least(CAST(len(regexp_extract_all($textExpr, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |                         / length($textExpr) * 5.0, 1.0) ELSE 1.0 END))
+         |     + 0.2 * least((CASE WHEN len(tk) > 0
+         |              THEN CAST(len(list_filter(tk, t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS DOUBLE) / len(tk)
+         |              ELSE 0.0 END) * 5.0, 1.0), 6)
+         | FROM (SELECT list_filter(string_split_regex(lower(trim($textExpr)), '\\s+'),
+         |                          t -> len(t) > 0) AS tk))""".stripMargin
   }
 
   // ---------------------------------------------------------------- q30
@@ -1278,7 +1294,78 @@ object QueriesText {
                    max(rn) > 10 AS truncated
             FROM r GROUP BY term"""))
 
+  // ---------------------------------------------------------------- q90
+  // Vocabulary coverage curve (tokenizer prep): terms in frequency order
+  // with cumulative share of all token occurrences. The running total is
+  // the distributed prefix scan over an (inverted zero-padded freq |
+  // term) key — no single-task global window; everything after the
+  // corpus-collapsing hash agg runs on vocabulary-sized frames.
+  private val q90 = Q("q90_vocab_coverage",
+    (s, dir) => Tfidf.vocabCoverage(t(s, dir, "documents"), "text"),
+    Some("""WITH tk AS (
+              SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            f AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS freq
+              FROM (SELECT UNNEST(tk) AS term FROM tk) GROUP BY term),
+            k AS (
+              SELECT term, freq,
+                     lpad(CAST(999999999999 - freq AS VARCHAR), 12, '0')
+                       || '|' || term AS ckey
+              FROM f),
+            c AS (
+              SELECT term, freq,
+                     CAST(coalesce(sum(freq) OVER (ORDER BY ckey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) + freq AS cumfreq
+              FROM k)
+            SELECT term, freq,
+                   round(CAST(cumfreq AS DOUBLE)
+                         / (SELECT CAST(sum(freq) AS DOUBLE) FROM f), 6)
+                     AS cum_share
+            FROM c"""))
+
+  // ---------------------------------------------------------------- q91
+  // Keep-BEST dedup: same LSH candidate pipeline as q72, but the
+  // component representative maximizes a quality score (min id breaks
+  // ties) instead of being the min id — the "keep the highest-quality
+  // copy" curation policy. Oracle resolves components with the same
+  // recursive CTE, then picks arg-max(quality, -id) per component.
+  private val q91 = Q("q91_dedup_keep_best",
+    (s, dir) => {
+      val docs = docsWithDups(s, dir)
+        .withColumn("quality", TF.qualityScore(col("text")))
+      val pairs = TextDedup.minHashNearDups31(docs, "text", "doc_id",
+        threshold = 0.8, shingleSize = 9, bands = 8, rowsPerBand = 4)
+      Components.dedupKeepBest(docs, "doc_id", "quality",
+          pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("n_chars"))
+    },
+    Some(s"""WITH RECURSIVE ${SketchSql.minhashCtes},
+            pairs AS (SELECT id_a, id_b FROM ver WHERE jaccard >= 0.8),
+            e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+            comp AS (
+              SELECT a AS doc_id, least(a, min(b)) AS comp
+              FROM reach GROUP BY a),
+            q AS (
+              SELECT d.doc_id, comp.comp, ${SketchSql.qualitySql("d.text")} AS quality
+              FROM d JOIN comp ON d.doc_id = comp.doc_id),
+            win AS (
+              SELECT comp, doc_id,
+                     row_number() OVER (PARTITION BY comp
+                       ORDER BY quality DESC, doc_id ASC) AS rn
+              FROM q),
+            losers AS (SELECT doc_id FROM win WHERE rn > 1)
+            SELECT doc_id, n_chars FROM d
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
-    q77, q78, q80, q81, q82, q83, q84, q85, q88)
+    q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91)
 }

@@ -98,4 +98,29 @@ object Components {
     // fits and degrades to a shuffle join when dup volume is large
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
+
+  /** Keep the BEST doc per duplicate group instead of the min-id one:
+    * the representative maximizes `scoreCol` (quality score, length,
+    * freshness…) with min id as the deterministic tie-break — the
+    * "keep the highest-quality copy" policy a curated corpus wants.
+    *
+    * Scale: component labels join back to the (id, score) projection —
+    * never the payload — and the per-component argmax is one hash
+    * aggregation via `max_by`-style struct ordering; docs in no pair
+    * bypass the whole path untouched. */
+  def dedupKeepBest(docs: DataFrame, idCol: String, scoreCol: String,
+                    edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comps = labelPropagate(edges, aCol, bCol)
+    val scored = comps.join(
+      docs.select(col(idCol).cast("long").as("id"), col(scoreCol).as("_score")),
+      "id")
+    // per-component argmax: max over (score, -id) struct — component-
+    // count rows out, one Exchange on comp
+    val winners = scored.groupBy(col("comp"))
+      .agg(max(struct(col("_score"), (-col("id")).as("_negid"))).as("_w"))
+      .select((-col("_w._negid")).cast("long").as("_winner"))
+    val losers = comps.join(winners, comps("id") === winners("_winner"), "left_anti")
+      .select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
 }

@@ -84,4 +84,34 @@ object Tfidf {
             x => x.getField("p"))).as("postings"),
         (max(col("_rn")) > maxPostings).as("truncated"))
   }
+
+  /** Vocabulary coverage curve — the tokenizer-prep analysis: terms in
+    * frequency order with each term's CUMULATIVE share of all token
+    * occurrences. `filter(cum_share <= 0.95)` is then "the vocabulary
+    * that covers 95 % of the corpus"; the curve's knee sizes the vocab.
+    *
+    * The running total is a corpus-wide ordered sum — computed with the
+    * distributed prefix scan ([[Pack.prefixSum]]) over a composite
+    * (inverted zero-padded frequency | term) key, NOT a global-order
+    * window that would funnel the vocabulary through one task. The key
+    * makes the order total (term breaks frequency ties), so the curve
+    * is deterministic and engine-portable.
+    *
+    * Scale: one explode + hash agg collapses the corpus to its
+    * vocabulary; everything after runs on vocabulary-sized frames
+    * (two range Exchanges from the prefix scan, one broadcast of the
+    * 1-row total). */
+  def vocabCoverage(docs: DataFrame, textCol: String): DataFrame = {
+    val tf = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val keyed = tf.withColumn("_ckey",
+      concat(lpad((lit(999999999999L) - col("freq")).cast("string"), 12, "0"),
+        lit("|"), col("term")))
+    val cum = Pack.prefixSum(keyed, col("freq"), "_ckey", "_cumex")
+    cum.crossJoin(broadcast(tf.agg(sum(col("freq")).as("_total"))))
+      .select(col("term"), col("freq"),
+        bround((col("_cumex") + col("freq")).cast("double")
+          / col("_total").cast("double"), 6).as("cum_share"))
+  }
 }

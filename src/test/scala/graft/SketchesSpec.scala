@@ -68,4 +68,25 @@ class SketchesSpec extends AnyFunSuite {
     // banana appears in 3 docs: preview capped at 2, counts stay exact
     assert(idx("banana") == ("banana", 3L, 4L, "1:1 2:1", true))
   }
+
+  test("vocabCoverage: frequency-ordered cumulative shares reach 1.0") {
+    val docs = Seq((1L, "a a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // freqs: a=5, b=3, c=1, d=1 of 10; ties (c, d) break by term asc
+    val got = Tfidf.vocabCoverage(docs, "text")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      "a" -> (5L, 0.5), "b" -> (3L, 0.8), "c" -> (1L, 0.9), "d" -> (1L, 1.0)))
+  }
+
+  test("dedupKeepBest keeps the highest-scoring doc per component") {
+    val docs = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (4L, 0.7), (5L, 0.7))
+      .toDF("doc_id", "score")
+    // component {1,2,3} -> winner 2 (score 0.9); {4,5} -> tie, min id 4
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Components.dedupKeepBest(docs, "doc_id", "score",
+        edges, "id_a", "id_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
 }
