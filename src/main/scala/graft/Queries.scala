@@ -1266,10 +1266,57 @@ object Queries {
                         WHEN rh.rh IS NULL THEN 'removed'
                         WHEN lh.lh <> rh.rh THEN 'changed' END) IS NOT NULL"""))
 
+  // ---------------------------------------------------------------- q92
+  // Salted skew join THROUGH the correctness gate: the hot-key remedy
+  // (large side scatters keys over 16 salt buckets, small side
+  // replicates into all of them, join on (key, salt)) must be
+  // result-identical to the plain join — the oracle computes the plain
+  // join, no salt anywhere. Aggregated output keeps the comparison
+  // order-insensitive; the decimal cast makes the double sum exact.
+  private val q92 = Q("q92_salted_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Skew.saltedJoin(ev, dim, "user_id", parts = 16)
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+    },
+    Some("""SELECT c_mktsegment, event_type, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY 1, 2"""))
+
+  // ---------------------------------------------------------------- q93
+  // Equi-width histogram (distribution profiling): 20 buckets over
+  // order totals, out-of-range clamped to the edge buckets so outliers
+  // are counted, not dropped. One bin projection + one hash agg; the
+  // share denominator comes from a window over the <= 20 aggregated
+  // bins, so the data is scanned ONCE. Per-bin counts merge by
+  // addition across shards/days.
+  private val q93 = Q("q93_histogram",
+    (s, dir) => Profile.histogram(t(s, dir, "orders"), col("o_totalprice"),
+      lo = 0.0, hi = 500000.0, bins = 20),
+    Some("""WITH b AS (
+              SELECT least(19, greatest(0,
+                       CAST(floor((o_totalprice - 0.0) / 25000.0) AS INT)))
+                       AS bin
+              FROM orders WHERE o_totalprice IS NOT NULL),
+            g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bin)
+            SELECT bin,
+                   round(0.0 + bin * 25000.0, 6) AS bin_lo,
+                   round(0.0 + (bin + 1) * 25000.0, 6) AS bin_hi,
+                   n,
+                   round(CAST(n AS DOUBLE) /
+                         CAST(sum(n) OVER () AS DOUBLE), 6) AS share
+            FROM g"""))
+
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q57, q60, q66, q67, q68, q70,
-    q71, q73, q74, q75, q79, q86, q87, q89) ++
+    q71, q73, q74, q75, q79, q86, q87, q89, q92, q93) ++
     QueriesText.all ++ QueriesClean.all
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -43,5 +44,38 @@ object Profile {
       .select(col("p.column"), col("__total").as("n_rows"),
         col("p.n_nonnull"), (col("__total") - col("p.n_nonnull")).as("n_nulls"),
         col("p.n_distinct"), col("p.min"), col("p.max"))
+  }
+
+  /** Equi-width histogram of a numeric column: `bins` buckets over
+    * [lo, hi), out-of-range values clamped into the edge buckets (so
+    * every non-null row is counted — a distribution check must not
+    * silently drop the outliers it exists to reveal). Emits one row per
+    * NON-EMPTY bucket: (bin, bin_lo, bin_hi, n, share).
+    *
+    * Scale: one codegen'd bin projection + one hash aggregation whose
+    * shuffle carries at most `bins` rows per upstream partition
+    * (map-side combine); per-bin counts from shards/days merge by
+    * addition, making the histogram incrementally maintainable. */
+  def histogram(df: DataFrame, value: org.apache.spark.sql.Column,
+                lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val bin = least(lit(bins - 1),
+      greatest(lit(0), floor((value - lit(lo)) / lit(width)).cast("int")))
+    // total from the aggregated bins themselves — ONE scan of the data;
+    // the unpartitioned window is safe: it runs over <= `bins` rows (a
+    // parameter, not a function of data volume)
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    df.filter(value.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        bround(lit(lo) + col("bin") * lit(width), 6).as("bin_lo"),
+        bround(lit(lo) + (col("bin") + 1) * lit(width), 6).as("bin_hi"),
+        col("n"),
+        bround(col("n").cast("double")
+          / sum(col("n")).over(w).cast("double"), 6).as("share"))
   }
 }

@@ -79,6 +79,16 @@ class SketchesSpec extends AnyFunSuite {
       "a" -> (5L, 0.5), "b" -> (3L, 0.8), "c" -> (1L, 0.9), "d" -> (1L, 1.0)))
   }
 
+  test("histogram clamps out-of-range values and shares sum to 1") {
+    val df = Seq(-5.0, 0.0, 1.0, 9.9, 10.0, 15.0, 25.0).map(Tuple1(_)).toDF("v")
+    val h = Profile.histogram(df, col("v"), lo = 0.0, hi = 20.0, bins = 2)
+      .as[(Int, Double, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // bin 0 = [0,10): {-5 clamped, 0, 1, 9.9}; bin 1 = [10,20): {10, 15, 25 clamped}
+    assert(h(0) == (0, 0.0, 10.0, 4L, 0.571429))
+    assert(h(1) == (1, 10.0, 20.0, 3L, 0.428571))
+  }
+
   test("dedupKeepBest keeps the highest-scoring doc per component") {
     val docs = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (4L, 0.7), (5L, 0.7))
       .toDF("doc_id", "score")
