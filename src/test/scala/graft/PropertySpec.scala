@@ -169,4 +169,61 @@ class PropertySpec extends AnyFunSuite {
       got == expected
     }, n = 10)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bround6(x: Double): Double =
+    new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_EVEN).doubleValue()
+
+  test("HLL estimate == in-memory reference model on arbitrary multisets") {
+    import graft.operators.Sketches
+    // small domain (dups + linear-counting path) and a wide domain (raw path)
+    val gen = Gen.oneOf(
+      Gen.listOfN(80, Gen.choose(0, 25).map(i => s"v$i")),
+      Gen.listOfN(300, Gen.choose(0, 100000).map(i => s"v$i")))
+    check("hll", Prop.forAll(gen) { xs =>
+      val est = Sketches.hllDistinct(
+        xs.map(Tuple1(_)).toDF("v").withColumn("g", lit("x")),
+        col("v"), Seq("g")).select("approx_distinct").as[Double].head()
+      // reference model: same md5 layout, exact integer indicator sum
+      val regs = scala.collection.mutable.Map.empty[Int, Int]
+      xs.distinct.foreach { s =>
+        val h = md5hex(s)
+        val reg = Integer.parseInt(h.substring(0, 2), 16)
+        val v48 = java.lang.Long.parseLong(h.substring(2, 14), 16)
+        val rho = if (v48 == 0L) 49
+          else 49 - (64 - java.lang.Long.numberOfLeadingZeros(v48))
+        regs(reg) = math.max(regs.getOrElse(reg, 0), rho)
+      }
+      val v = 256 - regs.size
+      val s = regs.values.map(r => 1L << (49 - r)).sum + v.toLong * (1L << 49)
+      val c = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * math.pow(2.0, 49)
+      val raw = c / s.toDouble
+      val expected = bround6(
+        if (raw <= 640.0 && v > 0) 256.0 * math.log(256.0 / v) else raw)
+      est == expected // bit-identical, not approximately
+    }, n = 8)
+  }
+
+  test("stratifiedSample == in-memory md5-bucket model") {
+    import graft.operators.Split
+    val fractions = Map("a" -> 0.3, "b" -> 1.0) // "c" absent -> dropped
+    val gen = Gen.listOfN(120, Gen.zip(Gen.choose(0L, 100000L),
+      Gen.oneOf("a", "b", "c")))
+    check("stratified", Prop.forAll(gen) { xs =>
+      val df = xs.distinct.toDF("id", "cls")
+      val got = Split.stratifiedSample(df, col("cls"), fractions, col("id"))
+        .select("id").as[Long].collect().toSet
+      val expected = xs.distinct.filter { case (id, cls) =>
+        fractions.get(cls).exists { f =>
+          val h = md5hex(id.toString)
+          Integer.parseInt(h.substring(0, 4), 16) < math.round(f * 65536.0)
+        }
+      }.map(_._1).toSet
+      got == expected
+    }, n = 8)
+  }
 }
