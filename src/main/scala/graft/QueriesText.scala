@@ -1365,7 +1365,72 @@ object QueriesText {
             SELECT doc_id, n_chars FROM d
             WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""))
 
+  // ---------------------------------------------------------------- q94
+  // Capstone: the END-TO-END corpus-prep pipeline as ONE lazy plan —
+  // language filter -> quality filter -> exact content dedup ->
+  // deterministic train split -> token accounting -> sequence packing.
+  // Each stage is an operator already gated on its own (q25/q26/q29/
+  // q53/q58); this proves they COMPOSE: the scalar stages fuse into one
+  // codegen'd pass before the first shuffle, and the whole pipeline
+  // costs two data-bounded Exchanges (dedup key + pack range).
+  private val q94 = Q("q94_corpus_pipeline",
+    (s, dir) => graft.pipelines.CorpusPipeline.prepare(
+      t(s, dir, "documents"), "text", "doc_id",
+      lang = "en", minQuality = 0.3, trainBuckets = 12, budget = 2048),
+    Some("""WITH tk AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            sc AS (
+              SELECT doc_id, text, tk,
+                len(list_filter(tk, t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS en,
+                len(list_filter(tk, t -> list_contains(['el','la','de','que','y','en','un','los','se','por'], t))) AS es,
+                len(list_filter(tk, t -> list_contains(['le','la','de','et','les','des','un','une','du','est'], t))) AS fr,
+                len(list_filter(tk, t -> list_contains(['der','die','und','das','ist','von','den','mit','ein','zu'], t))) AS de,
+                CAST(len(tk) AS DOUBLE) AS ntok,
+                CAST(length(text) AS DOUBLE) AS chars,
+                CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct,
+                CASE WHEN len(tk) > 0 THEN
+                  CAST(len(list_filter(tk, t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS DOUBLE) / len(tk)
+                ELSE 0.0 END AS stopr
+              FROM tk),
+            q AS (
+              SELECT doc_id, text, tk,
+                     CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+                          WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+                          WHEN es >= fr AND es >= de THEN 'es'
+                          WHEN fr >= de THEN 'fr' ELSE 'de' END AS lang_guess,
+                     round(0.4 * least(ntok / 200.0, 1.0)
+                         + 0.2 * (CASE WHEN ntok > 0 AND chars / ntok BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                         + 0.2 * (1.0 - (CASE WHEN chars > 0 THEN least(punct / chars * 5.0, 1.0) ELSE 1.0 END))
+                         + 0.2 * least(stopr * 5.0, 1.0), 6) AS quality
+              FROM sc),
+            filt AS (
+              SELECT doc_id, text, tk, quality FROM q
+              WHERE lang_guess = 'en' AND quality >= 0.3),
+            ded AS (
+              SELECT doc_id, quality, tk FROM (
+                SELECT doc_id, quality, tk,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM filt) WHERE rn = 1),
+            tr AS (
+              SELECT doc_id, quality, CAST(len(tk) AS BIGINT) AS n_tokens
+              FROM ded
+              WHERE (strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 12),
+            off AS (
+              SELECT doc_id, quality, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS tok_offset
+              FROM tr)
+            SELECT doc_id, quality, n_tokens, tok_offset,
+                   tok_offset // 2048 AS seq_first
+            FROM off"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
-    q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91)
+    q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94)
 }

@@ -1,0 +1,50 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Pack, Split}
+
+/** The end-to-end training-corpus preparation flow — the composition the
+  * individual operators exist FOR, as one lazy DataFrame chain:
+  *
+  *   language filter → quality filter → exact content dedup →
+  *   deterministic split → token accounting → sequence packing
+  *
+  * Every stage is the library operator already verified on its own
+  * (q25/q26/q29/q53/q58); this operator proves they COMPOSE — one plan,
+  * no materialization barriers between stages, so Catalyst fuses the
+  * scalar stages (language, quality, content key) into a single
+  * codegen'd pass over the scan before the first shuffle.
+  *
+  * Scale shape: filters and the md5 content key are map-side; the dedup
+  * is one content-key Exchange (keep-first by id); the split is a
+  * zero-shuffle bucket filter; packing adds the distributed prefix scan
+  * (range Exchange + bounded carry). Total: two data-bounded Exchanges
+  * for the whole pipeline.
+  */
+object CorpusPipeline {
+
+  /** Prepare `docs` for training: returns one row per surviving TRAIN
+    * document with `quality`, `n_tokens`, `tok_offset` (global token
+    * start in id order), and `seq_first` (its first `budget`-token
+    * training sequence). */
+  def prepare(docs: DataFrame, textCol: String, idCol: String,
+              lang: String = "en", minQuality: Double = 0.3,
+              trainBuckets: Int = 12, budget: Int = 2048): DataFrame = {
+    require(trainBuckets > 0 && trainBuckets <= 16,
+      s"trainBuckets must be in [1,16], got $trainBuckets")
+    val scored = docs
+      .withColumn("_lang", TextFunctions.langId(col(textCol)))
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .filter(col("_lang") === lang && col("quality") >= minQuality)
+      .withColumn("_ckey", md5(col(textCol)))
+    val deduped = Dedup.keepFirst(scored, Seq("_ckey"), idCol)
+    val train = deduped.filter(Split.bucket16(col(idCol)) < trainBuckets)
+    Pack.packByTokenBudget(train,
+        TextFunctions.tokenCount(col(textCol)), idCol, budget)
+      .select(col(idCol), col("quality"), col("n_tokens"),
+        col("tok_offset"), col("seq_first"))
+  }
+}
