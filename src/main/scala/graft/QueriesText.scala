@@ -450,10 +450,13 @@ object QueriesText {
       Multimodal.frameSample(decoded, chunkBytes = 64, stride = 4)
         .join(decoded.select(col("media_id"), col("media_type"),
           col("meta.width").as("width"), col("meta.height").as("height"),
-          col("meta.format").as("format"), col("features")), Seq("media_id"))
+          col("meta.format").as("format"), col("features"),
+          Multimodal.resizeSpec(col("meta.width"), col("meta.height"),
+            maxW = 256, maxH = 256).as("rs")), Seq("media_id"))
         .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"),
           col("media_type"), col("width"), col("height"), col("format"),
-          size(col("features")).as("n_feature_buckets"))
+          size(col("features")).as("n_feature_buckets"),
+          col("rs.target_w").as("target_w"), col("rs.target_h").as("target_h"))
     },
     Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
             m AS (
@@ -473,7 +476,13 @@ object QueriesText {
             SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
                    CAST(least(64, plen - frame_idx * 64) AS INT) AS frame_bytes,
                    media_type, width, height, format,
-                   CAST(16 AS INT) AS n_feature_buckets
+                   CAST(16 AS INT) AS n_feature_buckets,
+                   CAST(greatest(round(width * least(1.0, 256.0 / CAST(width AS DOUBLE),
+                                                          256.0 / CAST(height AS DOUBLE))), 1)
+                        AS INT) AS target_w,
+                   CAST(greatest(round(height * least(1.0, 256.0 / CAST(width AS DOUBLE),
+                                                           256.0 / CAST(height AS DOUBLE))), 1)
+                        AS INT) AS target_h
             FROM f"""))
 
   // ---------------------------------------------------------------- q53

@@ -82,6 +82,24 @@ object Multimodal {
       b => size(filter(nibbles, n => n === b)))
   }
 
+  /** Resize PLAN for decoded media: target dimensions fitting within
+    * `maxW` x `maxH` with aspect ratio preserved and no upscaling, plus
+    * the scale factor — the metadata half of a thumbnail stage, as a
+    * pure codegen'd projection over the decoded header. The pixel
+    * resampling itself would bind a codec over the payload column (not
+    * available in this environment); the per-item target geometry a
+    * resize scheduler needs is real and distributed. */
+  def resizeSpec(width: Column, height: Column, maxW: Int, maxH: Int): Column = {
+    require(maxW > 0 && maxH > 0, s"bounds must be positive, got ${maxW}x$maxH")
+    val scale = least(lit(1.0),
+      lit(maxW.toDouble) / width.cast(DoubleType),
+      lit(maxH.toDouble) / height.cast(DoubleType))
+    struct(
+      greatest(round(width * scale).cast(IntegerType), lit(1)).as("target_w"),
+      greatest(round(height * scale).cast(IntegerType), lit(1)).as("target_h"),
+      bround(scale, 6).as("scale"))
+  }
+
   /** Frame-sampling shape: split the payload into fixed-size chunks and
     * keep every `stride`-th — the batch geometry of video frame sampling,
     * over opaque bytes. */

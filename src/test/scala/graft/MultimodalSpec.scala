@@ -68,6 +68,19 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeSpec fits within bounds, preserves aspect, never upscales") {
+    val dims = Seq((1L, 1920, 1080), (2L, 100, 50), (3L, 256, 1024), (4L, 0, 0))
+      .toDF("id", "w", "h")
+    val got = dims.select(col("id"),
+        Multimodal.resizeSpec(col("w"), col("h"), 256, 256).as("rs"))
+      .select(col("id"), col("rs.target_w"), col("rs.target_h"), col("rs.scale"))
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 256, 144, 0.133333)) // downscale, aspect kept
+    assert(got(2L) == (2L, 100, 50, 1.0))       // small image untouched
+    assert(got(3L) == (3L, 64, 256, 0.25))      // height-bound wins
+    assert(got(4L)._2 == 1 && got(4L)._3 == 1)  // degenerate dims clamp to 1
+  }
+
   test("frameSample keeps every stride-th fixed-size chunk") {
     val m = Multimodal.asMedia(docs.filter(col("doc_id") === 1), "doc_id", "text")
     val frames = Multimodal.frameSample(m, chunkBytes = 8, stride = 2)
