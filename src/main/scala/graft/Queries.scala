@@ -1313,10 +1313,60 @@ object Queries {
                          CAST(sum(n) OVER () AS DOUBLE), 6) AS share
             FROM g"""))
 
+  // ---------------------------------------------------------------- q95
+  // Point-in-time join against an SCD2 dimension — the query-side half
+  // of q13's maintenance flow: each order picks the customer-balance
+  // VERSION valid on its order date. The dim history is built by the
+  // same Scd2 operator (two epochs: all keys open 1990-01-01, every
+  // 3rd key's balance changes 1995-01-01), so TPC-H order dates
+  // straddle the change and exercise both versions, plus the NULL path
+  // for keys the dim never held. Key equality drives the hash join; the
+  // validity window is a join residual, never a nested loop.
+  private val q95 = Q("q95_pit_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val dim0 = c.filter(col("c_custkey") % 10 =!= 0).select(
+        col("c_custkey"), col("c_acctbal").as("acctbal"),
+        lit(java.sql.Date.valueOf("1990-01-01")).as("valid_from"),
+        lit(null).cast(DateType).as("valid_to"),
+        lit(true).as("is_current"))
+      val staging = c.filter(col("c_custkey") % 10 =!= 0).select(
+        col("c_custkey"),
+        (col("c_acctbal") + when(col("c_custkey") % 3 === 0, lit(100.0))
+          .otherwise(lit(0.0))).as("acctbal"))
+      val dim = Scd2(dim0, staging,
+        Scd2.Config(Seq("c_custkey"), Seq("acctbal")),
+        lit(java.sql.Date.valueOf("1995-01-01")))
+      Scd2.pitJoin(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate")),
+          dim, "o_custkey", "c_custkey", "o_orderdate")
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("acctbal"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("bal_valid_from"))
+    },
+    Some("""WITH dimv AS (
+              SELECT c_custkey, c_acctbal AS acctbal,
+                     DATE '1990-01-01' AS valid_from,
+                     CASE WHEN c_custkey % 3 = 0 THEN DATE '1995-01-01' END AS valid_to
+              FROM customer WHERE c_custkey % 10 <> 0
+              UNION ALL
+              SELECT c_custkey, c_acctbal + 100.0, DATE '1995-01-01', NULL
+              FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey % 3 = 0)
+            SELECT o_orderkey, o_custkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                   acctbal,
+                   strftime(valid_from, '%Y-%m-%d') AS bal_valid_from
+            FROM orders LEFT JOIN dimv
+              ON o_custkey = c_custkey
+             AND o_orderdate >= valid_from
+             AND (valid_to IS NULL OR o_orderdate < valid_to)"""))
+
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q57, q60, q66, q67, q68, q70,
-    q71, q73, q74, q75, q79, q86, q87, q89, q92, q93) ++
+    q71, q73, q74, q75, q79, q86, q87, q89, q92, q93, q95) ++
     QueriesText.all ++ QueriesClean.all
 }

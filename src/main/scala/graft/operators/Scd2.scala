@@ -76,4 +76,26 @@ object Scd2 {
       .unionByName(closed.select(cols: _*))
       .unionByName(opened.select(dim.columns.map(col): _*))
   }
+
+  /** Point-in-time join — the query-side half of SCD2: each fact row
+    * picks the dimension VERSION that was valid on its event date
+    * (`valid_from <= date < valid_to`, open version = NULL valid_to).
+    * Left join: facts with no valid version (early events, unknown
+    * keys) survive with NULL dim columns rather than vanishing —
+    * as-of-history queries must not silently drop facts.
+    *
+    * Scale: the key equality drives a plain hash/sort-merge join (the
+    * validity predicates ride along as join residual — never a
+    * BroadcastNestedLoop); per-key version counts are small by SCD2
+    * construction, so the residual scans a handful of rows per match.
+    * With facts and dim bucketed on the key the join is exchange-free. */
+  def pitJoin(facts: DataFrame, dim: DataFrame,
+              factKey: String, dimKey: String, dateCol: String,
+              validFrom: String = "valid_from",
+              validTo: String = "valid_to"): DataFrame =
+    facts.join(dim,
+      facts(factKey) === dim(dimKey) &&
+        facts(dateCol) >= dim(validFrom) &&
+        (dim(validTo).isNull || facts(dateCol) < dim(validTo)),
+      "left")
 }

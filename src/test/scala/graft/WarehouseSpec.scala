@@ -71,6 +71,27 @@ class WarehouseSpec extends AnyFunSuite {
       ("BR4", 40.0, "2024-06-01")))
   }
 
+  test("pitJoin picks the dim version valid on each fact date") {
+    import graft.operators.Scd2
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dim = Seq(
+      (1L, 10.0, d("1990-01-01"), Some(d("1995-01-01")), false),
+      (1L, 20.0, d("1995-01-01"), None, true),
+      (2L, 5.0, d("1993-01-01"), None, true))
+      .toDF("key", "bal", "valid_from", "valid_to", "is_current")
+    val facts = Seq(
+      (100L, 1L, d("1994-06-01")), // version 1
+      (101L, 1L, d("1995-01-01")), // boundary: new version opens ON asOf
+      (102L, 2L, d("1992-01-01")), // before any version -> NULL
+      (103L, 3L, d("1996-01-01"))) // unknown key -> NULL
+      .toDF("fid", "fkey", "fdate")
+    val got = Scd2.pitJoin(facts, dim, "fkey", "key", "fdate")
+      .select(col("fid"), col("bal")).as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got == Map(100L -> Some(10.0), 101L -> Some(20.0),
+      102L -> None, 103L -> None))
+  }
+
   test("config mirrors table_configs.json and rejects undeclared SCD types") {
     assert(cfg.naturalKey == Seq("booking_reference") && cfg.scdType == 2 &&
       cfg.stagingTable == "staging_booking_sales" &&
