@@ -1363,10 +1363,27 @@ object Queries {
              AND o_orderdate >= valid_from
              AND (valid_to IS NULL OR o_orderdate < valid_to)"""))
 
+  // ---------------------------------------------------------------- q96
+  // Salted two-stage aggregation through the gate (q92's sibling for
+  // the agg fan-in): partial sums per (key, salt) then merge — the
+  // static remedy when upstream partitioning defeats map-side combine
+  // on a hot key. Values ride as DECIMAL so both stages are exact and
+  // the result hash-matches the plain one-stage GROUP BY oracle.
+  private val q96 = Q("q96_salted_agg",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("value").cast(DecimalType(18, 6)).as("v"))
+      Skew.saltedSum(ev, "user_id", "v", parts = 16, out = "sum_dec")
+        .select(col("user_id"), col("sum_dec").cast(DoubleType).as("sum_value"))
+    },
+    Some("""SELECT user_id,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1"""))
+
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q57, q60, q66, q67, q68, q70,
-    q71, q73, q74, q75, q79, q86, q87, q89, q92, q93, q95) ++
+    q71, q73, q74, q75, q79, q86, q87, q89, q92, q93, q95, q96) ++
     QueriesText.all ++ QueriesClean.all
 }
