@@ -58,7 +58,8 @@ object Decontaminate {
     // persist to leak, no broadcast of a gram blacklist, and the
     // interpreted shingle projection runs exactly once)
     val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))
-    val trCapped = train.select(col(idCol).as("train_id"),
+    // spread before the gram explode (CPU-heavy per byte, see Spread)
+    val trCapped = Spread.toCores(train).select(col(idCol).as("train_id"),
         explode(ngramHashes(col(textCol), n)).as("_g"))
       .withColumn("_df", count(lit(1)).over(byGram))
       .filter(col("_df") <= maxDocFreq)

@@ -55,7 +55,9 @@ object NgramLM {
   /** Train on `docs(textCol)`: two aggregations over one exploded bigram
     * stream plus a distinct-token count for the vocabulary size. */
   def train(docs: DataFrame, textCol: String): BigramLM = {
-    val bg = docs.select(explode(bigrams(col(textCol))).as("gram"))
+    // spread before the tokenize+bigram explode (see Spread)
+    val bg = Spread.toCores(docs)
+      .select(explode(bigrams(col(textCol))).as("gram"))
     val grams = bg.groupBy(col("gram")).agg(count(lit(1)).as("c12"))
     val contexts = bg
       .select(substring_index(col("gram"), " ", 1).as("w1"))
@@ -69,7 +71,8 @@ object NgramLM {
   /** The per-doc bigram occurrence frame scoring runs on. */
   private def occurrences(docs: DataFrame, textCol: String,
                           idCol: String): DataFrame =
-    docs.select(col(idCol), explode(bigrams(col(textCol))).as("gram"))
+    Spread.toCores(docs)
+      .select(col(idCol), explode(bigrams(col(textCol))).as("gram"))
       .withColumn("w1", substring_index(col("gram"), " ", 1))
 
   /** `counted` must carry (idCol, c12, c1, v) per bigram occurrence;
@@ -123,7 +126,7 @@ object NgramLM {
   def scoreSelfTrained(docs: DataFrame, textCol: String,
                        idCol: String): DataFrame = {
     val occ = occurrences(docs, textCol, idCol)
-    val vocab = docs
+    val vocab = Spread.toCores(docs)
       .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .agg(count_distinct(col("tok")).as("v"))
     val counted = occ

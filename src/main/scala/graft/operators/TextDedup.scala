@@ -102,11 +102,17 @@ object TextDedup {
     * cluster scale this becomes a checkpoint/table write ("materialize
     * the sketch once"). */
   private def sigFrameWith(docs: DataFrame, textCol: String, idCol: String,
-                           shingleSize: Int, sigOf: Column => Column): DataFrame =
-    docs.select(col(idCol).as("_id"),
+                           shingleSize: Int, sigOf: Column => Column): DataFrame = {
+    // spread docs across cores BEFORE the signature projection —
+    // minhashing is the most CPU-intensive per-byte stage in the
+    // library and a compact input would serialize it on one task
+    // (measured: q30 13.4 s -> 2.8 s at sf0.1; see [[Spread]])
+    Spread.toCores(docs)
+      .select(col(idCol).as("_id"),
         TextFunctions.charShingles(col(textCol), shingleSize).as("_sh"))
       .withColumn("_sig", sigOf(col("_sh")))
       .localCheckpoint()
+  }
 
   private def sigFrame(docs: DataFrame, textCol: String, idCol: String,
                        shingleSize: Int, numHashes: Int): DataFrame =
@@ -349,7 +355,8 @@ object TextDedup {
     * exploded frame on both sides and broadcasts the full gram->df map.) */
   def crossDocDupGrams(docs: DataFrame, textCol: String, idCol: String,
                        n: Int = 5): DataFrame = {
-    val grams = docs.select(col(idCol),
+    // spread before the shingle explode (CPU-heavy per byte, see Spread)
+    val grams = Spread.toCores(docs).select(col(idCol),
       explode(TextFunctions.wordShingles(col(textCol), n)).as("_gram"))
     val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("_gram"))
     grams.withColumn("_df", count(lit(1)).over(byGram))

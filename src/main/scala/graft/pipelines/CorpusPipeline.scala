@@ -35,7 +35,8 @@ object CorpusPipeline {
               trainBuckets: Int = 12, budget: Int = 2048): DataFrame = {
     require(trainBuckets > 0 && trainBuckets <= 16,
       s"trainBuckets must be in [1,16], got $trainBuckets")
-    val scored = docs
+    // spread before the language/quality scoring pass (see Spread)
+    val scored = graft.operators.Spread.toCores(docs)
       .withColumn("_lang", TextFunctions.langId(col(textCol)))
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .filter(col("_lang") === lang && col("quality") >= minQuality)
