@@ -992,7 +992,8 @@ object Queries {
       // 1's whole chain once per downstream consumer. localCheckpoint,
       // not persist: layer frames are never unpersisted, and cache
       // entries would pile up across repeated runs in one session
-      val pin = (df: org.apache.spark.sql.DataFrame) => df.localCheckpoint()
+      val pin = (df: org.apache.spark.sql.DataFrame) =>
+        graft.operators.Pin.materialize(df)
       val l0 = Warehouse.emptyLayers(cfg, b1, dims, measures, "_ingest_id")
       val l1 = Warehouse.run(cfg, b1, l0, dims, measures, "_ingest_id",
         lit(java.sql.Date.valueOf("2024-01-01")), materialize = pin)

@@ -54,7 +54,10 @@ object Checksum {
     *
     * `key` must be unique per side (enforce upstream with keep-first
     * dedup if needed); `cols` follows rowHash's canonical-rendering
-    * caveat (round/format doubles first).
+    * caveat (round/format doubles first). The join is NULL-SAFE on the
+    * key: a NULL key present on both sides compares as itself (one
+    * 'changed'/unchanged verdict), not as 'added' + 'removed' — though a
+    * NULL key is also non-unique by definition, so prefer non-null keys.
     *
     * Scale: each side collapses to (key, hash) at the scan — the join
     * shuffles two slim columns, never the payload; one shuffle per side
@@ -62,24 +65,24 @@ object Checksum {
     * status projection + filter. */
   def diffTables(left: DataFrame, right: DataFrame, key: String,
                  cols: Seq[String]): DataFrame = {
-    val l = left.select(col(key).as("_k"), rowHash(cols.map(col)).as("_lh"))
-    val r = right.select(col(key).as("_k"), rowHash(cols.map(col)).as("_rh"))
-    l.join(r, Seq("_k"), "full_outer")
+    val l = left.select(col(key).as("_lk"), rowHash(cols.map(col)).as("_lh"))
+    val r = right.select(col(key).as("_rk"), rowHash(cols.map(col)).as("_rh"))
+    l.join(r, l("_lk") <=> r("_rk"), "full_outer")
       .withColumn("status",
         when(col("_lh").isNull, lit("added"))
           .when(col("_rh").isNull, lit("removed"))
           .when(col("_lh") =!= col("_rh"), lit("changed")))
       .filter(col("status").isNotNull)
-      .select(col("_k").as(key), col("status"))
+      .select(coalesce(col("_lk"), col("_rk")).as(key), col("status"))
   }
 
   /** One-row-per-status summary of [[diffTables]] plus the unchanged
     * count (computed from the same join, so one pass total). */
   def diffSummary(left: DataFrame, right: DataFrame, key: String,
                   cols: Seq[String]): DataFrame = {
-    val l = left.select(col(key).as("_k"), rowHash(cols.map(col)).as("_lh"))
-    val r = right.select(col(key).as("_k"), rowHash(cols.map(col)).as("_rh"))
-    l.join(r, Seq("_k"), "full_outer")
+    val l = left.select(col(key).as("_lk"), rowHash(cols.map(col)).as("_lh"))
+    val r = right.select(col(key).as("_rk"), rowHash(cols.map(col)).as("_rh"))
+    l.join(r, l("_lk") <=> r("_rk"), "full_outer")
       .select(
         when(col("_lh").isNull, lit("added"))
           .when(col("_rh").isNull, lit("removed"))

@@ -2,89 +2,132 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Connected components over near-duplicate pairs — the step that turns
   * the dedup family's PAIR output (minhash/simhash/embedding near-dups)
   * into duplicate GROUPS so one representative per group can be kept.
   *
-  * Algorithm: min-label propagation. Every vertex starts labeled with its
-  * own id; each round, a vertex takes the minimum label among itself and
-  * its neighbors; fixpoint = component id = minimum vertex id in the
-  * component. Rounds needed = graph diameter — near-dup clusters are
-  * dense and tiny (diameter 2-4), so this converges in a handful of
-  * rounds, each one join + one aggregation on (src, label).
+  * Algorithm: alternating large-star / small-star contraction (Kiveris,
+  * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+  * MapReduce and Beyond", SoCC 2014 — the same public algorithm behind
+  * GraphFrames' connectedComponents). Each round rewires every edge
+  * toward the minimum id seen in its neighborhood:
   *
-  * Scale notes: the per-round frames are persisted and the previous
-  * round unpersisted, so lineage does not snowball; on a real cluster
-  * give the session a checkpoint dir and swap the persist for
-  * `localCheckpoint()` on long chains. Convergence costs exactly ONE
-  * action per round: the changed-label flag is computed inside the same
-  * update join and counted while the round's frame materializes into
-  * cache — no second join against the previous labels.
+  *   large-star: for each node u with m = min(Γ(u) ∪ {u}), replace every
+  *     edge to a LARGER neighbor v > u with (v, m);
+  *   small-star: orient edges larger→smaller; for each node u with
+  *     m = min(Γ(u)), rewire u and all its smaller neighbors onto m.
+  *
+  * The fixpoint of the combined step is a star forest: every non-root
+  * points directly at its component's minimum id. Convergence takes
+  * O(log n) rounds REGARDLESS of graph diameter — the property the
+  * previous min-label-propagation implementation lacked (O(diameter)
+  * rounds, so a 100 TB dup graph with one long chain could exceed any
+  * fixed round budget; a planted 25-node chain now converges in 3
+  * rounds instead of 24).
+  *
+  * Scale notes: each round is two self-aggregating passes over an
+  * edge-count-sized frame (symmetrize → min per node → rewire), with the
+  * round's output materialized through [[Pin.materialize]] — each star
+  * pass references its input three times, so WITHOUT a per-round lineage
+  * cut the logical plan grows ~6× per round and the driver OOMs just
+  * printing it. Convergence is detected by edge-set stability: the
+  * per-round count doubles as the materializing action, and a
+  * set-difference check runs only on rounds where the count is
+  * unchanged — exact, no hash-collision risk. Rounds shrink the frame
+  * monotonically toward one edge per non-root vertex.
   */
 object Components {
+
+  /** One large-star pass: every edge from u to a larger neighbor is
+    * rewired onto min(Γ(u) ∪ {u}). Output edges are oriented
+    * larger→smaller by construction (v > u ≥ m). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy("src")
+      .agg(least(min(col("dst")), col("src")).as("m"))
+    sym.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** One small-star pass over larger→smaller oriented edges: node u and
+    * all its (smaller) neighbors rewire onto m = min(Γ(u)). Keeps the
+    * larger→smaller orientation and never emits self-loops. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("src").agg(min(col("dst")).as("m"))
+    val joined = edges.join(mins, "src")
+    joined.filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(joined.select(col("src"), col("m").as("dst")))
+      .distinct()
+  }
 
   /** (id, component) for every vertex that appears in `edges`
     * (undirected). Component id = min vertex id of the component.
     *
-    * @param requireConvergence throw if the labels are still changing
+    * @param maxIter round budget; large/small-star needs O(log n)
+    *   rounds, so the default covers any graph that fits on disk
+    *   (2^30 nodes converge in ~30 rounds; the sf0.1 dup graph takes 2)
+    * @param requireConvergence throw if the edge set is still changing
     *   after `maxIter` rounds (a silent early exit would return WRONG
-    *   components for any chain with diameter > maxIter); pass false to
-    *   accept a best-effort labeling instead. */
+    *   components); pass false to accept a best-effort labeling instead. */
   def labelPropagate(edges: DataFrame, aCol: String, bCol: String,
-                     maxIter: Int = 20,
-                     requireConvergence: Boolean = true): DataFrame = {
-    val und = edges.select(col(aCol).cast("long").as("src"),
-        col(bCol).cast("long").as("dst"))
-      .union(edges.select(col(bCol).cast("long").as("src"),
-        col(aCol).cast("long").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+                     maxIter: Int = 50,
+                     requireConvergence: Boolean = true): DataFrame =
+    labelPropagateWithRounds(edges, aCol, bCol, maxIter, requireConvergence)._1
 
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  /** As [[labelPropagate]], but also returns the number of alternating
+    * rounds executed — the observable for scale tests asserting the
+    * O(log n) bound on planted long chains. */
+  def labelPropagateWithRounds(edges: DataFrame, aCol: String, bCol: String,
+                               maxIter: Int = 50,
+                               requireConvergence: Boolean = true): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    val input = edges
+      .filter(col(aCol) =!= col(bCol))
+      .select(greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("src"),
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("dst"))
+      .distinct()
 
-    // `persisted` tracks the cached handle (labels is a projection of it
-    // after round 1, and unpersist must hit the exact cached plan)
-    var persisted = labels
+    // every vertex of the input graph, incl. self-loop-only ids — each
+    // must come back labeled even if contraction drops it to a root
+    val vertices = edges.select(col(aCol).cast("long").as("id"))
+      .union(edges.select(col(bCol).cast("long").as("id")))
+      .distinct()
+
+    // Pin each round: a star pass references its input 3×, so the plan
+    // grows geometrically without the cut (see Pin for the trade-off)
+    var ee = Pin.materialize(input)
+    var prevCount = ee.count()
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      val neighborMin = und
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
-      // the changed flag rides in the SAME frame, so counting it both
-      // materializes the round into cache and detects convergence — one
-      // job per round instead of update + compare-join
-      val updated = labels
-        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (col("ncomp").isNotNull && col("ncomp") < col("comp")).as("_chg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = updated.filter(col("_chg")).count()
-      persisted.unpersist()
-      persisted = updated
-      labels = updated.drop("_chg")
+    var converged = prevCount == 0L
+    while (!converged && iter < maxIter) {
+      val next = Pin.materialize(smallStar(largeStar(ee)))
+      val nextCount = next.count()
+      // edge sets are distinct frames: equal count + empty one-sided
+      // difference ⇔ identical sets ⇔ star-forest fixpoint. The except
+      // only runs on count-stable rounds, so most rounds cost one job.
+      converged = nextCount == prevCount && next.except(ee).isEmpty
+      ee = next
+      prevCount = nextCount
       iter += 1
     }
-    und.unpersist()
-    // hand back an auto-released copy and drop the last round's cache
-    // entry — returning the persisted frame itself would leak one
-    // CacheManager entry per call in long-lived sessions (labels is
-    // vertex-count-sized, so the eager checkpoint is cheap and reads
-    // straight from the still-cached round)
-    val out = labels.localCheckpoint()
-    persisted.unpersist()
-    if (changed > 0) {
-      val msg = s"labelPropagate did not converge in $maxIter rounds " +
-        s"($changed labels still changing) — component ids would be WRONG " +
-        "for chains longer than maxIter; raise maxIter"
+    // at the fixpoint ee is a star forest: (non-root, root) — roots
+    // appear only on the dst side. Vertices missing from src are roots
+    // (or isolated), labeled with themselves.
+    val out = Pin.materialize(vertices
+      .join(ee.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("dst"), col("id")).as("comp")))
+    if (!converged) {
+      val msg = s"large/small-star did not converge in $maxIter rounds — " +
+        "component ids would be WRONG; this indicates a bug (the " +
+        "algorithm needs O(log n) rounds), not an undersized budget"
       if (requireConvergence) throw new IllegalStateException(msg)
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
-    out
+    (out, iter)
   }
 
   /** Keep one representative per duplicate group: drop every doc whose

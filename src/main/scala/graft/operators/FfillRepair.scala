@@ -40,13 +40,12 @@ object FfillRepair {
     // Exchange with different partition coalescing per branch (observed
     // in Pack: wrong offsets). The checkpoint freezes pids once, cuts
     // lineage, and its blocks are ContextCleaner-released when the frame
-    // becomes unreachable — no CacheManager entry to leak per call. On a
-    // real cluster swap for checkpoint() if executor loss matters.
-    val parted = df
+    // becomes unreachable — no CacheManager entry to leak per call.
+    // Executor-loss trade-off centralized in [[Pin]].
+    val parted = Pin.materialize(df
       .repartitionByRange(n, col(orderCol))
       .withColumn(Pid, spark_partition_id())
-      .withColumn("_ffill_v", value)
-      .localCheckpoint()
+      .withColumn("_ffill_v", value))
 
     // one row per partition: the last non-null value it holds
     val summary = parted

@@ -49,6 +49,10 @@ object Layout {
     require(numBuckets >= 1 && (numBuckets & (numBuckets - 1)) == 0,
       s"numBuckets must be a power of two, got $numBuckets")
     val shift = bits * k - (63 - java.lang.Long.numberOfLeadingZeros(numBuckets.toLong))
+    // a negative distance would WRAP (shiftright takes distance mod 64)
+    // and silently scatter bucket ids instead of failing fast
+    require(shift >= 0,
+      s"numBuckets=$numBuckets exceeds the z-value space 2^(bits*k)=2^${bits * k}")
     call_function("shiftright", z, lit(shift))
   }
 

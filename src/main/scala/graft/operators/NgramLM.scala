@@ -157,9 +157,9 @@ object NgramLM {
     // both consumers below (the quantile and the final join) would
     // otherwise re-run the ENTIRE scoring pipeline. The scored frame is
     // one row per doc; checkpoint it once (eager, lineage-cut,
-    // ContextCleaner-released — the Pack/FfillRepair pattern) so scoring
-    // happens exactly once.
-    val scored = scoredIn.localCheckpoint()
+    // ContextCleaner-released — the Pack/FfillRepair pattern; trade-off
+    // in [[Pin]]) so scoring happens exactly once.
+    val scored = Pin.materialize(scoredIn)
     val cut = Quantiles.exact(scored, Nil, "avg_logprob",
       Seq(tailFraction), Seq("cutoff"))
     scored.crossJoin(broadcast(cut))

@@ -25,8 +25,8 @@ import org.apache.spark.sql.types.LongType
   * may be read back with different partition coalescing per branch
   * (observed: wrong offsets). The checkpoint freezes the pids once, its
   * blocks are released by the ContextCleaner when the frame becomes
-  * unreachable (no CacheManager entry to leak), and lineage is cut. On
-  * a real cluster swap for `checkpoint()` if executor loss matters.
+  * unreachable (no CacheManager entry to leak), and lineage is cut.
+  * Executor-loss trade-off centralized in [[Pin]].
   */
 object Pack {
 
@@ -42,11 +42,11 @@ object Pack {
     val spark = df.sparkSession
     val n = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
 
-    val parted = df
+    val parted = Pin.materialize(df
       .repartitionByRange(n, col(orderCol))
       .withColumn(Pid, spark_partition_id())
-      .withColumn("_pack_v", coalesce(value.cast(LongType), lit(0L)))
-      .localCheckpoint() // pin pids (see scaladoc); GC-cleaned, not leaked
+      .withColumn("_pack_v", coalesce(value.cast(LongType), lit(0L))))
+      // ^ pin pids (see scaladoc); GC-cleaned, not leaked
 
     // one partial sum per range partition, prefix-scanned into each
     // partition's exclusive carry-in. The unpartitioned window is safe:

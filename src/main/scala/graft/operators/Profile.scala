@@ -68,7 +68,10 @@ object Profile {
     // parameter, not a function of data volume)
     val w = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    df.filter(value.isNotNull)
+    // NaN would survive isNotNull, ride (NaN-lo)/width to a non-ANSI int
+    // cast, and silently land in bin 0 — exclude it like NULL (the cast
+    // to double makes the guard a no-op for integral inputs)
+    df.filter(value.isNotNull && !isnan(value.cast("double")))
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"))
       .select(col("bin"),

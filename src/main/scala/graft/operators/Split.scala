@@ -93,7 +93,12 @@ object Split {
       .withColumn("target_share", element_at(typedLit(targetShares), col(sourceCol)))
       .withColumn("alloc_tokens",
         round(col("target_share") * budget).cast("long"))
-      .withColumn("rate", col("alloc_tokens").cast("double") / col("n_tokens"))
+      // guard n_tokens = 0: alloc/0.0 is Infinity, which would read as
+      // keep_fraction 1.0 / garbage epochs — an empty source must look
+      // like the absent-source NULL contract, not "fully sampled"
+      .withColumn("rate",
+        when(col("n_tokens") > 0,
+          col("alloc_tokens").cast("double") / col("n_tokens")))
       // least() SKIPS nulls (returns the least non-null), which would turn
       // an absent-source NULL rate into keep_fraction 1.0 — guard first
       .withColumn("keep_fraction",

@@ -100,18 +100,17 @@ object TextDedup {
     * pressure throttles everything downstream — checkpoint blocks are
     * ContextCleaner-released as soon as the frame is unreachable. At
     * cluster scale this becomes a checkpoint/table write ("materialize
-    * the sketch once"). */
+    * the sketch once"); see [[Pin]] for the executor-loss trade-off. */
   private def sigFrameWith(docs: DataFrame, textCol: String, idCol: String,
                            shingleSize: Int, sigOf: Column => Column): DataFrame = {
     // spread docs across cores BEFORE the signature projection —
     // minhashing is the most CPU-intensive per-byte stage in the
     // library and a compact input would serialize it on one task
     // (measured: q30 13.4 s -> 2.8 s at sf0.1; see [[Spread]])
-    Spread.toCores(docs)
+    Pin.materialize(Spread.toCores(docs)
       .select(col(idCol).as("_id"),
         TextFunctions.charShingles(col(textCol), shingleSize).as("_sh"))
-      .withColumn("_sig", sigOf(col("_sh")))
-      .localCheckpoint()
+      .withColumn("_sig", sigOf(col("_sh"))))
   }
 
   private def sigFrame(docs: DataFrame, textCol: String, idCol: String,

@@ -158,6 +158,39 @@ class TextDedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 10L, 20L))
   }
 
+  test("components: long chains converge in O(log n) rounds, not O(diameter)") {
+    import graft.operators.Components
+    // a planted path of diameter 63 — min-label propagation needed 63
+    // rounds (> the old maxIter=20 throw); large/small-star needs ~log2
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (comps, rounds) = Components.labelPropagateWithRounds(chain, "id_a", "id_b")
+    val labels = comps.as[(Long, Long)].collect.toMap
+    assert(labels.size == 64 && labels.values.forall(_ == 0L), s"bad labels: $labels")
+    assert(rounds <= 10, s"expected O(log n) rounds on a 64-node path, got $rounds")
+
+    // random graphs vs an in-memory union-find model (seeded, 5 draws)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val n = 40 + rnd.nextInt(60)
+      val edges = Seq.fill(n)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      // canonical model labels: min id per component
+      val verts = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val model = verts.groupBy(find).flatMap { case (_, vs) =>
+        val m = vs.min; vs.map(_ -> m) }.toMap
+      val got = Components.labelPropagate(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect.toMap
+      assert(got == model, s"n=$n diff=${got.toSet.diff(model.toSet)}")
+    }
+  }
+
   test("crossDocDupGrams: shared n-grams counted by doc frequency") {
     // docs a,b share their full text (all 2-grams df=2); c is unique
     val docs = Seq((1L, "w x y z"), (2L, "w x y z"), (3L, "p q r s"))
