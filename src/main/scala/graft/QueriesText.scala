@@ -993,6 +993,11 @@ object QueriesText {
   // ---------------------------------------------------------------- q80
   // SemDeDup: semantic dedup via quantizer cells (pinned codebook —
   // normalized first 16 corpus vectors, the q44 production split).
+  // The FIXED 16-cell codebook is what makes the query oracle-
+  // expressible; at scale it is the documented anti-pattern (cell
+  // population grows with the corpus, so the within-cell quadratic term
+  // dominates — measured 13.4x wall time on a 10x corpus, vs 1.6x with
+  // nlist scaled ∝ corpus; see ScaleStress and BASELINE.md).
   // Near-identical vectors (perturbed copies, cosine ~0.998) land in the
   // same cell, pair up under the within-cell cosine, and the min-id
   // representative survives. The oracle replays cell argmax, in-cell

@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, Similarity, TextDedup}
+import graft.functions.{VectorFunctions => VF}
+
+/** Scale-stress harness for the dedup/components family: synthesizes a
+  * `factor`× corpus from the sf0.1 tables (controlled perturbation +
+  * planted near-dup chains of known diameter), then times the scale-
+  * critical queries on the base and synthesized dirs side by side.
+  *
+  * The synthetic corpus (written under target/, never to /root/testdata):
+  *
+  *  - documents: each base doc replicated `factor`×. Replica 0 is the
+  *    original; replica 1 perturbs ~3% of tokens (9-gram Jaccard ~0.87 —
+  *    a PLANTED near-dup above the 0.8 pipeline threshold, so true dup
+  *    volume grows linearly with the corpus); replicas 2+ perturb every
+  *    other token (Jaccard ~0.1 — distinct documents). Replica ids are
+  *    `doc_id + r*100_000`, keeping them clear of the +10M exact-dup
+  *    range the queries add themselves.
+  *  - planted CHAINS at ids 8_000_000+: 92-token sliding windows with a
+  *    7-token stride over a per-chain vocabulary, so consecutive docs
+  *    sit at Jaccard ~0.86 (a pair) while skip-pairs fall to ~0.73
+  *    (not a pair) — a path graph of diameter 10/25/40/64. These are
+  *    the adversarial inputs for the O(log n) components bound: the old
+  *    min-label propagation needed `diameter` rounds and threw past 20.
+  *  - embeddings: replica 0 original, replica 1 a +0.003 first-axis
+  *    nudge (cosine ~0.9999 — planted semantic dup), replicas 2+
+  *    hash-derived pseudo-random vectors (distinct).
+  *
+  * Reported per query: min-of-two wall seconds on base vs synth, the
+  * growth ratio vs the data factor, and for the components path the
+  * alternating-round count. SemDeDup runs twice at scale — once with
+  * the base 16-cell codebook (expected ~quadratic: cell population
+  * grows with the corpus) and once with nlist scaled ∝ corpus (the
+  * paper's own guidance and this library's documented scale path).
+  */
+object ScaleStress {
+
+  private def synthDocuments(spark: SparkSession, baseDir: String,
+                             factor: Int): DataFrame = {
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val rep = docs.withColumn("r", explode(sequence(lit(0), lit(factor - 1))))
+    val toks = split(col("text"), " ")
+    // near-dup replica: swap the token where hash%32==0 (~1.7 of 54);
+    // distinct replicas: every other token. Replacement tokens carry the
+    // replica id so distinct replicas are also distinct from EACH OTHER.
+    val k = when(col("r") === 1, lit(32)).otherwise(lit(2))
+    val perturbed = array_join(
+      transform(toks, (tok, i) =>
+        when(pmod(xxhash64(col("doc_id"), col("r"), i), k) === 0,
+          concat(lit("q"), col("r"), lit("z"), tok)).otherwise(tok)), " ")
+    val replicas = rep.select(
+      (col("doc_id") + col("r") * lit(100000L)).as("doc_id"),
+      when(col("r") === 0, col("text")).otherwise(perturbed).as("text"),
+      col("lang"), col("source"))
+
+    import spark.implicits._
+    val chainLens = Seq(10, 25, 40, 64)
+    val chains = (0 until 4 * factor).flatMap { c =>
+      val len = chainLens(c % chainLens.length)
+      val pool = (0 until (92 + 7 * len)).map(j => s"c${c}w$j")
+      (0 until len).map { i =>
+        (8000000L + c * 1000L + i,
+          pool.slice(i * 7, i * 7 + 92).mkString(" "), "en", s"chain$c")
+      }
+    }.toDF("doc_id", "text", "lang", "source")
+
+    replicas.unionByName(chains)
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  private def synthEmbeddings(spark: SparkSession, baseDir: String,
+                              factor: Int): DataFrame = {
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val rep = emb.withColumn("r", explode(sequence(lit(0), lit(factor - 1))))
+    val nearDup = transform(col("embedding"), (x, i) =>
+      when(i === 0, x + lit(0.003f)).otherwise(x))
+    val distinct = transform(col("embedding"), (_, i) =>
+      (pmod(xxhash64(col("vec_id"), col("r"), i), lit(2000)).cast("float")
+        / lit(1000.0f)) - lit(1.0f))
+    rep.select(
+      (col("vec_id") + col("r") * lit(100000L)).as("vec_id"),
+      when(col("r") === 0, col("embedding"))
+        .when(col("r") === 1, nearDup)
+        .otherwise(distinct).as("embedding"),
+      col("label"))
+  }
+
+  private def time2(label: String)(run: => Unit): Double = {
+    val times = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      run
+      (System.nanoTime() - t0) / 1e9
+    }
+    val best = times.min
+    System.err.println(f"[scale] $label%-28s ${best}%.2f s (passes: ${times.map(t => f"$t%.2f").mkString(", ")})")
+    best
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("target/scale10x")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+      System.err.println(s"[scale] synthesizing ${factor}x corpus -> $outDir")
+      synthDocuments(spark, baseDir, factor)
+        .repartition(cpus.toInt).write.mode("overwrite")
+        .parquet(s"$outDir/documents.parquet")
+      synthEmbeddings(spark, baseDir, factor)
+        .repartition(cpus.toInt).write.mode("overwrite")
+        .parquet(s"$outDir/embeddings.parquet")
+    }
+    val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+    System.err.println(s"[scale] synth corpus: $nDocs docs, $nVecs vectors")
+
+    val queryNames = Seq("q30_minhash_neardup", "q62_dup_components",
+      "q72_dedup_at_scale", "q91_dedup_keep_best", "q80_semdedup")
+    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    for (name <- queryNames) {
+      val fn = SparkEntry.queries(name)
+      val base = time2(s"$name @base") { noop(fn(spark, baseDir)) }
+      val scaled = time2(s"$name @${factor}x") { noop(fn(spark, outDir)) }
+      results(name) = (base, scaled)
+    }
+
+    // SemDeDup the way the paper scales it: nlist grows with the corpus
+    // so per-cell population (and the within-cell quadratic term) stays
+    // constant. The q80 entry above keeps the 16-cell pinned codebook —
+    // a fixed quantizer over 10x the vectors is the documented
+    // anti-pattern, measured here on purpose.
+    def semDedupScaled(dir: String, nlist: Int): DataFrame = {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val cb = e.orderBy("vec_id").limit(nlist)
+        .select(VF.normalize(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.semDedup(e, "vec_id", "embedding", cb, threshold = 0.9)
+    }
+    val semBase = time2("semdedup_nlist16 @base") { noop(semDedupScaled(baseDir, 16)) }
+    val semScaled = time2(s"semdedup_nlist${16 * factor} @${factor}x") {
+      noop(semDedupScaled(outDir, 16 * factor))
+    }
+    results("semdedup_nlist_scaled") = (semBase, semScaled)
+
+    // components round counts on the REAL pair graphs (incl. the planted
+    // diameter-64 chains at 10x): the O(log n) observable
+    def rounds(dir: String): (Int, Long) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val withDups = docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      val pairs = TextDedup.minHashNearDups31(withDups, "text", "doc_id",
+        threshold = 0.8, shingleSize = 9, bands = 8, rowsPerBand = 4)
+      val nPairs = pairs.count()
+      val (_, r) = Components.labelPropagateWithRounds(pairs, "id_a", "id_b")
+      (r, nPairs)
+    }
+    val (rBase, pBase) = rounds(baseDir)
+    val (rScaled, pScaled) = rounds(outDir)
+    System.err.println(s"[scale] pair graph: base $pBase edges/$rBase rounds, " +
+      s"${factor}x $pScaled edges/$rScaled rounds")
+
+    val rows = results.map { case (name, (b, sc)) =>
+      f"""{"query":"$name","base_s":$b%.2f,"x${factor}_s":$sc%.2f,"ratio":${sc / b}%.2f}"""
+    }.mkString("[", ",", "]")
+    val json = s"""{"factor":$factor,"docs":$nDocs,"vectors":$nVecs,""" +
+      s""""rounds_base":$rBase,"rounds_${factor}x":$rScaled,""" +
+      s""""pairs_base":$pBase,"pairs_${factor}x":$pScaled,"queries":$rows}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/scale_stress.json"), json)
+    catch { case e: Throwable => System.err.println(s"[scale] write failed: $e") }
+    println(json)
+    spark.stop()
+  }
+}

@@ -84,17 +84,24 @@ object Components {
   def labelPropagateWithRounds(edges: DataFrame, aCol: String, bCol: String,
                                maxIter: Int = 50,
                                requireConvergence: Boolean = true): (DataFrame, Int) = {
-    val spark = edges.sparkSession
-    val input = edges
-      .filter(col(aCol) =!= col(bCol))
-      .select(greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("src"),
-        least(col(aCol).cast("long"), col(bCol).cast("long")).as("dst"))
+    // Pin the RAW edge projection before anything branches off it: the
+    // caller's `edges` is typically a whole sketch pipeline (LSH bands +
+    // exact verify), and both the contraction input and the vertex set
+    // derive from it — without this cut the pair pipeline would execute
+    // once per derivation (measured: q72 on a 10x corpus spent 2/3 of
+    // its 43 s recomputing the minhash pairs for the vertex frame).
+    val raw = Pin.materialize(edges.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b")))
+    val input = raw
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
       .distinct()
 
     // every vertex of the input graph, incl. self-loop-only ids — each
     // must come back labeled even if contraction drops it to a root
-    val vertices = edges.select(col(aCol).cast("long").as("id"))
-      .union(edges.select(col(bCol).cast("long").as("id")))
+    val vertices = raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id")))
       .distinct()
 
     // Pin each round: a star pass references its input 3×, so the plan
