@@ -1444,7 +1444,50 @@ object QueriesText {
                    tok_offset // 2048 AS seq_first
             FROM off"""))
 
+  // ---------------------------------------------------------------- q97
+  // A/v multimodal plumbing: binary payloads carrying REAL WAV and MP4
+  // container headers (variable-offset LIST chunk / free box, the q42
+  // COM-segment trick), decoded back by the byte-level chunk/box walks
+  // (graft.plans.AvMeta). The oracle derives every expected field
+  // (channels, sample rate, bit depth, duration, track dims, payload
+  // length) from the id arithmetic the shim embeds — a walk that
+  // misreads one byte or mis-skips one chunk hash-mismatches.
+  private val q97 = Q("q97_av_metadata",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.asAvMedia(
+        t(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text")
+      media.withColumn("meta", Multimodal.decodeAvHeader(col("payload")))
+        .select(col("media_id"), col("media_type"),
+          col("meta.format").as("format"),
+          col("meta.channels").as("channels"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.bits").as("bits"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          length(col("payload")).as("payload_bytes"))
+    },
+    Some("""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS dl
+                       FROM documents WHERE doc_id < 150)
+            SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+              CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS format,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id // 2) % 2 + 1 END AS INT) AS channels,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 5) * 8000 END AS INT) AS sample_rate,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 3 + 1) * 8 END AS INT) AS bits,
+              CAST(CASE WHEN doc_id % 2 = 0
+                   THEN dl * 1000 // ((8000 + (doc_id % 5) * 8000)
+                                      * ((doc_id // 2) % 2 + 1)
+                                      * ((doc_id % 3 + 1) * 8) // 8)
+                   ELSE (doc_id * 37) % 100000 + 1000 END AS BIGINT) AS duration_ms,
+              CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 1920 + 1 END AS INT) AS width,
+              CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 1080 + 1 END AS INT) AS height,
+              CAST((CASE WHEN doc_id % 2 = 0 THEN 52 + (doc_id % 7 + 1) * 2
+                         ELSE 240 + doc_id % 7 END) + dl AS INT) AS payload_bytes
+            FROM d"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
-    q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94)
+    q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97)
 }

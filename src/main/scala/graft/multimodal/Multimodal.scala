@@ -10,11 +10,12 @@ import org.apache.spark.sql.types._
   * column operations so a 100 TB corpus partitions like any other table.
   *
   * The header decode is REAL: [[decodeHeader]] parses PNG / GIF / JPEG
-  * container headers from the raw bytes (public byte-layout specs, no
-  * codec library — see graft.plans.ImageMeta). Pixel decoding would bind
-  * here the same way (a batch codec over the payload column); the
-  * byte-histogram and frame-sampling transforms below already operate on
-  * the full payload bytes.
+  * container headers and [[decodeAvHeader]] parses WAV/RIFF and
+  * MP4/ISO-BMFF from the raw bytes (public byte-layout specs, no codec
+  * library — see graft.plans.ImageMeta / graft.plans.AvMeta). Pixel and
+  * sample decoding would bind here the same way (a batch codec over the
+  * payload column); the byte-histogram and frame-sampling transforms
+  * below already operate on the full payload bytes.
   */
 object Multimodal {
 
@@ -34,6 +35,15 @@ object Multimodal {
     * no shuffle. */
   def decodeHeader(payload: Column): Column =
     graft.plans.ImageExpressions.imageMeta(payload)
+
+  /** Decode audio/video container metadata from the payload bytes —
+    * WAV/RIFF chunk walk (channels, sample rate, bit depth, duration
+    * from data size / byte rate) and MP4/ISO-BMFF box walk (mvhd
+    * timescale+duration, tkhd 16.16 track dimensions). NULL payload or
+    * unrecognized container -> NULL meta. Same contract and cost shape
+    * as [[decodeHeader]]: one projection, no shuffle. */
+  def decodeAvHeader(payload: Column): Column =
+    graft.plans.AvExpressions.avMeta(payload)
 
   /** Test-data shim: wrap a string column as a binary media payload that
     * carries a REAL image header — a valid PNG, JPEG, or GIF header
@@ -68,6 +78,67 @@ object Multimodal {
       concat(unhex(headerHex), encode(col(strCol), "UTF-8")).as("payload"),
       when(fmt === 0, "image/png").when(fmt === 1, "image/jpeg")
         .otherwise("image/gif").as("media_type"))
+  }
+
+  /** Test-data shim for a/v: wrap a string column as a binary payload
+    * carrying a REAL audio/video container header — a valid WAV (even
+    * ids) or MP4 (odd ids) built from the id arithmetic, body = text
+    * bytes. The WAV inserts a variable-length LIST chunk between `fmt `
+    * and `data` and the MP4 a variable-length `free` box before `moov`,
+    * so the chunk/box walks in [[decodeAvHeader]] are exercised at
+    * varying offsets (the q42 COM-segment trick). */
+  def asAvMedia(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val id = col(idCol).cast(LongType)
+    def beHex16(c: Column) = lpad(hex(c), 4, "0")
+    def beHex32(c: Column) = lpad(hex(c), 8, "0")
+    def leHex16(c: Column) =
+      concat(lpad(hex(c % 256), 2, "0"), lpad(hex((c / 256) % 256), 2, "0"))
+    def leHex32(c: Column) =
+      concat(lpad(hex(c % 256), 2, "0"), lpad(hex((c / 256) % 256), 2, "0"),
+        lpad(hex((c / 65536) % 256), 2, "0"), lpad(hex((c / 16777216) % 256), 2, "0"))
+
+    val dataLen = length(encode(col(strCol), "UTF-8")).cast(LongType)
+    // WAV fields (even ids)
+    val channels = (id / 2 % 2 + 1).cast(LongType)         // 1 or 2
+    val rate = (lit(8000L) + (id % 5) * 8000L)             // 8k..40k
+    val bits = ((id % 3 + 1) * 8)                          // 8/16/24
+    val byteRate = rate * channels * bits / 8
+    val blockAlign = channels * bits / 8
+    val listLen = (id % 7 + 1) * 2                         // even, 2..14
+    val riffSize = lit(4L) + (8L + 16L) + (lit(8L) + listLen) + (lit(8L) + dataLen)
+    val wavHex = concat(
+      lit("52494646"), leHex32(riffSize), lit("57415645"),          // RIFF/WAVE
+      lit("666D7420"), leHex32(lit(16L)), leHex16(lit(1L)),          // fmt , PCM
+      leHex16(channels), leHex32(rate), leHex32(byteRate),
+      leHex16(blockAlign), leHex16(bits),
+      lit("4C495354"), leHex32(listLen), repeat(lit("4C"), listLen.cast(IntegerType)),
+      lit("64617461"), leHex32(dataLen))                             // data
+
+    // MP4 fields (odd ids); timescale 1000 so duration IS milliseconds
+    val durMs = (id * 37) % 100000 + 1000
+    val w = (id % 1920 + 1).cast(LongType)
+    val h = (id % 1080 + 1).cast(LongType)
+    val freeLen = (id % 7).cast(LongType)                  // 0..6 body bytes
+    val unityMatrix = "000100000000000000000000" +
+      "000000000001000000000000" + "000000000000000040000000"
+    val mvhdHex = concat(beHex32(lit(108L)), lit("6D766864"), lit("00000000"),
+      lit("0000000000000000"), beHex32(lit(1000L)), beHex32(durMs),
+      lit("00010000"), lit("0100"), repeat(lit("00"), 10),
+      lit(unityMatrix), repeat(lit("00"), 24), beHex32(lit(2L)))
+    val tkhdHex = concat(beHex32(lit(92L)), lit("746B6864"), lit("00000007"),
+      lit("0000000000000000"), beHex32(lit(1L)), lit("00000000"),
+      beHex32(durMs), repeat(lit("00"), 8), repeat(lit("00"), 8),
+      lit(unityMatrix), beHex32(w * 65536L), beHex32(h * 65536L))
+    val mp4Hex = concat(
+      beHex32(lit(16L)), lit("6674797069736F6D"), beHex32(lit(0L)),   // ftyp isom
+      beHex32(freeLen + 8L), lit("66726565"), repeat(lit("00"), freeLen.cast(IntegerType)),
+      beHex32(lit(8L + 108L + 8L + 92L)), lit("6D6F6F76"),            // moov
+      mvhdHex, beHex32(lit(100L)), lit("7472616B"), tkhdHex)          // trak
+
+    val headerHex = when(id % 2 === 0, wavHex).otherwise(mp4Hex)
+    df.select(id.as("media_id"),
+      concat(unhex(headerHex), encode(col(strCol), "UTF-8")).as("payload"),
+      when(id % 2 === 0, "audio/wav").otherwise("video/mp4").as("media_type"))
   }
 
   /** Byte-histogram feature vector (16 buckets) — a real, distributed

@@ -57,6 +57,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(garbage.filter(col("meta").isNotNull).count() == 0)
   }
 
+  test("decodeAvHeader parses WAV/MP4 headers; garbage and nulls reject") {
+    val m = Multimodal.asAvMedia(docs, "doc_id", "text")
+      .withColumn("meta", Multimodal.decodeAvHeader(col("payload")))
+    val rows = m.orderBy("media_id").collect()
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val meta = r.getStruct(3)
+      assert(meta != null, s"meta of $id")
+      if (id % 2 == 0) { // wav
+        val channels = (id / 2 % 2 + 1).toInt
+        val rate = (8000 + (id % 5) * 8000).toInt
+        val bits = ((id % 3 + 1) * 8).toInt
+        val textBytes = docs.filter(col("doc_id") === id)
+          .select(length(encode(col("text"), "UTF-8"))).as[Int].head.toLong
+        assert(meta.getString(0) == "wav" && meta.getInt(1) == channels &&
+          meta.getInt(2) == rate && meta.getInt(3) == bits, s"wav fields of $id")
+        assert(meta.getLong(4) == textBytes * 1000L / (rate * channels * bits / 8),
+          s"wav duration of $id")
+        assert(meta.isNullAt(5) && meta.isNullAt(6), s"wav has no dims ($id)")
+      } else { // mp4
+        assert(meta.getString(0) == "mp4" &&
+          meta.getLong(4) == (id * 37) % 100000 + 1000 &&
+          meta.getInt(5) == (id % 1920 + 1).toInt &&
+          meta.getInt(6) == (id % 1080 + 1).toInt, s"mp4 fields of $id")
+        assert(meta.isNullAt(1) && meta.isNullAt(2) && meta.isNullAt(3),
+          s"mp4 has no audio fields ($id)")
+      }
+    }
+    val garbage = docs.select(col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("meta", Multimodal.decodeAvHeader(col("payload")))
+    assert(garbage.filter(col("meta").isNotNull).count() == 0)
+    val nulls = docs.select(lit(null).cast("binary").as("payload"))
+      .withColumn("meta", Multimodal.decodeAvHeader(col("payload")))
+    assert(nulls.filter(col("meta").isNotNull).count() == 0)
+  }
+
+  test("decodeAvHeader: version-1 mvhd/tkhd (64-bit times) also decode") {
+    // hand-built v1 boxes — the shim only emits v0, so cover v1 here:
+    // mvhd v1 = 120 bytes (8+4+8+8+4+8+4+2+10+36+24+4),
+    // tkhd v1 = 104 bytes (8+4+8+8+4+4+8+8+8+36+4+4)
+    def be32(v: Long): Seq[Byte] =
+      Seq(24, 16, 8, 0).map(s => ((v >> s) & 0xFF).toByte)
+    def be64(v: Long): Seq[Byte] = be32(v >> 32) ++ be32(v & 0xFFFFFFFFL)
+    def cc(s: String): Seq[Byte] = s.getBytes("US-ASCII").toSeq
+    val matrix = be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000L)
+    val mvhd = be32(120) ++ cc("mvhd") ++ Seq[Byte](1, 0, 0, 0) ++
+      be64(0) ++ be64(0) ++ be32(600) ++ be64(1234) ++
+      be32(0x00010000L) ++ Seq[Byte](1, 0) ++ Seq.fill(10)(0.toByte) ++
+      matrix ++ Seq.fill(24)(0.toByte) ++ be32(2)
+    val tkhd = be32(104) ++ cc("tkhd") ++ Seq[Byte](1, 0, 0, 7) ++
+      be64(0) ++ be64(0) ++ be32(1) ++ be32(0) ++ be64(1234) ++
+      Seq.fill(16)(0.toByte) ++ matrix ++
+      be32(640L << 16) ++ be32(480L << 16)
+    val trak = be32(8 + 104) ++ cc("trak") ++ tkhd
+    val moov = be32(8 + 120 + 112) ++ cc("moov") ++ mvhd ++ trak
+    val ftyp = be32(16) ++ cc("ftyp") ++ cc("isom") ++ be32(0)
+    val payload = (ftyp ++ moov).toArray
+    val got = Seq(Tuple1(payload)).toDF("payload")
+      .select(Multimodal.decodeAvHeader(col("payload")).as("meta"))
+      .selectExpr("meta.format", "meta.duration_ms", "meta.width", "meta.height")
+      .as[(String, Long, Int, Int)].head
+    // duration 1234 ticks at timescale 600 -> 2056 ms (floor)
+    assert(got == ("mp4", 1234L * 1000 / 600, 640, 480))
+  }
+
   test("byteHistogram counts every byte exactly once") {
     val m = Multimodal.asMedia(docs, "doc_id", "text")
       .withColumn("hist", Multimodal.byteHistogram(col("payload")))
