@@ -620,6 +620,141 @@ object Queries {
                    CAST(rn AS INT) AS rank
             FROM r WHERE rn <= 3"""))
 
+  // ---------------------------------------------------------------- q98
+  // IVF with a TRAINED quantizer, end-to-end: oracle-mode spherical
+  // k-means (md5-ordered sample, integer micro-unit accumulation — see
+  // Similarity.trainCentroidsOracleMode for why that makes the rounds
+  // engine-portable) feeding the same probe as q44. The oracle UNROLLS
+  // the three Lloyd rounds as chained CTEs — assignment by row_number
+  // over (dot DESC, cell), per-cell integer sums via a lateral
+  // range(1,65) position join, normalize, COALESCE empty cells to the
+  // previous round — then replays the nprobe/top-k probe. A quantizer
+  // that drifts by one assignment in any round hash-mismatches.
+  private val q98 = Q("q98_ann_ivf_trained",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = graft.operators.Similarity.trainCentroidsOracleMode(
+        e, "vec_id", "embedding", nlist = 8, sampleSize = 512, iters = 3)
+      graft.operators.Similarity.ivfTopKWithCentroids(
+        e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", cb,
+        k = 3, nprobe = 2)
+    },
+    Some("""WITH nv0 AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+                     sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+              FROM embeddings),
+            samp AS (
+              SELECT vec_id,
+                     ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+                     list_transform(
+                       CASE WHEN n = 0 THEN vd ELSE list_transform(vd, x -> x / n) END,
+                       x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vq
+              FROM nv0 ORDER BY h LIMIT 512),
+            sv AS (SELECT vec_id, h, vq,
+                          list_transform(vq, x -> x / 1000000.0) AS v
+                   FROM samp),
+            c0 AS (SELECT cell, v AS cv FROM
+                    (SELECT row_number() OVER (ORDER BY h) AS cell, v FROM sv)
+                   WHERE cell <= 8),
+            d1 AS (SELECT sv.vec_id, sv.vq, c.cell,
+                          list_sum(list_transform(range(1, 65),
+                            i -> sv.v[i] * c.cv[i])) AS dp
+                   FROM sv CROSS JOIN c0 c),
+            a1 AS (SELECT vec_id, vq, cell FROM
+                    (SELECT vec_id, vq, cell, row_number() OVER
+                       (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn FROM d1)
+                   WHERE rn = 1),
+            s1 AS (SELECT cell, i, sum(vq[i]) AS sq
+                   FROM a1, range(1, 65) t(i) GROUP BY cell, i),
+            l1 AS (SELECT cell, list(CAST(sq AS DOUBLE) ORDER BY i) AS sl
+                   FROM s1 GROUP BY cell),
+            n1 AS (SELECT cell, sl,
+                          sqrt(list_sum(list_transform(sl, x -> x * x))) AS nn
+                   FROM l1),
+            c1 AS (SELECT p.cell,
+                          COALESCE(CASE WHEN n.nn = 0 THEN n.sl
+                                        ELSE list_transform(n.sl, x -> x / n.nn) END,
+                                   p.cv) AS cv
+                   FROM c0 p LEFT JOIN n1 n ON p.cell = n.cell),
+            d2 AS (SELECT sv.vec_id, sv.vq, c.cell,
+                          list_sum(list_transform(range(1, 65),
+                            i -> sv.v[i] * c.cv[i])) AS dp
+                   FROM sv CROSS JOIN c1 c),
+            a2 AS (SELECT vec_id, vq, cell FROM
+                    (SELECT vec_id, vq, cell, row_number() OVER
+                       (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn FROM d2)
+                   WHERE rn = 1),
+            s2 AS (SELECT cell, i, sum(vq[i]) AS sq
+                   FROM a2, range(1, 65) t(i) GROUP BY cell, i),
+            l2 AS (SELECT cell, list(CAST(sq AS DOUBLE) ORDER BY i) AS sl
+                   FROM s2 GROUP BY cell),
+            n2 AS (SELECT cell, sl,
+                          sqrt(list_sum(list_transform(sl, x -> x * x))) AS nn
+                   FROM l2),
+            c2 AS (SELECT p.cell,
+                          COALESCE(CASE WHEN n.nn = 0 THEN n.sl
+                                        ELSE list_transform(n.sl, x -> x / n.nn) END,
+                                   p.cv) AS cv
+                   FROM c1 p LEFT JOIN n2 n ON p.cell = n.cell),
+            d3 AS (SELECT sv.vec_id, sv.vq, c.cell,
+                          list_sum(list_transform(range(1, 65),
+                            i -> sv.v[i] * c.cv[i])) AS dp
+                   FROM sv CROSS JOIN c2 c),
+            a3 AS (SELECT vec_id, vq, cell FROM
+                    (SELECT vec_id, vq, cell, row_number() OVER
+                       (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn FROM d3)
+                   WHERE rn = 1),
+            s3 AS (SELECT cell, i, sum(vq[i]) AS sq
+                   FROM a3, range(1, 65) t(i) GROUP BY cell, i),
+            l3 AS (SELECT cell, list(CAST(sq AS DOUBLE) ORDER BY i) AS sl
+                   FROM s3 GROUP BY cell),
+            n3 AS (SELECT cell, sl,
+                          sqrt(list_sum(list_transform(sl, x -> x * x))) AS nn
+                   FROM l3),
+            c3 AS (SELECT p.cell,
+                          COALESCE(CASE WHEN n.nn = 0 THEN n.sl
+                                        ELSE list_transform(n.sl, x -> x / n.nn) END,
+                                   p.cv) AS cv
+                   FROM c2 p LEFT JOIN n3 n ON p.cell = n.cell),
+            ev AS (
+              SELECT vec_id, embedding,
+                     list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv
+              FROM embeddings),
+            dots AS (
+              SELECT ev.vec_id, c.cell,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(ev.embedding[i] AS DOUBLE) * c.cv[i])) *
+                     (CASE WHEN ev.nv = 0 THEN 0.0 ELSE 1.0 / sqrt(ev.nv) END) AS dp
+              FROM ev CROSS JOIN c3 c),
+            ranked AS (
+              SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dp DESC, cell) AS rn
+              FROM dots),
+            ccell AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rn = 1),
+            qcell AS (SELECT vec_id AS query_id, cell FROM ranked
+                      WHERE rn <= 2 AND vec_id % 50 = 0),
+            sc AS (
+              SELECT q.query_id, c.neighbor_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))) /
+                     (sqrt(qe.nv) * sqrt(ce.nv)) AS cos
+              FROM qcell q
+              JOIN ccell c USING (cell)
+              JOIN ev qe ON qe.vec_id = q.query_id
+              JOIN ev ce ON ce.vec_id = c.neighbor_id
+              WHERE q.query_id <> c.neighbor_id),
+            r AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rn
+              FROM sc)
+            SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+                   CAST(rn AS INT) AS rank
+            FROM r WHERE rn <= 3"""))
+
   // ---------------------------------------------------------------- q45
   // OLAP superset — ROLLUP with grouping id: subtotal + grand-total rows
   // (Catalyst expands to a single-shuffle Expand+Aggregate).
@@ -1385,6 +1520,6 @@ object Queries {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q57, q60, q66, q67, q68, q70,
-    q71, q73, q74, q75, q79, q86, q87, q89, q92, q93, q95, q96) ++
+    q71, q73, q74, q75, q79, q86, q87, q89, q92, q93, q95, q96, q98) ++
     QueriesText.all ++ QueriesClean.all
 }

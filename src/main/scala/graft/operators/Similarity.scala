@@ -206,6 +206,74 @@ object Similarity {
     cents
   }
 
+  /** ORACLE-MODE spherical k-means: the same Lloyd algebra as
+    * [[trainCentroids]], restated so every step is exactly replayable in
+    * ANSI SQL (the q98 oracle unrolls the fixed rounds as chained CTEs):
+    *
+    *  - the sample is ordered by a 60-bit md5 hash of the id (DuckDB has
+    *    no xxhash64 — the q30 oracle-mode trick);
+    *  - normalized sample vectors are quantized to 1e-6 integer
+    *    micro-units and each round's per-cell accumulation runs over the
+    *    INTEGERS — exact and aggregation-ORDER-INDEPENDENT, where float
+    *    sums would pick up engine-specific rounding (Spark accumulates
+    *    in sample order, DuckDB in scan order) that could flip a
+    *    near-tie assignment and cascade into different codebooks;
+    *  - dot products and centroid norms are sequential position-order
+    *    float folds, identical to SQL's `list_sum(list_transform(...))`
+    *    evaluation order (the q44 oracle already relies on this).
+    *
+    * Ties in the argmax assignment go to the lowest cell in both
+    * engines (strict `>` here, `row_number() ORDER BY dp DESC, cell`
+    * there). The production twin keeps float accumulation; the two are
+    * compared on RECALL in SimilaritySpec, not on bits. */
+  def trainCentroidsOracleMode(corpus: DataFrame, idCol: String, vecCol: String,
+                               nlist: Int, sampleSize: Int,
+                               iters: Int): Array[Array[Double]] = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    // quantize AFTER normalize: floor(x*1e6 + 0.5) matches DuckDB's
+    // CAST(floor(x*1000000 + 0.5) AS BIGINT) bit-for-bit (plain round()
+    // differs between the engines on negative half-way values)
+    val sampleQ: Array[Array[Long]] = corpus
+      .select(normalize(col(vecCol)).as("_v"), h.as("_h"))
+      .orderBy(col("_h"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](0).toArray.map(x => math.floor(x * 1e6 + 0.5).toLong))
+    require(sampleQ.nonEmpty, "ivfTopK: empty corpus")
+    val dim = sampleQ(0).length
+    val qv = sampleQ.map(_.map(_ / 1e6))
+
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    var cents = qv.take(math.min(nlist, qv.length)).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Long](dim))
+      val counts = new Array[Int](cents.length)
+      var s = 0
+      while (s < qv.length) {
+        val v = qv(s)
+        var best = 0; var bestDot = Double.MinValue
+        var i = 0
+        while (i < cents.length) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += v(j) * cents(i)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = i }
+          i += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += sampleQ(s)(j); j += 1 }
+        counts(best) += 1
+        s += 1
+      }
+      cents = cents.indices.map(i =>
+        if (counts(i) == 0) cents(i) else unit(sums(i).map(_.toDouble))).toArray
+    }
+    cents
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): embeddings are assigned to quantizer cells
     * (nearest pretrained centroid — ONE codegen'd projection, no join,

@@ -299,6 +299,17 @@ class TextDedupSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect.toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall=$recall")
+
+    // oracle-mode twin (md5 sample order, integer accumulation — the
+    // q98 path): same recall bar on the same fixture, so the SQL-
+    // replayable quantizer is held to the production quality standard
+    val cbOracle = Similarity.trainCentroidsOracleMode(vecs, "vec_id",
+      "embedding", nlist = 8, sampleSize = 200, iters = 5)
+    val approxO = Similarity.ivfTopKWithCentroids(queries, vecs, "vec_id",
+        "embedding", cbOracle, k = 5, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect.toSet
+    val recallO = exact.intersect(approxO).size.toDouble / exact.size
+    assert(recallO >= 0.9, s"oracle-mode recall=$recallO")
   }
 
   test("embeddingNearDups finds a perturbed copy") {
