@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The bench harness parses the LAST stdout line as JSON. Two sbt
+// behaviors break that: the trailing "[success] Total time..." banner
+// and the "[info] " prefix on forked-process stdout. Disable both so
+// `sbt "runMain graft.Bench"` ends with the bare JSON line.
+showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

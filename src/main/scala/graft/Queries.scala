@@ -28,10 +28,22 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts arrives as long nanos (nanosAsLong) — second-precision
-    * timestamp reconstruction via integer division (no double precision
-    * loss on ~1e18 nano values). */
-  private val eventsTs: Column = expr("timestamp_seconds(ts DIV 1000000000)")
+  /** events.ts micros, adaptive to the testdata's physical type: older
+    * generators wrote TIMESTAMP(NANOS) parquet (surfaced as long via
+    * nanosAsLong), current ones TIMESTAMP(MICROS) (timestamp_ntz).
+    * Integer paths only — no double precision loss on ~1e18 values.
+    * Session tz is UTC, so the ntz→ltz cast below is value-identity
+    * and matches DuckDB's epoch_us(ts) on the same file. */
+  private def tsMicros(ev: DataFrame): Column = ev.schema("ts").dataType match {
+    case LongType => expr("ts DIV 1000")
+    case _        => unix_micros(col("ts").cast(TimestampType))
+  }
+
+  /** events.ts as a timestamp, same physical-type adaptivity. */
+  private def eventsTs(ev: DataFrame): Column = ev.schema("ts").dataType match {
+    case LongType => expr("timestamp_seconds(ts DIV 1000000000)")
+    case _        => col("ts").cast(TimestampType)
+  }
 
   // ---------------------------------------------------------------- q01
   // A1-A3/F26 — pricing summary (hash agg with partial aggregation;
@@ -459,11 +471,11 @@ object Queries {
   // ---------------------------------------------------------------- q21
   // §2.9 superset — event-time tumbling window aggregation (batch form).
   private val q21 = Q("q21_event_windows",
-    (s, dir) => t(s, dir, "events")
-      .groupBy(date_format(date_trunc("hour", eventsTs), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+    (s, dir) => { val ev = t(s, dir, "events"); ev
+      .groupBy(date_format(date_trunc("hour", eventsTs(ev)), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value")),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value")) },
     Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type, count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -856,12 +868,13 @@ object Queries {
   // ---------------------------------------------------------------- q66
   // Gap-based sessionization over the event log (6h inactivity gap):
   // one keyed shuffle on user_id, window session assignment, per-session
-  // rollup. Timestamps compared at micros (TIMESTAMP(NANOS) parquet ->
-  // nanosAsLong here, epoch_us in DuckDB).
+  // rollup. Timestamps compared at micros (tsMicros here, epoch_us in
+  // DuckDB — identical integers for either parquet physical type).
   private val q66 = Q("q66_sessionize",
-    (s, dir) => Sessionize.sessionStats(t(s, dir, "events"),
-      "user_id", expr("ts DIV 1000"), col("event_id"),
-      gapMicros = 6L * 3600 * 1000000, valueCol = "value"),
+    (s, dir) => { val ev = t(s, dir, "events")
+      Sessionize.sessionStats(ev,
+        "user_id", tsMicros(ev), col("event_id"),
+        gapMicros = 6L * 3600 * 1000000, valueCol = "value") },
     Some("""WITH x AS (
               SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
             y AS (
@@ -986,13 +999,13 @@ object Queries {
   // Oracle: DuckDB's native ASOF LEFT JOIN.
   private val q47 = Q("q47_asof_join",
     (s, dir) => {
-      val ev = t(s, dir, "events") // ts is long nanos (nanosAsLong);
-      // compare in MICROS — DuckDB reads TIMESTAMP(NANOS) at micro precision
+      val ev = t(s, dir, "events")
+      // compare in MICROS — tsMicros matches DuckDB's epoch_us exactly
       val errors = ev.filter(col("event_type") === "error")
-        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("t"))
+        .select(col("event_id"), col("user_id"), tsMicros(ev).as("t"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
-          expr("ts DIV 1000").as("click_t"))
+          tsMicros(ev).as("click_t"))
       AsofJoin.backward(errors, clicks, Seq("user_id"), "t", "click_t",
         rightPrefix = "")
     },
