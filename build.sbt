@@ -32,5 +32,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // behaviors break that: the trailing "[success] Total time..." banner
 // and the "[info] " prefix on forked-process stdout. Disable both so
 // `sbt "runMain graft.Bench"` ends with the bare JSON line.
-showSuccess := false
+Global / showSuccess := false
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

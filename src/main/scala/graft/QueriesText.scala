@@ -1069,6 +1069,87 @@ object QueriesText {
             FROM corp c JOIN cells USING (vec_id)
             WHERE c.vec_id NOT IN (SELECT vec_id FROM losers)"""))
 
+  // ---------------------------------------------------------------- q99
+  // SemDeDup, the way it scales: same operator as q80 but the codebook
+  // size is DERIVED from the corpus count (Similarity.autoNlist — cells
+  // ∝ corpus at a target mean cell population), so the within-cell
+  // quadratic term stays ~targetCellSize per row no matter how large
+  // the corpus grows. At sf0.01 (525 corpus rows, target 16) this
+  // derives nlist=33 — the oracle recomputes the same ceiling division
+  // in SQL, so the gate covers the derivation itself, not just a pinned
+  // codebook. This is the registered answer to q80's documented
+  // fixed-nlist anti-pattern (13.4x vs 1.6x on the 10x ScaleStress).
+  private val q99 = Q("q99_semdedup_auto",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val perturbed = e.filter(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000000L)
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(0.05f)).otherwise(x)))
+      val corp = e.unionByName(perturbed)
+      val nlist = Similarity.autoNlist(corp.count(), targetCellSize = 16)
+      val cb = e.filter(col("vec_id") < nlist).orderBy("vec_id")
+        .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.semDedup(corp, "vec_id", "embedding", cb, threshold = 0.9)
+        .select(col("vec_id"), col("label"), col("cell"))
+    },
+    Some(s"""WITH RECURSIVE corp AS (
+              SELECT vec_id, embedding, label FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000,
+                     list_concat([embedding[1] + CAST(0.05 AS FLOAT)], embedding[2:]),
+                     label
+              FROM embeddings WHERE vec_id % 20 = 0),
+            params AS (
+              SELECT greatest(16, CAST(ceil(count(*) / 16.0) AS BIGINT)) AS nlist
+              FROM corp),
+            cb AS (
+              SELECT vec_id + 1 AS ci,
+                     CASE WHEN n = 0 THEN vd ELSE list_transform(vd, x -> x / n) END AS cv
+              FROM (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+                           sqrt(list_sum(list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+                    FROM embeddings, params WHERE vec_id < nlist)),
+            ev AS (
+              SELECT vec_id, embedding, label,
+                     list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv
+              FROM corp),
+            dots AS (
+              SELECT ev.vec_id, cb.ci,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(ev.embedding[i] AS DOUBLE) * cb.cv[i])) *
+                     (CASE WHEN ev.nv = 0 THEN 0.0 ELSE 1.0 / sqrt(ev.nv) END) AS dp
+              FROM ev CROSS JOIN cb),
+            cells AS (
+              SELECT vec_id, ci AS cell FROM (
+                SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY dp DESC, ci) AS rn
+                FROM dots)
+              WHERE rn = 1),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+              FROM cells a
+              JOIN cells b2 ON a.cell = b2.cell AND a.vec_id < b2.vec_id
+              JOIN corp ea ON ea.vec_id = a.vec_id
+              JOIN corp eb ON eb.vec_id = b2.vec_id
+              WHERE ${PlaneSql.cosSql("ea.embedding", "eb.embedding")} >= 0.9),
+            e2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM e2
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN e2 ON r.b = e2.a),
+            losers AS (
+              SELECT a AS vec_id FROM reach GROUP BY a
+              HAVING least(a, min(b)) <> a)
+            SELECT c.vec_id, c.label, CAST(cells.cell AS INTEGER) AS cell
+            FROM corp c JOIN cells USING (vec_id)
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM losers)"""))
+
   // ---------------------------------------------------------------- q81
   // Token-budget mixture: each source srcN targets share (N+1)/210 of a
   // 60k-token budget — small-N sources upsample (epochs > 1), large-N
@@ -1489,5 +1570,5 @@ object QueriesText {
 
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
-    q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97)
+    q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99)
 }

@@ -89,6 +89,19 @@ object ScaleStress {
       col("label"))
   }
 
+  /** factor× orders (the q37/q38 cleaning-pipeline input): each replica
+    * shifts o_orderkey by 10M so _ingest_id stays unique while the
+    * `key % 7013` dirty-pattern seed keeps the same error rates. Only
+    * the two columns the transactions pipeline reads. */
+  private def synthOrders(spark: SparkSession, baseDir: String,
+                          factor: Int): DataFrame = {
+    val o = spark.read.parquet(s"$baseDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    o.withColumn("r", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("o_orderkey") + col("r") * lit(10000000L)).as("o_orderkey"),
+        col("o_orderdate"))
+  }
+
   private def time2(label: String)(run: => Unit): Double = {
     val times = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
@@ -128,12 +141,20 @@ object ScaleStress {
         .repartition(cpus.toInt).write.mode("overwrite")
         .parquet(s"$outDir/embeddings.parquet")
     }
+    if (!new java.io.File(s"$outDir/orders.parquet").exists()) {
+      synthOrders(spark, baseDir, factor)
+        .repartition(cpus.toInt).write.mode("overwrite")
+        .parquet(s"$outDir/orders.parquet")
+    }
     val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$outDir/embeddings.parquet").count()
     System.err.println(s"[scale] synth corpus: $nDocs docs, $nVecs vectors")
 
     val queryNames = Seq("q30_minhash_neardup", "q62_dup_components",
-      "q72_dedup_at_scale", "q91_dedup_keep_best", "q80_semdedup")
+      "q72_dedup_at_scale", "q91_dedup_keep_best", "q80_semdedup",
+      // the non-dedup heavies + the autoNlist SemDeDup scale path
+      "q37_transactions_clean", "q38_transactions_quarantine",
+      "q85_pack_sequences", "q94_corpus_pipeline", "q99_semdedup_auto")
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     for (name <- queryNames) {
       val fn = SparkEntry.queries(name)

@@ -274,6 +274,17 @@ object Similarity {
     cents
   }
 
+  /** Quantizer size for a corpus of `n` vectors at a target mean cell
+    * population — the SemDeDup paper's scaling knob. Cells ∝ corpus keeps
+    * the within-cell quadratic term at ~targetCellSize per row (linear
+    * overall); a FIXED nlist makes cell population grow with the corpus
+    * and the pairwise term quadratic (measured 13.4x wall on a 10x
+    * corpus vs 1.6x scaled — see ScaleStress / BASELINE.md). Integer
+    * ceiling, clamped to [minNlist, 1e6]. */
+  def autoNlist(n: Long, targetCellSize: Int = 1024, minNlist: Int = 16): Int =
+    math.min(math.max(minNlist.toLong,
+      (n + targetCellSize - 1) / targetCellSize), 1000000L).toInt
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): embeddings are assigned to quantizer cells
     * (nearest pretrained centroid — ONE codegen'd projection, no join,

@@ -34,9 +34,35 @@ object StatefulDedup {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** The per-group state transition behind [[firstOccurrence]], exposed
+    * so the TTL-eviction contract is unit-testable with Spark's
+    * `TestGroupState` (a live ProcessingTimeTimeout query never goes
+    * quiescent — `shouldRunAnotherBatch` is unconditionally true for
+    * that timeout mode, so `processAllAvailable` cannot be used to
+    * drive it deterministically in a test). */
+  private[graft] def firstOccurrenceUpdate(stateTtl: Option[String])(
+      key: String, rows: Iterator[(String, String)],
+      state: GroupState[Boolean]): Iterator[(String, String)] =
+    if (state.hasTimedOut) {
+      state.remove() // TTL eviction: state stays O(keys-live-in-window)
+      Iterator.empty
+    } else if (state.exists) {
+      Iterator.empty // key already emitted in an earlier batch
+    } else {
+      state.update(true)
+      stateTtl.foreach(state.setTimeoutDuration)
+      rows.take(1) // first occurrence within this batch, drop the rest
+    }
+
   /** Keep only the FIRST row per key across the whole stream. Input rows
     * are carried as (key, payload-json); emitted rows keep that shape —
-    * join back or `from_json` downstream as needed. */
+    * join back or `from_json` downstream as needed.
+    *
+    * OPERATIONAL NOTE on `stateTtl`: processing-time timeouts make the
+    * query schedule timeout-sweep batches forever (even with
+    * Trigger.AvailableNow), so `StreamingQuery.processAllAvailable`
+    * never returns on such a query — drive it with its sink output (or
+    * awaitTermination + stop), the periodic-restart deployment shape. */
   def firstOccurrence(df: DataFrame, keyCol: String,
                       stateTtl: Option[String] = None): Dataset[(String, String)] = {
     val spark = df.sparkSession
@@ -51,18 +77,6 @@ object StatefulDedup {
 
     keyed.groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, (String, String)](
-        OutputMode.Append, timeoutConf) {
-        (key: String, rows: Iterator[(String, String)], state: GroupState[Boolean]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else if (state.exists) {
-            Iterator.empty // key already emitted in an earlier batch
-          } else {
-            state.update(true)
-            stateTtl.foreach(state.setTimeoutDuration)
-            rows.take(1) // first occurrence within this batch, drop the rest
-          }
-      }
+        OutputMode.Append, timeoutConf)(firstOccurrenceUpdate(stateTtl))
   }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{EventWindows, StatefulDedup}
+
+/** Bounded state-soak runs for the stateful streaming operators: the
+  * 100x-scale risk in the streaming surface is STATE GROWTH, so these
+  * tests drive many micro-batches with an unbounded key/window domain
+  * and assert — via the engine's own StateOperatorProgress metrics —
+  * that TTL / watermark eviction keeps state far below the cumulative
+  * domain size. Per-micro-batch semantics live in StreamingSpec; this
+  * suite only pins the eviction behavior those semantics rely on.
+  */
+class StreamingSoakSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Max state rows any batch of `q` reported for operator 0. */
+  private def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[Long] =
+    q.recentProgress.toSeq.flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+
+  test("firstOccurrence TTL contract: emit once, evict on timeout, re-admit after") {
+    // ProcessingTimeTimeout queries never go quiescent (timeout-sweep
+    // batches are scheduled forever), so the EVICTION CONTRACT is pinned
+    // deterministically against Spark's own TestGroupState harness; the
+    // live-query soak below covers the wiring.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.{Optional => JOpt}
+    val fn = StatefulDedup.firstOccurrenceUpdate(Some("1 second")) _
+    def st(opt: Option[Boolean], timedOut: Boolean) = TestGroupState.create[Boolean](
+      optionalState = opt.map(b => JOpt.of(Boolean.box(b).booleanValue()))
+        .getOrElse(JOpt.empty[Boolean]()),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = JOpt.empty[java.lang.Long]().asInstanceOf[JOpt[Long]],
+      hasTimedOut = timedOut)
+
+    // fresh key: first row emitted, rest of batch dropped, TTL armed
+    val fresh = st(None, timedOut = false)
+    assert(fn("k1", Iterator(("k1", "p1"), ("k1", "p2")), fresh).toSeq == Seq(("k1", "p1")))
+    assert(fresh.get && fresh.getTimeoutTimestampMs.isPresent)
+    // seen key: suppressed, state untouched
+    val seen = st(Some(true), timedOut = false)
+    assert(fn("k1", Iterator(("k1", "p3")), seen).isEmpty && seen.exists)
+    // TTL fired: state REMOVED — this is what keeps state O(live keys)
+    val expired = st(Some(true), timedOut = true)
+    assert(fn("k1", Iterator.empty, expired).isEmpty)
+    assert(expired.isRemoved)
+    // re-arrival after eviction: emitted again (the documented trade)
+    val back = st(None, timedOut = false)
+    assert(fn("k1", Iterator(("k1", "p4")), back).toSeq == Seq(("k1", "p4")))
+  }
+
+  test("firstOccurrence TTL live query: state tracks waves, not history") {
+    // Live wiring check: waves of fresh keys through a running query,
+    // driven by SINK counts (not processAllAvailable — see above), with
+    // TTL sleeps between waves so earlier waves are evicted.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val deduped = StatefulDedup.firstOccurrence(
+      input.toDF().withColumnRenamed("value", "k"), "k",
+      stateTtl = Some("1 second"))
+    val q = deduped.writeStream.format("memory").queryName("soak_dedup")
+      .outputMode("append").start()
+    def awaitCount(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("soak_dedup").count() < n) {
+        assert(System.currentTimeMillis() < deadline, s"sink never reached $n rows")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      val waves = 3; val waveSize = 200
+      val perWave = (0 until waves).map { w =>
+        val keys = (0L until waveSize).map(_ + w * 10000L)
+        input.addData(keys ++ keys: _*) // each key twice: in-batch dedup too
+        awaitCount((w + 1).toLong * waveSize)
+        Thread.sleep(1500) // > TTL: this wave is due for eviction
+        stateRows(q).lastOption.getOrElse(0L)
+      }
+      assert(spark.table("soak_dedup").count() == waves.toLong * waveSize)
+      // cumulative domain is 600 keys; eviction keeps any snapshot near
+      // one wave (the sleep ran timeout sweeps before each measurement)
+      assert(perWave.max <= 2L * waveSize,
+        s"state grew with history: per-wave numRowsTotal=$perWave")
+    } finally q.stop()
+  }
+
+  test("firstOccurrence WITHOUT TTL accumulates (the contrast case)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val deduped = StatefulDedup.firstOccurrence(
+      input.toDF().withColumnRenamed("value", "k"), "k", stateTtl = None)
+    val q = deduped.writeStream.format("memory").queryName("soak_nottl")
+      .outputMode("append").start()
+    try {
+      for (w <- 0 until 3) {
+        input.addData((0L until 100L).map(_ + w * 10000L): _*)
+        q.processAllAvailable()
+      }
+      // no eviction: state is exactly the cumulative distinct-key count —
+      // this is WHY stateTtl exists for unbounded key domains
+      assert(stateRows(q).max == 300L)
+    } finally q.stop()
+  }
+
+  test("approxDistinctRegisters state is bounded by open windows, not seen windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "v")
+    val regs = EventWindows.approxDistinctRegisters(
+      events, "ts", "v", width = "1 minute", lateness = "1 minute")
+    val q = regs.writeStream.format("memory").queryName("soak_hll")
+      .outputMode("append").start()
+    try {
+      val windows = 30; val perWindow = 300
+      val t0 = 1700000000000L
+      for (w <- 0 until windows) {
+        // one micro-batch per event-time minute; values are globally
+        // unique so every batch pushes new registers
+        input.addData((0 until perWindow).map(i =>
+          (new java.sql.Timestamp(t0 + w * 60000L + (i % 60) * 1000L),
+            w * 100000L + i)): _*)
+        q.processAllAvailable()
+      }
+      val rows = stateRows(q)
+      assert(rows.nonEmpty)
+      // 30 windows x <=256 registers have PASSED THROUGH (7680 max rows
+      // had nothing been evicted); the watermark must keep live state to
+      // the few windows still inside the lateness horizon
+      assert(rows.max <= 256L * 5,
+        s"state grew with seen windows: per-batch numRowsTotal=$rows")
+      // the emitted register table still covers the closed windows:
+      // watermark = maxTs - 1 minute finalizes all but the tail windows
+      val emitted = spark.table("soak_hll")
+        .select("window_start").distinct().count()
+      assert(emitted >= windows - 3, s"only $emitted windows finalized")
+    } finally q.stop()
+  }
+}

@@ -415,6 +415,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.count() == 2) // both survive: cells partition the compare space
   }
 
+  test("autoNlist scales cells with the corpus and clamps both ends") {
+    // mean cell population stays ~targetCellSize → within-cell quadratic
+    // term stays linear in the corpus (the SemDeDup scale invariant)
+    assert(Similarity.autoNlist(0L) == 16)
+    assert(Similarity.autoNlist(525L, targetCellSize = 16) == 33)
+    assert(Similarity.autoNlist(5250L, targetCellSize = 16) == 329)
+    assert(Similarity.autoNlist(1024L * 40) == 40)
+    assert(Similarity.autoNlist(1L << 62) == 1000000) // upper clamp
+    // 10x corpus → ~10x cells (never fewer), the anti-quadratic property
+    val a = Similarity.autoNlist(100000L, 64)
+    val b = Similarity.autoNlist(1000000L, 64)
+    assert(b >= 10 * a - 10 && b <= 10 * a + 10)
+  }
+
   test("stripDupLines drops corpus-repeated lines, keeps order and blanks") {
     val multi = Seq(
       (1L, "unique opening line\nshared boilerplate footer\n\nrepeated inside\nrepeated inside"),
