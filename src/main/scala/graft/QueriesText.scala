@@ -1069,6 +1069,52 @@ object QueriesText {
             FROM corp c JOIN cells USING (vec_id)
             WHERE c.vec_id NOT IN (SELECT vec_id FROM losers)"""))
 
+  // ---------------------------------------------------------------- q100
+  // Modern-web media formats through the same header-decode gate as
+  // q42/q97: WEBP in all three first-chunk flavors (lossy VP8 sync +
+  // 14-bit dims, lossless VP8L packed u32, extended VP8X u24 canvas) and
+  // MP3 (ID3v2 skip + MPEG1 Layer III frame header + CBR duration
+  // estimate). The oracle recomputes every decoded field from the id
+  // arithmetic the shim embeds — a parser that misreads a bit-packed
+  // field or the syncsafe tag size hash-mismatches.
+  private val q100 = Q("q100_webp_mp3",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.asModernMedia(
+        t(s, dir, "documents"), "doc_id", "text")
+      media
+        .withColumn("img", Multimodal.decodeHeader(col("payload")))
+        .withColumn("av", Multimodal.decodeAvHeader(col("payload")))
+        .select(col("media_id"), col("media_type"),
+          coalesce(col("img.format"), col("av.format")).as("format"),
+          col("img.width").as("width"), col("img.height").as("height"),
+          col("av.channels").as("channels"),
+          col("av.sample_rate").as("sample_rate"),
+          col("av.duration_ms").as("duration_ms"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, octet_length(encode(text)) AS blen FROM documents)
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 4 = 3 THEN 'audio/mpeg'
+                        ELSE 'image/webp' END AS media_type,
+                   CASE WHEN doc_id % 4 = 3 THEN 'mp3' ELSE 'webp' END AS format,
+                   CASE WHEN doc_id % 4 < 3
+                        THEN CAST(doc_id % 1920 + 1 AS INT) END AS width,
+                   CASE WHEN doc_id % 4 < 3
+                        THEN CAST(doc_id % 1080 + 1 AS INT) END AS height,
+                   CASE WHEN doc_id % 4 = 3
+                        THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT)
+                   END AS channels,
+                   CASE WHEN doc_id % 4 = 3
+                        THEN CAST([44100, 48000, 32000][CAST(doc_id % 3 AS INT) + 1] AS INT)
+                   END AS sample_rate,
+                   CASE WHEN doc_id % 4 = 3
+                        THEN CAST((blen + 4) * 8 //
+                          [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                            [CAST(doc_id % 14 AS INT) + 1] AS BIGINT)
+                   END AS duration_ms
+            FROM d"""))
+
   // ---------------------------------------------------------------- q99
   // SemDeDup, the way it scales: same operator as q80 but the codebook
   // size is DERIVED from the corpus count (Similarity.autoNlist — cells
@@ -1570,5 +1616,6 @@ object QueriesText {
 
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
-    q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99)
+    q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
+    q100)
 }

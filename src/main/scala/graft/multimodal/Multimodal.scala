@@ -141,6 +141,56 @@ object Multimodal {
       when(id % 2 === 0, "audio/wav").otherwise("video/mp4").as("media_type"))
   }
 
+  /** Test-data shim for the modern-web formats: wrap a string column as
+    * a binary payload carrying a REAL WEBP (all three first-chunk
+    * flavors — lossy `VP8 `, lossless `VP8L`, extended `VP8X`, rotating
+    * on id) or MP3 (ID3v2 tag of varying size + MPEG1 Layer III frame
+    * header, bitrate/sample-rate/mode derived from the id), body = text
+    * bytes. Every header field is id arithmetic, so an oracle can
+    * recompute the expected decode without parsing bytes. */
+  def asModernMedia(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val id = col(idCol).cast(LongType)
+    def hex8(c: Column) = lpad(hex(c % 256), 2, "0")
+    def leHex16(c: Column) = concat(hex8(c), hex8(c / 256))
+    def leHex24(c: Column) = concat(hex8(c), hex8(c / 256), hex8(c / 65536))
+    def leHex32(c: Column) = concat(hex8(c), hex8(c / 256), hex8(c / 65536),
+      hex8(c / 16777216))
+
+    val dataLen = length(encode(col(strCol), "UTF-8")).cast(LongType)
+    val w = (id % 1920 + 1).cast(LongType)
+    val h = (id % 1080 + 1).cast(LongType)
+    val fmt = id % 4 // 0 = VP8, 1 = VP8L, 2 = VP8X, 3 = MP3
+
+    // WEBP variants: RIFF size = 4 (WEBP) + 8 (chunk hdr) + chunk payload
+    val vp8Hex = concat(lit("52494646"), leHex32(lit(22L) + dataLen),
+      lit("57454250"), lit("56503820"), leHex32(lit(10L) + dataLen),
+      lit("000000"), lit("9D012A"), leHex16(w), leHex16(h))
+    val vp8lBits = (w - 1) + (h - 1) * 16384L // 14-bit fields of a u32le
+    val vp8lHex = concat(lit("52494646"), leHex32(lit(17L) + dataLen),
+      lit("57454250"), lit("5650384C"), leHex32(lit(5L) + dataLen),
+      lit("2F"), leHex32(vp8lBits))
+    val vp8xHex = concat(lit("52494646"), leHex32(lit(22L) + dataLen),
+      lit("57454250"), lit("56503858"), leHex32(lit(10L) + dataLen),
+      lit("00"), lit("000000"), leHex24(w - 1), leHex24(h - 1))
+
+    // MP3: ID3v2.4 tag with id%7 pad bytes, then an MPEG1 Layer III
+    // frame header — bitrate index 1..14, sample-rate index 0..2,
+    // mono for even ids
+    val pad = (id % 7).cast(LongType)
+    val bIdx = (id % 14 + 1).cast(LongType)
+    val srIdx = (id % 3).cast(LongType)
+    val mp3Hex = concat(lit("494433"), lit("0400"), lit("00"),
+      lit("000000"), hex8(pad), repeat(lit("00"), pad.cast(IntegerType)),
+      lit("FFFB"), hex8(bIdx * 16 + srIdx * 4),
+      when(id % 2 === 0, lit("C0")).otherwise(lit("00")))
+
+    val headerHex = when(fmt === 0, vp8Hex).when(fmt === 1, vp8lHex)
+      .when(fmt === 2, vp8xHex).otherwise(mp3Hex)
+    df.select(id.as("media_id"),
+      concat(unhex(headerHex), encode(col(strCol), "UTF-8")).as("payload"),
+      when(fmt === 3, "audio/mpeg").otherwise("image/webp").as("media_type"))
+  }
+
   /** Byte-histogram feature vector (16 buckets) — a real, distributed
     * feature-extract over the raw bytes: one pass per payload inside
     * codegen, no shuffle. */

@@ -25,6 +25,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    carries timescale + duration (version 0: u32 pair; version 1:
   *    u32 timescale + u64 duration), `moov/trak/tkhd` carries track
   *    width/height as 16.16 fixed-point at the end of the box.
+  *  - MP3 (ISO/IEC 11172-3 Layer III + ID3v2 informal standard): an
+  *    optional `ID3` tag (10-byte header, syncsafe-u28 size, +10 if the
+  *    footer flag is set) is skipped, then the stream is scanned for the
+  *    first frame sync (`FF` + 3 set bits); the 4-byte frame header
+  *    carries MPEG version, layer, bitrate index, sample-rate index and
+  *    channel mode. Only Layer III is decoded (the format's namesake
+  *    profile); duration is the standard CBR estimate —
+  *    remaining-bytes x 8 / bitrate.
   *
   * Output: struct(format, channels, sample_rate, bits, duration_ms,
   * width, height) — audio fields NULL for video-only metadata and vice
@@ -151,7 +159,45 @@ case class AvMeta(child: Expression)
       else new GenericInternalRow(Array[Any](UTF8String.fromString("mp4"),
         null, null, null, duration * 1000L / timescale,
         if (width > 0) width else null, if (height > 0) height else null))
-    } else null
+    } else {
+      // ---- MP3: skip ID3v2 if present, find frame sync, read header ----
+      var p = 0
+      val hasId3 = n >= 10 && u(0) == 'I' && u(1) == 'D' && u(2) == '3'
+      if (hasId3) {
+        val tagSize = ((u(6) & 0x7F) << 21) | ((u(7) & 0x7F) << 14) |
+          ((u(8) & 0x7F) << 7) | (u(9) & 0x7F)
+        p = 10 + tagSize + (if ((u(5) & 0x10) != 0) 10 else 0) // footer flag
+        // real MP3s may pad between tag and first frame — scan for sync
+        while (p + 4 <= n && !(u(p) == 0xFF && (u(p + 1) & 0xE0) == 0xE0)) p += 1
+      }
+      // without an ID3 anchor the sync must sit at offset 0 — scanning
+      // arbitrary binaries for FF Ex would break the null-on-unrecognized
+      // contract (any payload with those two bytes would "decode")
+      if (p + 4 > n ||
+          !(u(p) == 0xFF && (u(p + 1) & 0xE0) == 0xE0)) null
+      else {
+        val version = (u(p + 1) >> 3) & 3     // 0=2.5, 2=MPEG2, 3=MPEG1
+        val layer = (u(p + 1) >> 1) & 3       // 1 = Layer III
+        val bitrateIdx = (u(p + 2) >> 4) & 15
+        val srIdx = (u(p + 2) >> 2) & 3
+        val mode = (u(p + 3) >> 6) & 3        // 3 = mono
+        val sampleRate =
+          if (srIdx == 3) -1
+          else if (version == 3) Array(44100, 48000, 32000)(srIdx)
+          else if (version == 2) Array(22050, 24000, 16000)(srIdx)
+          else if (version == 0) Array(11025, 12000, 8000)(srIdx)
+          else -1
+        val kbps =
+          if (bitrateIdx == 0 || bitrateIdx == 15) -1 // free/bad
+          else if (version == 3)
+            Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(bitrateIdx - 1)
+          else Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)(bitrateIdx - 1)
+        if (layer != 1 || sampleRate < 0 || kbps < 0) null
+        else new GenericInternalRow(Array[Any](UTF8String.fromString("mp3"),
+          if (mode == 3) 1 else 2, sampleRate, null,
+          (n - p).toLong * 8L / kbps, null, null))
+      }
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): AvMeta =

@@ -25,6 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    DHT/JPG/DAC); the frame header carries height then width as
   *    big-endian u16 at +5/+7. The scan is a real loop, so metadata
   *    position varies per file (e.g. after COM/APPn segments).
+  *  - WEBP (RIFF container, Google spec): `RIFF` + u32le size + `WEBP`,
+  *    then one of three first chunks — `VP8 ` (lossy: 3-byte frame tag,
+  *    sync `9D 01 2A`, then 14-bit width/height in u16le fields),
+  *    `VP8L` (lossless: `2F` signature, then width-1 / height-1 as two
+  *    14-bit fields of a u32le), `VP8X` (extended: canvas width-1 /
+  *    height-1 as u24le at payload offsets 4 and 7).
   *
   * Output: struct(width INT, height INT, format STRING), or NULL when
   * the payload matches no container (a decoder's failure contract).
@@ -58,6 +64,23 @@ case class ImageMeta(child: Expression)
         u(0) == 'G' && u(1) == 'I' && u(2) == 'F' && u(3) == '8' &&
         (u(4) == '7' || u(4) == '9') && u(5) == 'a') {
       row(u(6) | (u(7) << 8), u(8) | (u(9) << 8), "gif")
+    } else if (n >= 25 &&
+        u(0) == 'R' && u(1) == 'I' && u(2) == 'F' && u(3) == 'F' &&
+        u(8) == 'W' && u(9) == 'E' && u(10) == 'B' && u(11) == 'P') {
+      def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+      def le24(i: Int): Int = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16)
+      def le32(i: Int): Long = (le16(i).toLong | (le16(i + 2).toLong << 16)) & 0xFFFFFFFFL
+      // first chunk id at 12, payload at 20
+      if (n >= 30 && u(12) == 'V' && u(13) == 'P' && u(14) == '8' && u(15) == ' ' &&
+          u(23) == 0x9D && u(24) == 0x01 && u(25) == 0x2A) {
+        row(le16(26) & 0x3FFF, le16(28) & 0x3FFF, "webp")
+      } else if (u(12) == 'V' && u(13) == 'P' && u(14) == '8' && u(15) == 'L' &&
+          u(20) == 0x2F) {
+        val bits = le32(21)
+        row(((bits & 0x3FFF) + 1).toInt, (((bits >> 14) & 0x3FFF) + 1).toInt, "webp")
+      } else if (n >= 30 && u(12) == 'V' && u(13) == 'P' && u(14) == '8' && u(15) == 'X') {
+        row(le24(24) + 1, le24(27) + 1, "webp")
+      } else null
     } else if (n >= 4 && u(0) == 0xFF && u(1) == 0xD8) {
       // marker-segment scan for SOFn
       var p = 2

@@ -125,6 +125,76 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == ("mp4", 1234L * 1000 / 600, 640, 480))
   }
 
+  test("asModernMedia WEBP flavors round-trip the id arithmetic; MP3 decodes") {
+    // ids 0/1/2 rotate VP8 / VP8L / VP8X, 3 is MP3; id 4 wraps to VP8
+    val m = Multimodal.asModernMedia(docs, "doc_id", "text")
+      .withColumn("img", Multimodal.decodeHeader(col("payload")))
+      .withColumn("av", Multimodal.decodeAvHeader(col("payload")))
+      .orderBy("media_id").collect()
+    for (r <- m; id = r.getLong(0) if id % 4 < 3) {
+      val img = r.getStruct(r.fieldIndex("img"))
+      assert(img != null, s"webp $id must decode")
+      assert(img.getInt(0) == (id % 1920 + 1).toInt, s"width of $id")
+      assert(img.getInt(1) == (id % 1080 + 1).toInt, s"height of $id")
+      assert(img.getString(2) == "webp")
+      assert(r.isNullAt(r.fieldIndex("av")), s"webp $id is not a/v")
+    }
+    val mp3 = m(3)
+    assert(mp3.isNullAt(mp3.fieldIndex("img")), "mp3 is not an image")
+    val av = mp3.getStruct(mp3.fieldIndex("av"))
+    assert(av.getString(0) == "mp3")
+    assert(av.getInt(1) == 2)      // id 3 odd -> stereo
+    assert(av.getInt(2) == 44100)  // srIdx = 3 % 3 = 0
+    // CBR estimate: (4 frame bytes + body) * 8 / kbps, bIdx = 3%14+1 = 4
+    val bodyLen = "x".getBytes("UTF-8").length
+    assert(av.getLong(4) == (4L + bodyLen) * 8 / 56)
+  }
+
+  test("MP3 decode: ID3 skip, bare-sync accept, and rejection contract") {
+    import graft.plans.AvExpressions
+    def dec(hex: String) = Seq(hex).toDF("h")
+      .select(AvExpressions.avMeta(unhex(col("h"))).as("m"))
+      .select(col("m.format"), col("m.channels"), col("m.sample_rate"),
+        col("m.duration_ms")).collect()(0)
+    // bare frame sync at offset 0 (no ID3): MPEG1 L3 128kbps 44100 joint
+    // stereo + 96 body bytes -> (4 + 96) * 8 / 128 = 6 ms
+    val bare = dec("FFFB90" + "40" + "00" * 96)
+    assert(bare.getString(0) == "mp3" && bare.getInt(1) == 2 &&
+      bare.getInt(2) == 44100 && bare.getLong(3) == 6L)
+    // ID3v2 tag with 5-byte body, sync after it
+    val tagged = dec("494433040000" + "00000005" + "00" * 5 + "FFFBC0C0" + "00" * 60)
+    assert(tagged.getString(0) == "mp3" && tagged.getInt(1) == 1 &&
+      tagged.getInt(2) == 44100)
+    // sync NOT at 0 and no ID3 anchor -> null (contract: arbitrary
+    // binaries with FF Ex somewhere inside must not "decode")
+    assert(dec("00FFFB9040" + "00" * 40).isNullAt(0))
+    // Layer II frame (layer bits 10) -> null (only Layer III decoded)
+    assert(dec("FFFD9040" + "00" * 40).isNullAt(0))
+    // reserved sample-rate index -> null
+    assert(dec("FFFB9C40" + "00" * 40).isNullAt(0))
+    // truncated: ID3 header promising more than present -> null
+    assert(dec("4944330400000000007F").isNullAt(0))
+  }
+
+  test("WEBP decode: truncation and unknown first chunk reject") {
+    import graft.plans.ImageExpressions
+    def dec(hex: String) = Seq(hex).toDF("h")
+      .select(ImageExpressions.imageMeta(unhex(col("h"))).as("m")).collect()(0)
+    // VP8 chunk but sync code corrupted -> null
+    val badSync = "52494646" + "2C000000" + "57454250" + "56503820" + "16000000" +
+      "000000" + "FF012A" + "0A00" + "0A00" + "00" * 10
+    assert(dec(badSync).isNullAt(0))
+    // unknown first chunk id -> null
+    val alph = "52494646" + "2C000000" + "57454250" + "414C5048" + "16000000" + "00" * 22
+    assert(dec(alph).isNullAt(0))
+    // VP8L needs only 25 bytes total: 3x4 (w-1=3, h-1=... pack 3 | 4<<14)
+    val bits = 3L | (4L << 14)
+    val lHex = "52494646" + "11000000" + "57454250" + "5650384C" + "05000000" +
+      "2F" + f"${bits & 0xFF}%02X${(bits >> 8) & 0xFF}%02X${(bits >> 16) & 0xFF}%02X${(bits >> 24) & 0xFF}%02X"
+    val l = dec(lHex)
+    assert(l.getStruct(0).getInt(0) == 4 && l.getStruct(0).getInt(1) == 5)
+  }
+
   test("byteHistogram counts every byte exactly once") {
     val m = Multimodal.asMedia(docs, "doc_id", "text")
       .withColumn("hist", Multimodal.byteHistogram(col("payload")))
