@@ -1115,6 +1115,53 @@ object QueriesText {
                    END AS duration_ms
             FROM d"""))
 
+  // ---------------------------------------------------------------- q101
+  // Count-Min heavy hitters: the CMS register table (4 x 1024 integer
+  // counters, mergeable by addition) is built in one hash agg over the
+  // token stream; the exact top-20 terms then probe it and the min-over-
+  // depth estimate rides out next to the true count. Everything is
+  // md5 + integer arithmetic, so the oracle reproduces the REGISTERS and
+  // the estimates exactly — and the CMS one-sided bound (est >= exact)
+  // is hash-verified rather than asserted.
+  private def cmsBucketSql(h: String): String = {
+    val digits = (1 to 12).map(i =>
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${java.lang.Long.toString(1L << (4 * (12 - i)))}")
+    s"(${digits.mkString(" + ")}) % 1024"
+  }
+
+  private val q101 = Q("q101_cms_heavy_hitters",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+      val regs = Sketches.cmsRegisters(toks, col("term"), Nil)
+      val top = toks.groupBy("term").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("term")).limit(20)
+      Sketches.cmsEstimate(regs, top, "term", Nil)
+        .select(col("term"), col("exact_n"), col("est_count").as("est_n"))
+    },
+    Some(s"""WITH toks AS (
+              SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            t -> len(t) > 0)) AS term
+              FROM documents),
+            top_terms AS (
+              SELECT term, count(*) AS exact_n FROM toks
+              GROUP BY term ORDER BY exact_n DESC, term LIMIT 20),
+            hashed AS (
+              SELECT d.d, md5(CAST(d.d AS VARCHAR) || ':' || term) AS h
+              FROM toks CROSS JOIN range(4) AS d(d)),
+            regs AS (
+              SELECT d, ${cmsBucketSql("h")} AS bucket, count(*) AS n
+              FROM hashed GROUP BY 1, 2),
+            probe AS (
+              SELECT t.term, t.exact_n, d.d,
+                     ${cmsBucketSql(s"md5(CAST(d.d AS VARCHAR) || ':' || t.term)")} AS bucket
+              FROM top_terms t CROSS JOIN range(4) AS d(d))
+            SELECT p.term, p.exact_n,
+                   CAST(min(coalesce(r.n, 0)) AS BIGINT) AS est_n
+            FROM probe p LEFT JOIN regs r ON p.d = r.d AND p.bucket = r.bucket
+            GROUP BY p.term, p.exact_n"""))
+
   // ---------------------------------------------------------------- q99
   // SemDeDup, the way it scales: same operator as q80 but the codebook
   // size is DERIVED from the corpus count (Similarity.autoNlist — cells
@@ -1617,5 +1664,5 @@ object QueriesText {
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
-    q100)
+    q100, q101)
 }

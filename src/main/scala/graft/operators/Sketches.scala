@@ -103,6 +103,67 @@ object Sketches {
                   out: String = "approx_distinct"): DataFrame =
     hllEstimate(hllRegisters(df, value, groupCols), groupCols, out)
 
+  /** Count-Min Sketch (Cormode & Muthukrishnan 2005) in the same
+    * relational-register style as the HLL above: the sketch is a
+    * (depth, bucket, count) table — at most `depth * width` rows per
+    * group regardless of input size — built by ONE map-side-combinable
+    * hash aggregation over an exploded depth axis. Counts MERGE BY
+    * ADDITION (shards/days/deltas union + re-sum), and the estimate for
+    * any value is `min` over its depth rows — a one-sided bound
+    * (estimate >= true count, always; over-count bounded by
+    * collisions ~ N/width per row). Every step is md5 + integer
+    * arithmetic, so a SQL oracle reproduces the registers AND the
+    * estimates exactly — no floating point anywhere.
+    *
+    * The classic training-pipeline uses: heavy-hitter terms without a
+    * full vocabulary shuffle (probe a candidate set against the tiny
+    * register table), hot-key detection for salting decisions, and
+    * frequency caps over unbounded streams (the register table is the
+    * state, watermark/TTL-evictable like the HLL one). */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Bucket of `value` in depth row `d`: first 48 md5 bits of
+    * "d:value" mod width. */
+  def cmsBucket(value: Column, d: Int, width: Int = CmsWidth): Column =
+    hexVal(md5(concat(lit(s"$d:"), value.cast("string"))), 1, 12) % width
+
+  /** The sketch: one row per (group, depth, bucket) with the occurrence
+    * count. NULL values are excluded (COUNT semantics). */
+  def cmsRegisters(df: DataFrame, value: Column, groupCols: Seq[String],
+                   depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+    val rows = explode(array((0 until depth).map(d =>
+      struct(lit(d).as("_cms_d"), cmsBucket(value, d, width).as("_cms_b"))): _*))
+    df.filter(value.isNotNull)
+      .select(groupCols.map(col) :+ rows.as("_r"): _*)
+      .select(groupCols.map(col) ++ Seq(col("_r._cms_d").as("_cms_d"),
+        col("_r._cms_b").as("_cms_b")): _*)
+      .groupBy((groupCols ++ Seq("_cms_d", "_cms_b")).map(col): _*)
+      .agg(count(lit(1)).as("_cms_n"))
+  }
+
+  /** Probe `probes(probeCol)` against a register table (possibly merged
+    * across shards with `groupBy(..).sum(_cms_n)`): appends `out` =
+    * min over depth of the matching bucket counts. Probes whose value
+    * never occurred still get their collision floor (>= 0), preserving
+    * the one-sided contract. The register table is at most
+    * depth x width rows per group — broadcast-sized by construction. */
+  def cmsEstimate(registers: DataFrame, probes: DataFrame, probeCol: String,
+                  groupCols: Seq[String], depth: Int = CmsDepth,
+                  width: Int = CmsWidth, out: String = "est_count"): DataFrame = {
+    val probeRows = probes.withColumn("_r",
+        explode(array((0 until depth).map(d =>
+          struct(lit(d).as("_cms_d"),
+            cmsBucket(col(probeCol), d, width).as("_cms_b"))): _*)))
+      .select(probes.columns.map(col) ++ Seq(col("_r._cms_d").as("_cms_d"),
+        col("_r._cms_b").as("_cms_b")): _*)
+    probeRows
+      .join(broadcast(registers), groupCols ++ Seq("_cms_d", "_cms_b"), "left")
+      .na.fill(0L, Seq("_cms_n"))
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(col("_cms_n")).as(out))
+  }
+
   /** The DuckDB replay of [[hllDistinct]] over `table`, grouping by
     * `groupCol` and sketching `valueExpr` — kept HERE next to the Scala
     * definition so the two formulations evolve together. Pure SQL:

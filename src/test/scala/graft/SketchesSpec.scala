@@ -40,6 +40,42 @@ class SketchesSpec extends AnyFunSuite {
     assert(direct == merged) // bit-identical, not just close
   }
 
+  test("cms estimates are one-sided and rank a skewed heavy hitter first") {
+    // zipf-ish: "hot" appears 2000x, "warm" 200x, the tail 1-2x each
+    val rows = Seq.fill(2000)("hot") ++ Seq.fill(200)("warm") ++
+      (1 to 500).flatMap(i => Seq.fill(i % 2 + 1)(s"tail$i"))
+    val df = rows.toDF("term")
+    val regs = Sketches.cmsRegisters(df, col("term"), Nil)
+    // register table is bounded by construction, never by data size
+    assert(regs.count() <= Sketches.CmsDepth.toLong * Sketches.CmsWidth)
+    val exact = df.groupBy("term").agg(count(lit(1)).as("exact_n"))
+    val est = Sketches.cmsEstimate(regs, exact, "term", Nil)
+      .as[(String, Long, Long)].collect()
+    // one-sided bound: NEVER undercounts
+    est.foreach { case (t, ex, e) => assert(e >= ex, s"$t undercounted: $e < $ex") }
+    // collisions can inflate the tail, but the 2000x hitter stays on top
+    assert(est.maxBy(_._3)._1 == "hot")
+    // absent probe: estimate is its collision floor, still >= 0 (and tiny
+    // here: expected ~N/width ~ 3 per depth row)
+    val absent = Sketches.cmsEstimate(regs, Seq("never-seen").toDF("term"),
+      "term", Nil).as[(String, Long)].collect()(0)
+    assert(absent._2 >= 0 && absent._2 < 100)
+  }
+
+  test("cms register tables merge by addition across shards") {
+    val all = (1 to 3000).map(i => s"t${i % 37}").toDF("term")
+    val shards = Seq(
+      (1 to 1000), (1001 to 2000), (2001 to 3000)
+    ).map(r => r.map(i => s"t${i % 37}").toDF("term"))
+    val direct = Sketches.cmsRegisters(all, col("term"), Nil)
+      .as[(Int, Long, Long)].collect().toSet
+    val merged = shards.map(Sketches.cmsRegisters(_, col("term"), Nil))
+      .reduce(_ unionByName _)
+      .groupBy("_cms_d", "_cms_b").agg(sum(col("_cms_n")).as("_cms_n"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(direct == merged)
+  }
+
   test("stratifiedSample keeps per-stratum fractions and is deterministic") {
     val df = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "big" else "rare"))
       .toDF("id", "cls")
