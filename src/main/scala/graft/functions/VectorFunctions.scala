@@ -23,8 +23,17 @@ object VectorFunctions {
   def norm2(a: Column): Column =
     sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
 
-  /** Cosine similarity; null when either norm is zero. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; null when either norm is zero. Routed through
+    * the native [[graft.plans.CosineSim]] expression — one fused JVM
+    * loop per pair instead of interpreted per-element lambdas — which
+    * is IEEE-identical to [[cosineHof]] (same cast, fold order, and
+    * final association), proven exactly-equal in GraftFunctionsSpec. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.SketchExpressions.cosineSim(a, b)
+
+  /** The higher-order-function formulation [[cosine]] replaced — kept
+    * as the bit-parity reference for the native expression. */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val na = norm2(a); val nb = norm2(b)
     when(na === 0.0 || nb === 0.0, lit(null).cast(DoubleType))

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -208,6 +208,65 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Cosine similarity between two numeric arrays — the pairwise-verify
+  * hot loop of the whole similarity family (semdedup / embedding
+  * near-dup / ANN verify). IEEE-identical to the HOF formulation
+  * (`aggregate(zip_with(..))` dot and per-side norms): elements cast to
+  * double, all three accumulations fold left-to-right in index order,
+  * and the result is `dot / (sqrt(na) * sqrt(nb))` with exactly that
+  * association. NULL when either norm is zero, when lengths differ
+  * (zip_with's null padding), or when any element is null — so the swap
+  * from the HOF is invisible to every oracle hash. The HOF evaluates an
+  * interpreted lambda and allocates per element; this is one fused JVM
+  * loop per pair. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val (etL, etR) = (left.dataType, right.dataType) match {
+    case (ArrayType(a, _), ArrayType(b, _)) => (a, b)
+    case other => throw new IllegalArgumentException(s"expected two arrays, got $other")
+  }
+
+  private def fill(arr: ArrayData, et: DataType, out: Array[Double]): Boolean = {
+    val n = out.length
+    var i = 0
+    et match {
+      case FloatType  => while (i < n) { if (arr.isNullAt(i)) return false
+        out(i) = arr.getFloat(i); i += 1 }
+      case DoubleType => while (i < n) { if (arr.isNullAt(i)) return false
+        out(i) = arr.getDouble(i); i += 1 }
+      case _ => while (i < n) { if (arr.isNullAt(i)) return false
+        out(i) = arr.get(i, et).toString.toDouble; i += 1 }
+    }
+    true
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    val va = new Array[Double](n)
+    val vb = new Array[Double](n)
+    if (!fill(a, etL, va) || !fill(b, etR, vb)) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
+}
+
 /** Duplicate word-n-gram fraction: 1 - distinct/total over the n-grams of
   * a token array, 0.0 when the document has fewer than n tokens — the
   * Gopher/C4 repetition signal. Value-identical to the HOF formulation
@@ -266,6 +325,10 @@ object SketchExpressions {
                        nprobe: Int): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(vec),
       centroids, nprobe))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
 
   def dupNgramFraction(tokens: Column, n: Int): Column =
     ColumnBridge.column(DupNgramFraction(ColumnBridge.expression(tokens), n))

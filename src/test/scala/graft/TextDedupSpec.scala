@@ -415,6 +415,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.count() == 2) // both survive: cells partition the compare space
   }
 
+  test("native CosineSim is bit-identical to the HOF formulation") {
+    import graft.functions.{VectorFunctions => VF}
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1).toSeq)
+    } ++ Seq(
+      (1001L, Seq.fill(64)(0.0f)),              // zero norm -> null
+      (1002L, Seq.fill(64)(1.0f)))
+    val df = vecs.toDF("id", "v")
+    val pairs = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+      .select(VF.cosine(col("a.v"), col("b.v")).as("native"),
+        VF.cosineHof(col("a.v"), col("b.v")).as("hof"))
+    // EXACT equality (same casts, fold order, final association) — the
+    // null rows (zero norm) must agree too, hence the eqNullSafe
+    assert(pairs.filter(!(col("native") <=> col("hof"))).count() == 0)
+    // mismatched lengths -> null, matching zip_with's null padding
+    val mixed = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(VF.cosine(col("a"), col("b")).as("c"))
+    assert(mixed.filter(col("c").isNotNull).count() == 0)
+  }
+
   test("autoNlist scales cells with the corpus and clamps both ends") {
     // mean cell population stays ~targetCellSize → within-cell quadratic
     // term stays linear in the corpus (the SemDeDup scale invariant)
