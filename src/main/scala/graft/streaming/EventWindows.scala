@@ -74,6 +74,45 @@ object EventWindows {
         col("_hll_reg"), col("_hll_rho"))
   }
 
+  /** Per-window Count-Min register table — the frequency twin of
+    * [[approxDistinctRegisters]], on the same split: sketch-UPDATE is
+    * the stream (ONE stateful aggregation, state bounded by
+    * depth x width rows per open window, watermark-evicted), estimation
+    * happens at read time by probing the emitted table
+    * ([[graft.operators.Sketches.cmsEstimate]]).
+    *
+    * OUTPUT-MODE CAVEAT, where this differs from the HLL twin: CMS
+    * registers merge by ADDITION, which is NOT idempotent — run the
+    * sink in APPEND mode so each (window, register) row is emitted
+    * exactly once when the watermark closes the window (cross-batch
+    * accumulation happens inside the state store). Update-mode
+    * re-emissions would double-count under a sum-merge. Addition
+    * remains the correct merge across DISJOINT inputs: shards, days,
+    * backfills, or separate streams. (The HLL table tolerates update
+    * mode because max-merge is idempotent.)
+    *
+    * Per-window heavy hitters / hot keys / frequency caps over an
+    * unbounded stream, with no custom state and no unbounded key
+    * domain in the state store. */
+  def frequencyRegisters(events: DataFrame, tsCol: String, valueCol: String,
+                         width: String, lateness: String = "10 minutes",
+                         depth: Int = graft.operators.Sketches.CmsDepth,
+                         cmsWidth: Int = graft.operators.Sketches.CmsWidth): DataFrame = {
+    val rows = explode(array((0 until depth).map(d =>
+      struct(lit(d).as("_cms_d"),
+        graft.operators.Sketches.cmsBucket(col(valueCol), d, cmsWidth)
+          .as("_cms_b"))): _*))
+    events.withWatermark(tsCol, lateness)
+      .filter(col(valueCol).isNotNull)
+      .select(col(tsCol), rows.as("_r"))
+      .select(col(tsCol), col("_r._cms_d").as("_cms_d"), col("_r._cms_b").as("_cms_b"))
+      .groupBy(window(col(tsCol), width), col("_cms_d"), col("_cms_b"))
+      .agg(count(lit(1)).as("_cms_n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("_cms_d"), col("_cms_b"), col("_cms_n"))
+  }
+
   /** T6 — recent-N feed: latest n rows by `tsCol` (livestream.jsx:36-40's
     * last-5 history; the streaming side unions new appends in the sink). */
   def recentN(df: DataFrame, tsCol: String, n: Int, tieBreak: String): DataFrame =

@@ -106,6 +106,50 @@ class StreamingSoakSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS register sink counts bit-identically to batch") {
+    import graft.operators.Sketches
+    // two micro-batches into one hour-window, accumulated in the STATE
+    // STORE and emitted ONCE when a later batch's watermark closes the
+    // window (append mode — sum-merge is not idempotent, so update-mode
+    // re-emissions would double-count; see frequencyRegisters scaladoc).
+    // Probing the emitted rows must equal the batch sketch — exactly.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = (1 to 300).map(i => (ts("2024-01-01 10:10:00"), s"k${i % 7}"))
+    val b2 = (1 to 200).map(i => (ts("2024-01-01 10:40:00"), s"k${i % 13}"))
+    val flush = Seq((ts("2024-01-01 14:00:00"), "late-window-opener"))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    input.addData(b1: _*)
+    val regs = graft.streaming.EventWindows.frequencyRegisters(
+      input.toDF().toDF("ts", "k"), "ts", "k", "1 hour", lateness = "2 hours")
+    val q = regs.writeStream.format("memory").queryName("cmsregs")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      input.addData(flush: _*) // watermark -> 12:00, closes the 10:00 window
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("cmsregs")
+      .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+      .select("_cms_d", "_cms_b", "_cms_n")
+    // append emitted each register exactly once — no re-emission rows
+    assert(emitted.groupBy("_cms_d", "_cms_b").count()
+      .filter(col("count") > 1).count() == 0)
+    val all = (b1 ++ b2).toDF("ts", "k")
+    val probes = all.groupBy("k").agg(count(lit(1)).as("exact_n"))
+    val streamed = Sketches.cmsEstimate(emitted, probes, "k", Nil)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, ex, e) => k -> (ex, e) }.toMap
+    val batch = Sketches.cmsEstimate(
+      Sketches.cmsRegisters(all, col("k"), Nil), probes, "k", Nil)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, ex, e) => k -> (ex, e) }.toMap
+    assert(streamed == batch)
+    streamed.foreach { case (k, (ex, e)) => assert(e >= ex, s"$k undercounted") }
+  }
+
   test("approxDistinctRegisters state is bounded by open windows, not seen windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
