@@ -150,11 +150,15 @@ object ScaleStress {
     val nVecs = spark.read.parquet(s"$outDir/embeddings.parquet").count()
     System.err.println(s"[scale] synth corpus: $nDocs docs, $nVecs vectors")
 
+    // SPARK_GRAFT_SCALE_ONLY=q80_semdedup,q99_semdedup_auto -> subset
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queryNames = Seq("q30_minhash_neardup", "q62_dup_components",
       "q72_dedup_at_scale", "q91_dedup_keep_best", "q80_semdedup",
       // the non-dedup heavies + the autoNlist SemDeDup scale path
       "q37_transactions_clean", "q38_transactions_quarantine",
       "q85_pack_sequences", "q94_corpus_pipeline", "q99_semdedup_auto")
+      .filter(n => only.forall(_.contains(n)))
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     for (name <- queryNames) {
       val fn = SparkEntry.queries(name)
@@ -175,11 +179,16 @@ object ScaleStress {
         .collect().map(_.getSeq[Double](0).toArray)
       Similarity.semDedup(e, "vec_id", "embedding", cb, threshold = 0.9)
     }
-    val semBase = time2("semdedup_nlist16 @base") { noop(semDedupScaled(baseDir, 16)) }
-    val semScaled = time2(s"semdedup_nlist${16 * factor} @${factor}x") {
-      noop(semDedupScaled(outDir, 16 * factor))
+    // harness-only variant + pair-graph round counts: full runs only
+    // (a SPARK_GRAFT_SCALE_ONLY subset re-measures just the named
+    // registered queries)
+    if (only.isEmpty) {
+      val semBase = time2("semdedup_nlist16 @base") { noop(semDedupScaled(baseDir, 16)) }
+      val semScaled = time2(s"semdedup_nlist${16 * factor} @${factor}x") {
+        noop(semDedupScaled(outDir, 16 * factor))
+      }
+      results("semdedup_nlist_scaled") = (semBase, semScaled)
     }
-    results("semdedup_nlist_scaled") = (semBase, semScaled)
 
     // components round counts on the REAL pair graphs (incl. the planted
     // diameter-64 chains at 10x): the O(log n) observable
@@ -194,10 +203,11 @@ object ScaleStress {
       val (_, r) = Components.labelPropagateWithRounds(pairs, "id_a", "id_b")
       (r, nPairs)
     }
-    val (rBase, pBase) = rounds(baseDir)
-    val (rScaled, pScaled) = rounds(outDir)
-    System.err.println(s"[scale] pair graph: base $pBase edges/$rBase rounds, " +
-      s"${factor}x $pScaled edges/$rScaled rounds")
+    val (rBase, pBase) = if (only.isEmpty) rounds(baseDir) else (0, 0L)
+    val (rScaled, pScaled) = if (only.isEmpty) rounds(outDir) else (0, 0L)
+    if (only.isEmpty)
+      System.err.println(s"[scale] pair graph: base $pBase edges/$rBase rounds, " +
+        s"${factor}x $pScaled edges/$rScaled rounds")
 
     val rows = results.map { case (name, (b, sc)) =>
       f"""{"query":"$name","base_s":$b%.2f,"x${factor}_s":$sc%.2f,"ratio":${sc / b}%.2f}"""
