@@ -78,7 +78,17 @@ class StreamingSoakSpec extends AnyFunSuite {
         input.addData(keys ++ keys: _*) // each key twice: in-batch dedup too
         awaitCount((w + 1).toLong * waveSize)
         Thread.sleep(1500) // > TTL: this wave is due for eviction
-        stateRows(q).lastOption.getOrElse(0L)
+        // deadline-poll the eviction instead of trusting one sleep — this
+        // host's contention bursts can stall the timeout sweep past any
+        // fixed pause (BASELINE.md variance caveat); the CLAIM is that
+        // eviction happens, not that it happens within 1.5 s
+        val deadline = System.currentTimeMillis() + 20000
+        var last = stateRows(q).lastOption.getOrElse(0L)
+        while (last > 2L * waveSize && System.currentTimeMillis() < deadline) {
+          Thread.sleep(200)
+          last = stateRows(q).lastOption.getOrElse(0L)
+        }
+        last
       }
       assert(spark.table("soak_dedup").count() == waves.toLong * waveSize)
       // cumulative domain is 600 keys; eviction keeps any snapshot near
