@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1162,6 +1163,58 @@ object QueriesText {
             FROM probe p LEFT JOIN regs r ON p.d = r.d AND p.bucket = r.bucket
             GROUP BY p.term, p.exact_n"""))
 
+  // ---------------------------------------------------------------- q102
+  // Grouped CMS: per-source register tables (the sketch partitions by
+  // the group key exactly like the data) probed by each source's exact
+  // top-3 terms — the q101 flow through the groupCols path. Sources
+  // sharing a term hash it to the SAME (depth, bucket), so the gate
+  // also proves group isolation: collisions only ever come from the
+  // same source's tokens.
+  private val q102 = Q("q102_cms_grouped",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+      val regs = Sketches.cmsRegisters(toks, col("term"), Seq("source"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("exact_n").desc, col("term"))
+      val top = toks.groupBy("source", "term")
+        .agg(count(lit(1)).as("exact_n"))
+        .withColumn("rank", row_number().over(w).cast(IntegerType))
+        .filter(col("rank") <= 3)
+      Sketches.cmsEstimate(regs, top, "term", Seq("source"))
+        .select(col("source"), col("rank"), col("term"), col("exact_n"),
+          col("est_count").as("est_n"))
+    },
+    Some(s"""WITH toks AS (
+              SELECT source,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            t -> len(t) > 0)) AS term
+              FROM documents),
+            top_terms AS (
+              SELECT source, term, exact_n, CAST(rank AS INT) AS rank FROM (
+                SELECT source, term, count(*) AS exact_n,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY count(*) DESC, term) AS rank
+                FROM toks GROUP BY source, term)
+              WHERE rank <= 3),
+            hashed AS (
+              SELECT source, d.d, md5(CAST(d.d AS VARCHAR) || ':' || term) AS h
+              FROM toks CROSS JOIN range(4) AS d(d)),
+            regs AS (
+              SELECT source, d, ${cmsBucketSql("h")} AS bucket, count(*) AS n
+              FROM hashed GROUP BY 1, 2, 3),
+            probe AS (
+              SELECT t.source, t.term, t.exact_n, t.rank, d.d,
+                     ${cmsBucketSql(s"md5(CAST(d.d AS VARCHAR) || ':' || t.term)")} AS bucket
+              FROM top_terms t CROSS JOIN range(4) AS d(d))
+            SELECT p.source, p.rank, p.term, p.exact_n,
+                   CAST(min(coalesce(r.n, 0)) AS BIGINT) AS est_n
+            FROM probe p LEFT JOIN regs r
+              ON p.source = r.source AND p.d = r.d AND p.bucket = r.bucket
+            GROUP BY p.source, p.rank, p.term, p.exact_n"""))
+
   // ---------------------------------------------------------------- q99
   // SemDeDup, the way it scales: same operator as q80 but the codebook
   // size is DERIVED from the corpus count (Similarity.autoNlist — cells
@@ -1664,5 +1717,5 @@ object QueriesText {
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
-    q100, q101)
+    q100, q101, q102)
 }
