@@ -1462,6 +1462,48 @@ object Queries {
                          CAST(sum(n) OVER () AS DOUBLE), 6) AS share
             FROM g"""))
 
+  // ---------------------------------------------------------------- q103
+  // Approximate quantiles from the MERGEABLE bin table (q93's histogram
+  // registers): target rank = q x N, first bin whose cumulative count
+  // reaches it, linear interpolation inside — error bounded by one bin
+  // width. The bin counts merge by addition across shards/days, so this
+  // is the read-time estimator of a distributed profiling sketch; the
+  // oracle replays the cumulative walk and the interpolation
+  // arithmetic in the same association order, so the estimates
+  // hash-match exactly.
+  private val q103 = Q("q103_hist_quantiles",
+    (s, dir) => Profile.histogramQuantiles(
+      Profile.histogram(t(s, dir, "orders"), col("o_totalprice"),
+        lo = 0.0, hi = 500000.0, bins = 20).select(col("bin"), col("n")),
+      lo = 0.0, hi = 500000.0, bins = 20,
+      qs = Seq(0.25, 0.5, 0.9, 0.99)),
+    Some("""WITH b AS (
+              SELECT least(19, greatest(0,
+                       CAST(floor((o_totalprice - 0.0) / 25000.0) AS INT)))
+                       AS bin
+              FROM orders WHERE o_totalprice IS NOT NULL),
+            g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bin),
+            c AS (SELECT bin, n,
+                         sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+                         sum(n) OVER () AS total
+                  FROM g),
+            p AS (
+              SELECT qs.q, c.bin, c.n, c.cum, c.total,
+                     qs.q * CAST(c.total AS DOUBLE) AS target
+              FROM c CROSS JOIN (SELECT unnest([CAST(0.25 AS DOUBLE),
+                     CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                     CAST(0.99 AS DOUBLE)]) AS q) qs
+              WHERE CAST(c.cum AS DOUBLE) >= qs.q * CAST(c.total AS DOUBLE)),
+            sel AS (
+              SELECT *, row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
+              FROM p)
+            SELECT q,
+                   round(0.0 + bin * 25000.0
+                         + (target - CAST(cum - n AS DOUBLE))
+                           / CAST(n AS DOUBLE) * 25000.0, 6) AS estimate,
+                   CAST(total AS BIGINT) AS n_rows
+            FROM sel WHERE rn = 1"""))
+
   // ---------------------------------------------------------------- q95
   // Point-in-time join against an SCD2 dimension — the query-side half
   // of q13's maintenance flow: each order picks the customer-balance
@@ -1533,6 +1575,7 @@ object Queries {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q57, q60, q66, q67, q68, q70,
-    q71, q73, q74, q75, q79, q86, q87, q89, q92, q93, q95, q96, q98) ++
+    q71, q73, q74, q75, q79, q86, q87, q89, q92, q93, q95, q96, q98,
+    q103) ++
     QueriesText.all ++ QueriesClean.all
 }

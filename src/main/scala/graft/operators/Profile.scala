@@ -81,4 +81,43 @@ object Profile {
         bround(col("n").cast("double")
           / sum(col("n")).over(w).cast("double"), 6).as("share"))
   }
+
+  /** Approximate quantiles AT READ TIME from an equi-width bin table —
+    * [[histogram]]'s (bin, n) rows, possibly merged across shards /
+    * days / deltas by `groupBy(bin).sum(n)` (bin counts merge by
+    * ADDITION, the same register-table pattern as the HLL and CMS
+    * sketches). For each requested q: target rank = q x N, the first
+    * bin whose cumulative count reaches it is selected, and the
+    * estimate interpolates linearly inside that bin — error bounded by
+    * one bin width, deterministically. Every frame here is <= bins x
+    * |qs| rows (parameters, not data), so the unpartitioned windows are
+    * config-bounded exactly like histogram's share denominator. */
+  def histogramQuantiles(binTable: DataFrame, lo: Double, hi: Double,
+                         bins: Int, qs: Seq[Double]): DataFrame = {
+    require(bins > 0 && hi > lo, s"bad bin spec [$lo, $hi) / $bins")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0, 1], got $qs")
+    val width = (hi - lo) / bins
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cum = binTable.select(col("bin"), col("n"))
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+    val probes = cum
+      .select(col("*"), explode(typedLit(qs)).as("q"))
+      .withColumn("target", col("q") * col("total").cast("double"))
+      // first bin whose cumulative count reaches the target rank;
+      // q = 0 (target 0) picks the first bin and interpolates to its lo
+      .filter(col("cum").cast("double") >= col("target"))
+    val first = Window.partitionBy(col("q")).orderBy(col("bin"))
+    probes.withColumn("_rn", row_number().over(first))
+      .filter(col("_rn") === 1)
+      .select(col("q"),
+        bround(lit(lo) + col("bin") * lit(width) +
+          (col("target") - (col("cum") - col("n")).cast("double"))
+            / col("n").cast("double") * lit(width), 6).as("estimate"),
+        col("total").as("n_rows"))
+  }
 }

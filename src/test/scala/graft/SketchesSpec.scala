@@ -76,6 +76,34 @@ class SketchesSpec extends AnyFunSuite {
     assert(direct == merged)
   }
 
+  test("histogramQuantiles: shard-merged bins estimate like direct, within a bin") {
+    val all = (1 to 10000).map(i => i.toDouble).toDF("v")
+    val shards = Seq((1 to 4000), (4001 to 9000), (9001 to 10000))
+      .map(r => r.map(_.toDouble).toDF("v"))
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    def bins(df: org.apache.spark.sql.DataFrame) =
+      Profile.histogram(df, col("v"), 0.0, 10000.0, 50).select("bin", "n")
+    val direct = Profile.histogramQuantiles(bins(all), 0.0, 10000.0, 50, qs)
+      .as[(Double, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    // register-table merge: union shard bins, re-sum — must be identical
+    val merged = Profile.histogramQuantiles(
+      shards.map(bins).reduce(_ unionByName _)
+        .groupBy("bin").agg(sum("n").as("n")),
+      0.0, 10000.0, 50, qs)
+      .as[(Double, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(direct == merged)
+    // accuracy: within one bin width (200) of the exact quantile
+    qs.foreach { q =>
+      val exact = q * 10000.0
+      assert(math.abs(direct(q) - exact) <= 200.0,
+        s"q=$q est=${direct(q)} exact=$exact")
+    }
+    // out-of-range quantile rejected
+    intercept[IllegalArgumentException] {
+      Profile.histogramQuantiles(bins(all), 0.0, 10000.0, 50, Seq(1.5))
+    }
+  }
+
   test("stratifiedSample keeps per-stratum fractions and is deterministic") {
     val df = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "big" else "rare"))
       .toDF("id", "cls")
