@@ -1163,6 +1163,104 @@ object QueriesText {
             FROM probe p LEFT JOIN regs r ON p.d = r.d AND p.bucket = r.bucket
             GROUP BY p.term, p.exact_n"""))
 
+  // ---------------------------------------------------------------- q104
+  // Distributed k-means: TWO full-corpus spherical Lloyd's steps from a
+  // deterministic 8-vector codebook. Assignment is the NearestCentroids
+  // projection over every vector; the centroid update is an exact
+  // integer aggregation of 1e-6-quantized normalized components
+  // (partition-order-independent), normalized as a sum vector — the
+  // oracle unrolls both iterations (assignment -> integer sums ->
+  // normalize -> re-assignment -> sums -> normalize) and the final
+  // centroids plus member counts hash-match component for component.
+  private val q104 = Q("q104_kmeans_distributed",
+    (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val init = e.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val (c1, _) = Similarity.kmeansStepDistributed(e, "embedding", init)
+      val (c2, n2) = Similarity.kmeansStepDistributed(e, "embedding", c1)
+      val rows = for {
+        c <- c2.indices
+        d <- c2(c).indices
+      } yield (c + 1, n2(c), d + 1, c2(c)(d))
+      rows.toDF("cell", "n_members", "dim", "raw")
+        .select(col("cell").cast(IntegerType), col("n_members"),
+          col("dim").cast(IntegerType), bround(col("raw"), 6).as("value"))
+    },
+    Some("""WITH ev AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+                     list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv
+              FROM embeddings),
+            evn AS (
+              SELECT vec_id, vd, nv,
+                     list_transform(
+                       CASE WHEN nv = 0 THEN vd
+                            ELSE list_transform(vd, x -> x / sqrt(nv)) END,
+                       x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vq
+              FROM ev),
+            c0 AS (
+              SELECT CAST(vec_id + 1 AS INT) AS cell,
+                     CASE WHEN nv = 0 THEN vd
+                          ELSE list_transform(vd, x -> x / sqrt(nv)) END AS cv
+              FROM ev WHERE vec_id < 8),
+            d1 AS (SELECT e.vec_id, c.cell,
+                          list_sum(list_transform(range(1, 65),
+                            i -> e.vd[i] * c.cv[i])) *
+                          (CASE WHEN e.nv = 0 THEN 0.0
+                                ELSE 1.0 / sqrt(e.nv) END) AS dp
+                   FROM ev e CROSS JOIN c0 c),
+            a1 AS (SELECT vec_id, cell FROM
+                    (SELECT vec_id, cell, row_number() OVER
+                       (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn FROM d1)
+                   WHERE rn = 1),
+            s1 AS (SELECT a.cell, t.i, sum(e.vq[t.i]) AS sq
+                   FROM a1 a JOIN evn e USING (vec_id), range(1, 65) t(i)
+                   GROUP BY a.cell, t.i),
+            l1 AS (SELECT cell, list(CAST(sq AS DOUBLE) ORDER BY i) AS sl
+                   FROM s1 GROUP BY cell),
+            n1 AS (SELECT cell, sl,
+                          sqrt(list_sum(list_transform(sl, x -> x * x))) AS nn
+                   FROM l1),
+            c1 AS (SELECT p.cell,
+                          COALESCE(CASE WHEN n.nn = 0 THEN n.sl
+                                        ELSE list_transform(n.sl, x -> x / n.nn) END,
+                                   p.cv) AS cv
+                   FROM c0 p LEFT JOIN n1 n ON p.cell = n.cell),
+            d2 AS (SELECT e.vec_id, c.cell,
+                          list_sum(list_transform(range(1, 65),
+                            i -> e.vd[i] * c.cv[i])) *
+                          (CASE WHEN e.nv = 0 THEN 0.0
+                                ELSE 1.0 / sqrt(e.nv) END) AS dp
+                   FROM ev e CROSS JOIN c1 c),
+            a2 AS (SELECT vec_id, cell FROM
+                    (SELECT vec_id, cell, row_number() OVER
+                       (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn FROM d2)
+                   WHERE rn = 1),
+            cnt2 AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+                     FROM a2 GROUP BY cell),
+            s2 AS (SELECT a.cell, t.i, sum(e.vq[t.i]) AS sq
+                   FROM a2 a JOIN evn e USING (vec_id), range(1, 65) t(i)
+                   GROUP BY a.cell, t.i),
+            l2 AS (SELECT cell, list(CAST(sq AS DOUBLE) ORDER BY i) AS sl
+                   FROM s2 GROUP BY cell),
+            n2 AS (SELECT cell, sl,
+                          sqrt(list_sum(list_transform(sl, x -> x * x))) AS nn
+                   FROM l2),
+            c2 AS (SELECT p.cell,
+                          COALESCE(CASE WHEN n.nn = 0 THEN n.sl
+                                        ELSE list_transform(n.sl, x -> x / n.nn) END,
+                                   p.cv) AS cv
+                   FROM c1 p LEFT JOIN n2 n ON p.cell = n.cell)
+            SELECT c2.cell,
+                   COALESCE(cnt2.n_members, 0) AS n_members,
+                   CAST(t.i AS INT) AS dim,
+                   round(c2.cv[t.i], 6) AS value
+            FROM c2 LEFT JOIN cnt2 USING (cell), range(1, 65) t(i)"""))
+
   // ---------------------------------------------------------------- q102
   // Grouped CMS: per-source register tables (the sketch partitions by
   // the group key exactly like the data) probed by each source's exact
@@ -1717,5 +1815,5 @@ object QueriesText {
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
-    q100, q101, q102)
+    q100, q101, q102, q104)
 }

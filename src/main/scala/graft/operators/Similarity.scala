@@ -274,6 +274,52 @@ object Similarity {
     cents
   }
 
+  /** One fully DISTRIBUTED spherical Lloyd's step over the whole
+    * corpus — the cluster-scale refinement of [[kmeansCentroids]]'
+    * bounded-sample training. Assignment is the codegen-adjacent
+    * [[graft.plans.NearestCentroids]] projection (no join, no shuffle
+    * to build the partition); the centroid update sums 1e-6-QUANTIZED
+    * normalized components per (cell, dim) — exact integer arithmetic,
+    * so the result is independent of partition order and replayable in
+    * SQL — and only the k x dim sum table (a parameter-sized frame)
+    * is collected. New centroids are the L2-normalized sum vectors
+    * (spherical k-means: the sum's direction IS the mean's direction,
+    * so no division by count enters the float path). Cells with no
+    * members keep their previous centroid.
+    *
+    * Returns (updated centroids, per-cell member counts). Iterate by
+    * calling again with the returned centroids — each step is one
+    * distributed job over the corpus plus a bounded collect. */
+  def kmeansStepDistributed(df: DataFrame, vecCol: String,
+                            centroids: Array[Array[Double]]): (Array[Array[Double]], Array[Long]) = {
+    val k = centroids.length
+    val dim = centroids.head.length
+    val vn = graft.functions.VectorFunctions.normalize(col(vecCol))
+    val vq = transform(vn, x => floor(x * lit(1000000.0) + lit(0.5)).cast("long"))
+    val rows = df.filter(col(vecCol).isNotNull)
+      .select(element_at(graft.plans.SketchExpressions.nearestCentroids(
+          col(vecCol), centroids, 1), 1).as("_cell"),
+        posexplode(vq).as(Seq("_dim", "_xq")))
+      .groupBy(col("_cell"), col("_dim"))
+      .agg(sum(col("_xq")).as("_s"), count(lit(1)).as("_n"))
+      .collect() // <= k x dim rows — parameters, not data
+    val sums = Array.fill(k)(new Array[Double](dim))
+    val counts = new Array[Long](k)
+    rows.foreach { r =>
+      val c = r.getInt(0) - 1 // NearestCentroids indices are 1-based
+      sums(c)(r.getInt(1)) = r.getLong(2).toDouble
+      counts(c) = r.getLong(3)
+    }
+    val out = centroids.indices.map { c =>
+      if (counts(c) == 0L) centroids(c)
+      else {
+        val n2 = math.sqrt(sums(c).map(x => x * x).sum)
+        if (n2 == 0.0) sums(c) else sums(c).map(_ / n2)
+      }
+    }.toArray
+    (out, counts)
+  }
+
   /** Quantizer size for a corpus of `n` vectors at a target mean cell
     * population — the SemDeDup paper's scaling knob. Cells ∝ corpus keeps
     * the within-cell quadratic term at ~targetCellSize per row (linear

@@ -436,6 +436,37 @@ class TextDedupSpec extends AnyFunSuite {
     assert(mixed.filter(col("c").isNotNull).count() == 0)
   }
 
+  test("distributed Lloyd's step: deterministic, converges to cluster directions") {
+    // two tight clusters around orthogonal axes + deliberately bad init
+    val rnd = new scala.util.Random(11)
+    def near(axis: Int) = Seq.tabulate(8)(j =>
+      (if (j == axis) 1.0 else 0.0) + rnd.nextDouble() * 0.05)
+    val vecs = ((1 to 120).map(i => (i.toLong, near(0))) ++
+      (201 to 320).map(i => (i.toLong, near(5)))).toDF("vec_id", "embedding")
+    val init = Array(
+      Array(0.7, 0.1, 0.0, 0.0, 0.0, 0.7, 0.0, 0.0), // between the clusters
+      Array(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0)) // off in the weeds
+    val (c1, n1) = Similarity.kmeansStepDistributed(vecs, "embedding", init)
+    val (c2, n2) = Similarity.kmeansStepDistributed(vecs, "embedding", c1)
+    // every vector is assigned somewhere, every step
+    assert(n1.sum == 240L && n2.sum == 240L)
+    // determinism: identical inputs give bit-identical centroids
+    val (c2b, n2b) = Similarity.kmeansStepDistributed(vecs, "embedding", c1)
+    assert(c2.map(_.toSeq).toSeq == c2b.map(_.toSeq).toSeq && n2.toSeq == n2b.toSeq)
+    // after two steps the dominant centroid components point at the
+    // planted axes (spherical update: unit-norm centroids)
+    c2.filter(_ => true).foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    val dominant = c2.map(c => c.indexOf(c.max)).toSet
+    assert(dominant.contains(0) || dominant.contains(5))
+    // an empty cell keeps its previous centroid instead of collapsing
+    val (c3, n3) = Similarity.kmeansStepDistributed(
+      vecs.filter(col("vec_id") <= 120), "embedding", c2)
+    val empty = n3.indexWhere(_ == 0L)
+    if (empty >= 0) assert(c3(empty).toSeq == c2(empty).toSeq)
+  }
+
   test("autoNlist scales cells with the corpus and clamps both ends") {
     // mean cell population stays ~targetCellSize → within-cell quadratic
     // term stays linear in the corpus (the SemDeDup scale invariant)
