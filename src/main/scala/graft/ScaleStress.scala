@@ -157,7 +157,10 @@ object ScaleStress {
       "q72_dedup_at_scale", "q91_dedup_keep_best", "q80_semdedup",
       // the non-dedup heavies + the autoNlist SemDeDup scale path
       "q37_transactions_clean", "q38_transactions_quarantine",
-      "q85_pack_sequences", "q94_corpus_pipeline", "q99_semdedup_auto")
+      "q85_pack_sequences", "q94_corpus_pipeline", "q99_semdedup_auto",
+      // round-6 additions: sketch family + distributed k-means
+      "q101_cms_heavy_hitters", "q102_cms_grouped",
+      "q104_kmeans_distributed")
       .filter(n => only.forall(_.contains(n)))
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     for (name <- queryNames) {
