@@ -22,6 +22,11 @@ object Verify {
     // comma-separated allowlist for spot-verifying a few queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A query that THROWS must be a loud, machine-readable event: a
+    // skipped query silently VANISHES from the downstream correctness
+    // compare (that is how a testdata schema change dropped three green
+    // queries from one round's sweep without any red signal).
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -29,6 +34,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -46,6 +52,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
+    if (failed.nonEmpty) {
+      // also on stdout so any tail-capture shows it next to the totals
+      println(s"""{"verify_failures":${failed.size},"queries":${failed.keys
+        .map(k => "\"" + k + "\"").mkString("[", ",", "]")}}""")
+    }
     spark.stop()
   }
 }

@@ -86,6 +86,15 @@ class PlanAuditSpec extends AnyFunSuite {
     issues.toSeq
   }
 
+  test("every registered query carries a DuckDB oracle (zero rows-only checks)") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(qs == os,
+      s"queries without an oracle: ${(qs -- os).toSeq.sorted.mkString(", ")}; " +
+        s"orphan oracles: ${(os -- qs).toSeq.sorted.mkString(", ")}")
+    assert(qs.size >= 104, s"registered query count regressed: ${qs.size}")
+  }
+
   test("every registered query satisfies the standing plan rules") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

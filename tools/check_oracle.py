@@ -45,6 +45,15 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(x.split("/")[-1] for x in glob.glob(f"{out_dir}/q*"))
     n_pass = n_fail = 0
+    # queries that THREW during Verify never produced a parquet dir and
+    # would silently vanish from this compare — count them as failures
+    try:
+        failures = json.load(open(f"{out_dir}/verify_failures.json"))
+    except FileNotFoundError:
+        failures = {}
+    for name, msg in failures.items():
+        print(f"{name:28s} VERIFY-FAILED {msg[:120]}")
+        n_fail += 1
     for name in names:
         spark_df = pd.concat(
             [pd.read_parquet(p) for p in glob.glob(f"{out_dir}/{name}/*.parquet")],
