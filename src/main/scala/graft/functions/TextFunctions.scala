@@ -28,6 +28,14 @@ object TextFunctions {
     pieces.cast(LongType)
   }
 
+  /** REAL byte-pair encoding against a merges table (the published BPE
+    * apply loop — see [[graft.plans.BpeEncode]]): returns the token
+    * array; compose `size(...)` for the exact-tokenizer count the
+    * proxy above approximates. The merges list rides as an expression
+    * literal, so tokenizing a corpus is a map-only projection. */
+  def bpeTokens(c: Column, merges: Seq[(String, String)]): Column =
+    graft.plans.SketchExpressions.bpeEncode(c, merges)
+
   /** Mean token length in characters; 0.0 for token-free docs. Computed
     * as sum-of-token-lengths / token-count (NOT chars/tokens — that would
     * count the separating whitespace). */

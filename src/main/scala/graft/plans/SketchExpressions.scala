@@ -208,6 +208,80 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Byte-pair-encoding tokenization with a REAL merges table — the
+  * published BPE apply algorithm (Sennrich et al. 2016; the GPT-2
+  * tokenizer's core loop): each whitespace-delimited word starts as a
+  * character sequence, and while any adjacent symbol pair appears in
+  * the merges table, the LOWEST-RANKED (earliest-learned) such pair is
+  * merged at every occurrence, left to right. Deterministic for a
+  * fixed merges list; unknown words fall through as single characters.
+  * One tight JVM loop per row with the ranks in a prebuilt hash map —
+  * the table (typically 10k-50k merges) is an expression literal, so a
+  * corpus-wide tokenization is a map-only projection, exactly like the
+  * other text stages. Output: the token array (count/length stats are
+  * plain `size`/HOF compositions on top). */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + " " + b, Integer.valueOf(i))
+    }
+    m
+  }
+
+  private def encodeWord(word: String, out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
+    var syms = word.map(_.toString).toArray
+    var done = syms.length <= 1
+    while (!done) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r < bestRank) { bestRank = r; best = i }
+        i += 1
+      }
+      if (best < 0) done = true
+      else {
+        // merge EVERY occurrence of the best pair, left to right
+        val merged = scala.collection.mutable.ArrayBuffer[String]()
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == syms(best) &&
+              syms(j + 1) == syms(best + 1)) {
+            merged += syms(j) + syms(j + 1); j += 2
+          } else { merged += syms(j); j += 1 }
+        }
+        syms = merged.toArray
+        done = syms.length <= 1
+      }
+    }
+    syms.foreach(s => out += UTF8String.fromString(s))
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var start = -1
+    var i = 0
+    while (i <= text.length) {
+      val ws = i == text.length || Character.isWhitespace(text.charAt(i))
+      if (!ws && start < 0) start = i
+      if (ws && start >= 0) { encodeWord(text.substring(start, i), out); start = -1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 /** Cosine similarity between two numeric arrays — the pairwise-verify
   * hot loop of the whole similarity family (semdedup / embedding
   * near-dup / ANN verify). IEEE-identical to the HOF formulation
@@ -329,6 +403,9 @@ object SketchExpressions {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
+
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
 
   def dupNgramFraction(tokens: Column, n: Int): Column =
     ColumnBridge.column(DupNgramFraction(ColumnBridge.expression(tokens), n))

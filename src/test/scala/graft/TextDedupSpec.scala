@@ -436,6 +436,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(mixed.filter(col("c").isNotNull).count() == 0)
   }
 
+  test("BPE apply: rank order, all-occurrence merges, unknown fallthrough") {
+    // hand-computed against the published algorithm: merge the LOWEST-
+    // ranked adjacent pair everywhere, repeat until none applies
+    val merges = Seq(("l", "o"), ("lo", "w"), ("w", "e"), ("e", "r"), ("low", "er"))
+    def enc(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TF.bpeTokens(col("t"), merges).as("x"))
+        .as[Seq[String]].collect()(0)
+    // l o w e r -> lo w e r -> low e r -> low er -> lower
+    assert(enc("lower") == Seq("lower"))
+    assert(enc("low") == Seq("low"))
+    // (w,e) fires before (e,r) is reachable: w e t -> we t
+    assert(enc("wet") == Seq("we", "t"))
+    // unknown word falls through as characters
+    assert(enc("xyz") == Seq("x", "y", "z"))
+    // whitespace splits words; runs and edges handled
+    assert(enc("  low   wet ") == Seq("low", "we", "t"))
+    assert(enc("") == Seq())
+    // ALL occurrences of the best pair merge in one step
+    assert(enc("lolo") == Seq("lo", "lo"))
+    // rank order matters: ("l","o") outranks ("w","e") inside one word
+    assert(enc("welo") == Seq("we", "lo"))
+    // token count is what the regex proxy approximates — exact here
+    val n = Seq("lower wet xyz").toDF("t")
+      .select(size(TF.bpeTokens(col("t"), merges)).as("n"))
+      .as[Int].collect()(0)
+    assert(n == 6) // lower | we t | x y z
+  }
+
   test("distributed Lloyd's step: deterministic, converges to cluster directions") {
     // two tight clusters around orthogonal axes + deliberately bad init
     val rnd = new scala.util.Random(11)
