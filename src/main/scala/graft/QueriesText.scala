@@ -13,10 +13,12 @@ import Queries.Q
   * (exact / MinHash+LSH / SimHash / n-gram Jaccard), and embedding
   * similarity search over the `documents` and `embeddings` tables.
   *
-  * Hash-sketch operators (MinHash / SimHash / LSH) have no DuckDB oracle —
-  * xxhash64 is not available there — so they register rows-only checks;
-  * their correctness oracle is the ScalaTest suite, which compares them
-  * against the brute-force operators that DO have SQL oracles.
+  * Hash-sketch operators (MinHash / SimHash / LSH) register their
+  * ORACLE-MODE variants (TextDedup.*31 — identical banding algebra with
+  * every hash md5-derived, graft.plans.OracleHashes), so DuckDB can
+  * recompute the entire pipeline and these queries ARE hash-checked like
+  * everything else. Production paths stay on xxhash64; cross-mode
+  * agreement on the found pairs is spec-asserted (TextDedupSpec).
   */
 object QueriesText {
 
@@ -84,18 +86,80 @@ object QueriesText {
                        + 0.2 * least(stopr * 5.0, 1.0), 6) AS quality
             FROM y"""))
 
+  // The DuckDB replay of the BPE apply loop (shared by q27 and q105).
+  // Each word is a string of chr(31)-wrapped symbols ("\x1fa\x1f\x1fb\x1f");
+  // the recursive CTE finds the lowest-ranked merges pair present
+  // (list_sort on {r,a,b} structs sorts by rank) and `replace`s every
+  // occurrence — plain replace IS the left-to-right non-overlapping pass
+  // the published algorithm specifies, and the \x1f wrapping keeps a
+  // pair from matching across symbol boundaries ("ba","a" never matches
+  // pair ("a","a")). Words with no applicable pair drop out of the
+  // recursion and are collected by the nh = 0 filter.
+  private def bpeMergesSqlList: String =
+    TF.DemoMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"{'r': $i, 'a': '$a', 'b': '$b'}"
+    }.mkString("[", ", ", "]")
+
+  /** CTE chain `params, w0, w1, wr, rec, fin, tok` tokenizing
+    * `corpus(doc_id, text)`; compose after a `WITH RECURSIVE corpus AS
+    * (...)`. `tok` has (doc_id, wi, toks list) per word. */
+  private def bpeRecSql: String =
+    s"""params AS (SELECT $bpeMergesSqlList AS ml),
+            w0 AS (
+              SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                         t -> len(t) > 0) AS ws
+              FROM corpus),
+            w1 AS (
+              SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws FROM w0),
+            wr AS (
+              SELECT doc_id, wi,
+                     list_aggregate(list_transform(string_split(ws[wi], ''),
+                       c -> chr(31) || c || chr(31)), 'string_agg', '') AS s
+              FROM w1),
+            rec AS (
+              SELECT doc_id, wi, s FROM wr
+              UNION ALL
+              SELECT doc_id, wi,
+                     replace(s, chr(31) || h.a || chr(31) || chr(31) || h.b || chr(31),
+                                chr(31) || h.a || h.b || chr(31)) AS s
+              FROM (SELECT doc_id, wi, s,
+                           list_sort(list_filter(ml, p ->
+                             contains(s, chr(31) || p.a || chr(31) || chr(31) || p.b || chr(31))))[1] AS h
+                    FROM rec, params) t
+              WHERE h IS NOT NULL),
+            fin AS (
+              SELECT doc_id, wi, s
+              FROM (SELECT doc_id, wi, s,
+                           len(list_filter(ml, p ->
+                             contains(s, chr(31) || p.a || chr(31) || chr(31) || p.b || chr(31)))) AS nh
+                    FROM rec, params) t
+              WHERE nh = 0),
+            tok AS (
+              SELECT doc_id, wi,
+                     string_split(trim(s, chr(31)), chr(31) || chr(31)) AS toks
+              FROM fin)"""
+
   // ---------------------------------------------------------------- q27
-  // Token counting: whitespace + BPE-ish subword proxy.
+  // Token counting: whitespace, the REAL merges-table BPE count
+  // (budget-load-bearing in a training pipeline — the gated path), and
+  // the ceil(len/4)-style regex proxy kept as a comparison column.
   private val q27 = Q("q27_token_counts",
     (s, dir) => t(s, dir, "documents")
       .select(col("doc_id"),
         TF.tokenCount(col("text")).as("ws_tokens"),
-        TF.bpeTokenCount(col("text")).as("bpe_tokens")),
-    Some("""SELECT doc_id,
-                   CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        size(TF.bpeTokens(col("text"), TF.DemoMerges)).cast(LongType).as("bpe_tokens"),
+        TF.bpeTokenCount(col("text")).as("bpe_tokens_proxy")),
+    Some(s"""WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents),
+            $bpeRecSql,
+            bpe AS (
+              SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_bpe
+              FROM tok GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                                         t -> len(t) > 0)) AS BIGINT) AS ws_tokens,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
-            FROM documents"""))
+                   coalesce(bpe.n_bpe, 0) AS bpe_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens_proxy
+            FROM documents d LEFT JOIN bpe USING (doc_id)"""))
 
   // ---------------------------------------------------------------- q28
   // Document fingerprint grouping. The demo query fingerprints with the
@@ -992,17 +1056,20 @@ object QueriesText {
             CROSS JOIN cut"""))
 
   // ---------------------------------------------------------------- q80
-  // SemDeDup: semantic dedup via quantizer cells (pinned codebook —
-  // normalized first 16 corpus vectors, the q44 production split).
-  // The FIXED 16-cell codebook is what makes the query oracle-
-  // expressible; at scale it is the documented anti-pattern (cell
-  // population grows with the corpus, so the within-cell quadratic term
-  // dominates — measured 13.4x wall time on a 10x corpus, vs 1.6x with
-  // nlist scaled ∝ corpus; see ScaleStress and BASELINE.md).
+  // SemDeDup with the codebook size DERIVED from the corpus
+  // (Similarity.autoNlist at targetCellSize = 8 — a second operating
+  // point alongside q99's 16, so the derivation is gated at two mean
+  // cell populations). Cells ∝ corpus keeps the within-cell quadratic
+  // term bounded, so EVERY registered SemDeDup query is now the scale
+  // path; the historical pinned-16-cell form (cell population grows
+  // with the corpus — measured 13.4x wall on a 10x corpus vs 1.6x
+  // scaled) survives only as the ScaleStress `semdedup_nlist16`
+  // harness exhibit and the SimilaritySpec determinism fixture.
   // Near-identical vectors (perturbed copies, cosine ~0.998) land in the
   // same cell, pair up under the within-cell cosine, and the min-id
-  // representative survives. The oracle replays cell argmax, in-cell
-  // pairs, and the component resolution (recursive CTE) exactly.
+  // representative survives. The oracle replays the nlist derivation,
+  // cell argmax, in-cell pairs, and the component resolution
+  // (recursive CTE) exactly.
   private val q80 = Q("q80_semdedup",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1011,11 +1078,12 @@ object QueriesText {
         .withColumn("embedding",
           transform(col("embedding"), (x, i) =>
             when(i === 0, x + lit(0.05f)).otherwise(x)))
-      val cb = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      val corp = e.unionByName(perturbed)
+      val nlist = Similarity.autoNlist(corp.count(), targetCellSize = 8)
+      val cb = e.filter(col("vec_id") < nlist).orderBy("vec_id")
         .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
         .collect().map(_.getSeq[Double](0).toArray)
-      Similarity.semDedup(e.unionByName(perturbed), "vec_id", "embedding",
-        cb, threshold = 0.9)
+      Similarity.semDedup(corp, "vec_id", "embedding", cb, threshold = 0.9)
         .select(col("vec_id"), col("label"), col("cell"))
     },
     Some(s"""WITH RECURSIVE corp AS (
@@ -1025,6 +1093,9 @@ object QueriesText {
                      list_concat([embedding[1] + CAST(0.05 AS FLOAT)], embedding[2:]),
                      label
               FROM embeddings WHERE vec_id % 20 = 0),
+            params AS (
+              SELECT greatest(16, CAST(ceil(count(*) / 8.0) AS BIGINT)) AS nlist
+              FROM corp),
             cb AS (
               SELECT vec_id + 1 AS ci,
                      CASE WHEN n = 0 THEN vd ELSE list_transform(vd, x -> x / n) END AS cv
@@ -1032,7 +1103,7 @@ object QueriesText {
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
                            sqrt(list_sum(list_transform(embedding,
                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
-                    FROM embeddings WHERE vec_id < 16)),
+                    FROM embeddings, params WHERE vec_id < nlist)),
             ev AS (
               SELECT vec_id, embedding, label,
                      list_sum(list_transform(embedding,
@@ -1812,8 +1883,37 @@ object QueriesText {
                          ELSE 240 + doc_id % 7 END) + dl AS INT) AS payload_bytes
             FROM d"""))
 
+  // ---------------------------------------------------------------- q105
+  // The real BPE tokenizer, gated end-to-end: BpeEncode over every
+  // document with the DemoMerges table, output = exact token count plus
+  // the full token stream (chr(31)-joined — any mis-merge anywhere in
+  // the corpus flips the hash). The oracle replays the published apply
+  // loop as a recursive CTE (see bpeRecSql), so the gate covers rank
+  // priority, the merge-every-occurrence pass, multi-level merges, and
+  // unknown-symbol fallthrough over real corpus text — not just the
+  // hand-computed spec fixtures. Map-only on the Spark side: one
+  // projection, zero Exchanges, the right shape for a 100 TB tokenize.
+  private val q105 = Q("q105_bpe_tokenize",
+    (s, dir) => {
+      val toks = TF.bpeTokens(col("text"), TF.DemoMerges)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast(LongType).as("n_tokens"),
+          array_join(toks, "\u001f").as("tokens_str"))
+    },
+    Some(s"""WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents),
+            $bpeRecSql,
+            agg AS (
+              SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                     string_agg(list_aggregate(toks, 'string_agg', chr(31)),
+                                chr(31) ORDER BY wi) AS tokens_str
+              FROM tok GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens,
+                   coalesce(agg.tokens_str, '') AS tokens_str
+            FROM corpus d LEFT JOIN agg USING (doc_id)"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
-    q100, q101, q102, q104)
+    q100, q101, q102, q104, q105)
 }

@@ -153,7 +153,7 @@ object ScaleStress {
     // SPARK_GRAFT_SCALE_ONLY=q80_semdedup,q99_semdedup_auto -> subset
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val queryNames = Seq("q30_minhash_neardup", "q62_dup_components",
+    val allScaleQueries = Seq("q30_minhash_neardup", "q62_dup_components",
       "q72_dedup_at_scale", "q91_dedup_keep_best", "q80_semdedup",
       // the non-dedup heavies + the autoNlist SemDeDup scale path
       "q37_transactions_clean", "q38_transactions_quarantine",
@@ -161,7 +161,15 @@ object ScaleStress {
       // round-6 additions: sketch family + distributed k-means
       "q101_cms_heavy_hitters", "q102_cms_grouped",
       "q104_kmeans_distributed")
-      .filter(n => only.forall(_.contains(n)))
+    // a typo'd subset must FAIL, not complete green measuring nothing
+    only.foreach { o =>
+      val unknown = o -- allScaleQueries.toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_ONLY names not registered here: " +
+          s"${unknown.toSeq.sorted.mkString(",")} " +
+          s"(known: ${allScaleQueries.mkString(",")})")
+    }
+    val queryNames = allScaleQueries.filter(n => only.forall(_.contains(n)))
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     for (name <- queryNames) {
       val fn = SparkEntry.queries(name)
@@ -170,11 +178,14 @@ object ScaleStress {
       results(name) = (base, scaled)
     }
 
-    // SemDeDup the way the paper scales it: nlist grows with the corpus
-    // so per-cell population (and the within-cell quadratic term) stays
-    // constant. The q80 entry above keeps the 16-cell pinned codebook —
-    // a fixed quantizer over 10x the vectors is the documented
-    // anti-pattern, measured here on purpose.
+    // SemDeDup the way the paper scales it (nlist ∝ corpus, constant
+    // per-cell population) vs the PINNED-nlist anti-pattern (cell
+    // population grows with the corpus, within-cell quadratic term
+    // dominates). Both registered SemDeDup queries (q80/q99) now derive
+    // nlist, so the anti-pattern lives ONLY here as the measured
+    // exhibit: `semdedup_nlist16_pinned` holds 16 cells at every factor
+    // — expect superlinear growth — while `semdedup_nlist_scaled` grows
+    // the codebook with the corpus and should stay ~linear.
     def semDedupScaled(dir: String, nlist: Int): DataFrame = {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val cb = e.orderBy("vec_id").limit(nlist)
@@ -182,14 +193,18 @@ object ScaleStress {
         .collect().map(_.getSeq[Double](0).toArray)
       Similarity.semDedup(e, "vec_id", "embedding", cb, threshold = 0.9)
     }
-    // harness-only variant + pair-graph round counts: full runs only
+    // harness-only variants + pair-graph round counts: full runs only
     // (a SPARK_GRAFT_SCALE_ONLY subset re-measures just the named
     // registered queries)
     if (only.isEmpty) {
       val semBase = time2("semdedup_nlist16 @base") { noop(semDedupScaled(baseDir, 16)) }
+      val semPinned = time2(s"semdedup_nlist16 @${factor}x") {
+        noop(semDedupScaled(outDir, 16))
+      }
       val semScaled = time2(s"semdedup_nlist${16 * factor} @${factor}x") {
         noop(semDedupScaled(outDir, 16 * factor))
       }
+      results("semdedup_nlist16_pinned") = (semBase, semPinned)
       results("semdedup_nlist_scaled") = (semBase, semScaled)
     }
 

@@ -36,6 +36,21 @@ object TextFunctions {
   def bpeTokens(c: Column, merges: Seq[(String, String)]): Column =
     graft.plans.SketchExpressions.bpeEncode(c, merges)
 
+  /** Demo merges table for the oracle-gated exact tokenizer (q27/q105):
+    * a small learned-style English table — single letters first, then
+    * multi-level merges (`th`+`at`, `er`+`s`, `ou`+`t` require symbols
+    * built by earlier ranks). Rank = list position, exactly as a real
+    * merges.txt is consumed. Shared verbatim with the DuckDB oracle
+    * (QueriesText interpolates it into the SQL), so the gate covers the
+    * table AND the apply loop. */
+  val DemoMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
+    "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n", "o" -> "r",
+    "s" -> "t", "a" -> "r", "o" -> "u", "in" -> "g", "an" -> "d",
+    "e" -> "d", "t" -> "o", "i" -> "s", "o" -> "f", "a" -> "l",
+    "e" -> "s", "l" -> "l", "c" -> "h", "th" -> "at", "er" -> "s",
+    "ou" -> "t")
+
   /** Mean token length in characters; 0.0 for token-free docs. Computed
     * as sum-of-token-lengths / token-count (NOT chars/tokens — that would
     * count the separating whitespace). */

@@ -235,7 +235,20 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   }
 
   private def encodeWord(word: String, out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
-    var syms = word.map(_.toString).toArray
+    // initial symbols are CODE POINTS, not UTF-16 chars — a non-BMP
+    // character (emoji, CJK extension) must stay one symbol, or its
+    // surrogate halves become invalid-UTF-8 tokens no merges entry can
+    // ever match
+    var syms: Array[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      var p = 0
+      while (p < word.length) {
+        val cp = word.codePointAt(p)
+        buf += new String(Character.toChars(cp))
+        p += Character.charCount(cp)
+      }
+      buf.toArray
+    }
     var done = syms.length <= 1
     while (!done) {
       var best = -1

@@ -462,6 +462,16 @@ class TextDedupSpec extends AnyFunSuite {
       .select(size(TF.bpeTokens(col("t"), merges)).as("n"))
       .as[Int].collect()(0)
     assert(n == 6) // lower | we t | x y z
+
+    // non-BMP code points stay whole symbols (no surrogate splitting):
+    // 🙂 (U+1F642) is one fallthrough token, and a merges entry naming
+    // it can fire — impossible if the word were split into UTF-16 halves
+    assert(enc("a🙂b") == Seq("a", "🙂", "b"))
+    val emojiMerges = Seq(("🙂", "🙂"))
+    val e2 = Seq("🙂🙂").toDF("t")
+      .select(TF.bpeTokens(col("t"), emojiMerges).as("x"))
+      .as[Seq[String]].collect()(0)
+    assert(e2 == Seq("🙂🙂"))
   }
 
   test("distributed Lloyd's step: deterministic, converges to cluster directions") {
