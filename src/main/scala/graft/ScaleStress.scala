@@ -208,6 +208,40 @@ object ScaleStress {
       results("semdedup_nlist_scaled") = (semBase, semScaled)
     }
 
+    // hot-bucket skew stress (LSH band join): inject IDENTICAL docs into
+    // the 1x corpus — they share one band bucket per band, so uncapped
+    // the self-join would add hotN²/2 pairs PER BAND; with the default
+    // cap those buckets are dropped (observable drop count = bands) and
+    // wall time must stay ~flat vs the skew-free run on the same corpus.
+    var skewJson = ""
+    if (only.isEmpty) {
+      val docs1x = spark.read.parquet(s"$baseDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val hotN = 5000
+      def skewRun(hot: Int): (Double, Long, Long) = {
+        val hotDocs = spark.range(hot).select(
+          (col("id") + 9500000L).as("doc_id"),
+          lit("boilerplate cookie banner accept all terms and conditions " +
+            "to continue reading this article subscribe now " * 3).as("text"))
+        val corpus = if (hot == 0) docs1x else docs1x.unionByName(hotDocs)
+        var droppedB = -1L
+        var nPairs = -1L
+        val t = time2(s"minhash skew hot=$hot") {
+          nPairs = TextDedup.minHashNearDups(corpus, "text", "doc_id",
+            threshold = 0.8, shingleSize = 9, bands = 8, rowsPerBand = 4,
+            onDroppedBuckets = Some(n => droppedB = n)).count()
+        }
+        (t, droppedB, nPairs)
+      }
+      val (tBase, _, pairsBase) = skewRun(0)
+      val (tHot, droppedHot, pairsHot) = skewRun(hotN)
+      System.err.println(f"[scale] skew: hot=$hotN dropped=$droppedHot " +
+        f"base ${tBase}%.2f s -> ${tHot}%.2f s (pairs $pairsBase -> $pairsHot)")
+      skewJson = f""","skew":{"hot_docs":$hotN,"dropped_buckets":$droppedHot,""" +
+        f""""base_s":$tBase%.2f,"skew_s":$tHot%.2f,"ratio":${tHot / tBase}%.2f,""" +
+        f""""pairs_base":$pairsBase,"pairs_skew":$pairsHot}"""
+    }
+
     // components round counts on the REAL pair graphs (incl. the planted
     // diameter-64 chains at 10x): the O(log n) observable
     def rounds(dir: String): (Int, Long) = {
@@ -232,7 +266,7 @@ object ScaleStress {
     }.mkString("[", ",", "]")
     val json = s"""{"factor":$factor,"docs":$nDocs,"vectors":$nVecs,""" +
       s""""rounds_base":$rBase,"rounds_${factor}x":$rScaled,""" +
-      s""""pairs_base":$pBase,"pairs_${factor}x":$pScaled,"queries":$rows}"""
+      s""""pairs_base":$pBase,"pairs_${factor}x":$pScaled$skewJson,"queries":$rows}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/scale_stress.json"), json)
     catch { case e: Throwable => System.err.println(s"[scale] write failed: $e") }

@@ -112,6 +112,11 @@ object Profile {
       // q = 0 (target 0) picks the first bin and interpolates to its lo
       .filter(col("cum").cast("double") >= col("target"))
     val first = Window.partitionBy(col("q")).orderBy(col("bin"))
+    // bround (half-even) vs the oracle's round (half-away-from-zero) is
+    // the accepted repo-wide convention (same as q93): a 6-dp tie on an
+    // INTERPOLATED estimate needs the bin arithmetic to land exactly on
+    // .xxxxxx5 in binary double — not observed across the sweep, and the
+    // convention is documented here rather than special-cased per query
     probes.withColumn("_rn", row_number().over(first))
       .filter(col("_rn") === 1)
       .select(col("q"),

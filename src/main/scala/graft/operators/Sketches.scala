@@ -147,10 +147,21 @@ object Sketches {
     * min over depth of the matching bucket counts. Probes whose value
     * never occurred still get their collision floor (>= 0), preserving
     * the one-sided contract. The register table is at most
-    * depth x width rows per group — broadcast-sized by construction. */
+    * depth x width rows per group — broadcast-sized by construction.
+    *
+    * CONTRACT: `probes` rows must be DISTINCT — the final re-group keys
+    * on ALL probe columns, so duplicate probe rows silently collapse to
+    * one output row (a distinctness check would cost a full extra job,
+    * so it stays a documented precondition). `_cms_d`/`_cms_b`/`_cms_n`/
+    * `_r` are reserved internal names and ARE require()d, so a caller
+    * outside q101/q102 fails loudly instead of losing rows. */
   def cmsEstimate(registers: DataFrame, probes: DataFrame, probeCol: String,
                   groupCols: Seq[String], depth: Int = CmsDepth,
                   width: Int = CmsWidth, out: String = "est_count"): DataFrame = {
+    val reserved = Set("_cms_d", "_cms_b", "_cms_n", "_r")
+    val clash = probes.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"cmsEstimate: probe columns collide with internal names: ${clash.mkString(",")}")
     val probeRows = probes.withColumn("_r",
         explode(array((0 until depth).map(d =>
           struct(lit(d).as("_cms_d"),

@@ -119,7 +119,8 @@ object TextDedup {
 
   private def bandPairsWith(sig: DataFrame, bands: Int, rowsPerBand: Int,
                             maxBucketSize: Int,
-                            bandHash: Column => Column): DataFrame = {
+                            bandHash: Column => Column,
+                            onDroppedBuckets: Option[Long => Unit] = None): DataFrame = {
     // band rows: (id, band, hash(slice of signature)); ConcatWs coerces
     // the sliced array<long> to array<string> (decimal rendering — the
     // same string an external engine's array_to_string produces)
@@ -130,6 +131,14 @@ object TextDedup {
               slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
         }: _*)).as("bs"))
       .select(col("_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
+
+    // capped buckets are silently not deduped (the same RECALL TRADE-OFF
+    // as semDedup's maxCellSize) — observe the drop count on demand; the
+    // extra aggregation job only runs when a callback is registered
+    onDroppedBuckets.foreach { f =>
+      f(banded.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("_bc"))
+        .filter(col("_bc") > maxBucketSize).count())
+    }
 
     // cap pathological buckets (boilerplate skew) before the join explodes
     val counted = banded.withColumn("_bc",
@@ -188,10 +197,13 @@ object TextDedup {
   def minHashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       threshold: Double = 0.8, shingleSize: Int = 5,
                       bands: Int = 16, rowsPerBand: Int = 4,
-                      estimateMargin: Double = 0.2): DataFrame = {
+                      estimateMargin: Double = 0.2,
+                      maxBucketSize: Int = 1000,
+                      onDroppedBuckets: Option[Long => Unit] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sig = sigFrame(docs, textCol, idCol, shingleSize, numHashes)
-    val cands = bandPairs(sig, bands, rowsPerBand, maxBucketSize = 1000)
+    val cands = bandPairsWith(sig, bands, rowsPerBand, maxBucketSize,
+      xxhash64(_), onDroppedBuckets)
     verifiedNearDups(sig, cands, numHashes, threshold, estimateMargin)
   }
 

@@ -167,8 +167,15 @@ case class AvMeta(child: Expression)
         val tagSize = ((u(6) & 0x7F) << 21) | ((u(7) & 0x7F) << 14) |
           ((u(8) & 0x7F) << 7) | (u(9) & 0x7F)
         p = 10 + tagSize + (if ((u(5) & 0x10) != 0) 10 else 0) // footer flag
-        // real MP3s may pad between tag and first frame — scan for sync
-        while (p + 4 <= n && !(u(p) == 0xFF && (u(p + 1) & 0xE0) == 0xE0)) p += 1
+        // real MP3s may pad between tag and first frame — scan for sync,
+        // but only within a small padding window: an unbounded scan would
+        // reopen exactly the hole the offset-0 strictness below closes
+        // (any 'ID3'-prefixed binary with an FF Ex pair ANYWHERE in its
+        // body would "decode" as mp3 with garbage bitrate/duration)
+        val scanEnd = math.min(n, p + 4096)
+        while (p + 4 <= scanEnd && !(u(p) == 0xFF && (u(p + 1) & 0xE0) == 0xE0)) p += 1
+        if (p + 4 > scanEnd ||
+            !(u(p) == 0xFF && (u(p + 1) & 0xE0) == 0xE0)) p = n // reject
       }
       // without an ID3 anchor the sync must sit at offset 0 — scanning
       // arbitrary binaries for FF Ex would break the null-on-unrecognized

@@ -174,6 +174,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dec("FFFB9C40" + "00" * 40).isNullAt(0))
     // truncated: ID3 header promising more than present -> null
     assert(dec("4944330400000000007F").isNullAt(0))
+    // ID3-prefixed binary whose only FF Ex pair sits far past the 4 KB
+    // padding window -> null (the ID3 path honors the same strictness
+    // as the offset-0 rule; an unbounded scan would "decode" any
+    // 'ID3'-prefixed blob containing those two bytes anywhere)
+    val farSync = "494433040000" + "00000000" + "00" * 5000 + "FFFB9040" + "00" * 40
+    assert(dec(farSync).isNullAt(0))
+    // sync within the padding window (64 pad bytes after the tag) decodes
+    val padded = dec("494433040000" + "00000000" + "00" * 64 + "FFFB9040" + "00" * 40)
+    assert(padded.getString(0) == "mp3" && padded.getInt(2) == 44100)
   }
 
   test("WEBP decode: truncation and unknown first chunk reject") {

@@ -44,6 +44,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!got.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).size == 2 })
   }
 
+  test("LSH band join: hot bucket capped + observable, real pairs survive") {
+    // 150 IDENTICAL docs — same signature, so ONE bucket per band, all
+    // over the cap: the uncapped self-join would be 150*149/2 pairs per
+    // band, the capped one contributes ZERO. A planted near-dup pair in
+    // ordinary text must still come through.
+    val boiler = "all work and no play makes jack a dull boy " * 4
+    val base = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew strong potions quietly at midnight near the old tower"
+    val near = base.replace("midnight", "noonday")
+    val corpus = ((0 until 150).map(i => (i.toLong, boiler)) ++
+      Seq((9000L, base), (9001L, near))).toDF("doc_id", "text")
+    var dropped = -1L
+    val pairs = TextDedup.minHashNearDups(corpus, "text", "doc_id",
+      threshold = 0.7, shingleSize = 5, bands = 4, rowsPerBand = 4,
+      maxBucketSize = 100, onDroppedBuckets = Some(n => dropped = n))
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(dropped == 4L, s"one over-cap bucket per band expected, got $dropped")
+    assert(pairs.contains((9000L, 9001L)), "planted pair must survive the cap")
+    // the hot docs contribute no pairs at all — their buckets were dropped
+    assert(pairs.forall { case (a, b) => a >= 9000L && b >= 9000L },
+      s"hot-bucket pairs leaked: ${pairs.filter(_._1 < 9000L)}")
+  }
+
   test("simhash: identical docs distance 0; near-dups within 3; unrelated far") {
     val bits = docs.select(col("doc_id"), TextDedup.simHashBits(col("text")).as("b"))
     val pairs = bits.as("x").join(bits.as("y"), col("x.doc_id") < col("y.doc_id"))
