@@ -1912,8 +1912,202 @@ object QueriesText {
                    coalesce(agg.tokens_str, '') AS tokens_str
             FROM corpus d LEFT JOIN agg USING (doc_id)"""))
 
+  // ---------------------------------------------------------------- q106
+  // kNN GRAPH: every corpus vector gets its top-3 ANN neighbors through
+  // the IVF quantizer — the all-pairs shape (ANN graph construction for
+  // dedup / clustering / retrieval eval) where NOTHING can broadcast:
+  // probe and index sides are both the corpus, meeting in a hash join on
+  // cell id. The codebook size is DERIVED (Similarity.autoNlist at
+  // target cell 64 — per-cell join work stays ~64² no matter the
+  // corpus), the q99 lesson applied from day one. The oracle recomputes
+  // the derivation, every cell argmax, the nprobe probe sets, and the
+  // global ranking — the two-phase Spark top-k (per-cell prune, then
+  // per-query rank) is equivalent to the oracle's single global window
+  // because a pair occurs in exactly one cell, a cell's top-k bounds its
+  // global contribution, and ties break identically on
+  // (cosine DESC, neighbor_id).
+  private val q106 = Q("q106_knn_graph",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val nlist = Similarity.autoNlist(e.count(), targetCellSize = 64)
+      val cb = e.filter(col("vec_id") < nlist).orderBy("vec_id")
+        .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.knnGraph(e, "vec_id", "embedding", cb, k = 3, nprobe = 2)
+    },
+    Some("""WITH params AS (
+              SELECT greatest(16, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS nlist
+              FROM embeddings),
+            cb AS (
+              SELECT vec_id + 1 AS ci,
+                     CASE WHEN n = 0 THEN vd ELSE list_transform(vd, x -> x / n) END AS cv
+              FROM (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+                           sqrt(list_sum(list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+                    FROM embeddings, params WHERE vec_id < nlist)),
+            ev AS (
+              SELECT vec_id, embedding,
+                     list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv
+              FROM embeddings),
+            dots AS (
+              SELECT ev.vec_id, cb.ci,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(ev.embedding[i] AS DOUBLE) * cb.cv[i])) *
+                     (CASE WHEN ev.nv = 0 THEN 0.0 ELSE 1.0 / sqrt(ev.nv) END) AS dp
+              FROM ev CROSS JOIN cb),
+            ranked AS (
+              SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dp DESC, ci) AS rn
+              FROM dots),
+            ccell AS (SELECT vec_id AS neighbor_id, ci AS cell FROM ranked WHERE rn = 1),
+            qcell AS (SELECT vec_id AS query_id, ci AS cell FROM ranked WHERE rn <= 2),
+            sc AS (
+              SELECT q.query_id, c.neighbor_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))) /
+                     (sqrt(qe.nv) * sqrt(ce.nv)) AS cos
+              FROM qcell q
+              JOIN ccell c USING (cell)
+              JOIN ev qe ON qe.vec_id = q.query_id
+              JOIN ev ce ON ce.vec_id = c.neighbor_id
+              WHERE q.query_id <> c.neighbor_id),
+            r AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rn
+              FROM sc)
+            SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+                   CAST(rn AS INT) AS rank
+            FROM r WHERE rn <= 3"""))
+
+  // ---------------------------------------------------------------- q107
+  // Product quantization (Jégou et al. 2011): 64-dim float vectors
+  // compress to 8 codes (32×), search runs over CODES with ADC table
+  // lookups — the memory side of 100 TB ANN (the raw embeddings never
+  // touch the probe scan). Codebooks are the pinned first-16 subvectors
+  // (the q44 pretrained-quantizer split; PQ codebooks are
+  // parameter-sized BY DESIGN — codes are scanned, not self-joined, so a
+  // fixed ncode bounds resolution, not scalability). The oracle replays
+  // subspace slicing, every argmin (first-min tie-break = row_number
+  // ORDER BY d, c), the per-query distance tables, and the
+  // subspace-ordered ADC sums — one flipped code anywhere in the
+  // 500-vector index hash-mismatches.
+  private val q107 = Q("q107_pq_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val samples = e.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val cbs = Pq.codebooks(samples, m = 8)
+      val codes = Pq.encode(e, "vec_id", "embedding", cbs)
+      Pq.adcTopK(e.filter(col("vec_id") % 50 === 0), codes, "vec_id",
+        "embedding", cbs, k = 3)
+    },
+    Some("""WITH cbs AS (
+              SELECT s, vec_id + 1 AS c,
+                     list_transform(range(1, 9),
+                       i -> CAST(embedding[s * 8 + i] AS DOUBLE)) AS cw
+              FROM embeddings, (SELECT unnest(range(8)) AS s)
+              WHERE vec_id < 16),
+            dists AS (
+              SELECT e.vec_id, cb.s, cb.c,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (CAST(e.embedding[cb.s * 8 + i] AS DOUBLE) - cb.cw[i]) *
+                            (CAST(e.embedding[cb.s * 8 + i] AS DOUBLE) - cb.cw[i]))) AS d
+              FROM embeddings e CROSS JOIN cbs cb),
+            enc AS (
+              SELECT vec_id, s, c AS code FROM (
+                SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+                         ORDER BY d ASC, c) AS rn
+                FROM dists)
+              WHERE rn = 1),
+            qd AS (SELECT vec_id AS query_id, s, c, d FROM dists
+                   WHERE vec_id % 50 = 0),
+            adc AS (
+              SELECT q.query_id, n.vec_id AS neighbor_id,
+                     list_sum(list(q.d ORDER BY q.s)) AS adist
+              FROM enc n JOIN qd q ON q.s = n.s AND q.c = n.code
+              WHERE q.query_id <> n.vec_id
+              GROUP BY q.query_id, n.vec_id),
+            r AS (
+              SELECT query_id, neighbor_id, adist,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY adist ASC, neighbor_id) AS rn
+              FROM adc)
+            SELECT query_id, neighbor_id, round(adist, 6) AS adist,
+                   CAST(rn AS INT) AS rank
+            FROM r WHERE rn <= 3"""))
+
+  // ---------------------------------------------------------------- q108
+  // Hashed Naive Bayes classifier (the fastText-style learned gate):
+  // trained ON THE ENGINE to predict lang='en' from md5-hashed token
+  // buckets (train split doc_id % 10 <> 0), scored over every document.
+  // Training state is bounded by the 512 buckets; weights quantize to
+  // integer micro-units so per-doc sums are exact and order-free. The
+  // oracle retrains the whole model in SQL — counts, add-1 smoothing,
+  // quantized log-odds, prior — and rescores every doc; one miscounted
+  // bucket anywhere flips the hash.
+  private val q108 = Q("q108_nb_classifier",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("_is_en", col("lang") === "en")
+      val model = TextClassifier.train(
+        labeled.filter(col("doc_id") % 10 =!= 0), "text", "_is_en", buckets = 512)
+      TextClassifier.score(docs, "doc_id", "text", model, buckets = 512)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("actual")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("score_micro"), col("predicted"), col("actual"))
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id, y,
+                     ('0x' || substr(md5(t), 1, 8))::BIGINT % 512 AS bucket
+              FROM (SELECT doc_id, lang = 'en' AS y, unnest(list_filter(
+                      string_split_regex(lower(text), '[^a-z0-9]+'),
+                      w -> len(w) > 0)) AS t
+                    FROM documents)),
+            tr AS (SELECT * FROM tok WHERE doc_id % 10 <> 0),
+            counts AS (
+              SELECT bucket,
+                     CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+                     CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS cneg
+              FROM tr GROUP BY bucket),
+            tot AS (
+              SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS tpos,
+                     CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS tneg
+              FROM tr),
+            dtot AS (
+              SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+                     CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nneg
+              FROM documents WHERE doc_id % 10 <> 0),
+            wt AS (
+              SELECT b.bucket,
+                     CAST(floor(ln(coalesce(c.cpos, 0) + 1) * 1000000 + 0.5) AS BIGINT)
+                       - CAST(floor(ln(t.tpos + 512) * 1000000 + 0.5) AS BIGINT)
+                       - CAST(floor(ln(coalesce(c.cneg, 0) + 1) * 1000000 + 0.5) AS BIGINT)
+                       + CAST(floor(ln(t.tneg + 512) * 1000000 + 0.5) AS BIGINT) AS weight_micro
+              FROM (SELECT unnest(range(512)) AS bucket) b
+              LEFT JOIN counts c USING (bucket) CROSS JOIN tot t),
+            prior AS (
+              SELECT CAST(floor(ln(npos) * 1000000 + 0.5) AS BIGINT)
+                       - CAST(floor(ln(nneg) * 1000000 + 0.5) AS BIGINT) AS prior_micro
+              FROM dtot),
+            contrib AS (
+              SELECT tok.doc_id, CAST(sum(wt.weight_micro) AS BIGINT) AS tok_sum
+              FROM tok JOIN wt USING (bucket)
+              GROUP BY tok.doc_id),
+            scored AS (
+              SELECT d.doc_id,
+                     coalesce(c.tok_sum, 0) + p.prior_micro AS score_micro
+              FROM documents d LEFT JOIN contrib c USING (doc_id)
+              CROSS JOIN prior p)
+            SELECT s.doc_id, s.score_micro, s.score_micro > 0 AS predicted,
+                   d.lang = 'en' AS actual
+            FROM scored s JOIN documents d USING (doc_id)"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
-    q100, q101, q102, q104, q105)
+    q100, q101, q102, q104, q105, q106, q107, q108)
 }

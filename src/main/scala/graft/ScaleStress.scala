@@ -160,7 +160,9 @@ object ScaleStress {
       "q85_pack_sequences", "q94_corpus_pipeline", "q99_semdedup_auto",
       // round-6 additions: sketch family + distributed k-means
       "q101_cms_heavy_hitters", "q102_cms_grouped",
-      "q104_kmeans_distributed")
+      "q104_kmeans_distributed",
+      // round-7: ANN graph (derived-nlist cell join — expect ~linear)
+      "q106_knn_graph")
     // a typo'd subset must FAIL, not complete green measuring nothing
     only.foreach { o =>
       val unknown = o -- allScaleQueries.toSet

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.asDouble
+
+/** Product quantization (PQ) — the MEMORY side of the 100 TB ANN story
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011; the IVF-PQ stack popularized by Faiss).
+  *
+  * A 64-dim float vector is 256 bytes; its PQ code is `m` small ints
+  * (here 8). Encoding splits each vector into `m` subvectors and stores,
+  * per subspace, the index of the nearest codeword — a map-only
+  * projection, no shuffle, 32× less state on every downstream scan,
+  * shuffle, and cache. Search runs over CODES with asymmetric distance
+  * computation (ADC): the query builds one (m × ncode) distance table,
+  * and each candidate costs m table lookups instead of a 64-dim float
+  * loop. At 100 TB the codes table is what fits in cluster memory when
+  * raw embeddings never could.
+  *
+  * Everything is expressed with codegen'd higher-order functions over
+  * literal codebooks — no UDFs — and every float fold is sequential
+  * left-to-right, so a SQL oracle replays encode and ADC bit-exactly
+  * (the q44/q98 convention).
+  */
+object Pq {
+
+  /** Per-subspace codebooks from pinned sample vectors:
+    * `codebooks(s)(c)` = sample c's subvector for subspace s. The
+    * "pretrained quantizer" split of [[Similarity.ivfTopKWithCentroids]]
+    * — production PQ trains per-subspace k-means on a sample; the
+    * codebook is parameter-sized either way (m × ncode × dsub doubles)
+    * and rides into the plan as a literal. Unlike an IVF coarse
+    * quantizer, `ncode` does NOT need to grow with the corpus: codes are
+    * scanned, not self-joined, so there is no per-cell quadratic term —
+    * a fixed codebook only bounds resolution, not scalability. */
+  def codebooks(samples: Array[Array[Double]], m: Int): Array[Array[Array[Double]]] = {
+    require(samples.nonEmpty, "Pq.codebooks: empty sample set")
+    val dim = samples(0).length
+    require(dim % m == 0, s"Pq.codebooks: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m)(s => samples.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** Squared-L2 distances from `vec`'s subspace-`s` slice to every
+    * codeword of that subspace, as an array column (index = codeword). */
+  private def subDists(vec: Column, cb: Array[Array[Double]], s: Int): Column = {
+    val dsub = cb(0).length
+    val sub = slice(asDouble(vec), s * dsub + 1, dsub)
+    array(cb.map { cw =>
+      aggregate(zip_with(sub, typedLit(cw.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+  }
+
+  /** PQ code for one vector: per subspace, the 1-based index of the
+    * nearest codeword (squared L2, first-minimum tie-break — the
+    * `array_position(d, array_min(d))` contract an oracle replays as
+    * `row_number() ORDER BY d ASC, c`). */
+  def encodeExpr(vec: Column, cbs: Array[Array[Array[Double]]]): Column =
+    array(cbs.indices.map { s =>
+      val d = subDists(vec, cbs(s), s)
+      array_position(d, array_min(d)).cast("int")
+    }: _*)
+
+  /** The compressed index: (id, codes). One codegen'd projection over
+    * the corpus — zero Exchanges, the right shape for a 100 TB encode. */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             cbs: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(idCol).as("neighbor_id"),
+      encodeExpr(col(vecCol), cbs).as("codes"))
+
+  /** Query-side ADC distance table: (m × ncode) squared-L2 entries,
+    * built ONCE per query row and carried through the broadcast. */
+  def distanceTable(queryVec: Column, cbs: Array[Array[Array[Double]]]): Column =
+    array(cbs.indices.map(s => subDists(queryVec, cbs(s), s)): _*)
+
+  /** Approximate squared-L2 between the query owning `dt` and a code
+    * row: m table lookups, summed left-to-right over subspaces. */
+  def adcFromTable(dt: Column, codes: Column, m: Int): Column =
+    (0 until m).map(s =>
+      element_at(element_at(dt, s + 1), element_at(codes, s + 1)))
+      .reduce(_ + _)
+
+  /** ADC top-k: score every code row against each query's distance
+    * table; ascending distance, lowest-id tie-break. Mirrors
+    * [[Similarity.bruteForceTopK]]'s shape — queries broadcast, corpus
+    * never shuffles before the per-query top-k — but the scan side is
+    * the CODES table (m ints/row, not the raw vectors), and each pair
+    * costs m lookups instead of a dim-length float loop. */
+  def adcTopK(queries: DataFrame, codesDf: DataFrame, idCol: String,
+              vecCol: String, cbs: Array[Array[Array[Double]]],
+              k: Int = 10): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      distanceTable(col(vecCol), cbs).as("_dt"))
+    val scored = codesDf.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adcFromTable(col("_dt"), col("codes"), cbs.length))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        bround(col("adist"), 6).as("adist"),
+        col("_rn").cast("int").as("rank"))
+  }
+}

@@ -1,0 +1,174 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** kNN graph, product quantization, and the hashed NB classifier —
+  * the round-7 ANN/classifier additions. */
+class AnnPqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** Deterministic corpus: `n` unit-ish vectors in `dim` dims spread
+    * over a few well-separated directions plus noise. */
+  private def corpus(n: Int) = {
+    val rng = new scala.util.Random(7)
+    (0L until n.toLong).map { i =>
+      val base = Array.tabulate(dim)(j =>
+        if (j == (i % 4).toInt * 2) 10.0f else 0.0f)
+      val v = base.map(x => x + rng.nextGaussian().toFloat * 0.2f)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def normalizedRows(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.filter(col("vec_id") < k).orderBy("vec_id")
+      .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  // ------------------------------------------------------------ knnGraph
+
+  test("knnGraph with nprobe = nlist equals brute force for every row") {
+    val e = corpus(60).cache()
+    val cb = normalizedRows(e, 8)
+    val got = Similarity.knnGraph(e, "vec_id", "embedding", cb,
+      k = 3, nprobe = cb.length)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+  }
+
+  test("knnGraph emits every (query, neighbor) pair at most once and k rows per query") {
+    val e = corpus(80)
+    val cb = normalizedRows(e, 8)
+    val g = Similarity.knnGraph(e, "vec_id", "embedding", cb, k = 3, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(g.length == g.toSet.size, "duplicate candidate pair survived")
+    val perQuery = g.groupBy(_._1).values.map(_.length)
+    assert(perQuery.forall(_ <= 3))
+    assert(g.map(_._1).distinct.length == 80, "some query lost all neighbors")
+  }
+
+  test("knnGraph recall vs brute force is high at nprobe < nlist") {
+    val e = corpus(100).cache()
+    val cb = normalizedRows(e, 8)
+    val got = Similarity.knnGraph(e, "vec_id", "embedding", cb, k = 2, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val want = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (got & want).size.toDouble / want.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  // ------------------------------------------------------------ Pq
+
+  test("Pq.codebooks slices samples into per-subspace codewords") {
+    val samples = Array(
+      Array(1.0, 2.0, 3.0, 4.0),
+      Array(5.0, 6.0, 7.0, 8.0))
+    val cbs = Pq.codebooks(samples, m = 2)
+    assert(cbs.length == 2)
+    assert(cbs(0)(0).toSeq == Seq(1.0, 2.0) && cbs(0)(1).toSeq == Seq(5.0, 6.0))
+    assert(cbs(1)(0).toSeq == Seq(3.0, 4.0) && cbs(1)(1).toSeq == Seq(7.0, 8.0))
+    intercept[IllegalArgumentException](Pq.codebooks(samples, m = 3))
+  }
+
+  test("Pq.encode maps a vector equal to sample c onto code c in every subspace") {
+    val e = corpus(20).cache()
+    val samples = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cbs = Pq.codebooks(samples, m = 2)
+    val codes = Pq.encode(e, "vec_id", "embedding", cbs)
+      .filter(col("neighbor_id") < 4)
+      .select("neighbor_id", "codes").as[(Long, Seq[Int])]
+      .collect().toMap
+    (0 until 4).foreach { c =>
+      assert(codes(c.toLong) == Seq(c + 1, c + 1),
+        s"sample $c should encode to its own codeword")
+    }
+  }
+
+  test("Pq ADC distance is zero for a vector identical to its codeword concat") {
+    val e = corpus(20)
+    val samples = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cbs = Pq.codebooks(samples, m = 2)
+    val codes = Pq.encode(e, "vec_id", "embedding", cbs)
+    // query vector 2 against the index: its own code row is filtered out,
+    // but querying 2 and looking at sample row 2 is the self pair — use a
+    // twin id instead: re-tag the query id so the self-filter keeps it
+    val q = e.filter(col("vec_id") === 2)
+      .withColumn("vec_id", lit(999L))
+    val top = Pq.adcTopK(q, codes, "vec_id", "embedding", cbs, k = 1)
+      .select("neighbor_id", "adist").as[(Long, Double)].head()
+    assert(top._1 == 2L && top._2 == 0.0,
+      s"nearest should be the identical codeword row at distance 0, got $top")
+  }
+
+  test("Pq ADC top-1 agrees with exact L2 top-1 on well-separated clusters") {
+    val e = corpus(100).cache()
+    val samples = e.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cbs = Pq.codebooks(samples, m = 2)
+    val codes = Pq.encode(e, "vec_id", "embedding", cbs)
+    val queries = e.filter(col("vec_id") % 10 === 0)
+    val got = Pq.adcTopK(queries, codes, "vec_id", "embedding", cbs, k = 10)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // exact squared-L2 top-1 cluster check: PQ at this granularity must
+    // at least keep the neighbor in the query's own direction cluster
+    got.foreach { case (q, n) => assert(q % 4 == n % 4,
+      s"ADC nearest $n not in query $q's cluster") }
+  }
+
+  // ------------------------------------------------------------ TextClassifier
+
+  private val docs = Seq(
+    (0L, "alpha alpha beta good text", true),
+    (1L, "alpha good wholesome text", true),
+    (2L, "alpha beta alpha beta", true),
+    (3L, "gamma delta junk spam", false),
+    (4L, "gamma spam spam junk junk", false),
+    (5L, "delta gamma noise", false),
+    (6L, "alpha beta good", true),
+    (7L, "spam junk gamma", false)
+  ).toDF("doc_id", "text", "y")
+
+  test("NB classifier separates token-disjoint classes and scores empty docs with the prior") {
+    val model = TextClassifier.train(docs, "text", "y", buckets = 64)
+    assert(model.count() == 64, "model must cover every bucket")
+    val test = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq((8L, "alpha beta"), (9L, "junk spam spam"),
+        (10L, "...!!!")).toDF("doc_id", "text"))
+    val scored = TextClassifier.score(test, "doc_id", "text", model, buckets = 64)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(scored(8L)._2, "alpha/beta doc should classify positive")
+    assert(!scored(9L)._2, "junk/spam doc should classify negative")
+    // doc 10 has no alnum tokens → prior alone; classes are balanced
+    // 4/4 so the prior is exactly 0 → predicted false (score > 0 strict)
+    assert(scored(10L)._1 == 0L && !scored(10L)._2)
+    // training docs classify themselves correctly (separable vocab)
+    docs.select("doc_id", "y").as[(Long, Boolean)].collect().foreach {
+      case (id, y) => assert(scored(id)._2 == y, s"doc $id misclassified")
+    }
+  }
+
+  test("NB classifier scoring is an exact integer sum — invariant to repartitioning") {
+    val model = TextClassifier.train(docs, "text", "y", buckets = 64)
+    val a = TextClassifier.score(docs, "doc_id", "text", model, buckets = 64)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val b = TextClassifier.score(docs.repartition(7), "doc_id", "text",
+        model, buckets = 64)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(a == b)
+  }
+}

@@ -61,6 +61,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q33_cosine_topk" ->
       ("brute-force exactness baseline: broadcasts the 1/50-sampled query " +
         "side by construction (PLANS.md) — the scale paths are q34/q44"),
+    "q107_pq_topk" ->
+      ("PQ ADC scan: broadcasts the 1/50-sampled query batch (each row a " +
+        "parameter-sized m x ncode distance table) over the CODES scan — " +
+        "the linear-scan-over-compressed-index shape is the operator " +
+        "(PLANS.md); corpus-sized query sets go through q106's cell join"),
     "q51_warehouse" ->
       ("layer materialization during CONSTRUCTION requires the prod " +
         "AQE-on session; plan audited by hand in PLANS.md (q51 row)"))
