@@ -2106,8 +2106,155 @@ object QueriesText {
                    d.lang = 'en' AS actual
             FROM scored s JOIN documents d USING (doc_id)"""))
 
+  // ---------------------------------------------------------------- q109
+  // DSIR importance weights (Xie et al. 2023): score every document by
+  // the log-likelihood ratio of its hashed bigram features under the
+  // TARGET model (lang='en' docs) vs the RAW model (everything else).
+  // The model is nBuckets=4096 hashed counts — parameter-sized state,
+  // broadcast to the scoring stream — and each per-occurrence log-ratio
+  // is rounded to 12 dp and summed as DECIMAL(38,12), so DuckDB replays
+  // the entire pipeline (hashing, smoothing, exact sums) hash-for-hash.
+  private val q109 = Q("q109_dsir_weights",
+    (s, dir) => Dsir.importanceWeights(t(s, dir, "documents"),
+      "text", "doc_id", isTarget = col("lang") === "en", nBuckets = 4096),
+    Some("""WITH tk AS (
+              SELECT doc_id, lang = 'en' AS tgt,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            bg AS (
+              SELECT doc_id, tgt, unnest(CASE WHEN len(tk) >= 2 THEN
+                       list_transform(range(1, len(tk)),
+                                      i -> tk[i] || ' ' || tk[i + 1])
+                     ELSE [] END) AS gram
+              FROM tk),
+            hb AS (
+              SELECT doc_id, tgt,
+                     ('0x' || substr(md5(gram), 1, 4))::BIGINT % 4096 AS b
+              FROM bg),
+            c AS (
+              SELECT b,
+                     CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                     CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+              FROM hb GROUP BY b),
+            n AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                         CAST(sum(cr) AS BIGINT) AS nr FROM c),
+            sc AS (
+              SELECT hb.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_bigrams,
+                     round(CAST(sum(CAST(round(
+                         ln(CAST(c.ct + 1 AS DOUBLE) / (n.nt + 4096))
+                       - ln(CAST(c.cr + 1 AS DOUBLE) / (n.nr + 4096)), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+                       AS avg_logratio
+              FROM hb JOIN c USING (b) CROSS JOIN n
+              GROUP BY hb.doc_id)
+            SELECT d.doc_id, d.lang = 'en' AS is_target,
+                   coalesce(sc.n_bigrams, 0) AS n_bigrams,
+                   sc.avg_logratio,
+                   sc.avg_logratio > 0 AS keep
+            FROM documents d LEFT JOIN sc USING (doc_id)"""))
+
+  // ---------------------------------------------------------------- q110
+  // Leakage-safe train/val/test split: minhash near-dup pairs (the q30
+  // oracle-mode pipeline) -> connected components -> split assignment by
+  // md5-bucket OF THE DUPLICATE GROUP, so a near-dup cluster can never
+  // straddle train and test. The oracle replays LSH, the recursive-CTE
+  // components, and the bucket-16 split arithmetic end-to-end.
+  private val q110 = Q("q110_leak_safe_split",
+    (s, dir) => {
+      val docs = docsWithDups(s, dir)
+      Split.leakageSafeAssign(docs.select(col("doc_id")), "doc_id",
+        TextDedup.minHashNearDups31(docs, "text", "doc_id",
+          threshold = 0.8, shingleSize = 9, bands = 8, rowsPerBand = 4),
+        "id_a", "id_b", Seq("train" -> 12, "val" -> 2, "test" -> 2))
+        .select(col("doc_id"), col("group_id"), col("bucket"), col("split"))
+    },
+    Some(s"""WITH RECURSIVE ${SketchSql.minhashCtes},
+            p AS (SELECT id_a, id_b FROM ver WHERE jaccard >= 0.8),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+            comp AS (SELECT a AS doc_id, least(a, min(b)) AS comp
+                     FROM reach GROUP BY a),
+            lab AS (
+              SELECT dd.doc_id, coalesce(c.comp, dd.doc_id) AS group_id
+              FROM (SELECT doc_id FROM d) dd LEFT JOIN comp c USING (doc_id)),
+            bk AS (
+              SELECT doc_id, group_id,
+                     CAST(strpos('0123456789abcdef',
+                       substr(md5(CAST(group_id AS VARCHAR)), 1, 1)) - 1
+                       AS BIGINT) AS bucket
+              FROM lab)
+            SELECT doc_id, group_id, bucket,
+                   CASE WHEN bucket < 12 THEN 'train'
+                        WHEN bucket < 14 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM bk"""))
+
+  // ---------------------------------------------------------------- q111
+  // Cluster-balanced resampling: quantizer-cell assignment (the q80/q99
+  // codebook recipe at a THIRD autoNlist operating point, target cell
+  // 32), then downsample every cell to the smallest cell's mass with the
+  // md5-bucket rule — semantic rebalance of the corpus, decision a pure
+  // function of (cell sizes, vec_id). The oracle replays the nlist
+  // derivation, every cell argmax, the cell counts, and the bucket
+  // arithmetic.
+  private val q111 = Q("q111_cluster_balance",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val nlist = Similarity.autoNlist(e.count(), targetCellSize = 32)
+      val cb = e.filter(col("vec_id") < nlist).orderBy("vec_id")
+        .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.clusterBalancedSample(e, "vec_id", "embedding", cb)
+    },
+    Some("""WITH params AS (
+              SELECT greatest(16, CAST(ceil(count(*) / 32.0) AS BIGINT)) AS nlist
+              FROM embeddings),
+            cb AS (
+              SELECT vec_id + 1 AS ci,
+                     CASE WHEN n = 0 THEN vd ELSE list_transform(vd, x -> x / n) END AS cv
+              FROM (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+                           sqrt(list_sum(list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+                    FROM embeddings, params WHERE vec_id < nlist)),
+            ev AS (
+              SELECT vec_id, embedding,
+                     list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv
+              FROM embeddings),
+            dots AS (
+              SELECT ev.vec_id, cb.ci,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(ev.embedding[i] AS DOUBLE) * cb.cv[i])) *
+                     (CASE WHEN ev.nv = 0 THEN 0.0 ELSE 1.0 / sqrt(ev.nv) END) AS dp
+              FROM ev CROSS JOIN cb),
+            cells AS (
+              SELECT vec_id, ci AS cell FROM (
+                SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY dp DESC, ci) AS rn
+                FROM dots)
+              WHERE rn = 1),
+            cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_cell
+                    FROM cells GROUP BY cell),
+            mn AS (SELECT min(n_cell) AS min_cell FROM cnt),
+            kf AS (
+              SELECT c.vec_id, c.cell, n.n_cell,
+                     CAST(m.min_cell AS DOUBLE) / n.n_cell AS kfr
+              FROM cells c JOIN cnt n USING (cell) CROSS JOIN mn m)
+            SELECT vec_id, CAST(cell AS INTEGER) AS cell, n_cell,
+                   round(kfr, 6) AS keep_fraction,
+                   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT
+                     < round(kfr * 65536.0) AS keep
+            FROM kf"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
-    q100, q101, q102, q104, q105, q106, q107, q108)
+    q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111)
 }

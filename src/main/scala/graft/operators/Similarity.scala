@@ -475,4 +475,38 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), bround(col("cosine"), 6).as("cosine"))
   }
+
+  /** Cluster-balanced deterministic resampling — the "semantic rebalance"
+    * stage of a corpus mix: assign every embedding to its quantizer cell
+    * (one codegen'd [[graft.plans.SketchExpressions.nearestCentroids]]
+    * projection — no join, no shuffle), then downsample each cell to the
+    * SMALLEST cell's mass with the [[Split]] md5-bucket rule, so the
+    * kept corpus is uniform across semantic clusters and the keep
+    * decision is a pure function of (cell sizes, id) — re-runs,
+    * backfills, and other engines keep exactly the same rows.
+    *
+    * Output per input row: (idCol, cell, n_cell, keep_fraction [round-6
+    * display; the decision uses the unrounded value], keep).
+    *
+    * Shape at scale: ONE cell-keyed hash aggregation (≤ nlist rows out,
+    * map-side combined) + a 1-row min — both broadcast back; the corpus
+    * itself never shuffles. */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: Array[Array[Double]]): DataFrame = {
+    val assigned = df.select(col(idCol), element_at(
+      graft.plans.SketchExpressions.nearestCentroids(
+        col(vecCol), centroids, 1), 1).cast("int").as("cell"))
+    val cellCounts = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_cell"))
+    val minCell = cellCounts.agg(min(col("n_cell")).as("_min_cell"))
+    assigned
+      .join(broadcast(cellCounts), Seq("cell"))
+      .crossJoin(broadcast(minCell))
+      .withColumn("_kf",
+        col("_min_cell").cast("double") / col("n_cell").cast("double"))
+      .select(col(idCol), col("cell"), col("n_cell"),
+        round(col("_kf"), 6).as("keep_fraction"),
+        (Split.bucket65536(col(idCol)) <
+          round(col("_kf") * lit(65536.0))).as("keep"))
+  }
 }

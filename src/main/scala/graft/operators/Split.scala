@@ -139,6 +139,32 @@ object Split {
       coalesce(element_at(typedLit(thresholds), stratum.cast("string")), lit(0L)))
   }
 
+  /** Leakage-safe split assignment: near-duplicate documents must never
+    * straddle train/test (evaluating on a near-copy of a training doc is
+    * contamination — the failure mode the dedup-before-split rule in
+    * Lee et al. 2022, arXiv:2107.06499 §6 exists to prevent). Resolve
+    * the near-dup `pairs` to connected components
+    * ([[Components.labelPropagate]]), label every doc with its duplicate
+    * group (its component representative; singletons are their own
+    * group), and [[assign]] splits by md5-bucket OF THE GROUP ID — so an
+    * entire duplicate cluster lands in one split, deterministically.
+    * Adds `group_id`, `bucket`, `split`.
+    *
+    * Scale: the component labels are pair-graph-sized (duplicates only),
+    * joined size-adaptively back to the id projection; everything else
+    * is the zero-shuffle [[assign]] projection. */
+  def leakageSafeAssign(docs: DataFrame, idCol: String, pairs: DataFrame,
+                        aCol: String, bCol: String,
+                        weights: Seq[(String, Int)]): DataFrame = {
+    val comps = Components.labelPropagate(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val grouped = docs
+      .join(comps, Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("comp"), col(idCol).cast("long")))
+      .drop("comp")
+    assign(grouped, col("group_id"), weights)
+  }
+
   /** Assign each row a split label from `weights` — (label, bucketCount)
     * pairs that must sum to 16, e.g. Seq("train" -> 12, "val" -> 2,
     * "test" -> 2) for a 75/12.5/12.5 split. Adds `bucket` and `split`. */

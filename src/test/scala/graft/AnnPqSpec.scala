@@ -171,4 +171,40 @@ class AnnPqSpec extends AnyFunSuite {
       .as[(Long, Long, Boolean)].collect().toSet
     assert(a == b)
   }
+
+  // ---------------------------------------------- clusterBalancedSample
+
+  test("clusterBalancedSample equalizes cell mass with the exact md5 rule") {
+    // lopsided corpus: 40 vectors on axis 0, 10 on axis 2
+    val rows = ((0L until 40L).map(i =>
+        (i, Array.tabulate(dim)(j => if (j == 0) 10.0f else 0.0f).toSeq)) ++
+      (40L until 50L).map(i =>
+        (i, Array.tabulate(dim)(j => if (j == 2) 10.0f else 0.0f).toSeq)))
+      .toDF("vec_id", "embedding")
+    val cb = Array(
+      Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0),
+      Array.tabulate(dim)(j => if (j == 2) 1.0 else 0.0))
+    val out = Similarity.clusterBalancedSample(rows, "vec_id", "embedding", cb)
+      .as[(Long, Int, Long, Double, Boolean)].collect()
+    val byCell = out.groupBy(_._2)
+    assert(byCell(1).head._3 == 40L && byCell(2).head._3 == 10L)
+    assert(byCell(2).forall(_._5), "the smallest cell must keep every row")
+    assert(byCell(1).head._4 == 0.25)
+    // the keep decision is EXACTLY the bucket65536 rule — replicate it
+    def bucket65536(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val threshold = math.round(0.25 * 65536.0)
+    byCell(1).foreach { case (id, _, _, _, keep) =>
+      assert(keep == (bucket65536(id) < threshold), s"vec $id keep decision")
+    }
+    // deterministic under repartitioning
+    val again = Similarity.clusterBalancedSample(
+        rows.repartition(7), "vec_id", "embedding", cb)
+      .as[(Long, Int, Long, Double, Boolean)].collect().toSet
+    assert(again == out.toSet)
+  }
 }

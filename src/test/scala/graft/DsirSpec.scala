@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** DSIR importance weights (Dsir) + leakage-safe split assignment
+  * (Split.leakageSafeAssign): exact-value fixtures computed against an
+  * independent replica of the hashing/smoothing/rounding contract, plus
+  * the structural properties the operators exist for. */
+class DsirSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // independent replica of Dsir's contract: md5 first-4-hex-digits
+  // bucket, add-1 smoothing, per-occurrence round-12 HALF_UP, exact
+  // decimal sum, HALF_EVEN round-6 mean
+  private def bucketOf(gram: String, nBuckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(gram.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 4)
+    java.lang.Long.parseLong(hex, 16) % nBuckets
+  }
+  private def bigramsOf(text: String): Seq[String] = {
+    val tk = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    if (tk.length < 2) Seq.empty else tk.sliding(2).map(_.mkString(" ")).toSeq
+  }
+  private def expectedScores(docs: Seq[(Long, String, Boolean)],
+                             nBuckets: Int): Map[Long, Option[Double]] = {
+    val occ = docs.flatMap { case (id, text, tgt) =>
+      bigramsOf(text).map(g => (id, tgt, bucketOf(g, nBuckets))) }
+    val ct = occ.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cr = occ.filterNot(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nt = ct.values.sum; val nr = cr.values.sum
+    docs.map { case (id, text, _) =>
+      val mine = occ.filter(_._1 == id)
+      if (mine.isEmpty) id -> None
+      else {
+        val sum = mine.map { case (_, _, b) =>
+          val lr = math.log((ct.getOrElse(b, 0L) + 1).toDouble / (nt + nBuckets)) -
+                   math.log((cr.getOrElse(b, 0L) + 1).toDouble / (nr + nBuckets))
+          BigDecimal(lr).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        // mirror Spark exactly: DECIMAL sum -> DOUBLE cast -> double
+        // division -> bround(6) (HALF_EVEN)
+        id -> Some(BigDecimal(sum.toDouble / mine.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+      }
+    }.toMap
+  }
+
+  private val fixture = Seq(
+    (1L, "apple banana apple", true),
+    (2L, "apple banana cherry", true),
+    (3L, "dog cat dog", false),
+    (4L, "dog cat mouse", false),
+    (5L, "apple banana apple", false), // raw doc identical to a target doc
+    (6L, "solo", true))                // < 2 tokens: unscorable
+
+  test("importanceWeights matches an independent replica of the contract exactly") {
+    val df = fixture.toDF("doc_id", "text", "tgt")
+    val got = Dsir.importanceWeights(df, "text", "doc_id",
+        isTarget = col("tgt"), nBuckets = 4096)
+      .select("doc_id", "n_bigrams", "avg_logratio", "keep")
+      .as[(Long, Long, Option[Double], Option[Boolean])]
+      .collect().map(r => r._1 -> r).toMap
+    val want = expectedScores(fixture.map(d => (d._1, d._2, d._3)), 4096)
+    fixture.foreach { case (id, text, _) =>
+      val (_, n, score, keep) = got(id)
+      assert(n == bigramsOf(text).size, s"doc $id n_bigrams")
+      assert(score == want(id), s"doc $id score: got $score want ${want(id)}")
+      assert(keep == score.map(_ > 0.0), s"doc $id keep")
+    }
+  }
+
+  test("target-like docs score positive, raw-like negative, short docs NULL") {
+    val df = fixture.toDF("doc_id", "text", "tgt")
+    val got = Dsir.importanceWeights(df, "text", "doc_id",
+        isTarget = col("tgt"), nBuckets = 4096)
+      .select("doc_id", "avg_logratio")
+      .as[(Long, Option[Double])].collect().toMap
+    // "apple banana" grams dominate the target model, "dog cat" the raw
+    assert(got(1L).exists(_ > 0.0) && got(2L).exists(_ > 0.0))
+    assert(got(3L).exists(_ < 0.0) && got(4L).exists(_ < 0.0))
+    // the raw doc that LOOKS like the target still scores positive —
+    // selection is by content, not by the doc's own label
+    assert(got(5L).exists(_ > 0.0))
+    assert(got(6L).isEmpty)
+  }
+
+  test("importanceWeights is invariant under repartitioning") {
+    val df = fixture.toDF("doc_id", "text", "tgt")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dsir.importanceWeights(d, "text", "doc_id", col("tgt"), nBuckets = 64)
+        .select("doc_id", "n_bigrams", "avg_logratio")
+        .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(run(df) == run(df.repartition(7)))
+  }
+
+  test("leakageSafeAssign keeps every near-dup pair in one split") {
+    val docs = (1L to 200L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Split.leakageSafeAssign(docs, "doc_id", pairs, "id_a", "id_b",
+        Seq("train" -> 12, "val" -> 2, "test" -> 2))
+      .select("doc_id", "group_id", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // component representatives are the min ids; singletons are themselves
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).distinct == Seq(1L))
+    assert(Seq(10L, 11L).map(out(_)._1).distinct == Seq(10L))
+    assert(out(42L)._1 == 42L)
+    // the leakage property: one split per duplicate group
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).distinct.size == 1)
+    assert(Seq(10L, 11L).map(out(_)._2).distinct.size == 1)
+    // all three splits are populated over 200 ids (deterministic md5)
+    assert(out.values.map(_._2).toSet == Set("train", "val", "test"))
+  }
+
+  test("leakageSafeAssign split equals plain assign on the group id") {
+    val docs = (1L to 50L).toDF("doc_id")
+    val pairs = Seq((5L, 6L), (6L, 7L)).toDF("id_a", "id_b")
+    val out = Split.leakageSafeAssign(docs, "doc_id", pairs, "id_a", "id_b",
+        Seq("train" -> 12, "val" -> 2, "test" -> 2))
+      .select("doc_id", "group_id", "bucket", "split")
+      .as[(Long, Long, Long, String)].collect()
+    val direct = Split.assign(out.toSeq.map(_._2).distinct.toDF("group_id"),
+        col("group_id"), Seq("train" -> 12, "val" -> 2, "test" -> 2))
+      .select("group_id", "split").as[(Long, String)].collect().toMap
+    out.foreach { case (_, g, b, s) =>
+      assert(b >= 0 && b < 16)
+      assert(direct(g) == s)
+    }
+  }
+}
