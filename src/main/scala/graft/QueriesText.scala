@@ -2253,8 +2253,72 @@ object QueriesText {
                      < round(kfr * 65536.0) AS keep
             FROM kf"""))
 
+  // ---------------------------------------------------------------- q112
+  // Distributed BPE merge-table TRAINING — the learning twin of q105's
+  // gated apply loop: per round, re-tokenize the word-frequency dict
+  // with the merges so far, count weighted adjacent pairs, adopt the
+  // argmax (count desc, then lexicographic — engine-portable). The
+  // oracle RE-LEARNS the table round by round: round 1 counts pairs of
+  // raw characters; rounds 2-3 re-apply the previously-learned merges
+  // via the same recursive-CTE machinery as q105 (the merges list is
+  // now COMPUTED from the earlier rounds' argmaxes, not a literal).
+  // One wrong count anywhere flips a merge choice and the hash.
+  private def bpeTrainRoundSql(n: Int): String = {
+    val prevMs = (1 until n).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    val apply = if (n < 2) "" else
+      s"""ml$n AS (SELECT list({'r': rnk, 'a': a, 'b': b} ORDER BY rnk) AS ml
+              FROM ($prevMs)),
+            rec$n AS (
+              SELECT w, cnt, s FROM s0
+              UNION ALL
+              SELECT w, cnt,
+                     replace(s, chr(31) || h.a || chr(31) || chr(31) || h.b || chr(31),
+                                chr(31) || h.a || h.b || chr(31)) AS s
+              FROM (SELECT w, cnt, s,
+                           list_sort(list_filter(ml, p ->
+                             contains(s, chr(31) || p.a || chr(31) || chr(31) || p.b || chr(31))))[1] AS h
+                    FROM rec$n, ml$n) t
+              WHERE h IS NOT NULL),
+            fin$n AS (
+              SELECT w, cnt, s
+              FROM (SELECT w, cnt, s,
+                           len(list_filter(ml, p ->
+                             contains(s, chr(31) || p.a || chr(31) || chr(31) || p.b || chr(31)))) AS nh
+                    FROM rec$n, ml$n) t
+              WHERE nh = 0),
+            t$n AS (SELECT w, cnt, string_split(trim(s, chr(31)), chr(31) || chr(31)) AS t
+                     FROM fin$n),
+            """
+    apply +
+      s"""p$n AS (
+              SELECT pr.a, pr.b, CAST(sum(cnt) AS BIGINT) AS pair_count
+              FROM (SELECT cnt, unnest(list_transform(range(1, len(t)),
+                             i -> {'a': t[i], 'b': t[i + 1]})) AS pr
+                    FROM t$n WHERE len(t) >= 2)
+              GROUP BY pr.a, pr.b),
+            m$n AS (SELECT CAST(${n - 1} AS BIGINT) AS rnk, a, b, pair_count
+                     FROM p$n ORDER BY pair_count DESC, a, b LIMIT 1)"""
+  }
+
+  private val q112 = Q("q112_bpe_train",
+    (s, dir) => graft.operators.BpeTrain.learnMergesTable(
+      t(s, dir, "documents"), "text", numMerges = 3),
+    Some(s"""WITH RECURSIVE dict AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                              t -> len(t) > 0)) AS w
+                    FROM documents)
+              GROUP BY w),
+            t1 AS (SELECT w, cnt, string_split(w, '') AS t FROM dict),
+            s0 AS (SELECT w, cnt,
+                          list_aggregate(list_transform(string_split(w, ''),
+                            c -> chr(31) || c || chr(31)), 'string_agg', '') AS s
+                   FROM dict),
+            ${(1 to 3).map(bpeTrainRoundSql).mkString(",\n            ")}
+            ${(1 to 3).map(n => s"SELECT * FROM m$n").mkString(" UNION ALL ")}"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
-    q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111)
+    q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112)
 }

@@ -497,6 +497,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(e2 == Seq("🙂🙂"))
   }
 
+  test("BPE training learns the Sennrich example merges in order") {
+    // the classic fixture (arXiv:1508.07909 §3.2 shape): low x5,
+    // lower x2, newest x6, widest x3. Hand-computed rounds:
+    //   r0: (e,s)=9 ties (s,t)=9 -> lexicographic a picks (e,s)
+    //   r1: (es,t)=9
+    //   r2: (l,o)=7 ties (o,w)=7 -> (l,o)
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = graft.operators.BpeTrain.learnMerges(corpus, "text", 3)
+      .map(m => (m.rnk, m.a, m.b, m.pairCount))
+    assert(got == Seq((0L, "e", "s", 9L), (1L, "es", "t", 9L),
+      (2L, "l", "o", 7L)))
+    // multi-word docs count every occurrence; result identical when the
+    // same corpus arrives as one document
+    val oneDoc = Seq((0L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got2 = graft.operators.BpeTrain.learnMerges(oneDoc, "text", 3)
+      .map(m => (m.rnk, m.a, m.b, m.pairCount))
+    assert(got2 == got)
+    // early stop: a fully-merged vocabulary yields fewer merges
+    val tiny = Seq((0L, "ab ab ab")).toDF("doc_id", "text")
+    val m3 = graft.operators.BpeTrain.learnMerges(tiny, "text", 5)
+    assert(m3.map(m => (m.a, m.b)) == Seq(("a", "b")))
+  }
+
   test("distributed Lloyd's step: deterministic, converges to cluster directions") {
     // two tight clusters around orthogonal axes + deliberately bad init
     val rnd = new scala.util.Random(11)
