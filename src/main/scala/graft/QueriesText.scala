@@ -2317,8 +2317,60 @@ object QueriesText {
             ${(1 to 3).map(bpeTrainRoundSql).mkString(",\n            ")}
             ${(1 to 3).map(n => s"SELECT * FROM m$n").mkString(" UNION ALL ")}"""))
 
+  // ---------------------------------------------------------------- q113
+  // ExactSubstr-lite span removal (Lee et al. 2022 §4.1 token-window
+  // variant): every 8-token span occurring more than once in the corpus
+  // is removed from every occurrence except the globally first (min
+  // (doc_id, pos)). Injected verbatim copies collapse to the empty
+  // string; shared spans inside otherwise-distinct docs are stripped at
+  // their later occurrences only. The oracle recomputes the window
+  // stream, the first-occurrence resolution, the coverage explode, and
+  // the per-doc rebuild — one mis-kept token anywhere flips the hash.
+  private val q113 = Q("q113_strip_dup_spans",
+    (s, dir) => TextDedup.stripDupSpans(docsWithDups(s, dir),
+      "text", "doc_id", window = 8),
+    Some("""WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0),
+            tk AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                         t -> len(t) > 0) AS t
+              FROM d),
+            occ AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS i
+                    FROM tk WHERE len(t) >= 8)),
+            occ2 AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY gram) AS n,
+                     row_number() OVER (PARTITION BY gram
+                       ORDER BY doc_id, pos) AS rn
+              FROM occ),
+            remtok AS (
+              SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS ti
+              FROM occ2 WHERE n > 1 AND rn > 1),
+            toks AS (
+              SELECT doc_id, i - 1 AS ti, t[i] AS tok
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tk)),
+            kept AS (
+              SELECT k.doc_id, k.ti, k.tok
+              FROM toks k LEFT JOIN remtok r
+                ON k.doc_id = r.doc_id AND k.ti = r.ti
+              WHERE r.ti IS NULL),
+            reb AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_n,
+                     string_agg(tok, ' ' ORDER BY ti) AS clean_text
+              FROM kept GROUP BY doc_id)
+            SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+                   CAST(len(tk.t) - coalesce(reb.kept_n, 0) AS BIGINT) AS n_removed,
+                   coalesce(reb.clean_text, '') AS clean_text
+            FROM tk LEFT JOIN reb USING (doc_id)"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
-    q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112)
+    q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
+    q113)
 }

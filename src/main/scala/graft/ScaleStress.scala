@@ -162,7 +162,13 @@ object ScaleStress {
       "q101_cms_heavy_hitters", "q102_cms_grouped",
       "q104_kmeans_distributed",
       // round-7: ANN graph (derived-nlist cell join — expect ~linear)
-      "q106_knn_graph")
+      "q106_knn_graph",
+      // round-7 data-selection family: DSIR scoring (two corpus passes,
+      // bucket-bounded model), leak-safe split (the dedup family's cost
+      // + a projection), cluster balance (map-only + nlist-bounded agg),
+      // BPE training (dict once, then vocabulary-sized rounds)
+      "q109_dsir_weights", "q110_leak_safe_split",
+      "q111_cluster_balance", "q112_bpe_train")
     // a typo'd subset must FAIL, not complete green measuring nothing
     only.foreach { o =>
       val unknown = o -- allScaleQueries.toSet

@@ -378,4 +378,66 @@ object TextDedup {
         round(col("n_dup_grams").cast(DoubleType) / col("n_grams"), 6)
           .as("dup_gram_frac"))
   }
+
+  /** ExactSubstr-lite span removal (the strongest dedup class in Lee et
+    * al. 2022, arXiv:2107.06499 §4.1, token-window-shaped instead of
+    * suffix-array-shaped): every `window`-token span that occurs more
+    * than once IN THE WHOLE CORPUS is removed from every occurrence
+    * except the globally first one (min (id, position) — deterministic,
+    * partition-independent). A verbatim copy of an earlier document
+    * collapses to the empty string; shared boilerplate (cookie banners,
+    * license headers) is stripped wherever it re-appears while the first
+    * occurrence keeps it. Docs shorter than `window` tokens pass through
+    * untouched. Output: (idCol, n_tokens, n_removed, clean_text).
+    *
+    * Shape at scale:
+    *  - the window stream is ~1 row per corpus token; the duplicate/
+    *    first-occurrence resolution is ONE gram-keyed hash aggregation
+    *    (count + min-struct, both with map-side partial combine) whose
+    *    output is duplicate-gram-sized;
+    *  - removal spans explode ×window into covered token indices — a
+    *    dup-volume-sized frame joined back size-adaptively (broadcast
+    *    when dups are rare, shuffle when not; no hint);
+    *  - document rebuild is one id-keyed aggregation; groups are
+    *    document-bounded, never corpus-bounded. */
+  def stripDupSpans(docs: DataFrame, textCol: String, idCol: String,
+                    window: Int = 8): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val base = Spread.toCores(docs)
+      .select(col(idCol).as("_id"), TextFunctions.tokens(col(textCol)).as("_t"))
+    // (pos, gram) for every window start; 0-based positions
+    val occ = base.filter(size(col("_t")) >= window)
+      .select(col("_id"), explode(transform(
+        sequence(lit(0), size(col("_t")) - window),
+        i => struct(i.cast(LongType).as("pos"),
+          array_join(slice(col("_t"), i + 1, lit(window)), " ").as("gram")))).as("w"))
+      .select(col("_id"), col("w.pos").as("pos"), col("w.gram").as("gram"))
+    // duplicated grams with their global first occurrence
+    val firsts = occ.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_n"),
+        min(struct(col("_id").as("fid"), col("pos").as("fpos"))).as("_f"))
+      .filter(col("_n") > 1)
+      .select(col("gram"), col("_f.fid").as("_fid"), col("_f.fpos").as("_fpos"))
+    // every non-first occurrence covers [pos, pos + window) for removal
+    val removedIdx = occ.join(firsts, Seq("gram"))
+      .filter(!(col("_id") === col("_fid") && col("pos") === col("_fpos")))
+      .select(col("_id"),
+        explode(sequence(col("pos"), col("pos") + window - 1)).as("_ti"))
+      .distinct()
+    // token stream with indices, minus covered ones, rebuilt in order
+    val tokStream = base.select(col("_id"),
+        posexplode(col("_t")).as(Seq("_ti", "_tok")))
+      .withColumn("_ti", col("_ti").cast(LongType))
+    val rebuilt = tokStream.join(removedIdx, Seq("_id", "_ti"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_ti"), col("_tok")))),
+          x => x("_tok")), " ").as("clean_text"))
+    base.select(col("_id"), size(col("_t")).cast(LongType).as("n_tokens"))
+      .join(rebuilt, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -497,6 +497,31 @@ class TextDedupSpec extends AnyFunSuite {
     assert(e2 == Seq("🙂🙂"))
   }
 
+  test("stripDupSpans removes later occurrences of duplicated 8-token spans") {
+    val d1 = (1 to 10).map(i => s"w$i").mkString(" ")         // first: intact
+    val d3 = "z1 z2 " + (1 to 8).map(i => s"w$i").mkString(" ")
+    val d4 = ((1 to 8).map(i => s"x$i") ++ (1 to 8).map(i => s"x$i")).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d1), (3L, d3), (4L, d4),
+      (5L, "short doc")).toDF("doc_id", "text")
+    val out = TextDedup.stripDupSpans(docs, "text", "doc_id", window = 8)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // the globally first occurrence keeps everything
+    assert(out(1L) == ((1L, 10L, 0L, d1)))
+    // a verbatim later copy collapses entirely
+    assert(out(2L) == ((2L, 10L, 10L, "")))
+    // a shared span inside an otherwise-distinct doc is stripped there
+    assert(out(3L) == ((3L, 10L, 8L, "z1 z2")))
+    // WITHIN-doc repetition: the second occurrence goes, the first stays
+    assert(out(4L) == ((4L, 16L, 8L, (1 to 8).map(i => s"x$i").mkString(" "))))
+    // docs shorter than the window pass through untouched
+    assert(out(5L) == ((5L, 2L, 0L, "short doc")))
+    // deterministic under repartitioning (min-struct first-occurrence)
+    val again = TextDedup.stripDupSpans(docs.repartition(7), "text", "doc_id",
+        window = 8)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(again == out.values.toSet)
+  }
+
   test("BPE training learns the Sennrich example merges in order") {
     // the classic fixture (arXiv:1508.07909 §3.2 shape): low x5,
     // lower x2, newest x6, widest x3. Hand-computed rounds:
