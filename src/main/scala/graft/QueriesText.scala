@@ -2368,9 +2368,57 @@ object QueriesText {
                    coalesce(reb.clean_text, '') AS clean_text
             FROM tk LEFT JOIN reb USING (doc_id)"""))
 
+  // ---------------------------------------------------------------- q114
+  // Tokenizer evaluation — the fertility/compression report a tokenizer-
+  // training pipeline emits per language (tokens-per-word and chars-per-
+  // token under the gated BPE apply): high fertility on a language means
+  // the merges table underserves it. Composes the q105 tokenizer with
+  // one lang-keyed aggregation; BPE partitions each word's characters,
+  // so total token chars = total non-whitespace chars (asserted by the
+  // oracle recomputing both sides independently).
+  private val q114 = Q("q114_tokenizer_eval",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = TF.bpeTokens(col("text"), TF.DemoMerges)
+      d.select(col("lang"),
+          TF.tokenCount(col("text")).as("_w"),
+          size(toks).cast(LongType).as("_b"),
+          length(regexp_replace(col("text"), "\\s", "")).cast(LongType).as("_c"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_w")).as("n_words"),
+          sum(col("_b")).as("n_bpe_tokens"),
+          sum(col("_c")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_bpe_tokens"), col("n_chars"),
+          round(col("n_bpe_tokens").cast(DoubleType) /
+            col("n_words").cast(DoubleType), 6).as("fertility"),
+          round(col("n_chars").cast(DoubleType) /
+            col("n_bpe_tokens").cast(DoubleType), 6).as("chars_per_token"))
+    },
+    Some(s"""WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents),
+            $bpeRecSql,
+            bpe AS (
+              SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_bpe
+              FROM tok GROUP BY doc_id),
+            per AS (
+              SELECT d.lang,
+                     CAST(len(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'),
+                                          t -> len(t) > 0)) AS BIGINT) AS w,
+                     coalesce(bpe.n_bpe, 0) AS b,
+                     CAST(length(regexp_replace(d.text, '\\s', '', 'g')) AS BIGINT) AS c
+              FROM documents d LEFT JOIN bpe USING (doc_id))
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(w) AS BIGINT) AS n_words,
+                   CAST(sum(b) AS BIGINT) AS n_bpe_tokens,
+                   CAST(sum(c) AS BIGINT) AS n_chars,
+                   round(CAST(sum(b) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS fertility,
+                   round(CAST(sum(c) AS DOUBLE) / CAST(sum(b) AS DOUBLE), 6) AS chars_per_token
+            FROM per GROUP BY lang"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-    q113)
+    q113, q114)
 }
