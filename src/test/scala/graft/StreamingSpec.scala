@@ -339,4 +339,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(streamed("10:00") - 600.0) / 600.0 < 0.2)
     assert(math.abs(streamed("11:00") - 50.0) / 50.0 < 0.2)
   }
+
+  test("streaming minhash near-dup flags later copies, never first occurrences") {
+    import graft.streaming.StreamingNearDup
+    implicit val sqlCtx = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    val textB = "completely different content about distributed query engines and shuffles"
+    val textC = "yet another unrelated document discussing tokenizers and merges tables"
+    val input = MemoryStream[(Long, Long, String)]
+    val hits = StreamingNearDup.hits(input.toDF().toDF("id", "seq", "text"),
+      "text", "id", "seq")
+    val q = hits.toDF("doc_id", "dup_of", "est").writeStream
+      .format("memory").queryName("snd").outputMode("append").start()
+    input.addData((1L, 1L, textA), (2L, 2L, textB))
+    q.processAllAvailable()
+    input.addData((3L, 3L, textA), (4L, 4L, textC)) // 3 = copy of 1
+    q.processAllAvailable()
+    // within ONE batch the seq order decides who is "first" — tuple
+    // order is reversed on purpose, the seq column must win
+    val textD = "streaming state stores need bounded buckets or the crawl floods them"
+    input.addData((8L, 8L, textD), (7L, 7L, textD))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("snd").as[(Long, Long, Double)].collect.toSet
+    // pairs repeat once per shared band — distinct is the contract
+    assert(got == Set((3L, 1L, 1.0), (8L, 7L, 1.0)))
+    // batch-side agreement on the same corpus: the batch operator finds
+    // exactly the same duplicate pairs (order-normalized)
+    val batchPairs = graft.operators.TextDedup.minHashNearDups(
+        Seq((1L, textA), (2L, textB), (3L, textA), (4L, textC),
+          (7L, textD), (8L, textD)).toDF("doc_id", "text"),
+        "text", "doc_id", threshold = 0.8, shingleSize = 9,
+        bands = 8, rowsPerBand = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(batchPairs == got.map { case (d, o, _) => (math.min(d, o), math.max(d, o)) })
+  }
+
+  test("streaming near-dup bucket state honors the cap") {
+    import graft.streaming.StreamingNearDup
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.{Optional => JOpt}
+    val fn = StreamingNearDup.bucketUpdate(0.8, 4, maxBucketSize = 2) _
+    def st(opt: Option[Seq[(Long, Seq[Long])]]) =
+      TestGroupState.create[Seq[(Long, Seq[Long])]](
+        optionalState = opt.map(JOpt.of[Seq[(Long, Seq[Long])]])
+          .getOrElse(JOpt.empty[Seq[(Long, Seq[Long])]]()),
+        timeoutConf = GroupStateTimeout.NoTimeout,
+        batchProcessingTimeMs = 0L,
+        eventTimeWatermarkMs = JOpt.empty[java.lang.Long]().asInstanceOf[JOpt[Long]],
+        hasTimedOut = false)
+    val sig = Seq(1L, 2L, 3L, 4L)
+    // three identical docs in one batch, cap 2: doc 2 hits 1; doc 3 hits
+    // both retained members but is NOT retained itself
+    val s1 = st(None)
+    val hits1 = fn("b", Iterator(("b", 1L, 1L, sig), ("b", 2L, 2L, sig),
+      ("b", 3L, 3L, sig)), s1).toSet
+    assert(hits1 == Set((2L, 1L, 1.0), (3L, 1L, 1.0), (3L, 2L, 1.0)))
+    assert(s1.get.map(_._1) == Seq(1L, 2L), "cap must stop retention at 2")
+    // next batch: a fourth copy still hits the retained members only
+    val s2 = st(Some(s1.get))
+    val hits2 = fn("b", Iterator(("b", 4L, 4L, sig)), s2).toSet
+    assert(hits2 == Set((4L, 1L, 1.0), (4L, 2L, 1.0)))
+    // sub-threshold signatures do not hit: 2/4 matching minima = 0.5
+    val s3 = st(Some(Seq(1L -> Seq(1L, 2L, 3L, 4L))))
+    val hits3 = fn("b", Iterator(("b", 9L, 9L, Seq(1L, 2L, 9L, 9L))), s3).toSet
+    assert(hits3.isEmpty)
+  }
 }
