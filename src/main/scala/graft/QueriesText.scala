@@ -2416,9 +2416,50 @@ object QueriesText {
                    round(CAST(sum(c) AS DOUBLE) / CAST(sum(b) AS DOUBLE), 6) AS chars_per_token
             FROM per GROUP BY lang"""))
 
+  // ---------------------------------------------------------------- q115
+  // Length-bucketed batching: sort by token length (doc_id tie-break),
+  // cut into 64-doc batches, report per-batch padding waste — each batch
+  // pads to its own max length instead of the corpus max. Ranks come
+  // from the distributed prefix scan (no single-task window); the oracle
+  // recomputes the global order, the batch cut, and both padding ratios.
+  private val q115 = Q("q115_length_batches",
+    (s, dir) => {
+      val batched = Pack.lengthBatches(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        TF.tokenCount(col("text")), "doc_id", batchSize = 64)
+      val padded = col("max_len") * col("n_docs")
+      batched.groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_tokens")).as("max_len"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .select(col("batch_id"), col("n_docs"), col("max_len"),
+          col("sum_tokens"), padded.as("padded_tokens"),
+          when(padded > 0, round(lit(1.0) -
+            col("sum_tokens").cast(DoubleType) / padded.cast(DoubleType), 6))
+            .as("waste_frac"))
+    },
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                          x -> len(x) > 0)) AS BIGINT) AS n
+              FROM documents),
+            r AS (SELECT doc_id, n,
+                         row_number() OVER (ORDER BY n, doc_id) - 1 AS idx
+                  FROM t),
+            b AS (SELECT idx // 64 AS batch_id, n FROM r)
+            SELECT batch_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   max(n) AS max_len,
+                   CAST(sum(n) AS BIGINT) AS sum_tokens,
+                   CAST(max(n) * count(*) AS BIGINT) AS padded_tokens,
+                   CASE WHEN max(n) * count(*) > 0 THEN
+                     round(1.0 - CAST(sum(n) AS DOUBLE) / (max(n) * count(*)), 6)
+                   END AS waste_frac
+            FROM b GROUP BY batch_id"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-    q113, q114)
+    q113, q114, q115)
 }

@@ -168,7 +168,9 @@ object ScaleStress {
       // + a projection), cluster balance (map-only + nlist-bounded agg),
       // BPE training (dict once, then vocabulary-sized rounds)
       "q109_dsir_weights", "q110_leak_safe_split",
-      "q111_cluster_balance", "q112_bpe_train")
+      "q111_cluster_balance", "q112_bpe_train",
+      // ExactSubstr-lite (window stream ~1 row/token) + tokenizer eval
+      "q113_strip_dup_spans", "q114_tokenizer_eval")
     // a typo'd subset must FAIL, not complete green measuring nothing
     only.foreach { o =>
       val unknown = o -- allScaleQueries.toSet

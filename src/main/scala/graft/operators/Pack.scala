@@ -131,4 +131,39 @@ object Pack {
           .otherwise(floor(col("tok_offset") / budget)).cast(LongType))
       .withColumn("spans_boundary", col("seq_last") > col("seq_first"))
   }
+
+  /** Length-bucketed batch assignment — the padding-minimization step of
+    * a training/inference loader: sort documents by token length (id as
+    * the total-order tie-break), cut into fixed-size batches, so each
+    * batch pads to ITS OWN max length instead of the corpus max. The
+    * assignment is deterministic and engine-portable (a pure function of
+    * (length, id)); row ranks come from the distributed prefix scan, not
+    * a single-task global window.
+    *
+    * Output per document: (idCol, n_tokens, batch_id). Per-batch padding
+    * stats are one groupBy away (see q115's aggregation).
+    *
+    * The composite order key packs (length, id) into one long —
+    * `require`d not to overflow — because the range-partitioned prefix
+    * scan orders by a single column. */
+  def lengthBatches(df: DataFrame, tokenCount: Column, idCol: String,
+                    batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    // contract check rides inside the projection (no extra scan): a row
+    // outside the packable range would silently corrupt the order key,
+    // so fail the job loudly instead
+    val inRange = col(idCol) >= 0 && col(idCol) < 1000000000L &&
+      col("n_tokens") < 9000000000L
+    val keyed = df.select(col(idCol),
+        coalesce(tokenCount.cast(LongType), lit(0L)).as("n_tokens"))
+      .withColumn("_ord", when(inRange,
+          col("n_tokens") * lit(1000000000L) + col(idCol))
+        .otherwise(raise_error(concat(
+          lit(s"lengthBatches needs 0 <= $idCol < 1e9 and n_tokens < 9e9, got id="),
+          col(idCol).cast("string"),
+          lit(" n_tokens="), col("n_tokens").cast("string")))))
+    globalIndex(keyed, "_ord", "_idx")
+      .select(col(idCol), col("n_tokens"),
+        floor(col("_idx") / batchSize).cast(LongType).as("batch_id"))
+  }
 }

@@ -61,4 +61,32 @@ class PackSpec extends AnyFunSuite {
     val joined = got.map(_._3).mkString(" ")
     assert(joined == "a1 a2 a3 b1 b2 c1 c2 c3 c4 c5")
   }
+
+  test("lengthBatches groups by (length, id) order with fixed batch size") {
+    // lengths: doc 5 -> 1, doc 2 -> 2, doc 7 -> 2, doc 1 -> 4, doc 9 -> 5
+    val docs = Seq(
+      (1L, "w w w w"), (2L, "x x"), (5L, "y"), (7L, "z z"), (9L, "v v v v v")
+    ).toDF("doc_id", "text").repartition(3)
+    val got = Pack.lengthBatches(docs,
+        graft.functions.TextFunctions.tokenCount(col("text")),
+        "doc_id", batchSize = 2)
+      .as[(Long, Long, Long)].collect.toSet
+    // order: (1,5) (2,2) (2,7) (4,1) (5,9) -> batches [5,2] [7,1] [9]
+    assert(got == Set((5L, 1L, 0L), (2L, 2L, 0L),
+      (7L, 2L, 1L), (1L, 4L, 1L), (9L, 5L, 2L)))
+    // deterministic under repartitioning
+    val again = Pack.lengthBatches(docs.repartition(7),
+        graft.functions.TextFunctions.tokenCount(col("text")),
+        "doc_id", batchSize = 2)
+      .as[(Long, Long, Long)].collect.toSet
+    assert(again == got)
+    // out-of-contract ids fail loudly instead of corrupting the order key
+    val bad = Seq((2000000000L, "a b")).toDF("doc_id", "text")
+    val err = intercept[Exception] {
+      Pack.lengthBatches(bad,
+        graft.functions.TextFunctions.tokenCount(col("text")),
+        "doc_id", batchSize = 2).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
