@@ -2457,9 +2457,49 @@ object QueriesText {
                    END AS waste_frac
             FROM b GROUP BY batch_id"""))
 
+  // ---------------------------------------------------------------- q116
+  // Corpus card: the one-row dataset summary a curation pipeline
+  // publishes with every release — sizes, language/source spread, exact
+  // mean quality (DECIMAL-summed round-6 per-doc scores, so the mean is
+  // order-free), exact-dup volume via the content key, and the short-doc
+  // count. One corpus pass; the oracle recomputes every statistic
+  // including the full per-doc quality formula.
+  private val q116 = Q("q116_corpus_card",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        TF.tokenCount(col("text")).as("ntok"),
+        TF.contentKey(col("text")).as("ck"),
+        TF.qualityScore(col("text")).as("q"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        sum(col("ntok")).as("total_tokens"),
+        bround(sum(col("q").cast(DecimalType(38, 6))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_quality"),
+        count_distinct(col("ck")).as("distinct_texts"),
+        (count(lit(1)) - count_distinct(col("ck"))).as("dup_docs"),
+        sum(when(col("ntok") < 10, 1L).otherwise(0L)).as("short_docs")),
+    Some(s"""WITH per AS (
+              SELECT lang, source,
+                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                          t -> len(t) > 0)) AS BIGINT) AS ntok,
+                     md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS ck,
+                     ${SketchSql.qualitySql("text")} AS q
+              FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(sum(ntok) AS BIGINT) AS total_tokens,
+                   round(CAST(sum(CAST(q AS DECIMAL(38,6))) AS DOUBLE)
+                     / count(*), 6) AS mean_quality,
+                   CAST(count(DISTINCT ck) AS BIGINT) AS distinct_texts,
+                   CAST(count(*) - count(DISTINCT ck) AS BIGINT) AS dup_docs,
+                   CAST(sum(CASE WHEN ntok < 10 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
+            FROM per"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-    q113, q114, q115)
+    q113, q114, q115, q116)
 }
