@@ -74,7 +74,29 @@ object GraftFunctions {
     colFn(spark, "graft_norm2")            { a => VF.norm2(a.head) }
     colFn(spark, "graft_cosine")           { a => VF.cosine(a(0), a(1)) }
     colFn(spark, "graft_normalize_vec")    { a => VF.normalize(a.head) }
+    // sketches / dedup / selection (int parameters must be literals —
+    // they size the expression tree itself)
+    colFn(spark, "graft_char_shingles")    { a => TF.charShingles(a(0), litInt(a(1), "shingle size")) }
+    colFn(spark, "graft_word_shingles")    { a => TF.wordShingles(a(0), litInt(a(1), "n")) }
+    colFn(spark, "graft_minhash_sig")      { a => graft.operators.TextDedup.minHashSignature(a(0), litInt(a(1), "numHashes")) }
+    colFn(spark, "graft_est_jaccard")      { a =>
+      size(filter(zip_with(a(0), a(1), (x, y) => x === y), b => b))
+        .cast("double") / size(a(0)) }
+    colFn(spark, "graft_bpe_tokens")       { a => TF.bpeTokens(a.head, TF.DemoMerges) }
+    colFn(spark, "graft_bucket16")         { a => graft.operators.Split.bucket16(a.head) }
+    colFn(spark, "graft_bucket65536")      { a => graft.operators.Split.bucket65536(a.head) }
+    colFn(spark, "graft_dsir_bucket")      { a => graft.operators.Dsir.bucketOf(a(0), litInt(a(1), "nBuckets")) }
   }
+
+  /** Extract a literal INT argument — the parameter sizes the expression
+    * tree (number of hashes, shingle width), so it cannot be a runtime
+    * column. */
+  private def litInt(c: Column, what: String): Int =
+    ExpressionUtils.expression(c) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an INT literal, got $other")
+    }
 }
 
 /** Session-extensions hook: injects the graft function library at session
