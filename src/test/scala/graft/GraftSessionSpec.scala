@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * shares one JVM-wide session, so `attach` (the existing-session path)
   * is what can be exercised here; `local()`/`builder()` feed the same
   * conf set to getOrCreate and are covered end-to-end by the Verify and
-  * Bench mains, which build real sessions from it for the 84-query
+  * Bench mains, which build real sessions from it for the full
   * oracle gate. */
 class GraftSessionSpec extends AnyFunSuite {
 
