@@ -226,4 +226,75 @@ class PropertySpec extends AnyFunSuite {
       got == expected
     }, n = 8)
   }
+
+  test("stripDupSpans == in-memory model on arbitrary small-vocab corpora") {
+    import graft.operators.TextDedup
+    val w = 3
+    // tiny vocabulary forces organic cross- and within-doc window collisions
+    val doc = for {
+      n <- Gen.choose(0, 12) // varying lengths, incl. < w
+      t <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))
+    } yield t
+    val gen = Gen.listOfN(5, doc)
+    check("stripDupSpans", Prop.forAll(gen) { ds =>
+      val docs = ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.map { case (id, t) => (id, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = TextDedup.stripDupSpans(df, "text", "doc_id", window = w)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      // direct model: window occurrences, global first per duplicated
+      // gram, coverage, rebuild
+      val occ = docs.flatMap { case (id, t) =>
+        if (t.length < w) Nil
+        else (0 to t.length - w).map(p =>
+          (id, p.toLong, t.slice(p, p + w).mkString(" ")))
+      }
+      val removed = occ.groupBy(_._3).values.filter(_.size > 1).flatMap { os =>
+        val first = os.minBy(o => (o._1, o._2))
+        os.filterNot(_ == first)
+      }.map(o => (o._1, o._2)).toSet
+      val expected = docs.map { case (id, t) =>
+        val covered = removed.collect {
+          case (d, p) if d == id => (p until p + w)
+        }.flatten.toSet
+        val kept = t.zipWithIndex.collect {
+          case (tok, i) if !covered.contains(i.toLong) => tok
+        }
+        id -> ((t.length.toLong, (t.length - kept.length).toLong,
+          kept.mkString(" ")))
+      }.toMap
+      got == expected
+    }, n = 8)
+  }
+
+  test("leakageSafeAssign: every edge's endpoints share group and split") {
+    import graft.operators.Split
+    val gen = Gen.listOfN(10,
+      Gen.zip(Gen.choose(1L, 25L), Gen.choose(1L, 25L)))
+    check("leakSafe", Prop.forAll(gen) { es =>
+      val edges = es.filter { case (a, b) => a != b }
+      val docs = (1L to 25L).toDF("doc_id")
+      val pairs = (if (edges.isEmpty) List((1L, 1L)) else edges)
+        .toDF("id_a", "id_b")
+      val out = Split.leakageSafeAssign(docs, "doc_id", pairs,
+          "id_a", "id_b", Seq("train" -> 12, "val" -> 2, "test" -> 2))
+        .select("doc_id", "group_id", "split")
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // in-memory union-find for the expected components
+      val parent = scala.collection.mutable.Map((1L to 25L).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (1L to 25L).forall { id =>
+        val members = (1L to 25L).filter(find(_) == find(id))
+        out(id)._1 == members.min &&                    // group = min id
+        members.map(out(_)._2).distinct.size == 1       // one split per group
+      }
+    }, n = 8)
+  }
 }
