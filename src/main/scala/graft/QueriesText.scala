@@ -2497,9 +2497,39 @@ object QueriesText {
                    CAST(sum(CASE WHEN ntok < 10 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
             FROM per"""))
 
+  // ---------------------------------------------------------------- q117
+  // Cross-source overlap matrix: distinct 8-gram containment per source
+  // pair — the provenance audit of a multi-source corpus. The oracle
+  // recomputes the distinct (source, gram) frame, the pair counts, and
+  // the containment coefficient.
+  private val q117 = Q("q117_source_overlap",
+    (s, dir) => TextDedup.sourceOverlap(t(s, dir, "documents"),
+      "text", "source", n = 8),
+    Some("""WITH g AS (
+              SELECT DISTINCT source, gram FROM (
+                SELECT source, unnest(list_distinct(list_transform(
+                         range(1, greatest(len(tk) - 7, 1) + 1),
+                         i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+                FROM (SELECT source,
+                             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                         t -> len(t) > 0) AS tk
+                      FROM documents))),
+            t AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                  FROM g GROUP BY source),
+            p AS (SELECT a.source AS source_a, b.source AS source_b,
+                         CAST(count(*) AS BIGINT) AS shared_grams
+                  FROM g a JOIN g b
+                    ON a.gram = b.gram AND a.source < b.source
+                  GROUP BY 1, 2)
+            SELECT p.source_a, p.source_b, p.shared_grams,
+                   round(CAST(p.shared_grams AS DOUBLE) / least(ta.n, tb.n), 6)
+                     AS containment
+            FROM p JOIN t ta ON ta.source = p.source_a
+                   JOIN t tb ON tb.source = p.source_b"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-    q113, q114, q115, q116)
+    q113, q114, q115, q116, q117)
 }

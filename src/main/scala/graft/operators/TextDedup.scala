@@ -379,6 +379,39 @@ object TextDedup {
           .as("dup_gram_frac"))
   }
 
+  /** Cross-source n-gram overlap matrix — the provenance analytic a
+    * multi-source corpus audit runs ("which sources copy from each
+    * other"): for every source pair, the count of distinct word n-grams
+    * both contain, and the containment coefficient
+    * shared / min(|grams_a|, |grams_b|).
+    *
+    * Shape at scale: the corpus collapses to the DISTINCT (source, gram)
+    * frame (one hash agg; Pin'd because the totals and both join sides
+    * consume it); the self-join keys on the gram, and its fan-out per
+    * gram is bounded by source-cardinality² — sources are a handful, so
+    * the join output is pairs-of-sources-sized per gram, never
+    * corpus². Totals broadcast back. */
+  def sourceOverlap(docs: DataFrame, textCol: String, sourceCol: String,
+                    n: Int = 8): DataFrame = {
+    val grams = Pin.materialize(Spread.toCores(docs)
+      .select(col(sourceCol).as("_src"),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("_gram"))
+      .distinct())
+    val totals = grams.groupBy(col("_src")).agg(count(lit(1)).as("_n"))
+    val a = grams.as("a"); val b = grams.as("b")
+    a.join(b, col("a._gram") === col("b._gram") &&
+        col("a._src") < col("b._src"))
+      .groupBy(col("a._src").as("source_a"), col("b._src").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(totals.select(col("_src").as("source_a"),
+        col("_n").as("_na"))), Seq("source_a"))
+      .join(broadcast(totals.select(col("_src").as("source_b"),
+        col("_n").as("_nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        round(col("shared_grams").cast(DoubleType) /
+          least(col("_na"), col("_nb")).cast(DoubleType), 6).as("containment"))
+  }
+
   /** ExactSubstr-lite span removal (the strongest dedup class in Lee et
     * al. 2022, arXiv:2107.06499 §4.1, token-window-shaped instead of
     * suffix-array-shaped): every `window`-token span that occurs more
