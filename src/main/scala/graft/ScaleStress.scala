@@ -170,7 +170,9 @@ object ScaleStress {
       "q109_dsir_weights", "q110_leak_safe_split",
       "q111_cluster_balance", "q112_bpe_train",
       // ExactSubstr-lite (window stream ~1 row/token) + tokenizer eval
-      "q113_strip_dup_spans", "q114_tokenizer_eval")
+      "q113_strip_dup_spans", "q114_tokenizer_eval",
+      // length batching (prefix scan) + source-overlap gram self-join
+      "q115_length_batches", "q117_source_overlap")
     // a typo'd subset must FAIL, not complete green measuring nothing
     only.foreach { o =>
       val unknown = o -- allScaleQueries.toSet
