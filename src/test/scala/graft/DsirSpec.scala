@@ -115,6 +115,36 @@ class DsirSpec extends AnyFunSuite {
     assert(out.values.map(_._2).toSet == Set("train", "val", "test"))
   }
 
+  test("selection operators handle empty and degenerate inputs") {
+    // DSIR on an empty corpus: no rows, no crash
+    val emptyDocs = Seq.empty[(Long, String, Boolean)].toDF("doc_id", "text", "tgt")
+    assert(Dsir.importanceWeights(emptyDocs, "text", "doc_id",
+      col("tgt")).count() == 0)
+    // zero TARGET docs: add-1 smoothing keeps every score finite
+    val rawOnly = Seq((1L, "dog cat dog", false), (2L, "dog cat mouse", false))
+      .toDF("doc_id", "text", "tgt")
+    val sc = Dsir.importanceWeights(rawOnly, "text", "doc_id", col("tgt"))
+      .select("avg_logratio").as[Option[Double]].collect().flatten
+    assert(sc.length == 2 && sc.forall(v => !v.isNaN && !v.isInfinite))
+    // BPE training on an empty corpus learns nothing and does not throw
+    val emptyText = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(BpeTrain.learnMerges(emptyText, "text", 3).isEmpty)
+    // span removal with no duplicated spans is the identity
+    val uniq = Seq((1L, "a b c d e f g h"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val spans = TextDedup.stripDupSpans(uniq, "text", "doc_id", window = 8)
+      .as[(Long, Long, Long, String)].collect()
+    assert(spans.forall(_._3 == 0L))
+    // leakage-safe assign with an EMPTY pair set degenerates to plain
+    // per-id assignment (every doc is its own group)
+    val docs = (1L to 20L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val lsa = Split.leakageSafeAssign(docs, "doc_id", noPairs, "id_a", "id_b",
+        Seq("train" -> 12, "val" -> 2, "test" -> 2))
+      .select("doc_id", "group_id").as[(Long, Long)].collect()
+    assert(lsa.length == 20 && lsa.forall { case (d, g) => d == g })
+  }
+
   test("leakageSafeAssign split equals plain assign on the group id") {
     val docs = (1L to 50L).toDF("doc_id")
     val pairs = Seq((5L, 6L), (6L, 7L)).toDF("id_a", "id_b")
