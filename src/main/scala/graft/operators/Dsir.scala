@@ -92,4 +92,59 @@ object Dsir {
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
       .withColumn("keep", col("avg_logratio") > lit(0.0))
   }
+
+  /** The fitted model collapsed to literals — `nBuckets` counts each
+    * side plus the two totals. Parameter-sized by construction, so it
+    * embeds in an expression tree and ships inside the plan (no join at
+    * scoring time at all). */
+  final case class LiteralModel(ct: Map[Long, Long], cr: Map[Long, Long],
+                                nt: Long, nr: Long, nBuckets: Int)
+
+  /** Fit the hashed-bigram model and collect it (≤ nBuckets rows — a
+    * parameter-sized collect, the k-means pattern). */
+  def fitLiteralModel(docs: DataFrame, textCol: String, isTarget: Column,
+                      nBuckets: Int = 4096): LiteralModel = {
+    val rows = Spread.toCores(docs)
+      .select(isTarget.as("_tgt"),
+        explode(NgramLM.bigrams(col(textCol))).as("gram"))
+      .select(col("_tgt"), bucketOf(col("gram"), nBuckets).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("_tgt"), 0L).otherwise(1L)).as("cr"))
+      .collect()
+    val ct = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cr = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    LiteralModel(ct, cr, ct.values.sum, cr.values.sum, nBuckets)
+  }
+
+  /** STATELESS scoring expression against a [[LiteralModel]]: the model
+    * rides as two literal maps, so the score is one map-only projection
+    * — usable unchanged on a STREAMING frame (no join, no stateful
+    * aggregation; the per-doc sum runs inside the `aggregate` HOF with
+    * the same round-12/DECIMAL(38,12) contract as the batch path, so
+    * batch and stream scores are bit-identical — spec-asserted).
+    * Returns a struct (n_bigrams, avg_logratio). */
+  def scoreExpr(text: Column, m: LiteralModel): Column = {
+    val ctLit = typedLit(m.ct)
+    val crLit = typedLit(m.cr)
+    val lr = (g: Column) => {
+      val b = bucketOf(g, m.nBuckets)
+      round(
+        log((coalesce(element_at(ctLit, b), lit(0L)) + lit(1L)).cast(DoubleType) /
+            lit((m.nt + m.nBuckets).toDouble)) -
+        log((coalesce(element_at(crLit, b), lit(0L)) + lit(1L)).cast(DoubleType) /
+            lit((m.nr + m.nBuckets).toDouble)), 12)
+        .cast(DecimalType(38, 12))
+    }
+    val bg = NgramLM.bigrams(text)
+    // decimal + decimal widens to (38,11); cast back so the lambda
+    // returns the accumulator type exactly (values are round-12, so the
+    // cast is lossless)
+    val lrsum = aggregate(bg, lit(0).cast(DecimalType(38, 12)),
+      (acc, g) => (acc + lr(g)).cast(DecimalType(38, 12)))
+    struct(
+      size(bg).cast(LongType).as("n_bigrams"),
+      when(size(bg) > 0,
+        bround(lrsum.cast(DoubleType) / size(bg), 6)).as("avg_logratio"))
+  }
 }

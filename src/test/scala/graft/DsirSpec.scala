@@ -115,6 +115,48 @@ class DsirSpec extends AnyFunSuite {
     assert(out.values.map(_._2).toSet == Set("train", "val", "test"))
   }
 
+  test("literal-model scoring is bit-identical to the batch path") {
+    val df = fixture.toDF("doc_id", "text", "tgt")
+    val m = Dsir.fitLiteralModel(df, "text", isTarget = col("tgt"),
+      nBuckets = 4096)
+    val viaExpr = df.select(col("doc_id"),
+        Dsir.scoreExpr(col("text"), m).as("s"))
+      .select(col("doc_id"), col("s.n_bigrams"), col("s.avg_logratio"))
+      .as[(Long, Long, Option[Double])].collect().toSet
+    val viaBatch = Dsir.importanceWeights(df, "text", "doc_id",
+        col("tgt"), nBuckets = 4096)
+      .select("doc_id", "n_bigrams", "avg_logratio")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(viaExpr == viaBatch)
+  }
+
+  test("literal-model scoring runs map-only on a stream, matching batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val df = fixture.toDF("doc_id", "text", "tgt")
+    val m = Dsir.fitLiteralModel(df, "text", isTarget = col("tgt"),
+      nBuckets = 4096)
+    val input = MemoryStream[(Long, String)]
+    val scored = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), Dsir.scoreExpr(col("text"), m).as("s"))
+      .select(col("doc_id"), col("s.n_bigrams").as("n_bigrams"),
+        col("s.avg_logratio").as("avg_logratio"))
+    val q = scored.writeStream.format("memory").queryName("dsirstream")
+      .outputMode("append").start()
+    input.addData(fixture.take(3).map(d => (d._1, d._2)): _*)
+    q.processAllAvailable()
+    input.addData(fixture.drop(3).map(d => (d._1, d._2)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsirstream")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    val batch = Dsir.importanceWeights(df, "text", "doc_id",
+        col("tgt"), nBuckets = 4096)
+      .select("doc_id", "n_bigrams", "avg_logratio")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("selection operators handle empty and degenerate inputs") {
     // DSIR on an empty corpus: no rows, no crash
     val emptyDocs = Seq.empty[(Long, String, Boolean)].toDF("doc_id", "text", "tgt")
