@@ -1141,7 +1141,7 @@ object Queries {
       // not persist: layer frames are never unpersisted, and cache
       // entries would pile up across repeated runs in one session
       val pin = (df: org.apache.spark.sql.DataFrame) =>
-        graft.operators.Pin.materialize(df)
+        graft.operators.Pin.data(df)
       val l0 = Warehouse.emptyLayers(cfg, b1, dims, measures, "_ingest_id")
       val l1 = Warehouse.run(cfg, b1, l0, dims, measures, "_ingest_id",
         lit(java.sql.Date.valueOf("2024-01-01")), materialize = pin)
@@ -1455,10 +1455,10 @@ object Queries {
               FROM orders WHERE o_totalprice IS NOT NULL),
             g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bin)
             SELECT bin,
-                   round(0.0 + bin * 25000.0, 6) AS bin_lo,
-                   round(0.0 + (bin + 1) * 25000.0, 6) AS bin_hi,
+                   round_even(0.0 + bin * 25000.0, 6) AS bin_lo,
+                   round_even(0.0 + (bin + 1) * 25000.0, 6) AS bin_hi,
                    n,
-                   round(CAST(n AS DOUBLE) /
+                   round_even(CAST(n AS DOUBLE) /
                          CAST(sum(n) OVER () AS DOUBLE), 6) AS share
             FROM g"""))
 
@@ -1498,7 +1498,7 @@ object Queries {
               SELECT *, row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
               FROM p)
             SELECT q,
-                   round(0.0 + bin * 25000.0
+                   round_even(0.0 + bin * 25000.0
                          + (target - CAST(cum - n AS DOUBLE))
                            / CAST(n AS DOUBLE) * 25000.0, 6) AS estimate,
                    CAST(total AS BIGINT) AS n_rows
@@ -1571,11 +1571,56 @@ object Queries {
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1"""))
 
+  // --------------------------------------------------------------- q118
+  // T1-T4 EXECUTED as a stream: the q50-shaped messages land as text
+  // files, a file-source STREAM parses/dispatches/enriches/judges them
+  // (EligibilityStream) into an append parquet sink, and the SINK is
+  // the registered result — so the DuckDB oracle gates what the
+  // streaming path actually wrote, not a batch restatement. Corrupt
+  // lines (every 50th) are parse-fallback rows: audited, never
+  // dispatched, hence absent here. The sibling Verify artifact
+  // (stream_parity.json) additionally pins sink == batch bit-parity.
+  private val q118 = Q("q118_stream_eligibility",
+    (s, dir) => graft.streaming.StreamHarness.eligibilitySinkRun(s, dir)._1,
+    Some("""WITH flights AS (
+              SELECT 'FL' || CAST(o_orderkey AS VARCHAR) AS flight_number,
+                     strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS s,
+                     CASE WHEN o_orderkey % 11 = 0 THEN ''
+                          WHEN o_orderkey % 11 = 1 THEN 'not-a-timestamp'
+                          ELSE strftime(o_orderdate + (o_orderkey % 300) * INTERVAL 1 MINUTE,
+                                        '%Y-%m-%d %H:%M:%S') END AS a
+              FROM orders WHERE o_orderkey % 3 <> 0),
+            requests AS (
+              SELECT 'P' || CAST(o_orderkey AS VARCHAR) AS passenger_id,
+                     'FL' || CAST(o_orderkey AS VARCHAR) AS flight_number
+              FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 50 <> 0),
+            j AS (
+              SELECT r.passenger_id, r.flight_number,
+                     f.flight_number IS NOT NULL AS found, f.s, f.a,
+                     try_strptime(f.s, '%Y-%m-%d %H:%M:%S') AS st,
+                     try_strptime(f.a, '%Y-%m-%d %H:%M:%S') AS act
+              FROM requests r LEFT JOIN flights f ON r.flight_number = f.flight_number),
+            judged AS (
+              SELECT passenger_id, flight_number,
+                     CASE WHEN NOT found THEN 'flight_not_found'
+                          WHEN s IS NULL OR s = '' OR a IS NULL OR a = '' THEN 'missing_time_data'
+                          WHEN st IS NULL OR act IS NULL THEN 'invalid_time_format'
+                          WHEN floor(date_diff('second', st, act) / 60.0 + 0.5) >= 120 THEN 'delay_threshold_met'
+                          ELSE 'delay_below_threshold' END AS reason,
+                     CAST(floor(date_diff('second', st, act) / 60.0 + 0.5) AS BIGINT) AS delay
+              FROM j)
+            SELECT passenger_id, flight_number,
+                   CASE WHEN reason IN ('delay_threshold_met','delay_below_threshold')
+                        THEN delay END AS delay_minutes,
+                   reason,
+                   reason = 'delay_threshold_met' AS eligible
+            FROM judged"""))
+
   /** All registered queries, in declaration order. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52, q57, q60, q66, q67, q68, q70,
     q71, q73, q74, q75, q79, q86, q87, q89, q92, q93, q95, q96, q98,
-    q103) ++
+    q103, q118) ++
     QueriesText.all ++ QueriesClean.all
 }

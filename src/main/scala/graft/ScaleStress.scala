@@ -172,7 +172,12 @@ object ScaleStress {
       // ExactSubstr-lite (window stream ~1 row/token) + tokenizer eval
       "q113_strip_dup_spans", "q114_tokenizer_eval",
       // length batching (prefix scan) + source-overlap gram self-join
-      "q115_length_batches", "q117_source_overlap")
+      "q115_length_batches", "q117_source_overlap",
+      // round-8: PQ ADC search (codebook/codes parameter-bounded per
+      // probe; scan linear in codes) + hashed-NB classifier (model is
+      // nBuckets-bounded, two corpus passes) + DSIR Gumbel resampling
+      // (scoring passes + one exact global quantile)
+      "q107_pq_topk", "q108_nb_classifier", "q119_dsir_resample")
     // a typo'd subset must FAIL, not complete green measuring nothing
     only.foreach { o =>
       val unknown = o -- allScaleQueries.toSet
@@ -218,6 +223,24 @@ object ScaleStress {
       }
       results("semdedup_nlist16_pinned") = (semBase, semPinned)
       results("semdedup_nlist_scaled") = (semBase, semScaled)
+
+      // DSIR STATELESS scoring (the streaming-reusable path): the model
+      // is fitted ONCE on the base corpus (parameter-sized literals,
+      // outside the timed region — at 100 TB the model ships in the
+      // plan, fitting is a separate amortized job) and the scorer is a
+      // pure map-only projection — expect ~data-linear wall, zero
+      // shuffle, state independent of corpus size.
+      val model = graft.operators.Dsir.fitLiteralModel(
+        spark.read.parquet(s"$baseDir/documents.parquet"),
+        "text", col("lang") === "en", nBuckets = 4096)
+      def scoreStateless(dir: String): DataFrame =
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            graft.operators.Dsir.scoreExpr(col("text"), model).as("s"))
+          .select(col("doc_id"), col("s.n_bigrams"), col("s.avg_logratio"))
+      val dsirBase = time2("dsir_stateless @base") { noop(scoreStateless(baseDir)) }
+      val dsirScaled = time2(s"dsir_stateless @${factor}x") { noop(scoreStateless(outDir)) }
+      results("dsir_stateless_scoring") = (dsirBase, dsirScaled)
     }
 
     // hot-bucket skew stress (LSH band join): inject IDENTICAL docs into

@@ -39,7 +39,7 @@ object BpeTrain {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     // corpus -> word-frequency dict, once (same \s+ split contract as
     // BpeEncode / the q105 oracle; no lowercasing — BPE is case-aware)
-    val dict = Pin.materialize(
+    val dict = Pin.data(
       Spread.toCores(docs)
         .select(explode(split(col(textCol), "\\s+")).as("w"))
         .filter(length(col("w")) > 0)

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: each round is two self-aggregating passes over an
   * edge-count-sized frame (symmetrize → min per node → rewire), with the
-  * round's output materialized through [[Pin.materialize]] — each star
+  * round's output materialized through [[Pin.data]] — each star
   * pass references its input three times, so WITHOUT a per-round lineage
   * cut the logical plan grows ~6× per round and the driver OOMs just
   * printing it. Convergence is detected by edge-set stability: the
@@ -90,7 +90,7 @@ object Components {
     // derive from it — without this cut the pair pipeline would execute
     // once per derivation (measured: q72 on a 10x corpus spent 2/3 of
     // its 43 s recomputing the minhash pairs for the vertex frame).
-    val raw = Pin.materialize(edges.select(col(aCol).cast("long").as("a"),
+    val raw = Pin.data(edges.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b")))
     val input = raw
       .filter(col("a") =!= col("b"))
@@ -106,12 +106,12 @@ object Components {
 
     // Pin each round: a star pass references its input 3×, so the plan
     // grows geometrically without the cut (see Pin for the trade-off)
-    var ee = Pin.materialize(input)
+    var ee = Pin.data(input)
     var prevCount = ee.count()
     var iter = 0
     var converged = prevCount == 0L
     while (!converged && iter < maxIter) {
-      val next = Pin.materialize(smallStar(largeStar(ee)))
+      val next = Pin.data(smallStar(largeStar(ee)))
       val nextCount = next.count()
       // edge sets are distinct frames: equal count + empty one-sided
       // difference ⇔ identical sets ⇔ star-forest fixpoint. The except
@@ -124,7 +124,7 @@ object Components {
     // at the fixpoint ee is a star forest: (non-root, root) — roots
     // appear only on the dst side. Vertices missing from src are roots
     // (or isolated), labeled with themselves.
-    val out = Pin.materialize(vertices
+    val out = Pin.data(vertices
       .join(ee.withColumnRenamed("src", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("dst"), col("id")).as("comp")))
     if (!converged) {

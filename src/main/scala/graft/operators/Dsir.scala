@@ -32,13 +32,25 @@ import org.apache.spark.sql.types._
   *  - the model pass is one explode + a hash aggregation with map-side
   *    partial combine whose world is `nBuckets` rows — parameter-sized
   *    state, like the CMS/HLL sketches in [[Sketches]];
-  *  - the count table is Pin.materialize'd (≤ nBuckets rows) and joined
+  *  - the count table is Pin.param'd (≤ nBuckets rows) and joined
   *    BROADCAST to the scoring stream — the corpus never shuffles on the
   *    bucket key;
   *  - the totals ride along as a broadcast one-row frame — no
   *    driver-side action;
   *  - per-doc aggregation is the only data-sized Exchange (on the doc
   *    id), exactly one.
+  *
+  * DEVIATIONS from the paper, explicit:
+  *  - [[importanceWeights]] hashes BIGRAM features only (the paper's
+  *    released implementation hashes unigrams AND bigrams) and its
+  *    `keep` is a hard `avg_logratio > 0` threshold, NOT the paper's
+  *    importance resampling — use it as a cheap score/filter stage.
+  *  - [[resampleKeep]] is the faithful selection rule: unigram+bigram
+  *    features (`unigrams = true`) and Gumbel top-k resampling over the
+  *    TOTAL log importance weight (sampling without replacement ∝ w_i;
+  *    Kool et al. 2019, arXiv:1903.06059), with the Gumbel noise derived
+  *    deterministically from md5(doc_id, seed) so the "sample" is
+  *    reproducible across runs, partitionings, and engines.
   */
 object Dsir {
 
@@ -54,19 +66,37 @@ object Dsir {
     * "too short to score" case stays distinguishable) and
     * `keep = avg_logratio > 0` — more target-like than raw-like. */
   def importanceWeights(docs: DataFrame, textCol: String, idCol: String,
-                        isTarget: Column, nBuckets: Int = 4096): DataFrame = {
+                        isTarget: Column, nBuckets: Int = 4096): DataFrame =
+    scoredFrame(docs, textCol, idCol, isTarget, nBuckets, unigrams = false)
+      .drop("_lrsum")
+      .withColumn("keep", col("avg_logratio") > lit(0.0))
+
+  /** Feature stream of a document: hashed bigrams, plus unigrams when
+    * `unigrams` (the paper's feature set). */
+  private[graft] def features(text: Column, unigrams: Boolean): Column =
+    if (unigrams) concat(graft.functions.TextFunctions.tokens(text),
+      NgramLM.bigrams(text))
+    else NgramLM.bigrams(text)
+
+  /** Shared scoring pipeline: one row per doc with (idCol, is_target,
+    * n_features (as n_bigrams for the bigram-only path's historical
+    * name), `_lrsum` (exact DECIMAL(38,12) total log importance weight),
+    * avg_logratio). */
+  private def scoredFrame(docs: DataFrame, textCol: String, idCol: String,
+                          isTarget: Column, nBuckets: Int,
+                          unigrams: Boolean): DataFrame = {
     require(nBuckets > 0 && nBuckets <= 65536,
       s"nBuckets must be in (0, 65536] (bucket source is 16 bits), got $nBuckets")
     // one exploded occurrence stream definition, consumed by two passes:
     // the nBuckets-bounded count table and the per-doc scoring
     def occ: DataFrame = Spread.toCores(docs)
       .select(col(idCol), isTarget.as("_tgt"),
-        explode(NgramLM.bigrams(col(textCol))).as("gram"))
+        explode(features(col(textCol), unigrams)).as("gram"))
       .select(col(idCol), col("_tgt"),
         bucketOf(col("gram"), nBuckets).as("b"))
     // model pass: ≤ nBuckets rows out, map-side combined. Pinned because
     // both the totals and the broadcast join consume it.
-    val counts = Pin.materialize(occ.groupBy(col("b"))
+    val counts = Pin.param(occ.groupBy(col("b"))
       .agg(sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct"),
         sum(when(col("_tgt"), 0L).otherwise(1L)).as("cr")))
     val totals = counts.agg(
@@ -86,11 +116,59 @@ object Dsir {
         sum(logratio.cast(DecimalType(38, 12))).as("_lrsum"))
       .withColumn("avg_logratio",
         bround(col("_lrsum").cast(DoubleType) / col("n_bigrams"), 6))
-      .drop("_lrsum")
     docs.select(col(idCol), isTarget.as("is_target"))
       .join(perDoc, Seq(idCol), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
-      .withColumn("keep", col("avg_logratio") > lit(0.0))
+  }
+
+  /** Deterministic standard Gumbel noise from (id, seed): u = (first
+    * four md5 hex digits of id‖seed + 0.5) / 65536 ∈ (0, 1), then
+    * g = −ln(−ln u), rounded to 12 dp. A pure codegen'd projection any
+    * md5+IEEE engine reproduces bit-for-bit. */
+  def gumbel(id: Column, seed: String): Column =
+    round(-log(-log(
+      (Split.bucket65536(concat(id.cast(StringType), lit(seed)))
+        .cast(DoubleType) + lit(0.5)) / lit(65536.0))), 12)
+
+  /** Gumbel top-k importance resampling — the paper's actual selection
+    * rule: sampling ~`fraction`·N docs without replacement with
+    * probability ∝ importance weight w_i is equivalent to keeping the
+    * top docs by `ln w_i + g_i` with i.i.d. standard Gumbel noise g_i
+    * (Kool et al. 2019). Here `ln w_i` is the document's TOTAL log
+    * importance ratio (`_lrsum` — the exact DECIMAL sum, not the mean)
+    * and g_i comes from [[gumbel]], so the selection is a pure function
+    * of (corpus, seed). The top-`fraction` cut is the exact interpolated
+    * (1 − fraction) quantile of the perturbed key ([[Quantiles.exact]]
+    * global prefix-scan path — no global sort, no SinglePartition), so
+    * the kept fraction is ≈ fraction with quantile-threshold semantics.
+    * Docs with zero features (fewer than two tokens when
+    * `unigrams = false`) have no weight and are never kept.
+    *
+    * Output: (idCol, is_target, n_features, log_weight, gumbel, key,
+    * cutoff, keep). */
+  def resampleKeep(docs: DataFrame, textCol: String, idCol: String,
+                   isTarget: Column, nBuckets: Int = 4096,
+                   fraction: Double = 0.25, seed: String = "dsir",
+                   unigrams: Boolean = true): DataFrame = {
+    require(fraction > 0.0 && fraction < 1.0,
+      s"fraction must be in (0, 1), got $fraction")
+    val scored = scoredFrame(docs, textCol, idCol, isTarget, nBuckets,
+        unigrams)
+      .withColumnRenamed("n_bigrams", "n_features")
+      .withColumn("_g", gumbel(col(idCol), seed))
+      // unrounded key: exact decimal log-weight + round-12 Gumbel —
+      // IEEE-reproducible; display columns are rounded, the comparison
+      // and the quantile run on the unrounded key (the q78 contract)
+      .withColumn("_key", col("_lrsum").cast(DoubleType) + col("_g"))
+    val cut = Quantiles.exact(scored, Nil, "_key", Seq(1.0 - fraction),
+      Seq("cutoff"))
+    scored.crossJoin(broadcast(cut))
+      .select(col(idCol), col("is_target"), col("n_features"),
+        bround(col("_lrsum").cast(DoubleType), 6).as("log_weight"),
+        col("_g").as("gumbel"),
+        bround(col("_key"), 6).as("key"),
+        bround(col("cutoff"), 6).as("cutoff"),
+        coalesce(col("_key") > col("cutoff"), lit(false)).as("keep"))
   }
 
   /** The fitted model collapsed to literals — `nBuckets` counts each

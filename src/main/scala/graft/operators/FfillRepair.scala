@@ -42,7 +42,7 @@ object FfillRepair {
     // lineage, and its blocks are ContextCleaner-released when the frame
     // becomes unreachable — no CacheManager entry to leak per call.
     // Executor-loss trade-off centralized in [[Pin]].
-    val parted = Pin.materialize(df
+    val parted = Pin.data(df
       .repartitionByRange(n, col(orderCol))
       .withColumn(Pid, spark_partition_id())
       .withColumn("_ffill_v", value))

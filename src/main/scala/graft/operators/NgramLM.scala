@@ -159,7 +159,7 @@ object NgramLM {
     // one row per doc; checkpoint it once (eager, lineage-cut,
     // ContextCleaner-released — the Pack/FfillRepair pattern; trade-off
     // in [[Pin]]) so scoring happens exactly once.
-    val scored = Pin.materialize(scoredIn)
+    val scored = Pin.data(scoredIn)
     val cut = Quantiles.exact(scored, Nil, "avg_logprob",
       Seq(tailFraction), Seq("cutoff"))
     scored.crossJoin(broadcast(cut))

@@ -42,7 +42,7 @@ object Pack {
     val spark = df.sparkSession
     val n = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
 
-    val parted = Pin.materialize(df
+    val parted = Pin.data(df
       .repartitionByRange(n, col(orderCol))
       .withColumn(Pid, spark_partition_id())
       .withColumn("_pack_v", coalesce(value.cast(LongType), lit(0L))))

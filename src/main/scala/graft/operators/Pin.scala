@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.util.concurrent.atomic.AtomicBoolean
+
 import org.apache.spark.sql.DataFrame
 
 /** Centralized "materialize and cut lineage" primitive for iterative and
@@ -13,21 +15,56 @@ import org.apache.spark.sql.DataFrame
   * cluster, losing an executor after the checkpoint makes those blocks
   * unrecoverable mid-query (there is no lineage left to recompute them);
   * the job fails and must be rerun. On local[n] (one JVM) the caveat is
-  * moot. For long multi-hour cluster jobs, construct the session with a
-  * checkpoint directory on reliable storage and pass `reliable = true`
-  * here — `reliable` falls back to local checkpointing (with a warning)
-  * when no checkpoint dir is configured, so callers can default to the
-  * safe flag without breaking local runs. */
+  * moot. `reliable = true` upgrades to a lineage-cut checkpoint on the
+  * session's configured checkpoint directory (reliable storage — survives
+  * executor loss) and falls back to local checkpointing when no
+  * checkpoint dir is configured, so callers can default to the safe flag
+  * without breaking local runs.
+  *
+  * Call sites are CLASSIFIED by what they pin — use [[data]] / [[param]]
+  * rather than [[materialize]] so the blast radius of an executor loss
+  * is visible at the call site. Registry (every pin in the library):
+  *
+  *  - DATA-SIZED (corpus-proportional → [[data]], reliable when a
+  *    checkpoint dir is configured):
+  *    `Components` edge frames + labels (4 sites), `TextDedup` minhash
+  *    signature frames + `sourceOverlap`'s distinct (source, gram)
+  *    frame, `Pack.prefixSum` / `FfillRepair` range-partitioned inputs,
+  *    `NgramLM` per-doc scored frame, `BpeTrain` word-frequency dict
+  *    (unique-word-count-sized) + incremental token frames, `Warehouse`
+  *    layer frames (q51), `QueriesText.nearDupPairs` (the shared q30
+  *    pair frame).
+  *  - PARAMETER-SIZED (≤ f(config) rows, never data-proportional →
+  *    [[param]], executor-local accepted — re-running the producing job
+  *    is cheap and the frames are tiny): `Dsir` count table
+  *    (≤ nBuckets rows).
+  */
 object Pin {
+
+  /** Pin a DATA-SIZED frame (corpus-proportional: signatures, edges,
+    * scored docs). Routes through the reliable checkpoint path whenever
+    * the session has a checkpoint dir — on a real cluster an executor
+    * loss would otherwise kill a multi-hour job with no recovery. */
+  def data(df: DataFrame): DataFrame = materialize(df, reliable = true)
+
+  /** Pin a PARAMETER-SIZED frame (≤ config-bounded rows: count tables,
+    * codebooks, carries). Executor-local blocks are the accepted
+    * trade-off: the frame is tiny and its producing job is cheap. */
+  def param(df: DataFrame): DataFrame = materialize(df, reliable = false)
+
+  private val warnedOnce = new AtomicBoolean(false)
 
   def materialize(df: DataFrame, reliable: Boolean = false): DataFrame = {
     val sc = df.sparkSession.sparkContext
     if (reliable && sc.getCheckpointDir.isDefined) df.checkpoint()
     else {
-      if (reliable)
+      // warn once per JVM, not per pin — local test runs hit this on
+      // every data-sized site and the signal drowns otherwise
+      if (reliable && warnedOnce.compareAndSet(false, true))
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          "Pin.materialize(reliable=true) without a checkpoint dir — " +
-            "falling back to executor-local checkpoint (not fault-tolerant)")
+          "Pin.data/materialize(reliable=true) without a checkpoint dir — " +
+            "falling back to executor-local checkpoints (not fault-tolerant); " +
+            "set SparkContext.setCheckpointDir for cluster runs")
       df.localCheckpoint()
     }
   }

@@ -112,11 +112,11 @@ object Profile {
       // q = 0 (target 0) picks the first bin and interpolates to its lo
       .filter(col("cum").cast("double") >= col("target"))
     val first = Window.partitionBy(col("q")).orderBy(col("bin"))
-    // bround (half-even) vs the oracle's round (half-away-from-zero) is
-    // the accepted repo-wide convention (same as q93): a 6-dp tie on an
-    // INTERPOLATED estimate needs the bin arithmetic to land exactly on
-    // .xxxxxx5 in binary double — not observed across the sweep, and the
-    // convention is documented here rather than special-cased per query
+    // bround (half-even) here matches the q103 oracle's round_even
+    // exactly — the INTERPOLATED estimate was the one place the repo's
+    // bround-vs-round rounding convention could in principle hash-flake
+    // on a .xxxxxx5 tie, so that oracle (and q93's) uses DuckDB
+    // round_even and the tie class is closed rather than merely unobserved
     probes.withColumn("_rn", row_number().over(first))
       .filter(col("_rn") === 1)
       .select(col("q"),

@@ -107,7 +107,7 @@ object TextDedup {
     // minhashing is the most CPU-intensive per-byte stage in the
     // library and a compact input would serialize it on one task
     // (measured: q30 13.4 s -> 2.8 s at sf0.1; see [[Spread]])
-    Pin.materialize(Spread.toCores(docs)
+    Pin.data(Spread.toCores(docs)
       .select(col(idCol).as("_id"),
         TextFunctions.charShingles(col(textCol), shingleSize).as("_sh"))
       .withColumn("_sig", sigOf(col("_sh"))))
@@ -168,6 +168,33 @@ object TextDedup {
                         maxBucketSize: Int = 1000): DataFrame =
     bandPairs(sigFrame(docs, textCol, idCol, shingleSize, bands * rowsPerBand),
       bands, rowsPerBand, maxBucketSize)
+
+  /** Batch twin of [[graft.streaming.StreamingNearDup.hits]]'s decision
+    * statistic: banded candidate pairs filtered by SIGNATURE-ESTIMATED
+    * Jaccard only — no exact shingle verify, because the estimate is the
+    * statistic a bounded-state stream can compute (its state keeps
+    * signatures, not shingle sets). Production xxhash64 hashing, the
+    * same signature family as the stream; the Verify stream/batch
+    * parity artifact compares this pair set against the stream's hits.
+    * Caveat: under a cap-overflowing bucket the two differ by design —
+    * batch drops the whole bucket, the stream keeps its first
+    * `maxBucketSize` members (both spec-pinned). */
+  def minHashEstimatedDups(docs: DataFrame, textCol: String, idCol: String,
+                           threshold: Double = 0.8, shingleSize: Int = 9,
+                           bands: Int = 8, rowsPerBand: Int = 4,
+                           maxBucketSize: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = sigFrame(docs, textCol, idCol, shingleSize, numHashes)
+    val cands = bandPairs(sig, bands, rowsPerBand, maxBucketSize)
+    val aSide = sig.select(col("_id").as("id_a"), col("_sig").as("_sig_a"))
+    val bSide = sig.select(col("_id").as("id_b"), col("_sig").as("_sig_b"))
+    cands.join(aSide, "id_a").join(bSide, "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("_sig_a"), col("_sig_b"), (x, y) => x === y),
+          b => b)).cast(DoubleType) / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
 
   private def verifiedNearDups(sig: DataFrame, cands: DataFrame,
                                numHashes: Int, threshold: Double,
@@ -393,7 +420,7 @@ object TextDedup {
     * corpus². Totals broadcast back. */
   def sourceOverlap(docs: DataFrame, textCol: String, sourceCol: String,
                     n: Int = 8): DataFrame = {
-    val grams = Pin.materialize(Spread.toCores(docs)
+    val grams = Pin.data(Spread.toCores(docs)
       .select(col(sourceCol).as("_src"),
         explode(TextFunctions.wordShingles(col(textCol), n)).as("_gram"))
       .distinct())
@@ -422,6 +449,17 @@ object TextDedup {
     * license headers) is stripped wherever it re-appears while the first
     * occurrence keeps it. Docs shorter than `window` tokens pass through
     * untouched. Output: (idCol, n_tokens, n_removed, clean_text).
+    *
+    * CAVEAT on "the first occurrence keeps it": the guarantee is per
+    * GRAM — the first occurrence of each duplicated gram is never a
+    * removal SOURCE. When duplicate windows self-overlap (a token
+    * repeated ≥ window+1 times in a row), removal spans of later
+    * occurrences of one gram can cover tokens inside the first
+    * occurrence of another (e.g. 9× the same token with window=8 keeps
+    * only token 0), so text under overlapping repeats may erode beyond
+    * the first span. This matches ExactSubstr's own behavior on
+    * self-overlapping repeats and is what the q113 oracle and the
+    * property tests pin.
     *
     * Shape at scale:
     *  - the window stream is ~1 row per corpus token; the duplicate/

@@ -79,9 +79,13 @@ object GraftFunctions {
     colFn(spark, "graft_char_shingles")    { a => TF.charShingles(a(0), litInt(a(1), "shingle size")) }
     colFn(spark, "graft_word_shingles")    { a => TF.wordShingles(a(0), litInt(a(1), "n")) }
     colFn(spark, "graft_minhash_sig")      { a => graft.operators.TextDedup.minHashSignature(a(0), litInt(a(1), "numHashes")) }
+    // null (not NaN / a padded misestimate) on empty or length-mismatched
+    // signatures — zip_with would silently null-pad the shorter array and
+    // size 0 would divide to NaN
     colFn(spark, "graft_est_jaccard")      { a =>
-      size(filter(zip_with(a(0), a(1), (x, y) => x === y), b => b))
-        .cast("double") / size(a(0)) }
+      when(size(a(0)) > 0 && size(a(0)) === size(a(1)),
+        size(filter(zip_with(a(0), a(1), (x, y) => x === y), b => b))
+          .cast("double") / size(a(0))) }
     colFn(spark, "graft_bpe_tokens")       { a => TF.bpeTokens(a.head, TF.DemoMerges) }
     colFn(spark, "graft_bucket16")         { a => graft.operators.Split.bucket16(a.head) }
     colFn(spark, "graft_bucket65536")      { a => graft.operators.Split.bucket65536(a.head) }

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.TextDedup
+
+/** Executes the streaming paths end-to-end on REAL file sources/sinks so
+  * the driver's Verify run (and the q118 registered query) exercise the
+  * same code a production stream runs — not just MemoryStream specs.
+  *
+  * All byproducts (landing dirs, checkpoints, sinks) live in fresh
+  * JVM-temp scratch directories, NEVER inside the Verify output dir: the
+  * correctness checker oracles every entry of that dir as a query
+  * result, and a checkpoint or text landing dir there reads as an `err`
+  * row (the round-7 `_stream_*` lesson). */
+object StreamHarness {
+
+  private def scratch(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d.toString
+  }
+
+  /** The q50-shaped deterministic inputs, derived from `orders`:
+    * (messages, flights). Messages: one eligibility_check JSON per even
+    * order key plus a non-JSON noise line every 50th (exercises the
+    * parse fallback — audited, never dispatched). Flights: string keys
+    * with the three actual-time shapes (empty / unparseable /
+    * +k%300 minutes). Kept verbatim from the round-7 parity check so the
+    * artifact history stays comparable. */
+  def eligibilityFrames(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val k = col("o_orderkey")
+    val flights = o.filter(k % 3 =!= 0).select(
+      concat(lit("FL"), k.cast("string")).as("flight_number"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("scheduled_departure"),
+      when(k % 11 === 0, lit(""))
+        .when(k % 11 === 1, lit("not-a-timestamp"))
+        .otherwise(date_format(
+          timestamp_seconds(unix_timestamp(col("o_orderdate")) + (k % 300) * 60),
+          "yyyy-MM-dd HH:mm:ss")).as("actual_departure"))
+    val messages = o.filter(k % 2 === 0).select(
+      when(k % 50 === 0, concat(lit("corrupt line "), k.cast("string")))
+        .otherwise(to_json(struct(
+          lit("eligibility_check").as("type"),
+          lit("2024-01-01T00:00:00Z").as("requested_at"),
+          struct(lit("Jane").as("firstName"), lit("Doe").as("lastName"),
+            concat(lit("FL"), k.cast("string")).as("flightNumber"),
+            concat(lit("P"), k.cast("string")).as("passengerId")).as("payload"))))
+        .as("value"))
+    (messages, flights)
+  }
+
+  /** Landing files → file-source STREAM → parseMessages → process
+    * (stream-static join + reason cascade) → append parquet sink,
+    * AvailableNow. Returns (sink read back, landing dir) — the landing
+    * path lets the parity check run the batch twin over the SAME files.
+    * `processed_at` is dropped (micro-batch wall clock, not data). */
+  def eligibilitySinkRun(spark: SparkSession, sfDir: String): (DataFrame, String) = {
+    val (messages, flights) = eligibilityFrames(spark, sfDir)
+    val dir = scratch("graft_stream_elig")
+    val landing = s"$dir/landing"
+    val sinkDir = s"$dir/sink"
+    val ckpt = s"$dir/ckpt"
+    messages.coalesce(4).write.text(landing)
+    val stream = spark.readStream.schema("value STRING").text(landing)
+    val streamed = EligibilityStream.process(
+      EligibilityStream.parseMessages(stream), flights)
+      .drop("processed_at")
+    val query = streamed.writeStream
+      .format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", sinkDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    (spark.read.parquet(sinkDir), landing)
+  }
+
+  /** The batch twin of [[eligibilitySinkRun]] over the same landing
+    * files — identical transforms on a batch read. */
+  def eligibilityBatch(spark: SparkSession, sfDir: String,
+                       landing: String): DataFrame = {
+    val (_, flights) = eligibilityFrames(spark, sfDir)
+    EligibilityStream.process(
+      EligibilityStream.parseMessages(spark.read.text(landing)), flights)
+      .drop("processed_at")
+  }
+
+  /** documents ∪ shifted copy of every 5th doc (the QueriesText dup
+    * injection, re-stated) with arrival order = doc_id, so every planted
+    * copy arrives AFTER its original. */
+  def dupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    d.unionByName(
+        d.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      .withColumn("seq", col("doc_id"))
+  }
+
+  /** File-source STREAM → [[StreamingNearDup.hits]] → append parquet
+    * sink, AvailableNow, over [[dupCorpus]]. Returns the distinct
+    * normalized hit pairs (id_lo, id_hi, est_jaccard) — a pair sharing
+    * n bands lands in the sink n times; distinct-at-read is the
+    * documented contract. */
+  def nearDupSinkRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("graft_stream_neardup")
+    val landing = s"$dir/landing"
+    val sinkDir = s"$dir/sink"
+    val ckpt = s"$dir/ckpt"
+    dupCorpus(spark, sfDir).write.parquet(landing)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, seq LONG")
+      .parquet(landing)
+    val hits = StreamingNearDup.hits(stream, "text", "doc_id", "seq")
+      .toDF("doc_id", "dup_of", "est_jaccard")
+    val query = hits.writeStream
+      .format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", sinkDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(sinkDir)
+      .select(least(col("doc_id"), col("dup_of")).as("id_a"),
+        greatest(col("doc_id"), col("dup_of")).as("id_b"),
+        col("est_jaccard"))
+      .distinct()
+  }
+
+  /** The batch twin of [[nearDupSinkRun]]: the SAME decision statistic
+    * (signature-estimated Jaccard over the same xxhash64 signatures and
+    * banding) computed by the batch operator on the same corpus. */
+  def nearDupBatch(spark: SparkSession, sfDir: String): DataFrame =
+    TextDedup.minHashEstimatedDups(dupCorpus(spark, sfDir),
+      "text", "doc_id")
+}

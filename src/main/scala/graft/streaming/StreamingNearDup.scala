@@ -10,10 +10,13 @@ import graft.operators.TextDedup
 /** Streaming MinHash near-duplicate detection — the streaming twin of
   * the batch LSH family (TextDedup.minHashNearDups): flag each incoming
   * document that is a near-dup of an EARLIER one, across micro-batches,
-  * without ever holding the corpus. The state is keyed by LSH band
-  * bucket and holds at most `maxBucketSize` (id, signature) members per
-  * bucket — the same bounded-bucket contract as the batch path's skew
-  * cap, so a boilerplate flood cannot grow state or per-arrival cost.
+  * without ever holding the corpus TEXT — state keeps signatures only.
+  * The state is keyed by LSH band bucket and holds at most
+  * `maxBucketSize` (id, signature) members per bucket — the same
+  * bounded-bucket contract as the batch path's skew cap, so a
+  * boilerplate flood cannot grow state or per-arrival cost. Total state
+  * still grows with distinct documents unless `stateTtlMs` is set (see
+  * [[hits]]).
   *
   * Per arriving doc: the map-only signature projection (native
   * MinHashSig — identical bits to the batch path), an explode to its
@@ -37,11 +40,19 @@ import graft.operators.TextDedup
 object StreamingNearDup {
 
   /** Per-bucket state transition, exposed for TestGroupState unit tests
-    * (the StatefulDedup pattern). Rows: (bucket, doc_id, seq, sig). */
+    * (the StatefulDedup pattern). Rows: (bucket, doc_id, seq, sig).
+    * `ttlMs` (Some = ProcessingTimeTimeout configured on the stream):
+    * an idle bucket's members are evicted `ttlMs` after its last
+    * arrival, bounding TOTAL state for long-running streams. */
   private[graft] def bucketUpdate(threshold: Double, numHashes: Int,
-                                  maxBucketSize: Int)(
+                                  maxBucketSize: Int,
+                                  ttlMs: Option[Long] = None)(
       key: String, rows: Iterator[(String, Long, Long, Seq[Long])],
       state: GroupState[Seq[(Long, Seq[Long])]]): Iterator[(Long, Long, Double)] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     var members = state.getOption.getOrElse(Seq.empty)
     val out = Seq.newBuilder[(Long, Long, Double)]
     rows.toSeq.sortBy(_._3).foreach { case (_, id, _, sig) =>
@@ -62,15 +73,28 @@ object StreamingNearDup {
         members = members :+ (id -> sig)
     }
     state.update(members)
+    ttlMs.foreach(state.setTimeoutDuration)
     out.result().iterator
   }
 
   /** Near-dup hits over a STREAMING frame. Returns (doc_id, dup_of,
-    * est_jaccard) in append mode; distinct at read time. */
+    * est_jaccard) in append mode; distinct at read time.
+    *
+    * State bound: the per-bucket cap bounds EACH bucket, but the number
+    * of buckets grows with distinct documents (~bands buckets × one
+    * 32-long signature per retained doc), so with `stateTtlMs = None` a
+    * long-running crawl stream accumulates state indefinitely — the
+    * "without ever holding the corpus" contract covers raw text only,
+    * not signatures. Pass `stateTtlMs = Some(ms)` to evict buckets idle
+    * for `ms` of processing time (ProcessingTimeTimeout): dup detection
+    * then only reaches back `ms` — the sliding-recency trade-off every
+    * bounded-state streaming dedup makes (same knob as StatefulDedup's
+    * eviction, soak-tested in StreamingSoakSpec). */
   def hits(docs: DataFrame, textCol: String, idCol: String, seqCol: String,
            threshold: Double = 0.8, shingleSize: Int = 9,
            bands: Int = 8, rowsPerBand: Int = 4,
-           maxBucketSize: Int = 1000): Dataset[(Long, Long, Double)] = {
+           maxBucketSize: Int = 1000,
+           stateTtlMs: Option[Long] = None): Dataset[(Long, Long, Double)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val k = bands * rowsPerBand
@@ -86,9 +110,11 @@ object StreamingNearDup {
         }: _*)).as("bucket"),
         col("id"), col("seq"), col("sig"))
       .as[(String, Long, Long, Seq[Long])]
+    val timeout = if (stateTtlMs.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     banded.groupByKey(_._1)
       .flatMapGroupsWithState[Seq[(Long, Seq[Long])], (Long, Long, Double)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        bucketUpdate(threshold, k, maxBucketSize))
+        OutputMode.Append, timeout)(
+        bucketUpdate(threshold, k, maxBucketSize, stateTtlMs))
   }
 }

@@ -202,4 +202,47 @@ class DsirSpec extends AnyFunSuite {
       assert(direct(g) == s)
     }
   }
+
+  test("gumbel noise is a pure function of (id, seed) with the documented transform") {
+    // replicate: u = (first-4-md5-hex(id||seed) + 0.5) / 65536, g =
+    // -ln(-ln u), HALF_UP round-12
+    def expected(id: Long, seed: String): Double = {
+      val b = bucketOf(s"$id$seed", 65536)
+      BigDecimal(-math.log(-math.log((b + 0.5) / 65536.0)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = (1L to 20L).toDF("id")
+      .select(col("id"), Dsir.gumbel(col("id"), "dsir").as("g"))
+      .as[(Long, Double)].collect().toMap
+    (1L to 20L).foreach(id => assert(got(id) == expected(id, "dsir")))
+    // different seed, different sample
+    val got2 = (1L to 20L).toDF("id")
+      .select(Dsir.gumbel(col("id"), "other")).as[Double].collect()
+    assert(got2.toSeq != (1L to 20L).map(got))
+  }
+
+  test("resampleKeep selects ~fraction, favors heavy weights, skips zero-feature docs") {
+    val docs = ((1L to 40L).map(i => (i, "alpha beta gamma delta common tokens", i % 2 == 0)) ++
+      (41L to 80L).map(i => (i, "completely different raw side words here", false)) ++
+      Seq((81L, "short", false), (82L, "", false)))
+      .toDF("doc_id", "text", "is_en")
+    val out = Dsir.resampleKeep(docs, "text", "doc_id",
+        isTarget = col("is_en"), nBuckets = 512, fraction = 0.25)
+      .select("doc_id", "n_features", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    // deterministic: a second run is identical
+    val out2 = Dsir.resampleKeep(docs, "text", "doc_id",
+        isTarget = col("is_en"), nBuckets = 512, fraction = 0.25)
+      .select("doc_id", "n_features", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+    // zero-feature docs are never kept
+    out.filter(_._2 == 0).foreach { case (id, _, keep) =>
+      assert(!keep, s"zero-feature doc $id was kept") }
+    // quantile-threshold semantics: kept count ~ fraction of SCORED docs
+    val scored = out.count(_._2 > 0)
+    val kept = out.count(_._3)
+    assert(kept > 0 && kept <= math.ceil(scored * 0.25) + 1,
+      s"kept $kept of $scored scored docs at fraction 0.25")
+  }
 }

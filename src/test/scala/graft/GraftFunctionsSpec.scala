@@ -28,6 +28,20 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getString(6) == "al***@example.com")
   }
 
+  test("est_jaccard yields NULL (not NaN / padded estimate) on empty or mismatched signatures") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql("""
+      SELECT graft_est_jaccard(array(1L, 2L), array(1L, 3L)) AS ok,
+             graft_est_jaccard(CAST(array() AS ARRAY<BIGINT>),
+                               CAST(array() AS ARRAY<BIGINT>)) AS empty,
+             graft_est_jaccard(array(1L, 2L), array(1L, 2L, 3L)) AS mismatched
+    """).head
+    assert(r.getDouble(0) == 0.5)
+    assert(r.isNullAt(1), "empty signatures must yield NULL, not NaN")
+    assert(r.isNullAt(2),
+      "length-mismatched signatures must yield NULL, not a zip-padded estimate")
+  }
+
   test("registered functions are expression trees, not UDF black boxes") {
     GraftFunctions.registerAll(spark)
     val plan = spark.sql("SELECT graft_clean_money('$5.00')").queryExecution.optimizedPlan

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pin
+
+/** Pin's two-tier contract: [[Pin.data]] upgrades to a RELIABLE
+  * checkpoint when the session has a checkpoint dir (cluster
+  * fault-tolerance for corpus-sized frames), and both tiers fall back
+  * to executor-local checkpointing without one. */
+class PinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Reset the context's checkpoint dir after the test so the other
+    * suites keep the (faster) local-checkpoint path. The setter is
+    * private[spark], hence the reflective call. */
+  private def resetCheckpointDir(): Unit = {
+    val m = classOf[org.apache.spark.SparkContext]
+      .getMethod("checkpointDir_$eq", classOf[Option[String]])
+    m.invoke(spark.sparkContext, None)
+  }
+
+  test("Pin.data takes the reliable checkpoint path when a dir is configured") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pinned = Pin.data(spark.range(1000).toDF("id"))
+      assert(pinned.count() == 1000)
+      // reliable checkpoints materialize RDD part-files under the dir —
+      // executor-local checkpoints write nothing there
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .count()
+      assert(files > 0, s"no checkpoint part-files under $dir — " +
+        "Pin.data did not take the reliable path")
+      // and the frame survives as a plain scan of the checkpoint data
+      assert(pinned.filter(pinned("id") < 10).count() == 10)
+    } finally resetCheckpointDir()
+  }
+
+  test("Pin.param stays executor-local even with a checkpoint dir configured") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_p").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pinned = Pin.param(spark.range(100).toDF("id"))
+      assert(pinned.count() == 100)
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .count()
+      assert(files == 0,
+        "Pin.param wrote a reliable checkpoint — parameter-sized frames " +
+          "should stay executor-local")
+    } finally resetCheckpointDir()
+  }
+
+  test("Pin.data without a checkpoint dir falls back to local checkpointing") {
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "precondition: suite-shared context must have no checkpoint dir here")
+    val pinned = Pin.data(spark.range(50).toDF("id"))
+    assert(pinned.count() == 50)
+  }
+}

@@ -123,4 +123,39 @@ class PlanAuditSpec extends AnyFunSuite {
         s"plan-rule violations:\n  ${failures.mkString("\n  ")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("dedup joins degrade to shuffle joins at scale — no hint, no cartesian") {
+    // PLANS.md claims the candidate↔signature self-joins carry no
+    // broadcast HINT, so when the small side outgrows the broadcast
+    // threshold (the 100 TB case) Spark flips them to shuffle joins
+    // instead of failing or falling into a nested loop. Make that
+    // executable: plan the LSH dedup query with broadcasting DISABLED
+    // and pin the degraded shape.
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SparkEntry.queries("q30_minhash_neardup")(spark, sfDir)
+        .queryExecution.executedPlan
+      val shuffled = plan.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(shuffled.nonEmpty,
+        "expected the dedup joins to flip to shuffle joins under a " +
+          "disabled broadcast threshold")
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        "a broadcast join survived threshold -1 — a forced hint is hiding " +
+          "in the dedup path")
+      // and the standing rules still hold in degraded mode
+      val issues = audit("q30@degraded", plan)
+      assert(issues.isEmpty, issues.mkString("\n"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
 }

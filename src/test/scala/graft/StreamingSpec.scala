@@ -405,4 +405,37 @@ class StreamingSpec extends AnyFunSuite {
     val hits3 = fn("b", Iterator(("b", 9L, 9L, Seq(1L, 2L, 9L, 9L))), s3).toSet
     assert(hits3.isEmpty)
   }
+
+  test("streaming near-dup TTL evicts idle buckets and re-arms per arrival") {
+    import graft.streaming.StreamingNearDup
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.{Optional => JOpt}
+    val fn = StreamingNearDup.bucketUpdate(0.8, 4, maxBucketSize = 100,
+      ttlMs = Some(60000L)) _
+    val sig = Seq(1L, 2L, 3L, 4L)
+    def st(opt: Option[Seq[(Long, Seq[Long])]], timedOut: Boolean) =
+      TestGroupState.create[Seq[(Long, Seq[Long])]](
+        optionalState = opt.map(JOpt.of[Seq[(Long, Seq[Long])]])
+          .getOrElse(JOpt.empty[Seq[(Long, Seq[Long])]]()),
+        timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+        batchProcessingTimeMs = 1000L,
+        eventTimeWatermarkMs = JOpt.empty[java.lang.Long]().asInstanceOf[JOpt[Long]],
+        hasTimedOut = timedOut)
+    // arrival: state updated AND the timeout armed at now + ttl
+    val s1 = st(None, timedOut = false)
+    fn("b", Iterator(("b", 1L, 1L, sig)), s1)
+    assert(s1.get.map(_._1) == Seq(1L))
+    assert(s1.getTimeoutTimestampMs.get() == 61000L,
+      "TTL must arm the processing-time timeout at batch time + ttl")
+    // timeout firing: bucket members evicted, no output
+    val s2 = st(Some(Seq(1L -> sig)), timedOut = true)
+    val out = fn("b", Iterator.empty, s2)
+    assert(out.isEmpty && s2.isRemoved,
+      "a timed-out bucket must remove its state and emit nothing")
+    // after eviction a fresh copy is a FIRST occurrence again — the
+    // recency trade-off the hits() docstring documents
+    val s3 = st(None, timedOut = false)
+    val out3 = fn("b", Iterator(("b", 2L, 2L, sig)), s3).toSet
+    assert(out3.isEmpty && s3.get.map(_._1) == Seq(2L))
+  }
 }
