@@ -25,6 +25,27 @@ import graft.functions.TextFunctions
   *    (pair-vocabulary-bounded hash agg), and collects exactly ONE row
   *    (TakeOrderedAndProject) — the new merge;
   *  - driver state is the merges table itself: numMerges rows.
+  *
+  * APPLICABILITY BOUND, explicit: the per-round plan stays O(1) nodes
+  * (the merges table is ONE literal inside a single BpeEncode), but
+  * round r's re-tokenization redoes rounds 1..r-1's merge work, so
+  * total training work grows ~quadratically in numMerges — fine for
+  * the gated tables and small vocabularies, impractical for 10k+
+  * production vocabularies. (BASELINE.md's "flat" scale verdict was
+  * measured at the gated numMerges=3 and does NOT extrapolate past the
+  * quadratic term.) The canonical constant-per-round alternative —
+  * Sennrich's incremental trainer, which applies only the NEWEST merge
+  * to the previous round's token arrays — is deliberately not used:
+  * its training-order-incremental tokenization can diverge from the
+  * lowest-rank-first APPLY loop ([[graft.plans.BpeEncode]]) in one
+  * known pathological class (two distinct derivations of the same
+  * symbol string re-enabling an earlier merge — the train/apply
+  * mismatch real BPE stacks document), whereas this trainer makes
+  * train-time tokenization equal BpeEncode's apply BY CONSTRUCTION,
+  * which is exactly what the q112 oracle (a from-scratch per-round
+  * replay) enforces bit-for-bit. Scaling to production vocabularies
+  * means adopting the incremental loop AND re-deriving the oracle to
+  * replay it — a semantics change, not an optimization.
   */
 object BpeTrain {
 
