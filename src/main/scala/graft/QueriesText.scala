@@ -2613,9 +2613,91 @@ object QueriesText {
                    coalesce(key > cut.cutoff, FALSE) AS keep
             FROM k CROSS JOIN cut"""))
 
+  // ---------------------------------------------------------------- q120
+  // The STREAMING near-dup path executed and oracle-gated: a real
+  // file-source stream runs StreamingNearDup.hits in ORACLE-MODE
+  // hashing (md5-derived 31-bit signatures + md5 band hashes — the
+  // exact algebra SketchSql.minhashCtes recomputes) into a parquet
+  // sink, and DuckDB replays the stream's entire decision path: the
+  // registered result is the distinct normalized pair set with the
+  // SIGNATURE-ESTIMATED Jaccard (matching-minima fraction ≥ 0.8 — the
+  // statistic a bounded-state stream can compute; est values are exact
+  // dyadic m/32, so no rounding is needed on either side).
+  private val q120 = Q("q120_stream_neardup",
+    (s, dir) => graft.streaming.StreamHarness.nearDupSinkRun31(s, dir),
+    Some(s"""WITH ${SketchSql.minhashCtes},
+            sge AS (
+              SELECT c.id_a, c.id_b,
+                     CAST(len(list_filter(range(1, ${SketchSql.K + 1}),
+                       i -> ga.sigs[i] = gb.sigs[i])) AS DOUBLE) / ${SketchSql.K}
+                       AS est_jaccard
+              FROM cand c
+              JOIN sg ga ON ga.doc_id = c.id_a
+              JOIN sg gb ON gb.doc_id = c.id_b)
+            SELECT id_a, id_b, est_jaccard FROM sge
+            WHERE est_jaccard >= 0.8"""))
+
+  // ---------------------------------------------------------------- q121
+  // Temperature-based mixture planning (XLM-R's alpha rule): shares
+  // DERIVED from the token inventory as n_tokens^0.7, then the q81
+  // budget/rate arithmetic and the md5 sampling rule. The oracle
+  // replays pow, the DECIMAL weight total, the round-12 share quotient,
+  // and every sampled-doc count.
+  private val q121 = Q("q121_temperature_mix",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val plan = Split.temperaturePlan(docs, "source",
+        TF.tokenCount(col("text")), alpha = 0.7, budget = 15000L)
+      val sampled = Split.applyMixture(docs, "source", col("doc_id"), plan)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs_sampled"))
+      plan.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          bround(col("target_share"), 6).as("target_share"),
+          col("alloc_tokens"),
+          bround(col("rate"), 6).as("rate"), col("epochs"),
+          coalesce(col("n_docs_sampled"), lit(0L)).as("n_docs_sampled"))
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id, source,
+                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                          t -> len(t) > 0)) AS BIGINT) AS ntok
+              FROM documents),
+            agg AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(ntok) AS BIGINT) AS n_tokens
+              FROM tk GROUP BY source),
+            w AS (
+              SELECT *, CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7), 6)
+                             AS DECIMAL(38,6)) AS wt
+              FROM agg),
+            tot AS (SELECT sum(wt) AS tw FROM w),
+            pl AS (
+              SELECT w.*, round(CAST(wt AS DOUBLE) / CAST(tot.tw AS DOUBLE), 12) AS share
+              FROM w CROSS JOIN tot),
+            pl2 AS (
+              SELECT *, CAST(alloc_tokens AS DOUBLE) / n_tokens AS rate
+              FROM (SELECT *, CAST(round(share * 15000, 0) AS BIGINT) AS alloc_tokens
+                    FROM pl)),
+            samp AS (
+              SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs_sampled
+              FROM tk t JOIN pl2 USING (source)
+              WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+                  < round(least(rate, 1.0) * 65536.0, 0)
+              GROUP BY t.source)
+            SELECT pl2.source, n_docs, n_tokens,
+                   round(share, 6) AS target_share,
+                   alloc_tokens,
+                   round(rate, 6) AS rate,
+                   CAST(ceil(rate) AS BIGINT) AS epochs,
+                   coalesce(n_docs_sampled, 0) AS n_docs_sampled
+            FROM pl2 LEFT JOIN samp USING (source)"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-    q113, q114, q115, q116, q117, q119)
+    q113, q114, q115, q116, q117, q119, q120, q121)
 }

@@ -107,6 +107,52 @@ object Split {
       .withColumn("epochs", ceil(col("rate")).cast("long"))
   }
 
+  /** Temperature-based mixture planning — derive the target shares FROM
+    * the inventory instead of taking them as input: share_s ∝
+    * n_tokens_s^alpha (the multilingual-pretraining temperature rule,
+    * e.g. alpha = 0.7 in XLM-R, arXiv:1911.02116 §3 — alpha = 1
+    * reproduces natural proportions, alpha → 0 approaches uniform, so
+    * low-resource sources are UP-weighted relative to their size).
+    * Output columns match [[mixturePlan]].
+    *
+    * Determinism & portability: per-source weight = pow(n_tokens,
+    * alpha) rounded to 6 dp and cast DECIMAL(38,6) (a value far from
+    * any rounding tie at double precision — pow's cross-engine 1-ulp
+    * wiggle is ~10 orders below the tie window), the total is the exact
+    * DECIMAL sum, and the share is the round-12 double quotient — the
+    * same contract as the DSIR/NgramLM score pipelines, so a SQL engine
+    * replays the plan hash-for-hash (q121).
+    *
+    * Scale: ONE hash aggregation over the corpus; everything after is
+    * source-cardinality-sized with the 1-row total broadcast back (the
+    * audited crossJoin-of-aggregate pattern). */
+  def temperaturePlan(df: DataFrame, sourceCol: String, tokens: Column,
+                      alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val agg = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
+      .withColumn("_w",
+        bround(pow(col("n_tokens").cast(DoubleType), lit(alpha)), 6)
+          .cast(DecimalType(38, 6)))
+    val total = agg.agg(sum(col("_w")).as("_tw"))
+    agg.crossJoin(broadcast(total))
+      .withColumn("target_share",
+        bround(col("_w").cast(DoubleType) / col("_tw").cast(DoubleType), 12))
+      .withColumn("alloc_tokens",
+        round(col("target_share") * budget).cast(LongType))
+      .withColumn("rate",
+        when(col("n_tokens") > 0,
+          col("alloc_tokens").cast(DoubleType) / col("n_tokens")))
+      .withColumn("keep_fraction",
+        when(col("rate").isNull, lit(null).cast(DoubleType))
+          .otherwise(least(col("rate"), lit(1.0))))
+      .withColumn("epochs", ceil(col("rate")).cast(LongType))
+      .drop("_w", "_tw")
+  }
+
   /** Apply a [[mixturePlan]]: deterministically downsample every source
     * at its `keep_fraction` (same md5-bucket rule as [[hashSample]], but
     * the fraction comes from the joined plan row, so one pass covers all

@@ -108,8 +108,29 @@ object StreamHarness {
     * normalized hit pairs (id_lo, id_hi, est_jaccard) — a pair sharing
     * n bands lands in the sink n times; distinct-at-read is the
     * documented contract. */
-  def nearDupSinkRun(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = scratch("graft_stream_neardup")
+  def nearDupSinkRun(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupSinkRunWith(spark, sfDir, "graft_stream_neardup",
+      TextDedup.minHashSignature, xxhash64(_))
+
+  /** Oracle-mode twin of [[nearDupSinkRun]]: md5-derived 31-bit
+    * signatures and md5 band hashes (graft.plans.OracleHashes) through
+    * the SAME streaming pipeline, so the q120 DuckDB oracle replays the
+    * stream's entire decision path — signatures, banding, bucket
+    * co-occurrence, estimate threshold — hash-for-hash. (Under a
+    * cap-overflowing bucket stream and batch-replay semantics diverge
+    * by design: the stream retains the first `maxBucketSize` members,
+    * the batch replay drops the bucket — both spec-pinned; no sf bucket
+    * approaches the cap.) */
+  def nearDupSinkRun31(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupSinkRunWith(spark, sfDir, "graft_stream_neardup31",
+      graft.plans.OracleHashExpressions.minHashSig31, md5(_))
+
+  private def nearDupSinkRunWith(spark: SparkSession, sfDir: String,
+                                 prefix: String,
+                                 sigOf: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column,
+                                 bandHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val dir = scratch(prefix)
     val landing = s"$dir/landing"
     val sinkDir = s"$dir/sink"
     val ckpt = s"$dir/ckpt"
@@ -117,7 +138,8 @@ object StreamHarness {
     val stream = spark.readStream
       .schema("doc_id LONG, text STRING, seq LONG")
       .parquet(landing)
-    val hits = StreamingNearDup.hits(stream, "text", "doc_id", "seq")
+    val hits = StreamingNearDup.hits(stream, "text", "doc_id", "seq",
+        sigOf = sigOf, bandHash = bandHash)
       .toDF("doc_id", "dup_of", "est_jaccard")
     val query = hits.writeStream
       .format("parquet")

@@ -94,18 +94,21 @@ object StreamingNearDup {
            threshold: Double = 0.8, shingleSize: Int = 9,
            bands: Int = 8, rowsPerBand: Int = 4,
            maxBucketSize: Int = 1000,
-           stateTtlMs: Option[Long] = None): Dataset[(Long, Long, Double)] = {
+           stateTtlMs: Option[Long] = None,
+           sigOf: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+             TextDedup.minHashSignature,
+           bandHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+             xxhash64(_)): Dataset[(Long, Long, Double)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val k = bands * rowsPerBand
     val sig = docs.select(
       col(idCol).cast("long").as("id"),
       col(seqCol).cast("long").as("seq"),
-      TextDedup.minHashSignature(
-        TextFunctions.charShingles(col(textCol), shingleSize), k).as("sig"))
+      sigOf(TextFunctions.charShingles(col(textCol), shingleSize), k).as("sig"))
     val banded = sig.select(
         explode(array((0 until bands).map { b =>
-          concat_ws(":", lit(b), xxhash64(concat_ws(",",
+          concat_ws(":", lit(b), bandHash(concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))))
         }: _*)).as("bucket"),
         col("id"), col("seq"), col("sig"))
