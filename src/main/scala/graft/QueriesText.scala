@@ -2695,9 +2695,42 @@ object QueriesText {
                    coalesce(n_docs_sampled, 0) AS n_docs_sampled
             FROM pl2 LEFT JOIN samp USING (source)"""))
 
+  // ---------------------------------------------------------------- q122
+  // Duplicate-cluster size distribution — the dedup report Lee et al.
+  // 2022 publish (how much of the dup volume sits in pairs vs large
+  // boilerplate clusters decides which dedup strategy pays). SECOND
+  // consumer of the shared precomputed pair frame (q110 is the first):
+  // components over the pinned pairs, then two tiny aggs. The oracle
+  // replays LSH + recursive-CTE components + both aggregations.
+  private val q122 = Q("q122_dup_cluster_sizes",
+    (s, dir) => {
+      val comps = Components.labelPropagate(nearDupPairs(s, dir),
+        "id_a", "id_b")
+      comps.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (col("cluster_size") * count(lit(1))).as("n_docs"))
+    },
+    Some(s"""WITH RECURSIVE ${SketchSql.minhashCtes},
+            p AS (SELECT id_a, id_b FROM ver WHERE jaccard >= 0.8),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+            comp AS (SELECT a AS id, least(a, min(b)) AS comp
+                     FROM reach GROUP BY a),
+            sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+                   FROM comp GROUP BY comp)
+            SELECT cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+            FROM sz GROUP BY cluster_size"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-    q113, q114, q115, q116, q117, q119, q120, q121)
+    q113, q114, q115, q116, q117, q119, q120, q121, q122)
 }

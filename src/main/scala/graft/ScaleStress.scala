@@ -178,13 +178,18 @@ object ScaleStress {
       // nBuckets-bounded, two corpus passes) + DSIR Gumbel resampling
       // (scoring passes + one exact global quantile)
       "q107_pq_topk", "q108_nb_classifier", "q119_dsir_resample")
+    // harness-only exhibits are selectable by name too (subset mode
+    // otherwise re-measures just the named registered queries)
+    val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",
+      "skew_stress")
+    def wantExhibit(n: String): Boolean = only.forall(_.contains(n))
     // a typo'd subset must FAIL, not complete green measuring nothing
     only.foreach { o =>
-      val unknown = o -- allScaleQueries.toSet
+      val unknown = o -- allScaleQueries.toSet -- exhibitNames
       require(unknown.isEmpty,
         s"SPARK_GRAFT_SCALE_ONLY names not registered here: " +
           s"${unknown.toSeq.sorted.mkString(",")} " +
-          s"(known: ${allScaleQueries.mkString(",")})")
+          s"(known: ${(allScaleQueries ++ exhibitNames).mkString(",")})")
     }
     val queryNames = allScaleQueries.filter(n => only.forall(_.contains(n)))
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
@@ -213,7 +218,7 @@ object ScaleStress {
     // harness-only variants + pair-graph round counts: full runs only
     // (a SPARK_GRAFT_SCALE_ONLY subset re-measures just the named
     // registered queries)
-    if (only.isEmpty) {
+    if (wantExhibit("semdedup_exhibits")) {
       val semBase = time2("semdedup_nlist16 @base") { noop(semDedupScaled(baseDir, 16)) }
       val semPinned = time2(s"semdedup_nlist16 @${factor}x") {
         noop(semDedupScaled(outDir, 16))
@@ -223,7 +228,9 @@ object ScaleStress {
       }
       results("semdedup_nlist16_pinned") = (semBase, semPinned)
       results("semdedup_nlist_scaled") = (semBase, semScaled)
+    }
 
+    if (wantExhibit("dsir_stateless_scoring")) {
       // DSIR STATELESS scoring (the streaming-reusable path): the model
       // is fitted ONCE on the base corpus (parameter-sized literals,
       // outside the timed region — at 100 TB the model ships in the
@@ -234,7 +241,8 @@ object ScaleStress {
         spark.read.parquet(s"$baseDir/documents.parquet"),
         "text", col("lang") === "en", nBuckets = 4096)
       def scoreStateless(dir: String): DataFrame =
-        spark.read.parquet(s"$dir/documents.parquet")
+        graft.operators.Spread.toCores(
+            spark.read.parquet(s"$dir/documents.parquet"))
           .select(col("doc_id"),
             graft.operators.Dsir.scoreExpr(col("text"), model).as("s"))
           .select(col("doc_id"), col("s.n_bigrams"), col("s.avg_logratio"))
@@ -249,7 +257,7 @@ object ScaleStress {
     // cap those buckets are dropped (observable drop count = bands) and
     // wall time must stay ~flat vs the skew-free run on the same corpus.
     var skewJson = ""
-    if (only.isEmpty) {
+    if (wantExhibit("skew_stress")) {
       val docs1x = spark.read.parquet(s"$baseDir/documents.parquet")
         .select(col("doc_id"), col("text"))
       val hotN = 5000
