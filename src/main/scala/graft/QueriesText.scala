@@ -2728,9 +2728,50 @@ object QueriesText {
                    CAST(cluster_size * count(*) AS BIGINT) AS n_docs
             FROM sz GROUP BY cluster_size"""))
 
+  // ---------------------------------------------------------------- q123
+  // BM25 top-k retrieval (Okapi weighting, Lucene "+1" idf) — the READ
+  // path of the q88 inverted index: only query-term occurrences survive
+  // the scan filter, doc length rides the explode as a group key (no
+  // corpus-sized join), df + corpus stats broadcast back, and the top-k
+  // plans as TakeOrderedAndProject on the EXACT decimal score. The
+  // oracle replays tokenization, idf, the per-term round-12 DECIMAL
+  // contributions, and the ranked cut.
+  private val q123 = Q("q123_bm25_topk",
+    (s, dir) => Tfidf.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+      queryTerms = Seq("spark", "join", "vector"), k = 15),
+    Some("""WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            occ AS (
+              SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term
+              FROM tk),
+            tf AS (
+              SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+              FROM occ WHERE term IN ('spark', 'join', 'vector')
+              GROUP BY term, doc_id, dl),
+            dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                   FROM tk),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum(CAST(round(
+                         ln((st.n_docs - dfv.df + 0.5) / (dfv.df + 0.5) + 1.0)
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / st.avgdl)),
+                       12) AS DECIMAL(38,12))) AS s,
+                     CAST(count(*) AS BIGINT) AS n_terms_hit
+              FROM tf JOIN dfv USING (term) CROSS JOIN st
+              GROUP BY tf.doc_id),
+            top AS (SELECT *, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc)
+            SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS score, n_terms_hit
+            FROM top WHERE rn <= 15"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-    q113, q114, q115, q116, q117, q119, q120, q121, q122)
+    q113, q114, q115, q116, q117, q119, q120, q121, q122, q123)
 }

@@ -114,4 +114,59 @@ object Tfidf {
         bround((col("_cumex") + col("freq")).cast("double")
           / col("_total").cast("double"), 6).as("cum_share"))
   }
+
+  /** BM25 top-k retrieval for a LITERAL query (Robertson et al.'s
+    * Okapi weighting with the Lucene "+1" idf variant:
+    * idf = ln((N − df + ½)/(df + ½) + 1), always positive) — the READ
+    * path of the inverted-index family: score every document containing
+    * a query term and return the best k. Per-term contributions are
+    * rounded to 12 dp and summed as DECIMAL(38,12) (the repo's exact-sum
+    * contract), the top-k orders on the EXACT decimal score with a
+    * doc-id tiebreak, so ranking and scores are engine-portable.
+    *
+    * Shape at scale:
+    *  - the document length rides the token array projection into the
+    *    explode as a GROUP KEY — no corpus-sized join anywhere;
+    *  - only occurrences of the |Q| query terms survive the filter, so
+    *    the only data-sized work is the scan itself: the (term, doc)
+    *    aggregation and the per-doc sum shuffle hit-sized frames;
+    *  - df (≤ |Q| rows) and the 1-row (N, avgdl) stats broadcast back;
+    *  - the final top-k is a TakeOrderedAndProject, never a global sort.
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, s"k must be positive, got $k")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("_tk"))
+    val tf = toks
+      .select(col("doc_id"), size(col("_tk")).cast(LongType).as("dl"),
+        explode(col("_tk")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfv = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("_tk")).cast(LongType)).as("_sumdl"))
+      .select(col("n_docs"),
+        (col("_sumdl").cast(DoubleType) / col("n_docs")).as("avgdl"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val norm = lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("dl").cast(DoubleType) / col("avgdl"))
+    val contrib = round(
+      idf * (col("tf") * lit(k1 + 1.0)) / (col("tf") + norm), 12)
+      .cast(DecimalType(38, 12))
+    tf.join(broadcast(dfv), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(sum(contrib).as("_score"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("_score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"),
+        bround(col("_score").cast(DoubleType), 6).as("score"),
+        col("n_terms_hit"))
+  }
 }

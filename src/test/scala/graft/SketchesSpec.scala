@@ -133,6 +133,45 @@ class SketchesSpec extends AnyFunSuite {
     assert(idx("banana") == ("banana", 3L, 4L, "1:1 2:1", true))
   }
 
+  test("bm25TopK matches an exact Okapi replica, excludes no-hit docs, breaks ties by id") {
+    val docs = Seq(
+      (1L, "spark join spark filter"),
+      (2L, "join join join join"),
+      (3L, "spark table"),
+      (4L, "other words only here"),
+      (5L, "spark join")).toDF("doc_id", "text")
+    val got = Tfidf.bm25TopK(docs, "text", "doc_id",
+        Seq("spark", "join"), k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    // exact replica of the operator's contract: idf = ln((N-df+.5)/(df+.5)+1),
+    // per-term contribution round-12 HALF_UP, exact decimal sum, bround-6 out
+    val corpus = Map(1L -> Seq("spark", "join", "spark", "filter"),
+      2L -> Seq("join", "join", "join", "join"), 3L -> Seq("spark", "table"),
+      4L -> Seq("other", "words", "only", "here"), 5L -> Seq("spark", "join"))
+    val n = corpus.size
+    val avgdl = corpus.values.map(_.size).sum.toDouble / n
+    val q = Seq("spark", "join")
+    val df = q.map(t => t -> corpus.values.count(_.contains(t))).toMap
+    val expected = corpus.toSeq.flatMap { case (id, tk) =>
+      val hits = q.map(t => t -> tk.count(_ == t)).filter(_._2 > 0)
+      if (hits.isEmpty) None
+      else {
+        val s = hits.map { case (t, tf) =>
+          val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+          val c = idf * tf * 2.2 /
+            (tf + 1.2 * (0.25 + 0.75 * tk.size / avgdl))
+          BigDecimal(c).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        Some((id, s, hits.size.toLong))
+      }
+    }.sortBy { case (id, s, _) => (-s, id) }
+      .map { case (id, s, h) =>
+        (id, BigDecimal(s.toDouble).setScale(6,
+          BigDecimal.RoundingMode.HALF_EVEN).toDouble, h) }
+    assert(got == expected, s"got $got, expected $expected")
+    assert(!got.exists(_._1 == 4L), "a doc with no query terms must not score")
+  }
+
   test("vocabCoverage: frequency-ordered cumulative shares reach 1.0") {
     val docs = Seq((1L, "a a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
     // freqs: a=5, b=3, c=1, d=1 of 10; ties (c, d) break by term asc
