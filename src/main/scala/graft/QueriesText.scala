@@ -2769,9 +2769,56 @@ object QueriesText {
             SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS score, n_terms_hit
             FROM top WHERE rn <= 15"""))
 
+  // ---------------------------------------------------------------- q124
+  // STATELESS DSIR scoring EXECUTED as a stream: the hashed-bigram
+  // model is fitted batch-side (deterministic — the q109 counts), rides
+  // as a literal array inside the scoring projection, and a real
+  // file-source stream scores every doc into a parquet sink with ZERO
+  // state and zero joins. The oracle re-fits the model and re-scores
+  // every document in SQL, so the stream's sink is hash-gated — this
+  // closes the last spec-only streaming scoring path.
+  private val q124 = Q("q124_stream_dsir_score",
+    (s, dir) => graft.streaming.StreamHarness.dsirScoreSinkRun(s, dir),
+    Some("""WITH tk AS (
+              SELECT doc_id, lang = 'en' AS tgt,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            bg AS (
+              SELECT doc_id, tgt, unnest(CASE WHEN len(tk) >= 2 THEN
+                       list_transform(range(1, len(tk)),
+                                      i -> tk[i] || ' ' || tk[i + 1])
+                     ELSE [] END) AS gram
+              FROM tk),
+            hb AS (
+              SELECT doc_id, tgt,
+                     ('0x' || substr(md5(gram), 1, 4))::BIGINT % 4096 AS b
+              FROM bg),
+            c AS (
+              SELECT b,
+                     CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                     CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+              FROM hb GROUP BY b),
+            n AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                         CAST(sum(cr) AS BIGINT) AS nr FROM c),
+            sc AS (
+              SELECT hb.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_bigrams,
+                     round(CAST(sum(CAST(round(
+                         ln(CAST(c.ct + 1 AS DOUBLE) / (n.nt + 4096))
+                       - ln(CAST(c.cr + 1 AS DOUBLE) / (n.nr + 4096)), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+                       AS avg_logratio
+              FROM hb JOIN c USING (b) CROSS JOIN n
+              GROUP BY hb.doc_id)
+            SELECT d.doc_id,
+                   coalesce(sc.n_bigrams, 0) AS n_bigrams,
+                   sc.avg_logratio
+            FROM documents d LEFT JOIN sc USING (doc_id)"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-    q113, q114, q115, q116, q117, q119, q120, q121, q122, q123)
+    q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124)
 }

@@ -125,6 +125,41 @@ object StreamHarness {
     nearDupSinkRunWith(spark, sfDir, "graft_stream_neardup31",
       graft.plans.OracleHashExpressions.minHashSig31, md5(_))
 
+  /** File-source STREAM → STATELESS DSIR scoring → append parquet sink
+    * (AvailableNow). The model is fitted BATCH-side on the same corpus
+    * (the deterministic q109 hashed-bigram counts) and collapses to a
+    * literal array inside the scoring projection, so the stream needs
+    * zero state and zero joins — the pattern a 100 TB pipeline uses to
+    * score a crawl feed against a frozen quality model. The q124 oracle
+    * replays the model fit AND the scoring in SQL, so the STREAM's sink
+    * is held to the rows+schema+hash bar. */
+  def dsirScoreSinkRun(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Dsir
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val model = Dsir.fitLiteralModel(docs, "text", col("lang") === "en",
+      nBuckets = 4096)
+    val dir = scratch("graft_stream_dsir")
+    val landing = s"$dir/landing"
+    val sinkDir = s"$dir/sink"
+    val ckpt = s"$dir/ckpt"
+    docs.write.parquet(landing)
+    val stream = spark.readStream
+      .schema("doc_id LONG, lang STRING, text STRING")
+      .parquet(landing)
+      .select(col("doc_id"), Dsir.scoreExpr(col("text"), model).as("s"))
+      .select(col("doc_id"), col("s.n_bigrams").as("n_bigrams"),
+        col("s.avg_logratio").as("avg_logratio"))
+    val query = stream.writeStream
+      .format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", sinkDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(sinkDir)
+  }
+
   private def nearDupSinkRunWith(spark: SparkSession, sfDir: String,
                                  prefix: String,
                                  sigOf: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column,
