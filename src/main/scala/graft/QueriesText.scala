@@ -2816,9 +2816,46 @@ object QueriesText {
                    sc.avg_logratio
             FROM documents d LEFT JOIN sc USING (doc_id)"""))
 
+  // ---------------------------------------------------------------- q125
+  // PQ reconstruction-error report — the index-quality audit before
+  // trusting q107's ADC results: per subspace, mean/max squared-L2 to
+  // the assigned codeword (= the per-subspace distance MINIMUM, so the
+  // report needs no codes join — one explode + one hash agg). Same
+  // codebook recipe as q107; the oracle replays every subspace distance
+  // and both aggregates with the round-12 DECIMAL contract.
+  private val q125 = Q("q125_pq_recon_error",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val samples = e.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Pq.reconstructionError(e, "embedding", Pq.codebooks(samples, m = 8))
+    },
+    Some("""WITH cbs AS (
+              SELECT s, vec_id + 1 AS c,
+                     list_transform(range(1, 9),
+                       i -> CAST(embedding[s * 8 + i] AS DOUBLE)) AS cw
+              FROM embeddings, (SELECT unnest(range(8)) AS s)
+              WHERE vec_id < 16),
+            dists AS (
+              SELECT e.vec_id, cb.s, cb.c,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (CAST(e.embedding[cb.s * 8 + i] AS DOUBLE) - cb.cw[i]) *
+                            (CAST(e.embedding[cb.s * 8 + i] AS DOUBLE) - cb.cw[i]))) AS d
+              FROM embeddings e CROSS JOIN cbs cb),
+            mins AS (
+              SELECT vec_id, s, round(min(d), 12) AS err
+              FROM dists GROUP BY vec_id, s)
+            SELECT CAST(s AS INT) AS subspace,
+                   CAST(count(*) AS BIGINT) AS n_vectors,
+                   round(CAST(sum(CAST(err AS DECIMAL(38,12))) AS DOUBLE)
+                         / count(*), 6) AS mean_sq_error,
+                   round(max(err), 6) AS max_sq_error
+            FROM mins GROUP BY s"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-    q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124)
+    q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125)
 }

@@ -83,6 +83,33 @@ object Pq {
       element_at(element_at(dt, s + 1), element_at(codes, s + 1)))
       .reduce(_ + _)
 
+  /** PQ reconstruction-error report — the index-quality audit a
+    * pipeline runs BEFORE trusting ADC results: per subspace, the mean
+    * and max squared-L2 between each vector's subvector and its
+    * assigned codeword. The assigned-codeword distance is exactly the
+    * MINIMUM of the per-codeword distances (encode takes the argmin),
+    * so no join against the codes table is needed: the report is one
+    * explode + one hash aggregation over m×N rows. Per-vector errors
+    * are rounded to 12 dp and DECIMAL-summed (exact, order-free), so an
+    * external engine replays the report hash-for-hash (q125). A
+    * subspace whose mean error dwarfs the others tells you which
+    * dimensions the codebook under-resolves; a rising mean across
+    * corpus snapshots says the quantizer needs retraining. */
+  def reconstructionError(df: DataFrame, vecCol: String,
+                          cbs: Array[Array[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val perVec = df.select(explode(array(cbs.indices.map { s =>
+        struct(lit(s).as("subspace"),
+          round(array_min(subDists(col(vecCol), cbs(s), s)), 12).as("err"))
+      }: _*)).as("e"))
+      .select(col("e.subspace"), col("e.err"))
+    perVec.groupBy(col("subspace"))
+      .agg(count(lit(1)).as("n_vectors"),
+        bround(sum(col("err").cast(DecimalType(38, 12))).cast(DoubleType)
+          / count(lit(1)), 6).as("mean_sq_error"),
+        bround(max(col("err")), 6).as("max_sq_error"))
+  }
+
   /** ADC top-k: score every code row against each query's distance
     * table; ascending distance, lowest-id tie-break. Mirrors
     * [[Similarity.bruteForceTopK]]'s shape — queries broadcast, corpus

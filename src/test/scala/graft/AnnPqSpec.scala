@@ -113,6 +113,50 @@ class AnnPqSpec extends AnyFunSuite {
       s"nearest should be the identical codeword row at distance 0, got $top")
   }
 
+  test("Pq reconstruction error: zero for sample vectors, matches the min-distance identity") {
+    val e = corpus(20)
+    val samples = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cbs = Pq.codebooks(samples, m = 2)
+    // the 4 sample vectors ARE codewords in every subspace, so a corpus
+    // of only samples reconstructs exactly
+    val exact = Pq.reconstructionError(e.filter(col("vec_id") < 4),
+        "embedding", cbs)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(exact.length == 2)
+    exact.foreach { case (s, n, mean, mx) =>
+      assert(n == 4 && mean == 0.0 && mx == 0.0,
+        s"sample-only corpus must reconstruct exactly, got subspace $s: ($n, $mean, $mx)")
+    }
+    // on the full corpus: per-subspace means are the average of the true
+    // per-vector minimum distances (replica via encode + dist recompute)
+    val full = Pq.reconstructionError(e, "embedding", cbs)
+      .as[(Int, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val vecs = e.orderBy("vec_id")
+      .select(graft.functions.VectorFunctions.asDouble(col("embedding")))
+      .as[Seq[Double]].collect().map(_.toArray)
+    val dsub = vecs(0).length / 2
+    (0 until 2).foreach { s =>
+      val errs = vecs.map { v =>
+        val sub = v.slice(s * dsub, (s + 1) * dsub)
+        val d = cbs(s).map(cw =>
+          cw.zip(sub).map { case (a, b) => (b - a) * (b - a) }
+            .foldLeft(0.0)(_ + _)).min
+        BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      // mirror Spark exactly: DECIMAL sum -> DOUBLE cast -> double
+      // division by the count -> bround(6)
+      val mean = BigDecimal(errs.sum.toDouble / errs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      val (_, n, gotMean, gotMax) = full(s)
+      assert(n == vecs.length && gotMean == mean,
+        s"subspace $s mean: got $gotMean, expected $mean")
+      assert(gotMax == BigDecimal(errs.max.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+    }
+  }
+
   test("Pq ADC top-1 agrees with exact L2 top-1 on well-separated clusters") {
     val e = corpus(100).cache()
     val samples = e.filter(col("vec_id") < 8).orderBy("vec_id")
