@@ -296,14 +296,21 @@ object QueriesText {
     * timing keeps measuring the producer cost honestly; the DuckDB
     * oracles stay self-contained either way (each replays the pair
     * pipeline in SQL). */
+  // WeakHashMap keyed by the session OBJECT: a stopped/collected
+  // session's pinned frames become unreachable (identity-hash string
+  // keys could collide across object lifetimes and resurrect a dead
+  // session's frame)
   private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.computeIfAbsent(
-      System.identityHashCode(s) + "|" + dir,
-      _ => Pin.data(TextDedup.minHashNearDups31(docsWithDups(s, dir),
-        "text", "doc_id",
-        threshold = 0.8, shingleSize = 9, bands = 8, rowsPerBand = 4)))
+    pairsMemo.synchronized {
+      var m = pairsMemo.get(s)
+      if (m == null) { m = scala.collection.mutable.Map(); pairsMemo.put(s, m) }
+      m.getOrElseUpdate(dir,
+        Pin.data(TextDedup.minHashNearDups31(docsWithDups(s, dir),
+          "text", "doc_id",
+          threshold = 0.8, shingleSize = 9, bands = 8, rowsPerBand = 4)))
+    }
 
   private val q30 = Q("q30_minhash_neardup",
     (s, dir) => TextDedup.minHashNearDups31(docsWithDups(s, dir), "text", "doc_id",

@@ -176,8 +176,11 @@ object ScaleStress {
       // round-8: PQ ADC search (codebook/codes parameter-bounded per
       // probe; scan linear in codes) + hashed-NB classifier (model is
       // nBuckets-bounded, two corpus passes) + DSIR Gumbel resampling
-      // (scoring passes + one exact global quantile)
-      "q107_pq_topk", "q108_nb_classifier", "q119_dsir_resample")
+      // (scoring passes + one exact global quantile) + dup-cluster
+      // report (components over the pinned pairs) + BM25 (query-term-
+      // filtered scan) + PQ reconstruction error (one linear pass)
+      "q107_pq_topk", "q108_nb_classifier", "q119_dsir_resample",
+      "q122_dup_cluster_sizes", "q123_bm25_topk", "q125_pq_recon_error")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",
