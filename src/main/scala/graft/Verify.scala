@@ -65,6 +65,9 @@ object Verify {
     //    this artifact additionally pins sink == batch bit-parity).
     //  - stream_neardup_parity: StreamingNearDup.hits vs the batch
     //    estimated-Jaccard pair set (TextDedup.minHashEstimatedDups).
+    //  - stream_register_parity: the per-window CMS register stream
+    //    (watermark eviction + append-exactly-once + a CHECKPOINT
+    //    RESTART mid-run) vs the same transform on a batch read.
     def parityCheck(name: String)(run: => String): Unit =
       if (only.forall(_.contains(name))) {
         try {
@@ -78,6 +81,7 @@ object Verify {
       }
     parityCheck("stream_parity")(streamParity(spark, sfDir))
     parityCheck("stream_neardup_parity")(streamNearDupParity(spark, sfDir))
+    parityCheck("stream_register_parity")(streamRegisterParity(spark, sfDir))
     val failJson = failed
       .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
@@ -136,5 +140,15 @@ object Verify {
     parityJson("stream_neardup_parity",
       StreamHarness.nearDupSinkRun(spark, sfDir),
       StreamHarness.nearDupBatch(spark, sfDir))
+  }
+
+  /** Streaming-vs-batch parity for the per-window CMS register table —
+    * includes a CHECKPOINT RESTART mid-run (see
+    * [[graft.streaming.StreamHarness.registerSinkRun]]). THROWS on hash
+    * mismatch. */
+  def streamRegisterParity(spark: SparkSession, sfDir: String): String = {
+    import graft.streaming.StreamHarness
+    val (streamOut, batchOut) = StreamHarness.registerSinkRun(spark, sfDir)
+    parityJson("stream_register_parity", streamOut, batchOut)
   }
 }

@@ -125,6 +125,70 @@ object StreamHarness {
     nearDupSinkRunWith(spark, sfDir, "graft_stream_neardup31",
       graft.plans.OracleHashExpressions.minHashSig31, md5(_))
 
+  /** Per-window CMS register stream EXECUTED end-to-end with a
+    * checkpoint RESTART: phase 1 streams the events table's (ts,
+    * event_type) rows through [[EventWindows.frequencyRegisters]] into
+    * an append parquet sink (AvailableNow); then a far-future flush row
+    * lands and phase 2 RESUMES FROM THE CHECKPOINT, whose first batch
+    * runs under the persisted phase-1 watermark and emits every
+    * still-open window below it. Returns (sink registers, batch twin) —
+    * both filtered to windows safely below the phase-1 watermark (a
+    * one-window margin dodges the end==watermark boundary), so the
+    * comparison set is deterministic regardless of how AvailableNow
+    * batched the files. The batch twin is the SAME frequencyRegisters
+    * transform on a batch read (withWatermark is a no-op in batch).
+    * This exercises watermark eviction, append-exactly-once emission,
+    * AND checkpoint recovery on a real source/sink — the contracts the
+    * MemoryStream specs pin per-batch. */
+  def registerSinkRun(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    // physical-type adaptivity (TESTDATA.md: ts was TIMESTAMP(NANOS)
+    // through driver r4, MICROS after)
+    val tsCol = evRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_seconds(ts DIV 1000000000)")
+      case _ => col("ts").cast("timestamp")
+    }
+    val ev = evRaw.select(tsCol.as("ts"), col("event_type").as("v"))
+    val dir = scratch("graft_stream_regs")
+    val landing = s"$dir/landing"
+    val sinkDir = s"$dir/sink"
+    val ckpt = s"$dir/ckpt"
+    ev.coalesce(4).write.parquet(landing)
+    def runOnce(): Unit = {
+      val stream = EventWindows.frequencyRegisters(
+        spark.readStream.schema("ts TIMESTAMP, v STRING").parquet(landing),
+        "ts", "v", width = "1 hour", lateness = "2 hours")
+      val q = stream.writeStream
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", sinkDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // phase 1: ingest, watermark -> maxTs - lateness
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // flush row far in the future, in its own file -> guarantees phase 2
+    // has a batch to run under the persisted watermark
+    import spark.implicits._
+    Seq((new java.sql.Timestamp(maxTs.getTime + 86400L * 1000 * 30), "flush"))
+      .toDF("ts", "v").write.mode("append").parquet(landing)
+    runOnce() // phase 2: resume from checkpoint, emit closed windows
+    // deterministic comparison set: windows ending at least one window
+    // width below the phase-1 watermark
+    val cutoff = lit(new java.sql.Timestamp(
+      maxTs.getTime - (2L * 3600 + 3600) * 1000))
+    val streamOut = spark.read.parquet(sinkDir)
+      .filter(col("window_end") <= cutoff)
+    val batchOut = EventWindows.frequencyRegisters(
+        spark.read.parquet(landing), "ts", "v",
+        width = "1 hour", lateness = "2 hours")
+      .filter(col("window_end") <= cutoff)
+    (streamOut, batchOut)
+  }
+
   /** File-source STREAM → STATELESS DSIR scoring → append parquet sink
     * (AvailableNow). The model is fitted BATCH-side on the same corpus
     * (the deterministic q109 hashed-bigram counts) and collapses to a
