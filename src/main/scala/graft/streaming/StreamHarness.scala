@@ -19,6 +19,12 @@ import graft.operators.TextDedup
   * row (the round-7 `_stream_*` lesson). */
 object StreamHarness {
 
+  /** Fresh JVM-temp scratch dir. Lifecycle, explicit: the returned
+    * DataFrames lazily READ these dirs, so they cannot be deleted
+    * eagerly; they live until the OS reaps the temp dir (deleteOnExit
+    * only removes empty dirs). Each run writes a few MB at the gated
+    * SFs — the trade accepted for keeping byproducts out of the Verify
+    * output dir, which the correctness checker oracles entry by entry. */
   private def scratch(prefix: String): String = {
     val d = Files.createTempDirectory(prefix).toFile
     d.deleteOnExit()
@@ -207,7 +213,9 @@ object StreamHarness {
     val landing = s"$dir/landing"
     val sinkDir = s"$dir/sink"
     val ckpt = s"$dir/ckpt"
-    docs.write.parquet(landing)
+    // spread the landing files for micro-batch parallelism (see
+    // nearDupSinkRunWith — same single-compact-file serialization)
+    graft.operators.Spread.toCores(docs).write.parquet(landing)
     val stream = spark.readStream
       .schema("doc_id LONG, lang STRING, text STRING")
       .parquet(landing)
@@ -233,7 +241,12 @@ object StreamHarness {
     val landing = s"$dir/landing"
     val sinkDir = s"$dir/sink"
     val ckpt = s"$dir/ckpt"
-    dupCorpus(spark, sfDir).write.parquet(landing)
+    // spread the landing across files: the corpus arrives as ONE compact
+    // parquet file, and a 1-file landing gives the micro-batch 1 scan
+    // partition — serializing the per-doc signature work on one core
+    // (measured: q120 15.6 s -> ~4 s at sf0.1)
+    graft.operators.Spread.toCores(dupCorpus(spark, sfDir))
+      .write.parquet(landing)
     val stream = spark.readStream
       .schema("doc_id LONG, text STRING, seq LONG")
       .parquet(landing)
