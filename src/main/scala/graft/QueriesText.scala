@@ -2860,9 +2860,83 @@ object QueriesText {
                    round(max(err), 6) AS max_sq_error
             FROM mins GROUP BY s"""))
 
+  // ---------------------------------------------------------------- q126
+  // ANN recall@k report — the retrieval-quality audit q125 is the
+  // memory-side twin of: per query, how many of the exact brute-force
+  // top-3 the LSH index (q34's pipeline) recovered. The number a
+  // pipeline tracks before trading exactness for the bucketed scale
+  // path. The oracle replays BOTH pipelines (the q33 exact ranking and
+  // the q34 plane-literal LSH ranking) and the per-query overlap count.
+  // Expect LOW recall on this table (~0.13 mean): the synthetic
+  // embeddings are uniform random, so "nearest" neighbors are barely
+  // closer than random and sign-bit buckets cannot separate them —
+  // which is precisely the situation this audit exists to SURFACE
+  // before anyone trusts the index (AnnPqSpec pins recall ≥ 0.9 on
+  // clustered fixtures, where LSH actually works).
+  private val q126 = Q("q126_ann_recall",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = Similarity.lshTopK(q, e, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val matched = bf.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_matched"))
+      q.select(col("vec_id").as("query_id"))
+        .join(matched, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          bround(coalesce(col("n_matched"), lit(0L)).cast(DoubleType) / 3.0, 6)
+            .as("recall_at_3"))
+    },
+    Some(s"""WITH pl(t, pli, p) AS (VALUES ${PlaneSql.planeValues(8, 8, 64, 42L)}),
+            qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+            bfs AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ${PlaneSql.cosSql("q.embedding", "c.embedding")} AS cos
+              FROM qs q CROSS JOIN embeddings c WHERE c.vec_id <> q.vec_id),
+            bfr AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rn
+              FROM bfs),
+            bf AS (SELECT query_id, neighbor_id FROM bfr WHERE rn <= 3),
+            ${PlaneSql.bucketCte("bq", "qs", "query_id")},
+            ${PlaneSql.bucketCte("bc", "embeddings", "neighbor_id")},
+            cnt AS (SELECT bucket, count(*) AS n FROM bc GROUP BY bucket),
+            cok AS (SELECT bc.neighbor_id, bc.bucket
+                    FROM bc JOIN cnt USING (bucket) WHERE cnt.n <= 10000),
+            cand AS (
+              SELECT DISTINCT q.query_id, c.neighbor_id
+              FROM bq q JOIN cok c USING (bucket)
+              WHERE q.query_id <> c.neighbor_id),
+            lsc AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     ${PlaneSql.cosSql("qe.embedding", "ce.embedding")} AS cos
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = cand.query_id
+              JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+            lr AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rn
+              FROM lsc),
+            lsh AS (SELECT query_id, neighbor_id FROM lr WHERE rn <= 3),
+            m AS (
+              SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_matched
+              FROM bf JOIN lsh USING (query_id, neighbor_id)
+              GROUP BY bf.query_id)
+            SELECT q.vec_id AS query_id,
+                   coalesce(m.n_matched, 0) AS n_matched,
+                   round(CAST(coalesce(m.n_matched, 0) AS DOUBLE) / 3.0, 6)
+                     AS recall_at_3
+            FROM qs q LEFT JOIN m ON m.query_id = q.vec_id"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-    q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125)
+    q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
+    q126)
 }

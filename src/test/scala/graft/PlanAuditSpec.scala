@@ -68,7 +68,12 @@ class PlanAuditSpec extends AnyFunSuite {
         "(PLANS.md); corpus-sized query sets go through q106's cell join"),
     "q51_warehouse" ->
       ("layer materialization during CONSTRUCTION requires the prod " +
-        "AQE-on session; plan audited by hand in PLANS.md (q51 row)"))
+        "AQE-on session; plan audited by hand in PLANS.md (q51 row)"),
+    "q126_ann_recall" ->
+      ("embeds q33's brute-force exactness baseline as the recall " +
+        "GROUND TRUTH (1/50-sampled query side broadcast by " +
+        "construction — q33's own exemption); the audited LSH pipeline " +
+        "is the other half of the same plan (PLANS.md q126 row)"))
 
   private def audit(name: String, plan: SparkPlan): Seq[String] = {
     val issues = scala.collection.mutable.Buffer[String]()
