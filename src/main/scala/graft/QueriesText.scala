@@ -2933,10 +2933,62 @@ object QueriesText {
                      AS recall_at_3
             FROM qs q LEFT JOIN m ON m.query_id = q.vec_id"""))
 
+  // ---------------------------------------------------------------- q127
+  // HTML boilerplate strip (the q82 pattern for web dirt): every doc is
+  // wrapped in a deterministic HTML shell — a <script> whose BODY
+  // contains a bare `<` (block removal must precede tag stripping), a
+  // <style> rule, attributed tags, and an entity gauntlet where
+  // `&amp;lt;` must decode to the LITERAL "&lt;" (entities decode after
+  // tags, `&amp;` last — the double-decode bug inverted into the
+  // contract). Map-only projection chain; both engines run the same
+  // backreference-free regexes.
+  private val q127 = Q("q127_html_strip",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dirty = concat(
+        lit("<html><head><title>t</title>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "<style>.c{color:red}</style></head><body><p class=\"main\">"),
+        col("text"),
+        lit("</p><div data-id=\""), col("doc_id").cast(StringType),
+        lit("\">&amp;lt; escaped &quot;tag&#39;s&quot;&nbsp;&amp; entities" +
+          "</div></body></html>"))
+      docs.select(col("doc_id"), TF.stripHtml(dirty).as("clean_text"))
+        .withColumn("clean_len", length(col("clean_text")).cast(LongType))
+    },
+    Some("""WITH dirty AS (
+              SELECT doc_id,
+                     '<html><head><title>t</title><script type="text/javascript">var x = 1 < 2;</script>'
+                     || '<style>.c{color:red}</style></head><body><p class="main">'
+                     || text || '</p><div data-id="' || CAST(doc_id AS VARCHAR)
+                     || '">&amp;lt; escaped &quot;tag&#39;s&quot;&nbsp;&amp; entities</div></body></html>'
+                     AS d
+              FROM documents)
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     replace(replace(replace(replace(replace(replace(
+                       regexp_replace(
+                         regexp_replace(d,
+                           '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)\s*>', ' ', 'g'),
+                         '(?s)<[^>]*>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                     '\s+', ' ', 'g')) AS clean_text,
+                   CAST(length(trim(regexp_replace(
+                     replace(replace(replace(replace(replace(replace(
+                       regexp_replace(
+                         regexp_replace(d,
+                           '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)\s*>', ' ', 'g'),
+                         '(?s)<[^>]*>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                     '\s+', ' ', 'g'))) AS BIGINT) AS clean_len
+            FROM dirty"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
-    q126)
+    q126, q127)
 }

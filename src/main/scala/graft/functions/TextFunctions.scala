@@ -163,4 +163,30 @@ object TextFunctions {
   def md5Fingerprint(c: Column): Column =
     aggregate(transform(tokens(c), t => md5(t)), lit(""),
       (acc, h) => md5(concat(acc, h)))
+
+  /** HTML boilerplate strip — the web-extraction stage of a crawl
+    * pipeline (the trafilatura/jusText problem reduced to its
+    * deterministic core): drop <script>/<style> blocks wholesale, strip
+    * every remaining tag, THEN decode the common entities, and collapse
+    * whitespace. Ordering is load-bearing and deliberate: entities
+    * decode strictly AFTER tag stripping, so text that SPELLS "&lt;b&gt;"
+    * becomes the literal "<b>" in the output instead of being eaten as
+    * a tag — the classic double-decode bug, inverted into a contract.
+    * `&amp;` decodes last for the same reason (`&amp;lt;` must yield
+    * "&lt;", not "<"). Regexes avoid backreferences and use inline
+    * (?is) flags only, so Java regex (Spark) and RE2 (the DuckDB
+    * oracle) execute them identically. Pure codegen'd projection chain
+    * — no shuffle, no UDF. */
+  def stripHtml(c: Column): Column = {
+    val noBlocks = regexp_replace(c,
+      "(?is)<(?:script|style)[^>]*>.*?</(?:script|style)\\s*>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col0, (e, v)) =>
+        org.apache.spark.sql.functions.replace(col0, lit(e), lit(v))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

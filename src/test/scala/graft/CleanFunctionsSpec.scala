@@ -11,6 +11,25 @@ class CleanFunctionsSpec extends AnyFunSuite {
   private def one(c: org.apache.spark.sql.Column): Any =
     Seq(1).toDF("x").select(c.as("r")).head.get(0)
 
+  test("stripHtml: block removal before tags, entities after tags, &amp; last") {
+    import graft.functions.{TextFunctions => TFn}
+    // a bare '<' INSIDE a script body must not derail tag stripping —
+    // blocks go first, wholesale
+    assert(one(TFn.stripHtml(lit(
+      "<p>a</p><script>if (1 < 2) alert('x')</script><b>b</b>"))) == "a b")
+    // style blocks too, case-insensitive tags
+    assert(one(TFn.stripHtml(lit("<STYLE>.x{}</STYLE>hey<BR>"))) == "hey")
+    // entities decode AFTER tag stripping: text that spells a tag stays
+    // literal text, and &amp;lt; yields the literal "&lt;"
+    assert(one(TFn.stripHtml(lit("&lt;b&gt; &amp;lt; &quot;q&#39;s&quot;")))
+      == "<b> &lt; \"q's\"")
+    // attributes, whitespace collapse, nbsp
+    assert(one(TFn.stripHtml(lit(
+      "<a href=\"x\" class='y'>link</a>&nbsp;&nbsp; end  "))) == "link end")
+    // plain text passes through (modulo collapse)
+    assert(one(TFn.stripHtml(lit("  just   text "))) == "just text")
+  }
+
   test("F4 capitalizeFirst differs from initcap on multi-word strings") {
     assert(one(CF.capitalizeFirst(lit("gold STAR"))) == "Gold star")
     assert(one(initcap(lit("gold STAR"))) == "Gold Star")
