@@ -180,7 +180,9 @@ object ScaleStress {
       // report (components over the pinned pairs) + BM25 (query-term-
       // filtered scan) + PQ reconstruction error (one linear pass)
       "q107_pq_topk", "q108_nb_classifier", "q119_dsir_resample",
-      "q122_dup_cluster_sizes", "q123_bm25_topk", "q125_pq_recon_error")
+      "q122_dup_cluster_sizes", "q123_bm25_topk", "q125_pq_recon_error",
+      // ANN recall audit (both top-k pipelines) + HTML strip (map-only)
+      "q126_ann_recall", "q127_html_strip")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",
