@@ -296,21 +296,33 @@ object QueriesText {
     * timing keeps measuring the producer cost honestly; the DuckDB
     * oracles stay self-contained either way (each replays the pair
     * pipeline in SQL). */
-  // WeakHashMap keyed by the session OBJECT: a stopped/collected
-  // session's pinned frames become unreachable (identity-hash string
-  // keys could collide across object lifetimes and resurrect a dead
-  // session's frame)
-  private val pairsMemo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
-  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.synchronized {
-      var m = pairsMemo.get(s)
-      if (m == null) { m = scala.collection.mutable.Map(); pairsMemo.put(s, m) }
-      m.getOrElseUpdate(dir,
-        Pin.data(TextDedup.minHashNearDups31(docsWithDups(s, dir),
-          "text", "doc_id",
-          threshold = 0.8, shingleSize = 9, bands = 8, rowsPerBand = 4)))
+  // Cache-entry validity is checked by IDENTITY against a WeakReference
+  // to the owning session: identity-hash reuse after a session is
+  // collected can NOT resurrect a dead session's frame (the reference
+  // reads null ≠ s → recompute and replace). A WeakHashMap keyed by the
+  // session would be self-defeating here — a DataFrame strongly
+  // references its session, so the value would pin its own key forever.
+  // Residual leak, accepted and bounded: a STOPPED session's last entry
+  // lingers until its key is reused (sessions×dirs entries; the
+  // stopped context's executor memory is freed by stop() regardless).
+  // No lock is held while the pipeline computes — two racing threads
+  // may both build the frame and last-write wins, a benign duplication
+  // preferred over serializing unrelated sessions behind a minutes-long
+  // LSH job.
+  private val pairsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.lang.ref.WeakReference[SparkSession], DataFrame)]()
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val key = System.identityHashCode(s) + "|" + dir
+    val cur = pairsMemo.get(key)
+    if (cur != null && (cur._1.get eq s)) cur._2
+    else {
+      val df = Pin.data(TextDedup.minHashNearDups31(docsWithDups(s, dir),
+        "text", "doc_id",
+        threshold = 0.8, shingleSize = 9, bands = 8, rowsPerBand = 4))
+      pairsMemo.put(key, (new java.lang.ref.WeakReference(s), df))
+      df
     }
+  }
 
   private val q30 = Q("q30_minhash_neardup",
     (s, dir) => TextDedup.minHashNearDups31(docsWithDups(s, dir), "text", "doc_id",
@@ -2968,8 +2980,10 @@ object QueriesText {
                    trim(regexp_replace(
                      replace(replace(replace(replace(replace(replace(
                        regexp_replace(
-                         regexp_replace(d,
-                           '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)\s*>', ' ', 'g'),
+                         regexp_replace(
+                           regexp_replace(d,
+                             '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+                           '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
                          '(?s)<[^>]*>', ' ', 'g'),
                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
@@ -2977,8 +2991,10 @@ object QueriesText {
                    CAST(length(trim(regexp_replace(
                      replace(replace(replace(replace(replace(replace(
                        regexp_replace(
-                         regexp_replace(d,
-                           '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)\s*>', ' ', 'g'),
+                         regexp_replace(
+                           regexp_replace(d,
+                             '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+                           '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
                          '(?s)<[^>]*>', ' ', 'g'),
                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),

@@ -63,6 +63,11 @@ object Verify {
     //  - stream_parity: T1-T4 eligibility (also gated as q118 above —
     //    its sink is oracle-checked against the q50-family DuckDB SQL;
     //    this artifact additionally pins sink == batch bit-parity).
+    //    Deliberately a SECOND independent stream run rather than a
+    //    reuse of q118's sink: sharing a memoized run would let one
+    //    execution satisfy both checks (masking nondeterminism between
+    //    runs) and would hollow out q118's benchmark timing; the extra
+    //    ~2 s on a multi-minute gate buys run-to-run independence.
     //  - stream_neardup_parity: StreamingNearDup.hits vs the batch
     //    estimated-Jaccard pair set (TextDedup.minHashEstimatedDups).
     //  - stream_register_parity: the per-window CMS register stream

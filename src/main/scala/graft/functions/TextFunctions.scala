@@ -178,8 +178,14 @@ object TextFunctions {
     * oracle) execute them identically. Pure codegen'd projection chain
     * — no shuffle, no UDF. */
   def stripHtml(c: Column): Column = {
-    val noBlocks = regexp_replace(c,
-      "(?is)<(?:script|style)[^>]*>.*?</(?:script|style)\\s*>", " ")
+    // one pass PER block kind — a combined (script|style) alternation
+    // would let a stray </style> terminate a <script> block and leak
+    // script code into the text (RE2 has no backreferences to tie the
+    // close tag to the open tag, so two passes is the portable fix)
+    val noScript = regexp_replace(c,
+      "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noBlocks = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style\\s*>", " ")
     val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",

@@ -44,7 +44,17 @@ object Pin {
   /** Pin a DATA-SIZED frame (corpus-proportional: signatures, edges,
     * scored docs). Routes through the reliable checkpoint path whenever
     * the session has a checkpoint dir — on a real cluster an executor
-    * loss would otherwise kill a multi-hour job with no recovery. */
+    * loss would otherwise kill a multi-hour job with no recovery.
+    *
+    * STORAGE LIFECYCLE on the reliable path: `df.checkpoint()` files
+    * are deleted when the frame becomes unreachable ONLY if the context
+    * was started with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — set it
+    * alongside `setCheckpointDir` for cluster deployments, or an
+    * iterative caller (components runs one data-sized pin per star
+    * round) accumulates a checkpoint directory per pin until the
+    * application exits. Local runs are unaffected (local checkpoints
+    * are block-manager blocks, ContextCleaner-released either way). */
   def data(df: DataFrame): DataFrame = materialize(df, reliable = true)
 
   /** Pin a PARAMETER-SIZED frame (≤ config-bounded rows: count tables,

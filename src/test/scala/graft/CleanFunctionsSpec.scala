@@ -19,6 +19,10 @@ class CleanFunctionsSpec extends AnyFunSuite {
       "<p>a</p><script>if (1 < 2) alert('x')</script><b>b</b>"))) == "a b")
     // style blocks too, case-insensitive tags
     assert(one(TFn.stripHtml(lit("<STYLE>.x{}</STYLE>hey<BR>"))) == "hey")
+    // a stray </style> inside a script block must NOT terminate it —
+    // per-kind block passes, so no script code leaks into the text
+    assert(one(TFn.stripHtml(lit(
+      "<script>var s='</style>'; leak()</script>ok"))) == "ok")
     // entities decode AFTER tag stripping: text that spells a tag stays
     // literal text, and &amp;lt; yields the literal "&lt;"
     assert(one(TFn.stripHtml(lit("&lt;b&gt; &amp;lt; &quot;q&#39;s&quot;")))
