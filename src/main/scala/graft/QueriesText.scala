@@ -1074,7 +1074,7 @@ object QueriesText {
             sc AS (
               SELECT occ.doc_id,
                      CAST(count(*) AS BIGINT) AS n_bigrams,
-                     round(CAST(sum(CAST(round(ln(
+                     round_even(CAST(sum(CAST(round(ln(
                          CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
                            / (coalesce(c1.c1, 0) + v.v)), 12)
                        AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
@@ -1088,7 +1088,7 @@ object QueriesText {
             SELECT d.doc_id,
                    coalesce(sc.n_bigrams, 0) AS n_bigrams,
                    sc.avg_logprob,
-                   round(cut.cutoff, 6) AS cutoff,
+                   round_even(cut.cutoff, 6) AS cutoff,
                    sc.avg_logprob > cut.cutoff AS keep
             FROM documents d
             LEFT JOIN sc USING (doc_id)
@@ -1554,9 +1554,9 @@ object QueriesText {
                   < round(least(rate, 1.0) * 65536.0, 0)
               GROUP BY t.source)
             SELECT pl2.source, n_docs, n_tokens,
-                   round(share, 6) AS target_share,
+                   round_even(share, 6) AS target_share,
                    alloc_tokens,
-                   round(rate, 6) AS rate,
+                   round_even(rate, 6) AS rate,
                    CAST(ceil(rate) AS BIGINT) AS epochs,
                    coalesce(n_docs_sampled, 0) AS n_docs_sampled
             FROM pl2 LEFT JOIN samp USING (source)"""))
@@ -2181,7 +2181,7 @@ object QueriesText {
             sc AS (
               SELECT hb.doc_id,
                      CAST(count(*) AS BIGINT) AS n_bigrams,
-                     round(CAST(sum(CAST(round(
+                     round_even(CAST(sum(CAST(round(
                          ln(CAST(c.ct + 1 AS DOUBLE) / (n.nt + 4096))
                        - ln(CAST(c.cr + 1 AS DOUBLE) / (n.nr + 4096)), 12)
                        AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
@@ -2625,10 +2625,10 @@ object QueriesText {
               SELECT *, CAST(lrsum AS DOUBLE) + gum AS key FROM g),
             cut AS (SELECT quantile_cont(key, 0.75) AS cutoff FROM k)
             SELECT doc_id, is_target, n_features,
-                   round(CAST(lrsum AS DOUBLE), 6) AS log_weight,
+                   round_even(CAST(lrsum AS DOUBLE), 6) AS log_weight,
                    gum AS gumbel,
-                   round(key, 6) AS key,
-                   round(cut.cutoff, 6) AS cutoff,
+                   round_even(key, 6) AS key,
+                   round_even(cut.cutoff, 6) AS cutoff,
                    coalesce(key > cut.cutoff, FALSE) AS keep
             FROM k CROSS JOIN cut"""))
 
@@ -2686,12 +2686,12 @@ object QueriesText {
                      CAST(sum(ntok) AS BIGINT) AS n_tokens
               FROM tk GROUP BY source),
             w AS (
-              SELECT *, CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7), 6)
+              SELECT *, CAST(round_even(pow(CAST(n_tokens AS DOUBLE), 0.7), 6)
                              AS DECIMAL(38,6)) AS wt
               FROM agg),
             tot AS (SELECT sum(wt) AS tw FROM w),
             pl AS (
-              SELECT w.*, round(CAST(wt AS DOUBLE) / CAST(tot.tw AS DOUBLE), 12) AS share
+              SELECT w.*, round_even(CAST(wt AS DOUBLE) / CAST(tot.tw AS DOUBLE), 12) AS share
               FROM w CROSS JOIN tot),
             pl2 AS (
               SELECT *, CAST(alloc_tokens AS DOUBLE) / n_tokens AS rate
@@ -2707,9 +2707,9 @@ object QueriesText {
                   < round(least(rate, 1.0) * 65536.0, 0)
               GROUP BY t.source)
             SELECT pl2.source, n_docs, n_tokens,
-                   round(share, 6) AS target_share,
+                   round_even(share, 6) AS target_share,
                    alloc_tokens,
-                   round(rate, 6) AS rate,
+                   round_even(rate, 6) AS rate,
                    CAST(ceil(rate) AS BIGINT) AS epochs,
                    coalesce(n_docs_sampled, 0) AS n_docs_sampled
             FROM pl2 LEFT JOIN samp USING (source)"""))
@@ -2785,7 +2785,7 @@ object QueriesText {
               FROM tf JOIN dfv USING (term) CROSS JOIN st
               GROUP BY tf.doc_id),
             top AS (SELECT *, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc)
-            SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS score, n_terms_hit
+            SELECT doc_id, round_even(CAST(s AS DOUBLE), 6) AS score, n_terms_hit
             FROM top WHERE rn <= 15"""))
 
   // ---------------------------------------------------------------- q124
@@ -2867,9 +2867,9 @@ object QueriesText {
               FROM dists GROUP BY vec_id, s)
             SELECT CAST(s AS INT) AS subspace,
                    CAST(count(*) AS BIGINT) AS n_vectors,
-                   round(CAST(sum(CAST(err AS DECIMAL(38,12))) AS DOUBLE)
+                   round_even(CAST(sum(CAST(err AS DECIMAL(38,12))) AS DOUBLE)
                          / count(*), 6) AS mean_sq_error,
-                   round(max(err), 6) AS max_sq_error
+                   round_even(max(err), 6) AS max_sq_error
             FROM mins GROUP BY s"""))
 
   // ---------------------------------------------------------------- q126
@@ -2941,7 +2941,7 @@ object QueriesText {
               GROUP BY bf.query_id)
             SELECT q.vec_id AS query_id,
                    coalesce(m.n_matched, 0) AS n_matched,
-                   round(CAST(coalesce(m.n_matched, 0) AS DOUBLE) / 3.0, 6)
+                   round_even(CAST(coalesce(m.n_matched, 0) AS DOUBLE) / 3.0, 6)
                      AS recall_at_3
             FROM qs q LEFT JOIN m ON m.query_id = q.vec_id"""))
 

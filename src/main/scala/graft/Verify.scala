@@ -23,6 +23,17 @@ object Verify {
     // comma-separated allowlist for spot-verifying a few queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd subset must FAIL LOUDLY, not run nothing and write an
+    // empty verify_failures.json that reads as green (the ScaleStress
+    // SPARK_GRAFT_SCALE_ONLY guard, mirrored)
+    val knownNames = SparkEntry.queries.keySet ++
+      Set("stream_parity", "stream_neardup_parity", "stream_register_parity")
+    only.foreach { names =>
+      val unknown = names -- knownNames
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries or the parity " +
+          s"checks: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     // A query that THROWS must be a loud, machine-readable event: a
     // skipped query silently VANISHES from the downstream correctness
     // compare (that is how a testdata schema change dropped three green

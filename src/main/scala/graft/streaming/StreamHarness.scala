@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -19,15 +17,33 @@ import graft.operators.TextDedup
   * row (the round-7 `_stream_*` lesson). */
 object StreamHarness {
 
-  /** Fresh JVM-temp scratch dir. Lifecycle, explicit: the returned
-    * DataFrames lazily READ these dirs, so they cannot be deleted
-    * eagerly; they live until the OS reaps the temp dir (deleteOnExit
-    * only removes empty dirs). Each run writes a few MB at the gated
-    * SFs — the trade accepted for keeping byproducts out of the Verify
-    * output dir, which the correctness checker oracles entry by entry. */
-  private def scratch(prefix: String): String = {
-    val d = Files.createTempDirectory(prefix).toFile
-    d.deleteOnExit()
+  /** JVM-temp scratch dir, ONE per prefix, wiped at the start of each
+    * run. Lifecycle, explicit: the returned DataFrames lazily READ
+    * these dirs, so a run cannot delete its own scratch eagerly — but
+    * by the time the SAME path runs again (next bench iteration, next
+    * Verify sweep) the previous run's consumers have fully materialized,
+    * so re-entry wipes the old bytes instead of leaking a fresh temp
+    * dir per invocation (bench warmup+timed loops over q118/q120/q124
+    * previously accumulated unbounded data in java.io.tmpdir). A JVM
+    * shutdown hook removes the whole scratch root as a backstop; per-key
+    * locking keeps concurrent suites on DIFFERENT prefixes safe (the
+    * same prefix is never run concurrently — Verify and Bench are
+    * sequential). */
+  private val scratchRoot =
+    new java.io.File(sys.props("java.io.tmpdir"), "graft_scratch")
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteRecursively(scratchRoot)))
+  }
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+  private def scratch(prefix: String): String = scratchRoot.synchronized {
+    val d = new java.io.File(scratchRoot, prefix)
+    deleteRecursively(d)
+    if (!d.mkdirs() && !d.isDirectory)
+      throw new java.io.IOException(s"cannot create scratch dir $d")
     d.toString
   }
 
