@@ -2296,67 +2296,63 @@ object QueriesText {
 
   // ---------------------------------------------------------------- q112
   // Distributed BPE merge-table TRAINING — the learning twin of q105's
-  // gated apply loop: per round, re-tokenize the word-frequency dict
-  // with the merges so far, count weighted adjacent pairs, adopt the
-  // argmax (count desc, then lexicographic — engine-portable). The
-  // oracle RE-LEARNS the table round by round: round 1 counts pairs of
-  // raw characters; rounds 2-3 re-apply the previously-learned merges
-  // via the same recursive-CTE machinery as q105 (the merges list is
-  // now COMPUTED from the earlier rounds' argmaxes, not a literal).
-  // One wrong count anywhere flips a merge choice and the hash.
-  private def bpeTrainRoundSql(n: Int): String = {
-    val prevMs = (1 until n).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
-    val apply = if (n < 2) "" else
-      s"""ml$n AS (SELECT list({'r': rnk, 'a': a, 'b': b} ORDER BY rnk) AS ml
-              FROM ($prevMs)),
-            rec$n AS (
-              SELECT w, cnt, s FROM s0
-              UNION ALL
-              SELECT w, cnt,
-                     replace(s, chr(31) || h.a || chr(31) || chr(31) || h.b || chr(31),
-                                chr(31) || h.a || h.b || chr(31)) AS s
-              FROM (SELECT w, cnt, s,
-                           list_sort(list_filter(ml, p ->
-                             contains(s, chr(31) || p.a || chr(31) || chr(31) || p.b || chr(31))))[1] AS h
-                    FROM rec$n, ml$n) t
-              WHERE h IS NOT NULL),
-            fin$n AS (
-              SELECT w, cnt, s
-              FROM (SELECT w, cnt, s,
-                           len(list_filter(ml, p ->
-                             contains(s, chr(31) || p.a || chr(31) || chr(31) || p.b || chr(31)))) AS nh
-                    FROM rec$n, ml$n) t
-              WHERE nh = 0),
-            t$n AS (SELECT w, cnt, string_split(trim(s, chr(31)), chr(31) || chr(31)) AS t
-                     FROM fin$n),
-            """
-    apply +
+  // gated apply loop, now Sennrich's INCREMENTAL trainer at a realistic
+  // merge count (64): per round, count weighted adjacent pairs over the
+  // CURRENT token state, adopt the argmax (count desc, then
+  // lexicographic — engine-portable), and apply ONLY that newest merge
+  // to the state (a single separator-string `replace` — greedy
+  // non-overlapping left-to-right, the same primitive in both engines).
+  // Per-round cost is flat in the merge index — the property that makes
+  // production vocabularies reachable (BpeTrain scaladoc). The oracle
+  // replays the identical loop round by round: s0 is the char-split
+  // dict, each round counts pairs from s(n-1), takes the argmax, and
+  // derives s(n) by one replace. One wrong count or one mis-applied
+  // merge anywhere flips a later argmax and the hash. MATERIALIZED
+  // pins the multiply-referenced state/merge CTEs (s(n) feeds both
+  // p(n+1) and s(n+1)) so DuckDB cannot inline them exponentially.
+  private def bpeIncRoundSql(n: Int, last: Boolean): String = {
+    val head =
       s"""p$n AS (
               SELECT pr.a, pr.b, CAST(sum(cnt) AS BIGINT) AS pair_count
               FROM (SELECT cnt, unnest(list_transform(range(1, len(t)),
                              i -> {'a': t[i], 'b': t[i + 1]})) AS pr
-                    FROM t$n WHERE len(t) >= 2)
+                    FROM (SELECT cnt,
+                                 string_split(trim(s, chr(31)), chr(31) || chr(31)) AS t
+                          FROM s${n - 1}) WHERE len(t) >= 2)
               GROUP BY pr.a, pr.b),
-            m$n AS (SELECT CAST(${n - 1} AS BIGINT) AS rnk, a, b, pair_count
-                     FROM p$n ORDER BY pair_count DESC, a, b LIMIT 1)"""
+            m$n AS MATERIALIZED (
+              SELECT CAST(${n - 1} AS BIGINT) AS rnk, a, b, pair_count
+              FROM p$n ORDER BY pair_count DESC, a, b LIMIT 1)"""
+    if (last) head else head +
+      s""",
+            s$n AS MATERIALIZED (
+              SELECT cnt,
+                     replace(s, chr(31) || m.a || chr(31) || chr(31) || m.b || chr(31),
+                                chr(31) || m.a || m.b || chr(31)) AS s
+              FROM s${n - 1}, m$n m)"""
   }
+
+  private val BpeTrainMerges = 64
 
   private val q112 = Q("q112_bpe_train",
     (s, dir) => graft.operators.BpeTrain.learnMergesTable(
-      t(s, dir, "documents"), "text", numMerges = 3),
-    Some(s"""WITH RECURSIVE dict AS (
+      t(s, dir, "documents"), "text", numMerges = BpeTrainMerges),
+    Some(s"""WITH dict AS (
               SELECT w, CAST(count(*) AS BIGINT) AS cnt
               FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
                                               t -> len(t) > 0)) AS w
                     FROM documents)
               GROUP BY w),
-            t1 AS (SELECT w, cnt, string_split(w, '') AS t FROM dict),
-            s0 AS (SELECT w, cnt,
-                          list_aggregate(list_transform(string_split(w, ''),
-                            c -> chr(31) || c || chr(31)), 'string_agg', '') AS s
-                   FROM dict),
-            ${(1 to 3).map(bpeTrainRoundSql).mkString(",\n            ")}
-            ${(1 to 3).map(n => s"SELECT * FROM m$n").mkString(" UNION ALL ")}"""))
+            s0 AS MATERIALIZED (
+              SELECT cnt,
+                     list_aggregate(list_transform(string_split(w, ''),
+                       c -> chr(31) || c || chr(31)), 'string_agg', '') AS s
+              FROM dict),
+            ${(1 to BpeTrainMerges)
+                .map(n => bpeIncRoundSql(n, n == BpeTrainMerges))
+                .mkString(",\n            ")}
+            ${(1 to BpeTrainMerges).map(n => s"SELECT * FROM m$n")
+                .mkString(" UNION ALL ")}"""))
 
   // ---------------------------------------------------------------- q113
   // ExactSubstr-lite span removal (Lee et al. 2022 §4.1 token-window

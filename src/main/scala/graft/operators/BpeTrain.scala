@@ -5,47 +5,61 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 
-/** Distributed BPE merge-table TRAINING (Sennrich et al. 2016,
-  * arXiv:1508.07909 — the learning loop whose APPLY side is the gated
-  * [[graft.plans.BpeEncode]] expression): repeatedly count adjacent
-  * symbol pairs over the corpus and adopt the most frequent pair as the
-  * next merge, re-tokenizing with the merges learned so far.
+/** Distributed BPE merge-table TRAINING — Sennrich et al. 2016
+  * (arXiv:1508.07909) with the paper's INCREMENTAL update: per round,
+  * count adjacent symbol pairs over the current token state, adopt the
+  * most frequent pair, and apply ONLY that newest merge to the previous
+  * round's pinned token frames. Per-round cost is therefore FLAT in the
+  * merge index (one vocabulary-sized map + one pair-vocabulary-bounded
+  * hash agg + a one-row collect), which is what makes 10k+-merge
+  * production vocabularies reachable — the previous from-scratch
+  * re-tokenizing loop redid rounds 1..r-1's work every round
+  * (O(merges²) total) and could only be gated at toy merge counts.
   *
   * Tie-break is deterministic and engine-portable: highest pair count,
   * then lexicographic (a, b) — so the learned table is a pure function
-  * of the corpus (the q112 DuckDB oracle re-learns it round by round).
+  * of the corpus, and the q112 DuckDB oracle replays the SAME
+  * incremental loop round by round (one wrong count or one wrong merge
+  * application anywhere flips a later argmax and the hash).
   *
-  * Shape at scale (the [[Similarity.kmeansFitDistributed]] pattern —
-  * per round ONE bounded job + a parameter-sized collect):
+  * Token state representation: each word's tokens ride as ONE
+  * separator-encoded string — token t becomes `U+001F t U+001F`, tokens
+  * concatenate — so applying a merge (a, b) is a single codegen'd
+  * `replace(s, ⟨a⟩⟨b⟩, ⟨ab⟩)`: non-overlapping left-to-right
+  * replacement, exactly the greedy single-merge pass the published
+  * trainer performs (and exactly what DuckDB's `replace` computes, so
+  * the oracle shares the operation, not a re-derivation). U+001F (unit
+  * separator) cannot occur inside a token: symbols come from word
+  * characters and concatenations thereof.
+  *
+  * Shape at scale:
   *  - the corpus collapses ONCE to the word-frequency dict (one hash
   *    agg, map-side combined — the standard trainer's first move; all
   *    subsequent rounds run over the vocabulary, not the corpus);
-  *  - each round re-tokenizes the PINNED dict with the merges learned
-  *    so far (BpeEncode literal — map-only), counts weighted pairs
-  *    (pair-vocabulary-bounded hash agg), and collects exactly ONE row
-  *    (TakeOrderedAndProject) — the new merge;
+  *  - the state frame is re-pinned each round ([[Pin.data]], lazy — the
+  *    round's own pair-count job folds in the materialization), coalesced
+  *    to a few partitions because per-round work is vocabulary-sized and
+  *    task-scheduling overhead would otherwise dominate at high merge
+  *    counts; earlier pins become unreferenced and the ContextCleaner
+  *    reclaims them (reliable-checkpoint deployments: set
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true`, see
+  *    [[Pin.data]]);
+  *  - fully-merged words (single token — can never pair again) are
+  *    PRUNED from the state, so the frame shrinks as training proceeds;
   *  - driver state is the merges table itself: numMerges rows.
   *
-  * APPLICABILITY BOUND, explicit: the per-round plan stays O(1) nodes
-  * (the merges table is ONE literal inside a single BpeEncode), but
-  * round r's re-tokenization redoes rounds 1..r-1's merge work, so
-  * total training work grows ~quadratically in numMerges — fine for
-  * the gated tables and small vocabularies, impractical for 10k+
-  * production vocabularies. (BASELINE.md's "flat" scale verdict was
-  * measured at the gated numMerges=3 and does NOT extrapolate past the
-  * quadratic term.) The canonical constant-per-round alternative —
-  * Sennrich's incremental trainer, which applies only the NEWEST merge
-  * to the previous round's token arrays — is deliberately not used:
-  * its training-order-incremental tokenization can diverge from the
-  * lowest-rank-first APPLY loop ([[graft.plans.BpeEncode]]) in one
-  * known pathological class (two distinct derivations of the same
-  * symbol string re-enabling an earlier merge — the train/apply
-  * mismatch real BPE stacks document), whereas this trainer makes
-  * train-time tokenization equal BpeEncode's apply BY CONSTRUCTION,
-  * which is exactly what the q112 oracle (a from-scratch per-round
-  * replay) enforces bit-for-bit. Scaling to production vocabularies
-  * means adopting the incremental loop AND re-deriving the oracle to
-  * replay it — a semantics change, not an optimization.
+  * TRAIN/APPLY CONTRACT, explicit: the incremental trainer tokenizes by
+  * applying merges in TRAINING order, once each at adoption time; the
+  * APPLY side ([[graft.plans.BpeEncode]], q105) re-tokenizes from
+  * characters lowest-rank-first. The two agree on dependency-ordered
+  * tables (each merge's inputs built by earlier ranks — the normal case,
+  * and the shape this trainer emits) but can diverge in one known
+  * pathological class: two distinct derivations of the same symbol
+  * string re-enabling an earlier merge. Real BPE stacks train
+  * incrementally and document exactly this caveat; the previous
+  * from-scratch trainer avoided it by construction at O(merges²) cost.
+  * The q112 oracle replays THIS loop, so the gate pins the incremental
+  * semantics bit-for-bit at 64 merges.
   */
 object BpeTrain {
 
@@ -53,24 +67,35 @@ object BpeTrain {
     * adoption time. */
   final case class Merge(rnk: Long, a: String, b: String, pairCount: Long)
 
+  private val SEP = "\u001f"
+
   /** Learn `numMerges` merges from `docs(textCol)`. Stops early if no
     * adjacent pair remains (fully merged vocabulary). */
   def learnMerges(docs: DataFrame, textCol: String,
                   numMerges: Int): Seq[Merge] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     // corpus -> word-frequency dict, once (same \s+ split contract as
-    // BpeEncode / the q105 oracle; no lowercasing — BPE is case-aware)
-    val dict = Pin.data(
+    // BpeEncode / the q105 oracle; no lowercasing — BPE is case-aware),
+    // then the initial state: code-point symbols (bpeTokens with an
+    // empty table — no UTF-16 surrogate splitting), separator-encoded
+    val chars = TextFunctions.bpeTokens(col("w"), Nil)
+    var state = Pin.data(
       Spread.toCores(docs)
         .select(explode(split(col(textCol), "\\s+")).as("w"))
         .filter(length(col("w")) > 0)
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"),
+          array_join(transform(chars,
+            c => concat(lit(SEP), c, lit(SEP))), "").as("s"))
+        .coalesce(4))
     val learned = scala.collection.mutable.ArrayBuffer[Merge]()
     var exhausted = false
     while (learned.size < numMerges && !exhausted) {
-      val toks = TextFunctions.bpeTokens(
-        col("w"), learned.toSeq.map(m => (m.a, m.b)))
-      val top = dict
+      // tokens of the CURRENT state: strip the outer separators, split
+      // on the doubled inner one
+      val toks = split(
+        substr(col("s"), lit(2), length(col("s")) - 2), SEP + SEP)
+      val top = state
         .select(col("cnt"), toks.as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("cnt"), explode(
@@ -85,8 +110,24 @@ object BpeTrain {
       if (top.isEmpty) exhausted = true
       else {
         val r = top(0)
-        learned += Merge(learned.size.toLong,
-          r.getString(0), r.getString(1), r.getLong(2))
+        val (a, b) = (r.getString(0), r.getString(1))
+        learned += Merge(learned.size.toLong, a, b, r.getLong(2))
+        if (learned.size < numMerges) {
+          // apply ONLY the newest merge (one literal replace), prune
+          // words that collapsed to a single token, re-pin; the next
+          // round's pair-count job materializes the lazy pin. Measured
+          // per-round wall at 64 merges is ~150 ms on local[32] — all
+          // fixed job-scheduling cost (a broadcast-pair variant and an
+          // eager-pin variant both measured SLOWER), flat in the merge
+          // index, and amortized into real work once the vocabulary is
+          // production-sized.
+          state = Pin.data(
+            state.select(col("cnt"),
+                replace(col("s"), lit(SEP + a + SEP + SEP + b + SEP),
+                  lit(SEP + a + b + SEP)).as("s"))
+              .filter(col("s").contains(SEP + SEP)),
+            eager = false)
+        }
       }
     }
     learned.toSeq

@@ -54,8 +54,15 @@ object Pin {
     * iterative caller (components runs one data-sized pin per star
     * round) accumulates a checkpoint directory per pin until the
     * application exits. Local runs are unaffected (local checkpoints
-    * are block-manager blocks, ContextCleaner-released either way). */
-  def data(df: DataFrame): DataFrame = materialize(df, reliable = true)
+    * are block-manager blocks, ContextCleaner-released either way).
+    *
+    * `eager = false` defers materialization to the frame's FIRST action
+    * — for per-round iterative pins (BpeTrain) whose very next job is a
+    * full pass over the frame anyway, this folds the checkpoint write
+    * into that job instead of scheduling a separate materialization job
+    * per round. */
+  def data(df: DataFrame, eager: Boolean = true): DataFrame =
+    materialize(df, reliable = true, eager)
 
   /** Pin a PARAMETER-SIZED frame (≤ config-bounded rows: count tables,
     * codebooks, carries). Executor-local blocks are the accepted
@@ -64,9 +71,10 @@ object Pin {
 
   private val warnedOnce = new AtomicBoolean(false)
 
-  def materialize(df: DataFrame, reliable: Boolean = false): DataFrame = {
+  def materialize(df: DataFrame, reliable: Boolean = false,
+                  eager: Boolean = true): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    if (reliable && sc.getCheckpointDir.isDefined) df.checkpoint()
+    if (reliable && sc.getCheckpointDir.isDefined) df.checkpoint(eager)
     else {
       // warn once per JVM, not per pin — local test runs hit this on
       // every data-sized site and the signal drowns otherwise
@@ -75,7 +83,7 @@ object Pin {
           "Pin.data/materialize(reliable=true) without a checkpoint dir — " +
             "falling back to executor-local checkpoints (not fault-tolerant); " +
             "set SparkContext.setCheckpointDir for cluster runs")
-      df.localCheckpoint()
+      df.localCheckpoint(eager)
     }
   }
 }

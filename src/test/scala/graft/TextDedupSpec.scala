@@ -550,6 +550,63 @@ class TextDedupSpec extends AnyFunSuite {
     assert(m3.map(m => (m.a, m.b)) == Seq(("a", "b")))
   }
 
+  test("incremental BPE training matches an in-memory reference at 80 merges") {
+    // the q112 gate runs 64 merges against the DuckDB replay; this pins
+    // the INCREMENTAL semantics (apply only the newest merge, greedy
+    // non-overlapping left-to-right) against an independent driver-side
+    // reference on a corpus with enough pair diversity for 80+ rounds
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq.tabulate(40) { i =>
+      val w = Seq.fill(6 + rnd.nextInt(5))(
+        ('a' + rnd.nextInt(9)).toChar).mkString
+      (w, 1L + rnd.nextInt(50))
+    }
+    def refTrain(freq: Seq[(String, Long)],
+                 n: Int): Seq[(Long, String, String, Long)] = {
+      var state: Seq[(Seq[String], Long)] =
+        freq.map { case (w, c) => (w.map(_.toString).toSeq, c) }
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      var done = false
+      while (out.size < n && !done) {
+        val pairs = scala.collection.mutable.Map[(String, String), Long]()
+        state.foreach { case (t, c) =>
+          var i = 0
+          while (i + 1 < t.length) {
+            val k = (t(i), t(i + 1))
+            pairs(k) = pairs.getOrElse(k, 0L) + c
+            i += 1
+          }
+        }
+        if (pairs.isEmpty) done = true
+        else {
+          val ((a, b), pc) = pairs.toSeq
+            .minBy { case ((x, y), c) => (-c, x, y) }
+          out += ((out.size.toLong, a, b, pc))
+          state = state.map { case (t, c) =>
+            val nt = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < t.length) {
+              if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
+                nt += (a + b); i += 2
+              } else { nt += t(i); i += 1 }
+            }
+            (nt.toSeq, c)
+          }
+        }
+      }
+      out.toSeq
+    }
+    // corpus df: every word repeated cnt times across a few docs
+    val corpus = vocab.zipWithIndex.map { case ((w, c), i) =>
+      (i.toLong, Seq.fill(c.toInt)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+    val expect = refTrain(vocab.groupMapReduce(_._1)(_._2)(_ + _).toSeq, 80)
+    assert(expect.size == 80) // the corpus really sustains 80 rounds
+    val got = graft.operators.BpeTrain.learnMerges(corpus, "text", 80)
+      .map(m => (m.rnk, m.a, m.b, m.pairCount))
+    assert(got == expect)
+  }
+
   test("distributed Lloyd's step: deterministic, converges to cluster directions") {
     // two tight clusters around orthogonal axes + deliberately bad init
     val rnd = new scala.util.Random(11)
