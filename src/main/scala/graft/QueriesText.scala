@@ -2880,7 +2880,10 @@ object QueriesText {
   // closer than random and sign-bit buckets cannot separate them —
   // which is precisely the situation this audit exists to SURFACE
   // before anyone trusts the index (AnnPqSpec pins recall ≥ 0.9 on
-  // clustered fixtures, where LSH actually works).
+  // clustered fixtures, where LSH actually works). The low band is
+  // MACHINE-CHECKED — AnnRecallBandSpec runs this query on sf0.001 and
+  // fails if the mean drifts out of it — and the REMEDY is registered
+  // as q128 (IVF nprobe dial, exact at nprobe = nlist).
   private val q126 = Q("q126_ann_recall",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2997,10 +3000,119 @@ object QueriesText {
                      '\s+', ' ', 'g'))) AS BIGINT) AS clean_len
             FROM dirty"""))
 
+  // ---------------------------------------------------------------- q128
+  // ANN recall REMEDY — the actionable other half of the q126 audit.
+  // q126 surfaces that sign-bucket LSH recovers ~0.13 of the true top-3
+  // on this corpus (uniform-random embeddings — the situation the audit
+  // exists to catch); this query demonstrates the knob that turns the
+  // number green: route to the IVF pipeline and raise nprobe. It reports
+  // per-query recall@3 at nprobe = 4 (the q44 default — measured ~0.5
+  // here: the dial moves but is not enough on direction-uniform data)
+  // and nprobe = 16 = nlist (full probe — the documented exact end of
+  // the dial, ivfTopK scaladoc: "nprobe = nlist == exact", recall 1.0
+  // by construction while KEEPING the bucketed execution shape, so the
+  // cell-join cost model still applies when data is clusterable). The
+  // ground truth is computed ONCE and pinned; the oracle replays brute
+  // force AND both probe configurations from one parameterized probe
+  // set. AnnRecallBandSpec pins both bands (q126 low, this one green)
+  // so config drift cannot flip either audit's meaning silently.
+  private val q128 = Q("q128_ann_recall_remedy",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val cb = e.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val bf = Pin.data(
+        Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+          .select(col("query_id"), col("neighbor_id")))
+      def recallAt(nprobe: Int): DataFrame = {
+        val ivf = Similarity.ivfTopKWithCentroids(q, e, "vec_id", "embedding",
+            cb, k = 3, nprobe = nprobe)
+          .select(col("query_id"), col("neighbor_id"))
+        val matched = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_matched"))
+        q.select(col("vec_id").as("query_id"))
+          .join(matched, Seq("query_id"), "left")
+          .select(col("query_id"), lit(nprobe).as("nprobe"),
+            coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+            bround(coalesce(col("n_matched"), lit(0L)).cast(DoubleType) / 3.0, 6)
+              .as("recall_at_3"))
+      }
+      recallAt(4).unionByName(recallAt(16))
+    },
+    Some("""WITH cb AS (
+              SELECT vec_id + 1 AS ci,
+                     CASE WHEN n = 0 THEN vd ELSE list_transform(vd, x -> x / n) END AS cv
+              FROM (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+                           sqrt(list_sum(list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+                    FROM embeddings WHERE vec_id < 16)),
+            ev AS (
+              SELECT vec_id, embedding,
+                     list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv
+              FROM embeddings),
+            dots AS (
+              SELECT ev.vec_id, cb.ci,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(ev.embedding[i] AS DOUBLE) * cb.cv[i])) *
+                     (CASE WHEN ev.nv = 0 THEN 0.0 ELSE 1.0 / sqrt(ev.nv) END) AS dp
+              FROM ev CROSS JOIN cb),
+            ranked AS (
+              SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dp DESC, ci) AS rn
+              FROM dots),
+            ccell AS (SELECT vec_id AS neighbor_id, ci AS cell FROM ranked WHERE rn = 1),
+            qs AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0),
+            bf AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+                         list_sum(list_transform(range(1, 65),
+                           i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))) /
+                         (sqrt(qe.nv) * sqrt(ce.nv)) DESC, ce.vec_id) AS rn
+                FROM ev qe CROSS JOIN ev ce
+                WHERE qe.vec_id % 50 = 0 AND ce.vec_id <> qe.vec_id)
+              WHERE rn <= 3),
+            pr AS (SELECT unnest([4, 16]) AS np),
+            qcell AS (
+              SELECT r.vec_id AS query_id, pr.np, r.ci AS cell
+              FROM ranked r CROSS JOIN pr
+              WHERE r.vec_id % 50 = 0 AND r.rn <= pr.np),
+            sc AS (
+              SELECT q.np, q.query_id, c.neighbor_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))) /
+                     (sqrt(qe.nv) * sqrt(ce.nv)) AS cos
+              FROM qcell q
+              JOIN ccell c USING (cell)
+              JOIN ev qe ON qe.vec_id = q.query_id
+              JOIN ev ce ON ce.vec_id = c.neighbor_id
+              WHERE q.query_id <> c.neighbor_id),
+            ivf AS (
+              SELECT np, query_id, neighbor_id FROM (
+                SELECT np, query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY np, query_id
+                         ORDER BY cos DESC, neighbor_id) AS rn
+                FROM sc)
+              WHERE rn <= 3),
+            m AS (
+              SELECT ivf.np, bf.query_id, CAST(count(*) AS BIGINT) AS n_matched
+              FROM bf JOIN ivf USING (query_id, neighbor_id)
+              GROUP BY ivf.np, bf.query_id)
+            SELECT q.vec_id AS query_id, CAST(pr.np AS INTEGER) AS nprobe,
+                   coalesce(m.n_matched, 0) AS n_matched,
+                   round_even(CAST(coalesce(m.n_matched, 0) AS DOUBLE) / 3.0, 6)
+                     AS recall_at_3
+            FROM qs q CROSS JOIN pr
+            LEFT JOIN m ON m.query_id = q.vec_id AND m.np = pr.np"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127)
+    q126, q127, q128)
 }

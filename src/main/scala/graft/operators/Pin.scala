@@ -31,9 +31,10 @@ import org.apache.spark.sql.DataFrame
   *    signature frames + `sourceOverlap`'s distinct (source, gram)
   *    frame, `Pack.prefixSum` / `FfillRepair` range-partitioned inputs,
   *    `NgramLM` per-doc scored frame, `BpeTrain` word-frequency dict
-  *    (unique-word-count-sized) + incremental token frames, `Warehouse`
-  *    layer frames (q51), `QueriesText.nearDupPairs` (the shared q30
-  *    pair frame).
+  *    (unique-word-count-sized) + the per-round incremental token state
+  *    (lazy — see `eager` on [[data]]), `Warehouse` layer frames (q51),
+  *    `QueriesText.nearDupPairs` (the shared q30 pair frame), q128's
+  *    brute-force recall ground truth (query-count × k rows).
   *  - PARAMETER-SIZED (≤ f(config) rows, never data-proportional →
   *    [[param]], executor-local accepted — re-running the producing job
   *    is cheap and the frames are tiny): `Dsir` count table

@@ -73,7 +73,13 @@ class PlanAuditSpec extends AnyFunSuite {
       ("embeds q33's brute-force exactness baseline as the recall " +
         "GROUND TRUTH (1/50-sampled query side broadcast by " +
         "construction — q33's own exemption); the audited LSH pipeline " +
-        "is the other half of the same plan (PLANS.md q126 row)"))
+        "is the other half of the same plan (PLANS.md q126 row)"),
+    "q128_ann_recall_remedy" ->
+      ("q126's remedy twin: the same pinned brute-force ground truth " +
+        "(q33's exemption) joined against the IVF probe at nprobe = 4 " +
+        "and nprobe = 16 = nlist — full probe is deliberately " +
+        "exhaustive, that is the documented exact end of the recall " +
+        "dial (PLANS.md q128 row)"))
 
   private def audit(name: String, plan: SparkPlan): Seq[String] = {
     val issues = scala.collection.mutable.Buffer[String]()
