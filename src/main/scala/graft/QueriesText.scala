@@ -296,33 +296,17 @@ object QueriesText {
     * timing keeps measuring the producer cost honestly; the DuckDB
     * oracles stay self-contained either way (each replays the pair
     * pipeline in SQL). */
-  // Cache-entry validity is checked by IDENTITY against a WeakReference
-  // to the owning session: identity-hash reuse after a session is
-  // collected can NOT resurrect a dead session's frame (the reference
-  // reads null ≠ s → recompute and replace). A WeakHashMap keyed by the
-  // session would be self-defeating here — a DataFrame strongly
-  // references its session, so the value would pin its own key forever.
-  // Residual leak, accepted and bounded: a STOPPED session's last entry
-  // lingers until its key is reused (sessions×dirs entries; the
-  // stopped context's executor memory is freed by stop() regardless).
-  // No lock is held while the pipeline computes — two racing threads
-  // may both build the frame and last-write wins, a benign duplication
-  // preferred over serializing unrelated sessions behind a minutes-long
-  // LSH job.
-  private val pairsMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (java.lang.ref.WeakReference[SparkSession], DataFrame)]()
-  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val key = System.identityHashCode(s) + "|" + dir
-    val cur = pairsMemo.get(key)
-    if (cur != null && (cur._1.get eq s)) cur._2
-    else {
-      val df = Pin.data(TextDedup.minHashNearDups31(docsWithDups(s, dir),
+  // Lifecycle (same-session reuse, replaced-session invalidation, no
+  // self-pinning keys) lives in — and is spec-driven through —
+  // [[graft.operators.SessionFrameMemo]] (MemoSpec), not bespoke
+  // registry code.
+  private val pairsMemo = new SessionFrameMemo
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    pairsMemo.getOrCompute(s, dir) {
+      Pin.data(TextDedup.minHashNearDups31(docsWithDups(s, dir),
         "text", "doc_id",
         threshold = 0.8, shingleSize = 9, bands = 8, rowsPerBand = 4))
-      pairsMemo.put(key, (new java.lang.ref.WeakReference(s), df))
-      df
     }
-  }
 
   private val q30 = Q("q30_minhash_neardup",
     (s, dir) => TextDedup.minHashNearDups31(docsWithDups(s, dir), "text", "doc_id",
