@@ -27,7 +27,8 @@ object Verify {
     // empty verify_failures.json that reads as green (the ScaleStress
     // SPARK_GRAFT_SCALE_ONLY guard, mirrored)
     val knownNames = SparkEntry.queries.keySet ++
-      Set("stream_parity", "stream_neardup_parity", "stream_register_parity")
+      Set("stream_parity", "stream_neardup_parity",
+        "stream_neardup_ttl_parity", "stream_register_parity")
     only.foreach { names =>
       val unknown = names -- knownNames
       require(unknown.isEmpty,
@@ -97,6 +98,7 @@ object Verify {
       }
     parityCheck("stream_parity")(streamParity(spark, sfDir))
     parityCheck("stream_neardup_parity")(streamNearDupParity(spark, sfDir))
+    parityCheck("stream_neardup_ttl_parity")(streamNearDupTtlParity(spark, sfDir))
     parityCheck("stream_register_parity")(streamRegisterParity(spark, sfDir))
     val failJson = failed
       .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
@@ -155,6 +157,19 @@ object Verify {
     import graft.streaming.StreamHarness
     parityJson("stream_neardup_parity",
       StreamHarness.nearDupSinkRun(spark, sfDir),
+      StreamHarness.nearDupBatch(spark, sfDir))
+  }
+
+  /** The PRODUCTION PROFILE of the same check: state TTL ARMED
+    * (10 min) on the executed stream. Every duplicate on this corpus
+    * arrives within the TTL, so the sink must still match the batch
+    * twin bit-for-bit — the artifact that shows the one
+    * unbounded-by-default stateful op costs nothing to bound in its
+    * deployment profile. THROWS on hash mismatch. */
+  def streamNearDupTtlParity(spark: SparkSession, sfDir: String): String = {
+    import graft.streaming.StreamHarness
+    parityJson("stream_neardup_ttl_parity",
+      StreamHarness.nearDupSinkRunTtl(spark, sfDir),
       StreamHarness.nearDupBatch(spark, sfDir))
   }
 

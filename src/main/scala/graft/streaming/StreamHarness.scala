@@ -147,6 +147,21 @@ object StreamHarness {
     nearDupSinkRunWith(spark, sfDir, "graft_stream_neardup31",
       graft.plans.OracleHashExpressions.minHashSig31, md5(_))
 
+  /** The PRODUCTION PROFILE of the executed near-dup stream: state TTL
+    * ARMED (10 min ProcessingTimeTimeout — the bound a long-running
+    * crawl deployment defaults to, see StreamingNearDup.hits), same
+    * production hashing as [[nearDupSinkRun]]. On this corpus every
+    * planted duplicate arrives within the TTL (the whole AvailableNow
+    * run takes seconds), so the sink must STILL hash-match the batch
+    * twin — gated as `stream_neardup_ttl_parity`: arming the state
+    * bound costs nothing until recency actually exceeds it, and the
+    * eviction/re-first semantics past the TTL stay spec-pinned
+    * (StreamingSpec / StreamingSoakSpec). */
+  def nearDupSinkRunTtl(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupSinkRunWith(spark, sfDir, "graft_stream_neardup_ttl",
+      TextDedup.minHashSignature, xxhash64(_),
+      stateTtlMs = Some(10L * 60 * 1000))
+
   /** Per-window CMS register stream EXECUTED end-to-end with a
     * checkpoint RESTART: phase 1 streams the events table's (ts,
     * event_type) rows through [[EventWindows.frequencyRegisters]] into
@@ -251,7 +266,8 @@ object StreamHarness {
   private def nearDupSinkRunWith(spark: SparkSession, sfDir: String,
                                  prefix: String,
                                  sigOf: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column,
-                                 bandHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+                                 bandHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                                 stateTtlMs: Option[Long] = None)
       : DataFrame = {
     val dir = scratch(prefix)
     val landing = s"$dir/landing"
@@ -267,15 +283,25 @@ object StreamHarness {
       .schema("doc_id LONG, text STRING, seq LONG")
       .parquet(landing)
     val hits = StreamingNearDup.hits(stream, "text", "doc_id", "seq",
-        sigOf = sigOf, bandHash = bandHash)
+        stateTtlMs = stateTtlMs, sigOf = sigOf, bandHash = bandHash)
       .toDF("doc_id", "dup_of", "est_jaccard")
-    val query = hits.writeStream
+    val writer = hits.writeStream
       .format("parquet")
       .option("checkpointLocation", ckpt)
       .option("path", sinkDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    if (stateTtlMs.isDefined) {
+      // ProcessingTimeTimeout makes shouldRunAnotherBatch TRUE on every
+      // batch (pending timeouts could always fire later), so an
+      // AvailableNow run never self-terminates — drain-then-stop is how
+      // a TTL-armed deployment shuts down.
+      val query = writer.start()
+      query.processAllAvailable()
+      query.stop()
+      query.awaitTermination()
+    } else {
+      val query = writer.trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
     spark.read.parquet(sinkDir)
       .select(least(col("doc_id"), col("dup_of")).as("id_a"),
         greatest(col("doc_id"), col("dup_of")).as("id_b"),
