@@ -28,9 +28,13 @@ object StreamHarness {
     * shutdown hook removes the whole scratch root as a backstop; per-key
     * locking keeps concurrent suites on DIFFERENT prefixes safe (the
     * same prefix is never run concurrently — Verify and Bench are
-    * sequential). */
+    * sequential). The root is namespaced per JVM (pid suffix) so two
+    * processes on one host (sbt test alongside Verify/Bench, parallel CI
+    * jobs) can never wipe each other's live landing/checkpoint/sink
+    * dirs; the shutdown hook still bounds the per-process leak. */
   private val scratchRoot =
-    new java.io.File(sys.props("java.io.tmpdir"), "graft_scratch")
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_scratch_${ProcessHandle.current().pid()}")
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       deleteRecursively(scratchRoot)))
@@ -291,13 +295,28 @@ object StreamHarness {
       .option("path", sinkDir)
     if (stateTtlMs.isDefined) {
       // ProcessingTimeTimeout makes shouldRunAnotherBatch TRUE on every
-      // batch (pending timeouts could always fire later), so an
-      // AvailableNow run never self-terminates — drain-then-stop is how
-      // a TTL-armed deployment shuts down.
-      val query = writer.start()
-      query.processAllAvailable()
-      query.stop()
-      query.awaitTermination()
+      // batch (pending timeouts could always fire later), so with
+      // no-data micro-batches enabled an AvailableNow run never
+      // self-terminates — and processAllAvailable() never returns either
+      // (MicroBatchExecution never reaches noNewData while empty
+      // timeout-sweep batches keep scheduling). The drain profile
+      // therefore DISABLES no-data micro-batches for this query: all
+      // data batches run (state writes, dup emission, TTL arming are
+      // untouched), timeout sweeps simply never fire during the drain —
+      // irrelevant here, since every duplicate arrives within the TTL
+      // and the parity claim is about the armed-state data path. The
+      // conf is read once at query start, so restoring it afterwards
+      // cannot affect the running query.
+      val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try {
+        val query = writer.trigger(Trigger.AvailableNow()).start()
+        query.awaitTermination()
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     } else {
       val query = writer.trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()

@@ -160,6 +160,30 @@ class StreamingSoakSpec extends AnyFunSuite {
     streamed.foreach { case (k, (ex, e)) => assert(e >= ex, s"$k undercounted") }
   }
 
+  test("TTL-armed near-dup sink run terminates and hash-matches the batch twin") {
+    // Regression gate for the drain-then-stop shutdown path
+    // (StreamHarness.nearDupSinkRunWith, stateTtlMs branch): under
+    // ProcessingTimeTimeout, shouldRunAnotherBatch is always true, so
+    // the harness must disable no-data micro-batches for AvailableNow to
+    // self-terminate — the r9 regression was processAllAvailable()
+    // parking forever while empty timeout-sweep batches churned. This
+    // test IS the termination assertion (it completes or times out), and
+    // additionally pins sink==batch parity and conf restoration.
+    import graft.streaming.StreamHarness
+    val sfDir = "/root/testdata/sf0.001"
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val before = spark.conf.getOption(key)
+    val streamed = StreamHarness.nearDupSinkRunTtl(spark, sfDir)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(spark.conf.getOption(key) == before, "harness leaked the conf override")
+    assert(streamed.nonEmpty, "TTL-armed stream emitted no dup pairs")
+    val batch = StreamHarness.nearDupBatch(spark, sfDir)
+      .toDF("id_a", "id_b", "est_jaccard")
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(streamed == batch,
+      s"TTL-armed stream diverged from batch twin: ${streamed.size} vs ${batch.size} pairs")
+  }
+
   test("approxDistinctRegisters state is bounded by open windows, not seen windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
