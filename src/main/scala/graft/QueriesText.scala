@@ -3093,10 +3093,112 @@ object QueriesText {
             FROM qs q CROSS JOIN pr
             LEFT JOIN m ON m.query_id = q.vec_id AND m.np = pr.np"""))
 
+  // --------------------------------------------------------------- q129
+  // The LSH-SIDE recall dial (the q126 audit's remedy WITHOUT switching
+  // index family): multi-probe LSH — each query probes, per table, the
+  // buckets reached by flipping its smallest-|margin| sign bits
+  // (HyperplaneProbesExpr; Lv et al. VLDB 2007). Measured at probes = 1
+  // (classic LSH — the q126 low band) and probes = 4 side by side
+  // against the pinned brute-force truth: the fan-out is query-side
+  // only, the corpus index is untouched, and recall must MOVE UP with
+  // the dial even on the adversarial uniform fixture (AnnRecallBandSpec
+  // pins the movement). The oracle replays the margin ranking — abs(dp)
+  // ascending, plane index on ties, exactly HyperplaneProbesExpr's sort
+  // — the bit flips, both probe sets, and both recall columns.
+  private val q129 = Q("q129_lsh_multiprobe",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val bf = Pin.data(
+        Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+          .select(col("query_id"), col("neighbor_id")))
+      def recallAt(p: Int): DataFrame = {
+        val lsh = Similarity.lshTopK(q, e, "vec_id", "embedding", k = 3,
+            probes = p)
+          .select(col("query_id"), col("neighbor_id"))
+        val matched = bf.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_matched"))
+        q.select(col("vec_id").as("query_id"))
+          .join(matched, Seq("query_id"), "left")
+          .select(col("query_id"), lit(p).as("probes"),
+            coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+            bround(coalesce(col("n_matched"), lit(0L)).cast(DoubleType) / 3.0, 6)
+              .as("recall_at_3"))
+      }
+      recallAt(1).unionByName(recallAt(4))
+    },
+    Some(s"""WITH pl(t, pli, p) AS (VALUES ${PlaneSql.planeValues(8, 8, 64, 42L)}),
+            qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+            ev AS (
+              SELECT vec_id, embedding,
+                     list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv
+              FROM embeddings),
+            bf AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+                         list_sum(list_transform(range(1, 65),
+                           i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))) /
+                         (sqrt(qe.nv) * sqrt(ce.nv)) DESC, ce.vec_id) AS rn
+                FROM ev qe CROSS JOIN ev ce
+                WHERE qe.vec_id % 50 = 0 AND ce.vec_id <> qe.vec_id)
+              WHERE rn <= 3),
+            ${PlaneSql.bucketCte("bc", "embeddings", "neighbor_id")},
+            cnt AS (SELECT bucket, count(*) AS n FROM bc GROUP BY bucket),
+            cok AS (SELECT bc.neighbor_id, bc.bucket
+                    FROM bc JOIN cnt USING (bucket) WHERE cnt.n <= 10000),
+            qd AS (
+              SELECT s.vec_id AS query_id, pl.t, pl.pli,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(s.embedding[i] AS DOUBLE) * pl.p[i])) AS dp
+              FROM qs s CROSS JOIN pl),
+            qm AS (
+              SELECT query_id, t, pli, dp,
+                     row_number() OVER (PARTITION BY query_id, t
+                       ORDER BY abs(dp), pli) AS mr
+              FROM qd),
+            pr AS (SELECT unnest([1, 4]) AS np),
+            flipr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            bq AS (
+              SELECT qm.query_id, pr.np, CAST(qm.t AS VARCHAR) || ':' ||
+                     string_agg(CASE WHEN (qm.dp >= 0) <> (qm.mr = fr.r)
+                       THEN '1' ELSE '0' END, '' ORDER BY qm.pli) AS bucket
+              FROM qm CROSS JOIN pr CROSS JOIN flipr fr
+              WHERE fr.r < pr.np
+              GROUP BY qm.query_id, pr.np, qm.t, fr.r),
+            cand AS (
+              SELECT DISTINCT q.np, q.query_id, c.neighbor_id
+              FROM bq q JOIN cok c USING (bucket)
+              WHERE q.query_id <> c.neighbor_id),
+            sc AS (
+              SELECT cand.np, cand.query_id, cand.neighbor_id,
+                     ${PlaneSql.cosSql("qe.embedding", "ce.embedding")} AS cos
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = cand.query_id
+              JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+            lsh AS (
+              SELECT np, query_id, neighbor_id FROM (
+                SELECT np, query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY np, query_id
+                         ORDER BY cos DESC, neighbor_id) AS rn
+                FROM sc)
+              WHERE rn <= 3),
+            m AS (
+              SELECT lsh.np, bf.query_id, CAST(count(*) AS BIGINT) AS n_matched
+              FROM bf JOIN lsh USING (query_id, neighbor_id)
+              GROUP BY lsh.np, bf.query_id)
+            SELECT q.vec_id AS query_id, CAST(pr.np AS INTEGER) AS probes,
+                   coalesce(m.n_matched, 0) AS n_matched,
+                   round_even(CAST(coalesce(m.n_matched, 0) AS DOUBLE) / 3.0, 6)
+                     AS recall_at_3
+            FROM qs q CROSS JOIN pr
+            LEFT JOIN m ON m.query_id = q.vec_id AND m.np = pr.np"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128)
+    q126, q127, q128, q129)
 }

@@ -128,6 +128,9 @@ object ScaleStress {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // reclaim superseded reliable checkpoints as their frames become
+      // unreachable (the checkpoint_cost exhibit; no-op without a dir)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -186,7 +189,7 @@ object ScaleStress {
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",
-      "skew_stress")
+      "skew_stress", "stream_sinks", "bpe_train_512", "checkpoint_cost")
     def wantExhibit(n: String): Boolean = only.forall(_.contains(n))
     // a typo'd subset must FAIL, not complete green measuring nothing
     only.foreach { o =>
@@ -290,6 +293,73 @@ object ScaleStress {
         f""""pairs_base":$pairsBase,"pairs_skew":$pairsHot}"""
     }
 
+    // EXECUTED STREAMING PATHS at scale: the q118/q120/q124 sink runs
+    // (real file source -> micro-batch execution -> parquet sink) timed
+    // on the base landing and the factor× landing. The claim under test
+    // is the micro-batch cost MODEL: per-row cost flat as the landing
+    // grows — the eligibility stream is a stateless projection + a
+    // broadcast stream-static join, DSIR scoring is a stateless
+    // projection against a plan-shipped literal model, and near-dup
+    // state is bounded per band bucket (cap) independent of corpus size
+    // — so total wall should grow ~linearly with the landing (ratio ≈
+    // data factor; sub-linear where fixed query-start overhead
+    // amortizes). Single-pass timings (these are end-to-end stream
+    // executions, minutes at 30×; contention variance is small relative
+    // to the factor under test).
+    var streamJson = ""
+    if (wantExhibit("stream_sinks")) {
+      import graft.streaming.StreamHarness
+      def time1(label: String)(run: => Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = run
+        val t = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scale] $label%-28s $t%.2f s ($rows rows)")
+        (t, rows)
+      }
+      val sinks = Seq[(String, String => Long)](
+        ("stream_eligibility", dir =>
+          StreamHarness.eligibilitySinkRun(spark, dir)._1.count()),
+        ("stream_neardup", dir =>
+          StreamHarness.nearDupSinkRun(spark, dir).count()),
+        ("stream_dsir_score", dir =>
+          StreamHarness.dsirScoreSinkRun(spark, dir).count()))
+      streamJson = sinks.map { case (name, run) =>
+        val (tb, rb) = time1(s"$name @base") { run(baseDir) }
+        val (ts, rs) = time1(s"$name @${factor}x") { run(outDir) }
+        f""""$name":{"base_s":$tb%.2f,"x${factor}_s":$ts%.2f,""" +
+          f""""ratio":${ts / tb}%.2f,"rows_base":$rb,"rows_x$factor":$rs}"""
+      }.mkString(""","streams":{""", ",", "}")
+    }
+
+    // INCREMENTAL BPE TRAINER at production merge depth: 512 merges on
+    // the factor× corpus, per-round wall observed via the trainer's
+    // onRoundNanos hook. The claim under test is BpeTrain's cost model —
+    // per-round cost FLAT in the merge index (each round applies ONLY
+    // the newest merge to the pinned state; the old from-scratch loop
+    // was O(r) per round, O(merges²) total) — measured as the ratio of
+    // the mean wall of the last 64 rounds over the first 64.
+    var bpeJson = ""
+    if (wantExhibit("bpe_train_512")) {
+      val merges = 512
+      val roundS = scala.collection.mutable.ArrayBuffer[Double]()
+      val docsScaled = spark.read.parquet(s"$outDir/documents.parquet")
+      val t0 = System.nanoTime()
+      val learned = graft.operators.BpeTrain.learnMerges(
+        docsScaled, "text", merges,
+        onRoundNanos = Some((_, ns) => roundS += ns / 1e9))
+      val total = (System.nanoTime() - t0) / 1e9
+      val head = roundS.take(64)
+      val tail = roundS.takeRight(64)
+      val headMean = head.sum / head.size
+      val tailMean = tail.sum / tail.size
+      System.err.println(f"[scale] bpe_train_512 @${factor}x: ${learned.size} " +
+        f"merges in $total%.1f s; mean round wall 1-64 $headMean%.3f s, " +
+        f"${merges - 63}-$merges $tailMean%.3f s (tail/head ${tailMean / headMean}%.2f)")
+      bpeJson = f""","bpe512":{"merges":${learned.size},"total_s":$total%.1f,""" +
+        f""""head64_mean_s":$headMean%.3f,"tail64_mean_s":$tailMean%.3f,""" +
+        f""""tail_over_head":${tailMean / headMean}%.2f}"""
+    }
+
     // components round counts on the REAL pair graphs (incl. the planted
     // diameter-64 chains at 10x): the O(log n) observable
     def rounds(dir: String): (Int, Long) = {
@@ -309,12 +379,46 @@ object ScaleStress {
       System.err.println(s"[scale] pair graph: base $pBase edges/$rBase rounds, " +
         s"${factor}x $pScaled edges/$rScaled rounds")
 
+    // RELIABLE-CHECKPOINT COST: the same dedup-family pipeline the
+    // rounds() probe runs (signature pin + per-star-round component
+    // pins — every Pin.data site on the path) measured at factor× with
+    // executor-local pins (no checkpoint dir — fast, not fault-
+    // tolerant) and then with a configured checkpoint dir (reliable
+    // storage writes; what a 1000-executor deployment runs, see
+    // Pin.scala). cleanCheckpoints=true is set in this builder, so
+    // superseded per-round checkpoints are reclaimed as their frames
+    // become unreachable. MUST RUN LAST: setCheckpointDir is sticky for
+    // the session, and every earlier measurement must stay on the
+    // executor-local profile the BASELINE rows were recorded on.
+    var ckptJson = ""
+    if (wantExhibit("checkpoint_cost")) {
+      def dedupPipeline(): Unit = {
+        val docs = spark.read.parquet(s"$outDir/documents.parquet")
+        val withDups = docs.unionByName(
+          docs.filter(col("doc_id") % 5 === 0)
+            .withColumn("doc_id", col("doc_id") + 10000000L))
+        val pairs = TextDedup.minHashNearDups31(withDups, "text", "doc_id",
+          threshold = 0.8, shingleSize = 9, bands = 8, rowsPerBand = 4)
+        noop(Components.labelPropagate(pairs, "id_a", "id_b"))
+      }
+      val tLocal = time2(s"dedup+components local pins") { dedupPipeline() }
+      val ckptDir = new java.io.File(outDir, "ckpt").toString
+      spark.sparkContext.setCheckpointDir(ckptDir)
+      val tReliable = time2(s"dedup+components reliable pins") { dedupPipeline() }
+      System.err.println(f"[scale] checkpoint cost @${factor}x: local " +
+        f"$tLocal%.2f s -> reliable $tReliable%.2f s " +
+        f"(overhead ${(tReliable / tLocal - 1) * 100}%.0f%%)")
+      ckptJson = f""","checkpoint_cost":{"local_s":$tLocal%.2f,""" +
+        f""""reliable_s":$tReliable%.2f,"overhead_ratio":${tReliable / tLocal}%.2f}"""
+    }
+
     val rows = results.map { case (name, (b, sc)) =>
       f"""{"query":"$name","base_s":$b%.2f,"x${factor}_s":$sc%.2f,"ratio":${sc / b}%.2f}"""
     }.mkString("[", ",", "]")
     val json = s"""{"factor":$factor,"docs":$nDocs,"vectors":$nVecs,""" +
       s""""rounds_base":$rBase,"rounds_${factor}x":$rScaled,""" +
-      s""""pairs_base":$pBase,"pairs_${factor}x":$pScaled$skewJson,"queries":$rows}"""
+      s""""pairs_base":$pBase,"pairs_${factor}x":$pScaled$skewJson""" +
+      s"""$streamJson$bpeJson$ckptJson,"queries":$rows}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/scale_stress.json"), json)
     catch { case e: Throwable => System.err.println(s"[scale] write failed: $e") }

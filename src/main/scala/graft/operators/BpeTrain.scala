@@ -70,9 +70,22 @@ object BpeTrain {
   private val SEP = "\u001f"
 
   /** Learn `numMerges` merges from `docs(textCol)`. Stops early if no
-    * adjacent pair remains (fully merged vocabulary). */
+    * adjacent pair remains (fully merged vocabulary).
+    *
+    * INPUT CONTRACT: words containing U+001F (the separator the state
+    * encoding reserves) are DROPPED at dict-build time — `\s+` does not
+    * split on it (it is not regex whitespace), and a word carrying it
+    * would corrupt the state string identically in Spark and the DuckDB
+    * oracle, invisibly to the q112 gate. U+001F is a C0 control code
+    * with no legitimate in-word use; dropping the word (not the corpus)
+    * is the deterministic, engine-portable choice.
+    *
+    * `onRoundNanos` (optional) observes each completed round's wall
+    * nanos (round index, nanos) — the ScaleStress harness uses it to
+    * measure the flat-per-round claim at production merge counts. */
   def learnMerges(docs: DataFrame, textCol: String,
-                  numMerges: Int): Seq[Merge] = {
+                  numMerges: Int,
+                  onRoundNanos: Option[(Int, Long) => Unit] = None): Seq[Merge] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     // corpus -> word-frequency dict, once (same \s+ split contract as
     // BpeEncode / the q105 oracle; no lowercasing — BPE is case-aware),
@@ -82,7 +95,7 @@ object BpeTrain {
     var state = Pin.data(
       Spread.toCores(docs)
         .select(explode(split(col(textCol), "\\s+")).as("w"))
-        .filter(length(col("w")) > 0)
+        .filter(length(col("w")) > 0 && !col("w").contains(SEP))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
         .select(col("cnt"),
           array_join(transform(chars,
@@ -91,6 +104,7 @@ object BpeTrain {
     val learned = scala.collection.mutable.ArrayBuffer[Merge]()
     var exhausted = false
     while (learned.size < numMerges && !exhausted) {
+      val roundT0 = System.nanoTime()
       // tokens of the CURRENT state: strip the outer separators, split
       // on the doubled inner one
       val toks = split(
@@ -128,6 +142,7 @@ object BpeTrain {
               .filter(col("s").contains(SEP + SEP)),
             eager = false)
         }
+        onRoundNanos.foreach(_(learned.size - 1, System.nanoTime() - roundT0))
       }
     }
     learned.toSeq

@@ -59,9 +59,15 @@ object Pin {
     *
     * `eager = false` defers materialization to the frame's FIRST action
     * — for per-round iterative pins (BpeTrain) whose very next job is a
-    * full pass over the frame anyway, this folds the checkpoint write
-    * into that job instead of scheduling a separate materialization job
-    * per round. */
+    * full pass over the frame anyway. On the LOCAL-checkpoint path this
+    * folds the block write into that job (blocks persist as the first
+    * job computes them). On the RELIABLE path the deferral is weaker:
+    * `rdd.doCheckpoint()` runs as a SEPARATE job after the first action
+    * completes, recomputing the frame from lineage unless it is cached —
+    * so [[materialize]] persists the frame first (MEMORY_AND_DISK),
+    * making the checkpoint job a cache read instead of a recompute; the
+    * ContextCleaner releases the cached blocks when the frame becomes
+    * unreferenced, same as the pins themselves. */
   def data(df: DataFrame, eager: Boolean = true): DataFrame =
     materialize(df, reliable = true, eager)
 
@@ -75,8 +81,14 @@ object Pin {
   def materialize(df: DataFrame, reliable: Boolean = false,
                   eager: Boolean = true): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    if (reliable && sc.getCheckpointDir.isDefined) df.checkpoint(eager)
-    else {
+    if (reliable && sc.getCheckpointDir.isDefined) {
+      // lazy reliable checkpoint: doCheckpoint launches a separate job
+      // AFTER the first action, recomputing from lineage — persist so
+      // that job reads the cached blocks instead (Spark's own
+      // RDD.checkpoint scaladoc recommendation)
+      if (!eager) df.persist()
+      df.checkpoint(eager)
+    } else {
       // warn once per JVM, not per pin — local test runs hit this on
       // every data-sized site and the signal drowns otherwise
       if (reliable && warnedOnce.compareAndSet(false, true))

@@ -30,9 +30,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    its own KEY forever and no entry could ever be collected. Here
   *    keys are plain strings and the session is held only weakly;
   *    the one strong session path is through the cached frame itself.
-  *    Residual leak, accepted and bounded: a STOPPED session's last
-  *    entry lingers until its key slot is reused (≤ sessions × keys
-  *    entries; `stop()` frees the executor memory regardless).
+  *    The one strong session path is through the cached frame itself,
+  *    so once callers drop a session's frames the session can be
+  *    collected — and every [[getOrCompute]] SWEEPS entries whose
+  *    referent the GC has cleared (O(sessions × keys), trivially small),
+  *    so dead entries do not linger until their key slot happens to be
+  *    reused. A stopped-but-still-strongly-referenced session's entry
+  *    survives the sweep by design (its frames may still be read);
+  *    `stop()` frees the executor memory regardless.
   *  - NO LOCK DURING COMPUTE: two racing threads may both build the
   *    frame and last-write wins — benign duplication, preferred over
   *    serializing unrelated sessions behind a minutes-long LSH job.
@@ -44,6 +49,10 @@ final class SessionFrameMemo {
 
   def getOrCompute(s: SparkSession, key: String)
                   (compute: => DataFrame): DataFrame = {
+    // sweep GC-cleared referents first: dead sessions' entries go now,
+    // not when their identity-hash slot is eventually reused
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue._1.get == null) it.remove()
     val k = System.identityHashCode(s) + "|" + key
     val cur = entries.get(k)
     if (cur != null && (cur._1.get eq s)) cur._2

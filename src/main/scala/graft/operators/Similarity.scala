@@ -63,24 +63,43 @@ object Similarity {
     * dropped buckets, computed from the already-aggregated per-bucket
     * counts — one extra tiny job, nothing recomputed over the corpus);
     * raise `maxBucketSize` or add tables/planes if the count is nonzero
-    * and recall matters more than the worst-case join blow-up. */
+    * and recall matters more than the worst-case join blow-up.
+    *
+    * `probes` is the LSH-side recall dial (multi-probe LSH, Lv et al.
+    * VLDB 2007 — see [[graft.plans.HyperplaneProbesExpr]]): each query
+    * additionally probes, per table, the `probes - 1` buckets reached by
+    * flipping its smallest-|margin| sign bits one at a time. QUERY-side
+    * only — the corpus index (one bucket per row per table) and its scan
+    * are unchanged; the probe join fans out ×probes. probes = 1 is
+    * classic single-probe LSH (the default, bit-identical to before the
+    * dial existed). The q129 audit measures the dial's recall movement
+    * on the uniform-random fixture; AnnRecallBandSpec pins both bands. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int = 10, dim: Int = 64,
               tables: Int = 8, planesPerTable: Int = 8,
               seed: Long = 42L, maxBucketSize: Int = 10000,
-              onDroppedBuckets: Option[Long => Unit] = None): DataFrame = {
+              onDroppedBuckets: Option[Long => Unit] = None,
+              probes: Int = 1): DataFrame = {
     val planeSets = (0 until tables).map(t =>
       randomPlanes(planesPerTable, dim, seed + t))
 
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+    def bucketed(df: DataFrame, id: String, vec: String,
+                 nProbes: Int): DataFrame = {
+      val perTable = planeSets.zipWithIndex.map { case (ps, t) =>
+        if (nProbes == 1)
+          array(concat_ws(":", lit(t),
+            graft.plans.SketchExpressions.hyperplaneBucket(col(vecCol), ps)))
+        else
+          transform(
+            graft.plans.SketchExpressions.hyperplaneProbes(col(vecCol), ps, nProbes),
+            b => concat_ws(":", lit(t), b))
+      }
       df.select(col(idCol).as(id), col(vecCol).as(vec),
-          explode(array(planeSets.zipWithIndex.map { case (ps, t) =>
-            concat_ws(":", lit(t),
-              graft.plans.SketchExpressions.hyperplaneBucket(col(vecCol), ps))
-          }: _*)).as("_bucket"))
+        explode(flatten(array(perTable: _*))).as("_bucket"))
+    }
 
-    val q = bucketed(queries, "query_id", "_qv")
-    val c0 = bucketed(corpus, "neighbor_id", "_cv")
+    val q = bucketed(queries, "query_id", "_qv", probes)
+    val c0 = bucketed(corpus, "neighbor_id", "_cv", 1)
     val bucketCounts = c0.groupBy(col("_bucket"))
       .agg(count(lit(1)).as("_bc"))
     onDroppedBuckets.foreach { f =>

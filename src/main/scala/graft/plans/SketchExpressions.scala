@@ -140,6 +140,76 @@ case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** MULTI-PROBE perturbation buckets for hyperplane LSH (Lv et al.,
+  * "Multi-Probe LSH", VLDB 2007 — the single-bit-flip variant): emits
+  * `probes` bucket strings — the base sign-bit bucket first, then the
+  * buckets obtained by flipping, one at a time, the sign bit of the
+  * plane with the smallest |dot| margin, the next smallest, and so on
+  * (ties broken by plane index, ascending). A near-boundary plane is
+  * exactly the bit most likely to differ between a query and its true
+  * neighbors, so probing those flips recovers most of the recall extra
+  * hash tables would buy at a fraction of the index cost. Probing is
+  * QUERY-side only: the corpus keeps one bucket per table, so the index
+  * size and the corpus scan are unchanged — only the probe join fans
+  * out ×probes. */
+case class HyperplaneProbesExpr(child: Expression, planes: Array[Array[Double]],
+                                probes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(probes >= 1 && probes <= planes.length + 1,
+    s"probes must be in [1, ${planes.length + 1}], got $probes")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(s"expected array, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nPlanes = planes.length
+    val dim = math.min(arr.numElements(), planes.headOption.map(_.length).getOrElse(0))
+    val vec = new Array[Double](dim)
+    var i = 0
+    elemType match {
+      case FloatType  => while (i < dim) { vec(i) = arr.getFloat(i); i += 1 }
+      case DoubleType => while (i < dim) { vec(i) = arr.getDouble(i); i += 1 }
+      case _ => while (i < dim) { vec(i) = arr.get(i, elemType).toString.toDouble; i += 1 }
+    }
+    val dots = new Array[Double](nPlanes)
+    val base = new Array[Char](nPlanes)
+    var p = 0
+    while (p < nPlanes) {
+      val plane = planes(p)
+      var d = 0.0
+      var j = 0
+      while (j < dim) { d += vec(j) * plane(j); j += 1 }
+      dots(p) = d
+      base(p) = if (d >= 0.0) '1' else '0'
+      p += 1
+    }
+    // margin order: |dot| ascending, plane index ascending on ties —
+    // mirrored EXACTLY by the q129 oracle's row_number(ORDER BY abs(dp), pli)
+    val order = Array.tabulate(nPlanes)(identity)
+      .sortBy(p => (math.abs(dots(p)), p))
+    val out = new Array[Any](probes)
+    out(0) = UTF8String.fromString(new String(base))
+    var r = 1
+    while (r < probes) {
+      val flip = order(r - 1)
+      val b = base.clone()
+      b(flip) = if (b(flip) == '1') '0' else '1'
+      out(r) = UTF8String.fromString(new String(b))
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneProbesExpr =
+    copy(child = newChild)
+}
+
 /** Top-`nprobe` nearest centroids (1-based indices, by cosine, ties to
   * the lower index) for a numeric-array vector — the IVF coarse-quantizer
   * assignment in one pass. The HOF formulation re-evaluates the
@@ -407,6 +477,11 @@ object SketchExpressions {
   def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(HyperplaneBucketExpr(ColumnBridge.expression(vec),
       planes.map(_.toArray).toArray))
+
+  def hyperplaneProbes(vec: Column, planes: Seq[Seq[Double]],
+                       probes: Int): Column =
+    ColumnBridge.column(HyperplaneProbesExpr(ColumnBridge.expression(vec),
+      planes.map(_.toArray).toArray, probes))
 
   def nearestCentroids(vec: Column, centroids: Array[Array[Double]],
                        nprobe: Int): Column =

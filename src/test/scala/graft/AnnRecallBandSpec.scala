@@ -37,6 +37,24 @@ class AnnRecallBandSpec extends AnyFunSuite {
         "q126 narrative (QueriesText) before trusting either audit")
   }
 
+  test("q129: multi-probe moves LSH recall up without touching the corpus index") {
+    val out = SparkEntry.queries("q129_lsh_multiprobe")(spark, sfDir)
+      .groupBy(col("probes"))
+      .agg(count(lit(1)).as("n"), avg(col("recall_at_3")).as("mean"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out.keySet == Set(1, 4), s"unexpected probe configs: ${out.keySet}")
+    val (n1, mean1) = out(1)
+    val (n4, mean4) = out(4)
+    assert(n1 > 0 && n1 == n4, "probe configs cover different query sets")
+    // probes=1 IS classic LSH — it must sit in q126's documented low band
+    assert(mean1 < 0.35,
+      f"single-probe mean $mean1%.3f left the q126 low band")
+    // the dial's whole point: strictly more recall from the same index
+    assert(mean4 > mean1,
+      f"multi-probe (4) mean $mean4%.3f did not improve on single-probe $mean1%.3f")
+  }
+
   test("q128: IVF remedy is green at full probe, mid-band at nprobe=4") {
     val out = SparkEntry.queries("q128_ann_recall_remedy")(spark, sfDir)
       .groupBy(col("nprobe"))

@@ -65,6 +65,27 @@ class MemoSpec extends AnyFunSuite {
     assert(computes == 1 && !(got eq stale))
   }
 
+  test("post-collection eviction: getOrCompute sweeps GC-cleared entries under ANY slot") {
+    // the former residual-leak clause, now closed: a dead session's
+    // entry is removed by the NEXT getOrCompute, not when its
+    // identity-hash slot happens to be reused
+    val memo = new SessionFrameMemo
+    val deadRef = new WeakReference[SparkSession](spark.newSession())
+    deadRef.clear()
+    val other = spark.newSession() // a DIFFERENT slot than the dead entry's
+    memo.installForTest(other, "leftover", deadRef, frame("dead"))
+    assert(memo.sizeForTest == 1)
+    memo.getOrCompute(spark, "unrelated")(frame("live"))
+    assert(memo.entryForTest(other, "leftover").isEmpty,
+      "a cleared-referent entry must be swept even under an untouched slot")
+    assert(memo.sizeForTest == 1, "only the live entry remains")
+    // a stopped-but-still-referenced session is NOT swept (frames may
+    // still be read); `other` stands in — strongly held, never collected
+    memo.installForTest(other, "held", new WeakReference(other), frame("held"))
+    memo.getOrCompute(spark, "unrelated")(frame("x"))
+    assert(memo.entryForTest(other, "held").isDefined)
+  }
+
   test("no self-pinning: replacement drops the memo's only path to the old frame") {
     // the WeakHashMap bug class: value → session → (as map key) value,
     // an unbreakable cycle. Here the key is a plain string and the old

@@ -607,6 +607,51 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("BPE train/apply agreement: training-order tokenize == lowest-rank-first apply on the corpus vocabulary") {
+    // BpeTrain.scala documents the one known divergence class between
+    // the incremental trainer's training-order tokenization and
+    // BpeEncode's lowest-rank-first re-tokenization (two derivations of
+    // the same symbol string re-enabling an earlier merge). This spec
+    // pins "does not occur on our data": on the q112-learned 64-merge
+    // table, every word of the sf corpus vocabulary tokenizes
+    // identically both ways.
+    val sfDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges64 = graft.operators.BpeTrain.learnMerges(sfDocs, "text", 64)
+    assert(merges64.size == 64)
+    val table = merges64.map(m => (m.a, m.b))
+    // training-order tokenizer: apply each adopted merge ONCE, in rank
+    // order, as a greedy non-overlapping left-to-right pass — exactly
+    // the state evolution learnMerges performs
+    def trainOrder(w: String): Seq[String] = {
+      var t: Seq[String] = w.codePoints().toArray.toSeq
+        .map(cp => new String(Character.toChars(cp)))
+      table.foreach { case (a, b) =>
+        val nt = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < t.length) {
+          if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
+            nt += (a + b); i += 2
+          } else { nt += t(i); i += 1 }
+        }
+        t = nt.toSeq
+      }
+      t
+    }
+    val vocab = sfDocs
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    val applied = vocab
+      .select(col("w"), TF.bpeTokens(col("w"), table).as("toks"))
+      .as[(String, Seq[String])].collect()
+    assert(applied.nonEmpty)
+    val diverged = applied.filter { case (w, toks) => toks != trainOrder(w) }
+    assert(diverged.isEmpty,
+      s"train/apply divergence on ${diverged.length} of ${applied.length} " +
+        s"vocab words, e.g. ${diverged.take(3).map(d =>
+          s"'${d._1}' apply=${d._2} train=${trainOrder(d._1)}").mkString("; ")}")
+  }
+
   test("distributed Lloyd's step: deterministic, converges to cluster directions") {
     // two tight clusters around orthogonal axes + deliberately bad init
     val rnd = new scala.util.Random(11)
