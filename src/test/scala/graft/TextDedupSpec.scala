@@ -97,6 +97,35 @@ class TextDedupSpec extends AnyFunSuite {
     simp.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
   }
 
+  test("multi-probe buckets: base parity, single-bit flips in margin order") {
+    import graft.functions.{VectorFunctions => VF}
+    val planes = VF.randomPlanes(8, 16, seed = 5)
+    val rnd = new scala.util.Random(3)
+    val vecs = (1 to 100).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextDouble() * 2 - 1))).toDF("id", "v")
+    val out = vecs.select(col("id"),
+        graft.plans.SketchExpressions.hyperplaneBucket(col("v"), planes).as("base"),
+        graft.plans.SketchExpressions.hyperplaneProbes(col("v"), planes, 5).as("probes"),
+        col("v"))
+      .as[(Long, String, Seq[String], Seq[Double])].collect()
+    assert(out.length == 100)
+    out.foreach { case (_, base, probes, v) =>
+      // probe 0 IS the classic bucket — bit parity with HyperplaneBucketExpr
+      assert(probes.length == 5 && probes.head == base)
+      // driver-side margin order: sequential dot (same fold order as the
+      // expression's loop), |dot| ascending, plane index on ties
+      val dots = planes.map(p => p.zip(v).map { case (a, b) => a * b }.sum)
+      val order = dots.indices.sortBy(i => (math.abs(dots(i)), i))
+      probes.tail.zipWithIndex.foreach { case (b, r) =>
+        val flipped = b.zip(base).zipWithIndex
+          .filter { case ((x, y), _) => x != y }.map(_._2)
+        assert(flipped == Seq(order(r)),
+          s"probe ${r + 1} must flip exactly the rank-${r + 1} margin bit")
+      }
+      assert(probes.distinct.length == 5) // all probes hit distinct buckets
+    }
+  }
+
   test("fingerprint equality ⇔ same normalized token stream") {
     val fp = docs.select(col("doc_id"), TF.fingerprint(col("text")).as("f"))
       .as[(Long, Long)].collect.toMap
