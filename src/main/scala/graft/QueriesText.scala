@@ -3195,10 +3195,84 @@ object QueriesText {
             FROM qs q CROSS JOIN pr
             LEFT JOIN m ON m.query_id = q.vec_id AND m.np = pr.np"""))
 
+  // --------------------------------------------------------------- q130
+  // Scalar quantization (SQ8) top-k — the codebook-free compressed-index
+  // tier next to PQ (q107): per-dimension min/max fitted in one corpus
+  // pass (2×dim literal model), encode a map-only projection to 8-bit
+  // codes + a stored reconstruction norm, search a factored dot
+  // (query-side bias + weight array, candidate cost = one codes fold)
+  // over the codes scan with the query side broadcast. The oracle
+  // refits the identical model (min/max are exact aggregates; the
+  // step/invStep divisions are plain IEEE), re-encodes every vector,
+  // and replays the factored search with dimension-ordered list_sum
+  // folds — one wrong code or one mis-ordered fold anywhere flips the
+  // hash.
+  private val q130 = Q("q130_sq_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m = graft.operators.Sq.fit(e, "embedding")
+      val codes = graft.operators.Sq.encode(e, "vec_id", "embedding", m)
+      graft.operators.Sq.topK(e.filter(col("vec_id") % 50 === 0), codes,
+        "vec_id", "embedding", m, k = 3)
+    },
+    Some("""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+            mm AS (
+              SELECT d.i, min(CAST(e.embedding[d.i] AS DOUBLE)) AS mn,
+                     max(CAST(e.embedding[d.i] AS DOUBLE)) AS mx
+              FROM embeddings e CROSS JOIN dims d
+              GROUP BY d.i),
+            st AS (
+              SELECT i, mn,
+                     CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END AS step,
+                     CASE WHEN mx = mn THEN 0.0 ELSE 255.0 / (mx - mn) END AS inv
+              FROM mm),
+            codes AS (
+              SELECT e.vec_id, st.i,
+                     CAST(least(255.0, greatest(0.0,
+                       round((CAST(e.embedding[st.i] AS DOUBLE) - st.mn) * st.inv))) AS INT) AS c
+              FROM embeddings e CROSS JOIN st),
+            encv AS (
+              SELECT cd.vec_id,
+                     sqrt(list_sum(list((st.mn + cd.c * st.step) * (st.mn + cd.c * st.step)
+                       ORDER BY cd.i))) AS rnorm
+              FROM codes cd JOIN st USING (i)
+              GROUP BY cd.vec_id),
+            qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+            qprep AS (
+              SELECT q.vec_id AS query_id,
+                     list_sum(list(CAST(q.embedding[st.i] AS DOUBLE) * st.mn
+                       ORDER BY st.i)) AS bias,
+                     sqrt(list_sum(list(CAST(q.embedding[st.i] AS DOUBLE) *
+                       CAST(q.embedding[st.i] AS DOUBLE) ORDER BY st.i))) AS qn
+              FROM qs q CROSS JOIN st
+              GROUP BY q.vec_id),
+            sc AS (
+              SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+                     list_sum(list(cd.c * (CAST(q.embedding[cd.i] AS DOUBLE) * st.step)
+                       ORDER BY cd.i)) AS wdot
+              FROM codes cd JOIN st USING (i) CROSS JOIN qs q
+              WHERE cd.vec_id <> q.vec_id
+              GROUP BY q.vec_id, cd.vec_id),
+            scored AS (
+              SELECT sc.query_id, sc.neighbor_id,
+                     (sc.wdot + qp.bias) / (qp.qn * ev.rnorm) AS cos_sq
+              FROM sc
+              JOIN qprep qp ON qp.query_id = sc.query_id
+              JOIN encv ev ON ev.vec_id = sc.neighbor_id
+              WHERE qp.qn <> 0 AND ev.rnorm <> 0),
+            r AS (
+              SELECT query_id, neighbor_id, cos_sq,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sq DESC, neighbor_id) AS rn
+              FROM scored)
+            SELECT query_id, neighbor_id, round_even(cos_sq, 6) AS cosine_sq,
+                   CAST(rn AS INT) AS rank
+            FROM r WHERE rn <= 3"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129)
+    q126, q127, q128, q129, q130)
 }

@@ -185,7 +185,11 @@ object ScaleStress {
       "q107_pq_topk", "q108_nb_classifier", "q119_dsir_resample",
       "q122_dup_cluster_sizes", "q123_bm25_topk", "q125_pq_recon_error",
       // ANN recall audit (both top-k pipelines) + HTML strip (map-only)
-      "q126_ann_recall", "q127_html_strip")
+      "q126_ann_recall", "q127_html_strip",
+      // round-10: multi-probe LSH dial (brute-force truth dominates at
+      // scale, like q126; the probes=4 fan-out is query-side only) +
+      // SQ8 (fit pass + map-only encode + broadcast-query codes scan)
+      "q129_lsh_multiprobe", "q130_sq_topk")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",

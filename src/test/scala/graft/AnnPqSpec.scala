@@ -174,6 +174,54 @@ class AnnPqSpec extends AnyFunSuite {
       s"ADC nearest $n not in query $q's cluster") }
   }
 
+  // ------------------------------------------------------------ Sq
+
+  test("Sq fit/encode: extremes hit 0/255, constant dims code 0, recon norm self-consistent") {
+    val e = corpus(100).cache()
+    // append a constant dimension to exercise the range==0 guard
+    val withConst = e.withColumn("embedding",
+      concat(col("embedding"), array(lit(3.5f))))
+    val m = Sq.fit(withConst, "embedding")
+    assert(m.dim == dim + 1)
+    assert(m.steps.last == 0.0 && m.invSteps.last == 0.0)
+    val enc = Sq.encode(withConst, "vec_id", "embedding", m)
+      .as[(Long, Seq[Int], Double)].collect()
+    assert(enc.length == 100)
+    val all = enc.flatMap(_._2)
+    assert(all.forall(c => c >= 0 && c <= 255))
+    // per dimension, the corpus min encodes to 0 and the max to 255
+    (0 until dim).foreach { j =>
+      val col_j = enc.map(_._2(j))
+      assert(col_j.min == 0 && col_j.max == 255, s"dim $j range ${col_j.min}..${col_j.max}")
+    }
+    assert(enc.forall(_._2.last == 0), "constant dim must code 0")
+    // stored recon norm equals a driver-side recomputation from the codes
+    enc.take(20).foreach { case (_, codes, rn) =>
+      val recomputed = math.sqrt(codes.zipWithIndex.map { case (c, i) =>
+        val r = m.mins(i) + c * m.steps(i); r * r
+      }.sum)
+      assert(math.abs(rn - recomputed) < 1e-9, s"$rn vs $recomputed")
+    }
+  }
+
+  test("Sq topK recall vs exact cosine is high — 8-bit/dim resolves the clusters") {
+    val e = corpus(100).cache()
+    val m = Sq.fit(e, "embedding")
+    val codes = Sq.encode(e, "vec_id", "embedding", m)
+    val queries = e.filter(col("vec_id") % 10 === 0)
+    val got = Sq.topK(queries, codes, "vec_id", "embedding", m, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val want = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (got & want).size.toDouble / want.size
+    assert(recall >= 0.9, s"SQ8 recall@3 $recall — far below the resolution 8 bits/dim buys")
+    // and top-1 stays in the query's own direction cluster (PQ's bar)
+    Sq.topK(queries, codes, "vec_id", "embedding", m, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .foreach { case (q, n) => assert(q % 4 == n % 4,
+        s"SQ nearest $n not in query $q's cluster") }
+  }
+
   // ------------------------------------------------------------ TextClassifier
 
   private val docs = Seq(
