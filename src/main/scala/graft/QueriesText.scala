@@ -3269,10 +3269,116 @@ object QueriesText {
                    CAST(rn AS INT) AS rank
             FROM r WHERE rn <= 3"""))
 
+  // --------------------------------------------------------------- q131
+  // IVF-PQ / IVFADC (Jégou TPAMI 2011 §IV; Faiss `IVF16,PQ8`): the two
+  // scale stories COMPOSED — IVF bounds who you score (the q44/q128
+  // coarse cells), PQ bounds what you scan (8 ints/row, encoding the
+  // RESIDUAL x − centroid(cell), which clusters far tighter than raw
+  // vectors). The 16-cell coarse codebook is q128's; the 64-codeword
+  // residual codebooks come from the first 64 vectors' residuals. The
+  // oracle replays the ENTIRE stack — coarse assignment, residuals, PQ
+  // codebook slicing, residual encode argmin, probe-cell routing,
+  // per-(query, cell) residual distance tables, subspace-ordered ADC
+  // sums — one wrong cell, code, or fold anywhere flips the hash.
+  private val q131 = Q("q131_ivfpq_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = e.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      import graft.plans.SketchExpressions.nearestCentroids
+      val samples = e.filter(col("vec_id") < 64).orderBy("vec_id")
+        .select(Pq.residualExpr(col("embedding"),
+          element_at(nearestCentroids(col("embedding"), cb, 1), 1), cb).as("r"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val cbs = Pq.codebooks(samples, m = 8)
+      Pq.ivfPqTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
+        cb, cbs, k = 3, nprobe = 4)
+    },
+    Some("""WITH cb AS (
+              SELECT vec_id + 1 AS ci,
+                     CASE WHEN n = 0 THEN vd ELSE list_transform(vd, x -> x / n) END AS cv
+              FROM (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+                           sqrt(list_sum(list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+                    FROM embeddings WHERE vec_id < 16)),
+            ev AS (SELECT vec_id, embedding,
+                          list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv
+                   FROM embeddings),
+            dots AS (
+              SELECT ev.vec_id, cb.ci,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(ev.embedding[i] AS DOUBLE) * cb.cv[i])) *
+                     (CASE WHEN ev.nv = 0 THEN 0.0 ELSE 1.0 / sqrt(ev.nv) END) AS dp
+              FROM ev CROSS JOIN cb),
+            ranked AS (
+              SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dp DESC, ci) AS rn
+              FROM dots),
+            resid AS (
+              SELECT r.vec_id, r.ci AS cell,
+                     list_transform(range(1, 65),
+                       i -> CAST(e.embedding[i] AS DOUBLE) - cb.cv[i]) AS rv
+              FROM ranked r
+              JOIN embeddings e ON e.vec_id = r.vec_id
+              JOIN cb ON cb.ci = r.ci
+              WHERE r.rn = 1),
+            pcb AS (
+              SELECT s, t.vec_id + 1 AS c2,
+                     list_transform(range(1, 9), i -> t.rv[s * 8 + i]) AS cw
+              FROM resid t, (SELECT unnest(range(8)) AS s)
+              WHERE t.vec_id < 64),
+            ndist AS (
+              SELECT t.vec_id, p.s, p.c2,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (t.rv[p.s * 8 + i] - p.cw[i]) *
+                            (t.rv[p.s * 8 + i] - p.cw[i]))) AS d
+              FROM resid t CROSS JOIN pcb p),
+            enc AS (SELECT vec_id, s, c2 AS code FROM (
+                      SELECT vec_id, s, c2, row_number() OVER (
+                               PARTITION BY vec_id, s ORDER BY d ASC, c2) AS rn
+                      FROM ndist) WHERE rn = 1),
+            qcell AS (SELECT vec_id AS query_id, ci AS cell FROM ranked
+                      WHERE vec_id % 50 = 0 AND rn <= 4),
+            qresid AS (
+              SELECT qc.query_id, qc.cell,
+                     list_transform(range(1, 65),
+                       i -> CAST(e.embedding[i] AS DOUBLE) - cb.cv[i]) AS rv
+              FROM qcell qc
+              JOIN embeddings e ON e.vec_id = qc.query_id
+              JOIN cb ON cb.ci = qc.cell),
+            qdist AS (
+              SELECT qr.query_id, qr.cell, p.s, p.c2,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (qr.rv[p.s * 8 + i] - p.cw[i]) *
+                            (qr.rv[p.s * 8 + i] - p.cw[i]))) AS d
+              FROM qresid qr CROSS JOIN pcb p),
+            cand AS (
+              SELECT q.query_id, t.vec_id AS neighbor_id, q.cell
+              FROM qcell q JOIN resid t USING (cell)
+              WHERE q.query_id <> t.vec_id),
+            adc AS (
+              SELECT c.query_id, c.neighbor_id,
+                     list_sum(list(qd.d ORDER BY qd.s)) AS adist
+              FROM cand c
+              JOIN enc n ON n.vec_id = c.neighbor_id
+              JOIN qdist qd ON qd.query_id = c.query_id AND qd.cell = c.cell
+                           AND qd.s = n.s AND qd.c2 = n.code
+              GROUP BY c.query_id, c.neighbor_id),
+            r AS (SELECT query_id, neighbor_id, adist,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY adist ASC, neighbor_id) AS rn
+                  FROM adc)
+            SELECT query_id, neighbor_id, round_even(adist, 6) AS adist,
+                   CAST(rn AS INT) AS rank
+            FROM r WHERE rn <= 3"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129, q130)
+    q126, q127, q128, q129, q130, q131)
 }

@@ -189,7 +189,9 @@ object ScaleStress {
       // round-10: multi-probe LSH dial (brute-force truth dominates at
       // scale, like q126; the probes=4 fan-out is query-side only) +
       // SQ8 (fit pass + map-only encode + broadcast-query codes scan)
-      "q129_lsh_multiprobe", "q130_sq_topk")
+      "q129_lsh_multiprobe", "q130_sq_topk",
+      // IVF-PQ: map-only index build + cell-join probe
+      "q131_ivfpq_topk")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",

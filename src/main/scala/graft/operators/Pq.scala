@@ -57,8 +57,18 @@ object Pq {
   /** PQ code for one vector: per subspace, the 1-based index of the
     * nearest codeword (squared L2, first-minimum tie-break — the
     * `array_position(d, array_min(d))` contract an oracle replays as
-    * `row_number() ORDER BY d ASC, c`). */
+    * `row_number() ORDER BY d ASC, c`). Routed through the native
+    * [[graft.plans.PqEncodeNative]] fused loop — bit-identical to
+    * [[encodeExprHof]] (same fold order; strictly-less argmin keeps the
+    * first minimum), proven exactly-equal in AnnPqSpec; at ncode = 64
+    * the HOF form's 512 interpreted lambda trees per row dominated
+    * q131's wall. */
   def encodeExpr(vec: Column, cbs: Array[Array[Array[Double]]]): Column =
+    graft.plans.SketchExpressions.pqEncode(vec, cbs)
+
+  /** The higher-order-function formulation [[encodeExpr]] replaced —
+    * kept as the bit-parity reference for the native expression. */
+  def encodeExprHof(vec: Column, cbs: Array[Array[Array[Double]]]): Column =
     array(cbs.indices.map { s =>
       val d = subDists(vec, cbs(s), s)
       array_position(d, array_min(d)).cast("int")
@@ -72,8 +82,15 @@ object Pq {
       encodeExpr(col(vecCol), cbs).as("codes"))
 
   /** Query-side ADC distance table: (m × ncode) squared-L2 entries,
-    * built ONCE per query row and carried through the broadcast. */
+    * built ONCE per query row and carried through the broadcast. Native
+    * [[graft.plans.PqDistTable]] fused loop, bit-identical to
+    * [[distanceTableHof]] (AnnPqSpec parity test). */
   def distanceTable(queryVec: Column, cbs: Array[Array[Array[Double]]]): Column =
+    graft.plans.SketchExpressions.pqDistTable(queryVec, cbs)
+
+  /** The higher-order-function formulation [[distanceTable]] replaced —
+    * kept as the bit-parity reference for the native expression. */
+  def distanceTableHof(queryVec: Column, cbs: Array[Array[Array[Double]]]): Column =
     array(cbs.indices.map(s => subDists(queryVec, cbs(s), s)): _*)
 
   /** Approximate squared-L2 between the query owning `dt` and a code
@@ -98,9 +115,12 @@ object Pq {
   def reconstructionError(df: DataFrame, vecCol: String,
                           cbs: Array[Array[Array[Double]]]): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val perVec = df.select(explode(array(cbs.indices.map { s =>
+    // one native distance table per row; the assigned-codeword error is
+    // its per-subspace minimum (identical doubles to the HOF subDists)
+    val perVec = df.select(distanceTable(col(vecCol), cbs).as("_dt"))
+      .select(explode(array(cbs.indices.map { s =>
         struct(lit(s).as("subspace"),
-          round(array_min(subDists(col(vecCol), cbs(s), s)), 12).as("err"))
+          round(array_min(element_at(col("_dt"), s + 1)), 12).as("err"))
       }: _*)).as("e"))
       .select(col("e.subspace"), col("e.err"))
     perVec.groupBy(col("subspace"))
@@ -108,6 +128,63 @@ object Pq {
         bround(sum(col("err").cast(DecimalType(38, 12))).cast(DoubleType)
           / count(lit(1)), 6).as("mean_sq_error"),
         bround(max(col("err")), 6).as("max_sq_error"))
+  }
+
+  /** Residual against the (1-based) `cell`'s centroid — the vector
+    * IVF-PQ actually quantizes: `x − centroid(cell)`. Shared by the
+    * corpus encode, the PQ-codebook sampling, and the query probe, so
+    * all three sides use the identical fold. */
+  def residualExpr(vec: Column, cell: Column,
+                   centroids: Array[Array[Double]]): Column =
+    zip_with(asDouble(vec),
+      element_at(typedLit(centroids.map(_.toSeq).toSeq), cell),
+      (x, m) => x - m)
+
+  /** IVF-PQ / IVFADC (Jégou et al. TPAMI 2011 §IV — the Faiss
+    * `IVFx,PQy` flagship): route every vector to its coarse cell
+    * ([[graft.plans.NearestCentroids]], the q44/q128 quantizer),
+    * PQ-encode the RESIDUAL x − centroid(cell) (residuals cluster far
+    * tighter than raw vectors, so the same codebook budget buys much
+    * more resolution), and search only the `nprobe` probed cells with a
+    * per-(query, cell) residual distance table.
+    *
+    * This composes the two scale stories: IVF bounds WHO you score
+    * (cells, not the corpus) and PQ bounds WHAT you scan (m ints/row,
+    * not floats). Index build is one map-only projection (assignment +
+    * residual + encode fused, zero Exchanges); the probe is an
+    * equi-join on cell id. Each (query, neighbor) candidate appears at
+    * most once — a neighbor lives in ONE cell, a query probes nprobe
+    * DISTINCT cells — so no pair dedup is needed (the knnGraph
+    * argument). Queries broadcast here (queries << corpus); at
+    * corpus-as-queries scale drop the broadcast and let both sides
+    * shuffle on cell id. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, centroids: Array[Array[Double]],
+                cbs: Array[Array[Array[Double]]], k: Int = 10,
+                nprobe: Int = 4): DataFrame = {
+    import graft.plans.SketchExpressions.nearestCentroids
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"),
+        element_at(nearestCentroids(col(vecCol), centroids, 1), 1).as("_cell"))
+      .select(col("neighbor_id"), col("_cell"),
+        encodeExpr(residualExpr(col("_v"), col("_cell"), centroids), cbs)
+          .as("codes"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        explode(nearestCentroids(col(vecCol), centroids, nprobe)).as("_cell"))
+      .select(col("query_id"), col("_cell"),
+        distanceTable(residualExpr(col("_qv"), col("_cell"), centroids), cbs)
+          .as("_dt"))
+    val scored = c.join(broadcast(q), Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adcFromTable(col("_dt"), col("codes"), cbs.length))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        bround(col("adist"), 6).as("adist"),
+        col("_rn").cast("int").as("rank"))
   }
 
   /** ADC top-k: score every code row against each query's distance

@@ -210,6 +210,126 @@ case class HyperplaneProbesExpr(child: Expression, planes: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Per-subspace PQ squared-L2 distance table for a numeric-array vector:
+  * `out(s)(c)` = ‖vec[s·dsub : (s+1)·dsub] − cbs(s)(c)‖², accumulated
+  * left-to-right within each subspace — bit-identical to the HOF
+  * `aggregate(zip_with(slice(...)))` formulation it replaces (fold
+  * order, same double ops), but ONE fused loop instead of m×ncode
+  * interpreted lambda chains: at ncode = 64 the HOF form evaluates 512
+  * slice+zip_with+aggregate trees per row and dominated q131's wall. */
+case class PqDistTable(child: Expression, cbs: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(s"expected array, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = cbs.length
+    val dim = arr.numElements()
+    val vec = new Array[Double](dim)
+    var i = 0
+    elemType match {
+      case FloatType  => while (i < dim) { vec(i) = arr.getFloat(i); i += 1 }
+      case DoubleType => while (i < dim) { vec(i) = arr.getDouble(i); i += 1 }
+      case _ => while (i < dim) { vec(i) = arr.get(i, elemType).toString.toDouble; i += 1 }
+    }
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val cb = cbs(s)
+      val dsub = cb(0).length
+      val base = s * dsub
+      val row = new Array[Any](cb.length)
+      var c = 0
+      while (c < cb.length) {
+        val cw = cb(c)
+        var d = 0.0
+        var j = 0
+        val lim = math.min(dsub, math.max(0, dim - base))
+        while (j < lim) {
+          val diff = vec(base + j) - cw(j)
+          d += diff * diff
+          j += 1
+        }
+        row(c) = d
+        c += 1
+      }
+      out(s) = new GenericArrayData(row)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDistTable =
+    copy(child = newChild)
+}
+
+/** PQ code for a numeric-array vector: per subspace, the 1-based index
+  * of the FIRST minimum-distance codeword — the
+  * `array_position(d, array_min(d))` contract, fused into the same
+  * single pass as [[PqDistTable]] (strictly-less argmin scanning left
+  * keeps the first minimum). */
+case class PqEncodeNative(child: Expression, cbs: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(s"expected array, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = cbs.length
+    val dim = arr.numElements()
+    val vec = new Array[Double](dim)
+    var i = 0
+    elemType match {
+      case FloatType  => while (i < dim) { vec(i) = arr.getFloat(i); i += 1 }
+      case DoubleType => while (i < dim) { vec(i) = arr.getDouble(i); i += 1 }
+      case _ => while (i < dim) { vec(i) = arr.get(i, elemType).toString.toDouble; i += 1 }
+    }
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = cbs(s)
+      val dsub = cb(0).length
+      val base = s * dsub
+      var bestC = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cw = cb(c)
+        var d = 0.0
+        var j = 0
+        val lim = math.min(dsub, math.max(0, dim - base))
+        while (j < lim) {
+          val diff = vec(base + j) - cw(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      out(s) = bestC + 1
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeNative =
+    copy(child = newChild)
+}
+
 /** Top-`nprobe` nearest centroids (1-based indices, by cosine, ties to
   * the lower index) for a numeric-array vector — the IVF coarse-quantizer
   * assignment in one pass. The HOF formulation re-evaluates the
@@ -487,6 +607,12 @@ object SketchExpressions {
                        nprobe: Int): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(vec),
       centroids, nprobe))
+
+  def pqDistTable(vec: Column, cbs: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqDistTable(ColumnBridge.expression(vec), cbs))
+
+  def pqEncode(vec: Column, cbs: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncodeNative(ColumnBridge.expression(vec), cbs))
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a),

