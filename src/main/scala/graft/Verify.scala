@@ -28,7 +28,8 @@ object Verify {
     // SPARK_GRAFT_SCALE_ONLY guard, mirrored)
     val knownNames = SparkEntry.queries.keySet ++
       Set("stream_parity", "stream_neardup_parity",
-        "stream_neardup_ttl_parity", "stream_register_parity")
+        "stream_neardup_ttl_parity", "stream_register_parity",
+        "stream_upsert_parity")
     only.foreach { names =>
       val unknown = names -- knownNames
       require(unknown.isEmpty,
@@ -100,6 +101,7 @@ object Verify {
     parityCheck("stream_neardup_parity")(streamNearDupParity(spark, sfDir))
     parityCheck("stream_neardup_ttl_parity")(streamNearDupTtlParity(spark, sfDir))
     parityCheck("stream_register_parity")(streamRegisterParity(spark, sfDir))
+    parityCheck("stream_upsert_parity")(streamUpsertParity(spark, sfDir))
     val failJson = failed
       .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
@@ -181,5 +183,16 @@ object Verify {
     import graft.streaming.StreamHarness
     val (streamOut, batchOut) = StreamHarness.registerSinkRun(spark, sfDir)
     parityJson("stream_register_parity", streamOut, batchOut)
+  }
+
+  /** Streaming-vs-batch parity for the S6/S7 upsert profile: an ordered
+    * update feed merged micro-batch-by-micro-batch into the versioned
+    * table (foreachBatch + UpsertSink.applyBatch, six real merge
+    * rounds) vs the batch per-key-latest over the same feed. THROWS on
+    * hash mismatch. */
+  def streamUpsertParity(spark: SparkSession, sfDir: String): String = {
+    import graft.streaming.StreamHarness
+    val (streamOut, batchOut) = StreamHarness.upsertSinkRun(spark, sfDir)
+    parityJson("stream_upsert_parity", streamOut, batchOut)
   }
 }

@@ -49,4 +49,85 @@ object UpsertSink {
                   orderCol: String, path: String): Unit =
     upsert(existing, incoming, keys, orderCol)
       .write.mode("overwrite").parquet(path)
+
+  // ------------------------------------------------------------ streaming
+
+  /** Apply ONE micro-batch of updates to the versioned upsert table at
+    * `tableDir` — the exactly-once unit [[streamUpsert]] runs per batch,
+    * exposed so the replay contract is directly testable.
+    *
+    * Exactly-once WITHOUT a transactional table format: the table is a
+    * ledger of immutable version dirs `v<batchId>`; a batch merges the
+    * latest version STRICTLY OLDER than its own id and (over)writes
+    * `v<batchId>`. A replayed batch (foreachBatch re-delivers after a
+    * failure) therefore recomputes its version from the SAME
+    * predecessor and overwrites deterministically — applying batch N
+    * twice is bit-identical to applying it once, which is the whole
+    * exactly-once claim (Structured Streaming guarantees at-least-once
+    * delivery to foreachBatch; idempotent apply upgrades it). Readers
+    * use [[readLatest]] (max version) and never see a partial write
+    * (parquet overwrite is write-new-then-swap).
+    *
+    * `retain` bounds the ledger: versions older than the newest
+    * `retain` are deleted AFTER the new version lands (never the
+    * predecessor a concurrent replay might still need within one
+    * retained step). At 100 TB each version is a full-table rewrite —
+    * that is the honest cost of merge-on-parquet; the production
+    * upgrades (key-partitioned sink + partition-overwrite so only
+    * touched partitions rewrite, or a Delta/Iceberg MERGE target) keep
+    * these SEMANTICS and shrink the write, so this ledger is the
+    * portable core, not a toy. */
+  def applyBatch(batch: DataFrame, batchId: Long, tableDir: String,
+                 keys: Seq[String], orderCol: String,
+                 retain: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    fs.mkdirs(root)
+    def versions(): Seq[Long] =
+      fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+        .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toLong).toOption)
+    val prev = versions().filter(_ < batchId).sorted.lastOption
+    val existing = prev match {
+      case Some(p) => spark.read.parquet(s"$tableDir/v$p")
+      case None    => batch.limit(0)
+    }
+    upsert(existing, batch, keys, orderCol)
+      .write.mode("overwrite").parquet(s"$tableDir/v$batchId")
+    val keep = versions().sorted.takeRight(math.max(1, retain)).toSet
+    versions().filterNot(keep).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/v$v"), true): Unit
+    }
+  }
+
+  /** The streaming S6/S7 profile: a CDC/update stream continuously
+    * merged into the versioned table via `foreachBatch` +
+    * [[applyBatch]]. Returns the started query; callers pick the
+    * trigger via the returned writer's defaults (AvailableNow drains a
+    * landing, ProcessingTime tails a feed). */
+  def streamUpsert(incoming: DataFrame, keys: Seq[String], orderCol: String,
+                   tableDir: String, checkpointDir: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger,
+                   retain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyBatch(batch.toDF(), batchId, tableDir, keys, orderCol, retain)
+      }
+      .trigger(trigger)
+      .start()
+
+  /** Current state of the versioned upsert table (max version). */
+  def readLatest(spark: org.apache.spark.sql.SparkSession,
+                 tableDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val vs = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toLong).toOption)
+    require(vs.nonEmpty, s"no upsert versions under $tableDir")
+    spark.read.parquet(s"$tableDir/v${vs.max}")
+  }
 }

@@ -267,6 +267,46 @@ object StreamHarness {
     spark.read.parquet(sinkDir)
   }
 
+  /** The S6/S7 STREAMING profile executed end-to-end: an ordered update
+    * feed derived from `orders` (500 keys × ~30 versions each, version
+    * seq = o_orderkey) lands as six sequential files, streams through
+    * `foreachBatch` + [[graft.sources.UpsertSink.applyBatch]] one file
+    * per micro-batch (maxFilesPerTrigger = 1 — six real merge rounds
+    * against the versioned table), and the FINAL table must equal the
+    * batch per-key-latest over the same feed. The landing files are
+    * written sequentially in ascending seq ranges, so arrival order
+    * respects version order per key and last-writer-wins composes to
+    * the global max-seq row — the parity claim. Returns
+    * (final streamed table, batch twin). */
+  def upsertSinkRun(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import graft.sources.UpsertSink
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val updates = o.select(
+      (col("o_orderkey") % 500).as("k"),
+      col("o_orderkey").cast("long").as("seq"),
+      concat(lit("s"), (col("o_orderkey") % 7).cast("string")).as("status"))
+    val dir = scratch("graft_stream_upsert")
+    val landing = s"$dir/landing"
+    val table = s"$dir/table"
+    val ckpt = s"$dir/ckpt"
+    val maxSeq = updates.agg(max(col("seq"))).head().getLong(0)
+    val span = maxSeq / 6 + 1
+    (0 until 6).foreach { i =>
+      updates.filter(col("seq") >= i * span && col("seq") < (i + 1) * span)
+        .coalesce(1).write.mode("append").parquet(landing)
+    }
+    val stream = spark.readStream
+      .schema("k LONG, seq LONG, status STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+    val q = UpsertSink.streamUpsert(stream, Seq("k"), "seq", table, ckpt,
+      Trigger.AvailableNow())
+    q.awaitTermination()
+    val all = spark.read.parquet(landing)
+    (UpsertSink.readLatest(spark, table),
+      UpsertSink.upsert(all.limit(0), all, Seq("k"), "seq"))
+  }
+
   private def nearDupSinkRunWith(spark: SparkSession, sfDir: String,
                                  prefix: String,
                                  sigOf: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column,
