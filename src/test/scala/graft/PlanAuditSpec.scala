@@ -74,6 +74,11 @@ class PlanAuditSpec extends AnyFunSuite {
         "GROUND TRUTH (1/50-sampled query side broadcast by " +
         "construction — q33's own exemption); the audited LSH pipeline " +
         "is the other half of the same plan (PLANS.md q126 row)"),
+    "q130_sq_topk" ->
+      ("SQ8 ADC scan: broadcasts the 1/50-sampled query batch (each row " +
+        "a dim-sized weight array + bias scalar) over the CODES scan — " +
+        "q107's linear-scan-over-compressed-index shape (PLANS.md q130 " +
+        "row); corpus-sized query sets go through q106/q131's cell join"),
     "q128_ann_recall_remedy" ->
       ("q126's remedy twin: the same pinned brute-force ground truth " +
         "(q33's exemption) joined against the IVF probe at nprobe = 4 " +
