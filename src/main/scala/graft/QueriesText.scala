@@ -3375,10 +3375,62 @@ object QueriesText {
                    CAST(rn AS INT) AS rank
             FROM r WHERE rn <= 3"""))
 
+  // --------------------------------------------------------------- q132
+  // Training-shard manifest — the terminal "cut the corpus into release
+  // shards" step: documents laid out in doc_id order, a document joins
+  // the shard where its token span starts (exclusive prefix-sum DIV
+  // budget — the distributed prefix scan, no single-task window), and
+  // the manifest reports per shard the doc/token counts, id range, and
+  // the order-free md5-60-bit multiset checksum triple a consumer
+  // verifies a downloaded shard against. The oracle replays the window
+  // sum, the integer division, and every checksum fold.
+  private val q132 = Q("q132_shard_manifest",
+    (s, dir) => graft.operators.Pack.shardManifest(
+      t(s, dir, "documents"),
+      graft.functions.TextFunctions.tokenCount(col("text")),
+      "doc_id", shardBudget = 2000L),
+    Some("""WITH tk AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                          t -> len(t) > 0)) AS BIGINT) AS n_tokens
+              FROM documents),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS off
+              FROM tk),
+            a AS (
+              SELECT doc_id, n_tokens, off // 2000 AS shard_id,
+                     CAST(concat('0x', substr(md5(concat_ws('|', doc_id, n_tokens)),
+                       1, 15)) AS BIGINT) AS h
+              FROM o)
+            SELECT shard_id, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+                   bit_xor(h) AS xor_hash,
+                   CAST(sum(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS sum_hash
+            FROM a GROUP BY shard_id"""))
+
+  // --------------------------------------------------------------- q133
+  // Streaming exact dedup EXECUTED + gated: Spark's built-in
+  // watermark-bounded `dropDuplicatesWithinWatermark` over a real file
+  // source and parquet sink (StreamHarness.exactDedupSinkRun — batch 1
+  // the dedup-free original set, batch 2 the planted copies arriving
+  // against armed state). The SINK is the registered result: the oracle
+  // replays the original-set derivation, so a single surviving copy or
+  // a single over-dropped original flips the hash.
+  private val q133 = Q("q133_stream_exact_dedup",
+    (s, dir) => graft.streaming.StreamHarness.exactDedupSinkRun(s, dir),
+    Some("""WITH o AS (
+              SELECT min(doc_id) AS doc_id, text
+              FROM documents GROUP BY text)
+            SELECT doc_id, md5(text) AS content_key FROM o"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129, q130, q131)
+    q126, q127, q128, q129, q130, q131, q132, q133)
 }

@@ -166,4 +166,54 @@ object Pack {
       .select(col(idCol), col("n_tokens"),
         floor(col("_idx") / batchSize).cast(LongType).as("batch_id"))
   }
+
+  /** Training-shard assignment at DOCUMENT granularity — the terminal
+    * "write the release shards" step of a data pipeline (WebDataset /
+    * streaming-loader layouts): documents are laid out in `orderCol`
+    * order and a document belongs to the shard where its token span
+    * STARTS (`shard_id = exclusive_token_offset DIV shardBudget`), so
+    * documents are never split across shards and every shard except
+    * possibly the last holds >= shardBudget tokens minus its final
+    * document's overhang. Deterministic and resumable for the same
+    * reason [[packByTokenBudget]] is: the assignment is a pure function
+    * of the running token total over the order column.
+    *
+    * Scale shape: one distributed prefix scan (no single-task window,
+    * no collect) + a codegen'd projection. The returned frame is the
+    * writer's input — at 100 TB, `repartition(col("shard_id"))` then
+    * write one file per shard. */
+  def shardAssign(df: DataFrame, tokenCount: Column, orderCol: String,
+                  shardBudget: Long): DataFrame = {
+    require(shardBudget > 0, s"shardBudget must be positive, got $shardBudget")
+    prefixSum(df.withColumn("n_tokens",
+        coalesce(tokenCount.cast(LongType), lit(0L))),
+        col("n_tokens"), orderCol, "_tok_off")
+      .withColumn("shard_id", expr(s"_tok_off DIV $shardBudget"))
+      .drop("_tok_off")
+  }
+
+  /** The shard MANIFEST over [[shardAssign]] — what a release publishes
+    * next to the shard files so a consumer can verify a download
+    * without re-reading the corpus: per shard the doc/token counts, the
+    * id range, and an ORDER-FREE multiset checksum of the (id,
+    * n_tokens) membership ([[Checksum]]'s md5-60-bit XOR + exact
+    * decimal SUM + COUNT triple — any SQL engine recomputes it from
+    * its own copy). One hash aggregation over the assignment; the
+    * shuffle carries one fixed-width row per shard. */
+  def shardManifest(df: DataFrame, tokenCount: Column, idCol: String,
+                    shardBudget: Long): DataFrame =
+    shardAssign(df, tokenCount, idCol, shardBudget)
+      .withColumn("_h", Checksum.rowHash(Seq(col(idCol), col("n_tokens"))))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"),
+        expr("bit_xor(_h)").as("xor_hash"),
+        // exact decimal sum rendered as a STRING, not DOUBLE: at
+        // multi-h60 magnitudes (> 2^63) the decimal->double cast can
+        // differ by 1 ulp across engines, and a checksum column must be
+        // bit-portable, not approximately portable
+        sum(col("_h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("string").as("sum_hash"))
 }

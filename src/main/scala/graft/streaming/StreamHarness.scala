@@ -166,6 +166,64 @@ object StreamHarness {
       TextDedup.minHashSignature, xxhash64(_),
       stateTtlMs = Some(10L * 60 * 1000))
 
+  /** Spark's built-in WATERMARK-BOUNDED streaming exact dedup
+    * (`dropDuplicatesWithinWatermark`) executed end-to-end — the
+    * production idiom for "drop exact re-crawls inside a bounded
+    * recency window" that complements [[StreamingNearDup]] (custom
+    * near-dup state) and `IncrementalDedup` (batch-vs-history): state
+    * is one entry per content key, evicted once the watermark passes
+    * the key's event time + delay, so a perpetual crawl feed runs with
+    * BOUNDED state at the cost of re-admitting a copy that arrives
+    * after the window — the same recency trade the TTL-armed near-dup
+    * profile documents.
+    *
+    * Determinism contract (what makes the sink oracle-able): batch 1 is
+    * the DEDUP-FREE original set (one row per distinct text, min id —
+    * "first" needs no intra-batch tie-break), batch 2 the planted
+    * copies (every 5th original, id + 10e6, landed in LATER files under
+    * `maxFilesPerTrigger`, so they arrive with the originals' keys
+    * already in state). Copy event times equal their originals'
+    * (id % 10e6), and the 2-day watermark delay exceeds the corpus
+    * event span, so no state evicts mid-run — every copy must be
+    * dropped and the sink must equal the original set exactly (q133's
+    * DuckDB oracle replays that set). */
+  def exactDedupSinkRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val originals = d.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val copies = originals.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+    val dir = scratch("graft_stream_exactdedup")
+    val landing = s"$dir/landing"
+    val sinkDir = s"$dir/sink"
+    val ckpt = s"$dir/ckpt"
+    // two sequential write jobs -> strictly increasing file mod times,
+    // so the file source's batch order is originals-then-copies (the
+    // upsertSinkRun arrival-order contract)
+    originals.coalesce(4).write.mode("append").parquet(landing)
+    copies.coalesce(2).write.mode("append").parquet(landing)
+    val deduped = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 4)
+      .parquet(landing)
+      .withColumn("event_time", timestamp_seconds(
+        lit(1700000000L) + pmod(col("doc_id"), lit(10000000L))))
+      .withColumn("content_key", md5(col("text")))
+      .withWatermark("event_time", "2 days")
+      .dropDuplicatesWithinWatermark("content_key")
+      .select(col("doc_id"), col("content_key"))
+    val query = deduped.writeStream
+      .format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", sinkDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(sinkDir)
+  }
+
   /** Per-window CMS register stream EXECUTED end-to-end with a
     * checkpoint RESTART: phase 1 streams the events table's (ts,
     * event_type) rows through [[EventWindows.frequencyRegisters]] into

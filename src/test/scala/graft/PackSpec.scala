@@ -89,4 +89,47 @@ class PackSpec extends AnyFunSuite {
     }
     assert(err.getMessage != null)
   }
+
+  test("shardAssign: doc joins the shard where its span starts, never splits") {
+    // budget 10; offsets 0,4,8,12,22 -> shards 0,0,0,1,2. Doc 3 STARTS
+    // at 8 so it belongs to shard 0 even though it overhangs the cut.
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 10L), (5L, 3L))
+      .toDF("id", "n").repartition(3)
+    val got = Pack.shardAssign(docs, col("n"), "id", shardBudget = 10L)
+      .select("id", "shard_id").as[(Long, Long)].collect.toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
+    // deterministic under repartitioning
+    val again = Pack.shardAssign(docs.repartition(7), col("n"), "id", 10L)
+      .select("id", "shard_id").as[(Long, Long)].collect.toMap
+    assert(again == got)
+  }
+
+  test("shardManifest: counts, ranges, and the order-free checksum triple") {
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 10L), (5L, 3L))
+      .toDF("id", "n")
+    val m = Pack.shardManifest(docs, col("n"), "id", shardBudget = 10L)
+      .orderBy("shard_id")
+      .select("shard_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+      .as[(Long, Long, Long, Long, Long)].collect.toSeq
+    assert(m == Seq((0L, 3L, 12L, 1L, 3L), (1L, 1L, 10L, 4L, 4L),
+      (2L, 1L, 3L, 5L, 5L)))
+    // the checksum is a pure function of the (id, n_tokens) MULTISET:
+    // identical membership under a different input layout -> identical
+    // xor and sum; one changed token count -> both move
+    val a = Pack.shardManifest(docs.repartition(5), col("n"), "id", 10L)
+      .select("shard_id", "xor_hash", "sum_hash")
+      .as[(Long, Long, String)].collect.toSet
+    val b = Pack.shardManifest(docs, col("n"), "id", 10L)
+      .select("shard_id", "xor_hash", "sum_hash")
+      .as[(Long, Long, String)].collect.toSet
+    assert(a == b)
+    val tampered = Seq((1L, 4L), (2L, 5L), (3L, 3L), (4L, 10L), (5L, 3L))
+      .toDF("id", "n") // shard-0 token TOTAL unchanged (4+5+3 = 12)
+    val c = Pack.shardManifest(tampered, col("n"), "id", 10L)
+      .filter(col("shard_id") === 0)
+      .select("xor_hash", "sum_hash").as[(Long, String)].head()
+    val c0 = b.find(_._1 == 0L).get
+    assert(c._1 != c0._2 || c._2 != c0._3,
+      "membership checksum must catch a token-count swap that preserves the total")
+  }
 }

@@ -184,6 +184,25 @@ class StreamingSoakSpec extends AnyFunSuite {
       s"TTL-armed stream diverged from batch twin: ${streamed.size} vs ${batch.size} pairs")
   }
 
+  test("exactDedupSinkRun: copies in a later batch are dropped, originals kept") {
+    // The q133 harness end-to-end at sf0.001: sink must equal the
+    // dedup-free original set (one row per distinct text, min doc_id) —
+    // every planted copy (id >= 10e6, arriving in the later landing
+    // files against armed dropDuplicatesWithinWatermark state) dropped,
+    // no original over-dropped.
+    import graft.streaming.StreamHarness
+    val sfDir = "/root/testdata/sf0.001"
+    val sink = StreamHarness.exactDedupSinkRun(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val want = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(sink == want,
+      s"sink kept ${sink.count(_ >= 10000000L)} copies and " +
+        s"${(want -- sink).size} originals are missing")
+    assert(sink.nonEmpty && sink.forall(_ < 10000000L))
+  }
+
   test("approxDistinctRegisters state is bounded by open windows, not seen windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
