@@ -3427,10 +3427,170 @@ object QueriesText {
               FROM documents GROUP BY text)
             SELECT doc_id, md5(text) AS content_key FROM o"""))
 
+  // --------------------------------------------------------------- q134
+  // C4-style blocklist screen: the term set is parameter-sized config
+  // riding as ONE array literal inside codegen'd HOFs — map-only, zero
+  // joins/shuffles at any corpus size. Word-granularity (a listed
+  // "scan" does not hit "scanner"), distinct-hit audit column +
+  // occurrence count + a >= 4 threshold policy (softer than C4's
+  // any-hit drop, so the flag varies on this corpus). "zzz_banned"
+  // exercises the no-hit path.
+  private val BlockTerms = Seq("slow", "vector", "big", "zzz_banned")
+  private val q134 = Q("q134_blocklist_filter",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val n = TF.blocklistOccurrences(col("text"), BlockTerms)
+      d.select(col("doc_id"),
+        array_join(TF.blocklistHits(col("text"), BlockTerms), ",").as("hit_terms"),
+        n.as("n_hits"),
+        (n >= 4).as("blocked"))
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents)
+            SELECT doc_id,
+                   coalesce(array_to_string(list_sort(list_intersect(list_distinct(tk),
+                     ['slow', 'vector', 'big', 'zzz_banned'])), ','), '') AS hit_terms,
+                   CAST(len(list_filter(tk, t -> list_contains(
+                     ['slow', 'vector', 'big', 'zzz_banned'], t))) AS BIGINT) AS n_hits,
+                   len(list_filter(tk, t -> list_contains(
+                     ['slow', 'vector', 'big', 'zzz_banned'], t))) >= 4 AS blocked
+            FROM tk"""))
+
+  // --------------------------------------------------------------- q135
+  // Exact distributed AUC of the DSIR quality score predicting
+  // lang = 'en' — the calibration report a pipeline runs BEFORE letting
+  // a learned score gate 100 TB (a score with AUC ~0.5 is noise; this
+  // self-fit one separates at ~0.94). Mann-Whitney with average ranks
+  // for ties; ranks come from one score-keyed hash agg + the
+  // distributed prefix scan — no global sort window, no collect. The
+  // oracle replays the model fit, the scoring, AND the rank fold.
+  private val q135 = Q("q135_classifier_auc",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val m = graft.operators.Dsir.fitLiteralModel(d, "text",
+        col("lang") === "en", nBuckets = 4096)
+      val scored = d
+        .select(col("lang"), graft.operators.Dsir.scoreExpr(col("text"), m).as("s"))
+        .select(col("lang"), col("s.n_bigrams").as("nb"),
+          col("s.avg_logratio").as("score"))
+        .filter(col("nb") > 0)
+      graft.operators.Eval.auc(scored, col("score"), col("lang") === "en")
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id, lang = 'en' AS tgt,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            bg AS (
+              SELECT doc_id, tgt, unnest(CASE WHEN len(tk) >= 2 THEN
+                       list_transform(range(1, len(tk)),
+                                      i -> tk[i] || ' ' || tk[i + 1])
+                     ELSE [] END) AS gram
+              FROM tk),
+            hb AS (
+              SELECT doc_id, tgt,
+                     ('0x' || substr(md5(gram), 1, 4))::BIGINT % 4096 AS b
+              FROM bg),
+            c AS (
+              SELECT b,
+                     CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                     CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+              FROM hb GROUP BY b),
+            n AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                         CAST(sum(cr) AS BIGINT) AS nr FROM c),
+            sc AS (
+              SELECT hb.doc_id, bool_or(hb.tgt) AS y,
+                     round(CAST(sum(CAST(round(
+                         ln(CAST(c.ct + 1 AS DOUBLE) / (n.nt + 4096))
+                       - ln(CAST(c.cr + 1 AS DOUBLE) / (n.nr + 4096)), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS s
+              FROM hb JOIN c USING (b) CROSS JOIN n
+              GROUP BY hb.doc_id),
+            g AS (
+              SELECT s, CAST(count(*) AS BIGINT) AS nn,
+                     CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np
+              FROM sc GROUP BY s),
+            w AS (
+              SELECT *, CAST(coalesce(sum(nn) OVER (ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS below
+              FROM g)
+            SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                   CAST(sum(nn - np) AS BIGINT) AS n_neg,
+                   round_even((CAST(sum(np * (2 * below + nn + 1)) AS DOUBLE)
+                     - CAST(sum(np) AS DOUBLE) * (sum(np) + 1))
+                     / (CAST(sum(np) AS DOUBLE) * CAST(sum(nn - np) AS DOUBLE)
+                        * 2.0), 6) AS auc
+            FROM w"""))
+
+  // --------------------------------------------------------------- q136
+  // Semantic decontamination screen: every (benchmark, corpus) pair
+  // with cosine >= 0.98 via the IVF cell join — the embedding-space
+  // complement of q55's n-gram overlap check, catching paraphrased
+  // leakage. The benchmark here is a 1/37 corpus sample with shifted
+  // ids, so every benchmark item is planted contamination by
+  // construction and the screen must find exactly the self-match set
+  // at cosine 1.0. The oracle replays cell ranking, probe cells, and
+  // every cosine.
+  private val q136 = Q("q136_semantic_screen",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = e.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val bench = e.filter(col("vec_id") % 37 === 0)
+        .select((col("vec_id") + 30000000L).as("vec_id"), col("embedding"))
+      graft.operators.Similarity.semanticScreen(bench, e, "vec_id",
+        "embedding", cb, threshold = 0.98, nprobe = 2)
+    },
+    Some("""WITH cb AS (
+              SELECT vec_id + 1 AS ci,
+                     CASE WHEN n = 0 THEN vd ELSE list_transform(vd, x -> x / n) END AS cv
+              FROM (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+                           sqrt(list_sum(list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+                    FROM embeddings WHERE vec_id < 16)),
+            ev AS (SELECT vec_id, embedding,
+                          list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv
+                   FROM embeddings),
+            dots AS (
+              SELECT ev.vec_id, cb.ci,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(ev.embedding[i] AS DOUBLE) * cb.cv[i])) *
+                     (CASE WHEN ev.nv = 0 THEN 0.0 ELSE 1.0 / sqrt(ev.nv) END) AS dp
+              FROM ev CROSS JOIN cb),
+            ranked AS (
+              SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dp DESC, ci) AS rn
+              FROM dots),
+            ccell AS (SELECT vec_id AS corpus_id, ci AS cell FROM ranked WHERE rn = 1),
+            qcell AS (SELECT vec_id + 30000000 AS bench_id, vec_id AS qv_id, ci AS cell
+                      FROM ranked WHERE vec_id % 37 = 0 AND rn <= 2),
+            pairs AS (
+              SELECT q.bench_id, c.corpus_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))) /
+                     (sqrt(list_sum(list_transform(qe.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                      sqrt(list_sum(list_transform(ce.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+              FROM qcell q
+              JOIN ccell c USING (cell)
+              JOIN embeddings qe ON qe.vec_id = q.qv_id
+              JOIN embeddings ce ON ce.vec_id = c.corpus_id)
+            SELECT bench_id, corpus_id, round_even(cos, 6) AS cosine
+            FROM pairs WHERE cos >= 0.98"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129, q130, q131, q132, q133)
+    q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
 }

@@ -191,7 +191,9 @@ object ScaleStress {
       // SQ8 (fit pass + map-only encode + broadcast-query codes scan)
       "q129_lsh_multiprobe", "q130_sq_topk",
       // IVF-PQ: map-only index build + cell-join probe
-      "q131_ivfpq_topk")
+      "q131_ivfpq_topk",
+      // shard manifest: one prefix scan + one shard-granularity agg
+      "q132_shard_manifest")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",
@@ -328,7 +330,9 @@ object ScaleStress {
         ("stream_neardup", dir =>
           StreamHarness.nearDupSinkRun(spark, dir).count()),
         ("stream_dsir_score", dir =>
-          StreamHarness.dsirScoreSinkRun(spark, dir).count()))
+          StreamHarness.dsirScoreSinkRun(spark, dir).count()),
+        ("stream_exactdedup", dir =>
+          StreamHarness.exactDedupSinkRun(spark, dir).count()))
       streamJson = sinks.map { case (name, run) =>
         val (tb, rb) = time1(s"$name @base") { run(baseDir) }
         val (ts, rs) = time1(s"$name @${factor}x") { run(outDir) }

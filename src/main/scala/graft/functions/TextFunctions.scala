@@ -195,4 +195,27 @@ object TextFunctions {
       }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
+
+  /** Blocklist screen at WORD granularity — the C4-style "bad words"
+    * filter stage (Raffel et al. 2020 drop any page containing a listed
+    * word; word-level so a listed "scan" does not hit "scanner"). The
+    * pattern set is parameter-sized CONFIG (real blocklists are a few
+    * thousand terms), so it rides as ONE array literal inside
+    * codegen'd higher-order functions: the screen is a map-only
+    * projection with zero joins and zero shuffles at any corpus size.
+    *
+    * [[blocklistHits]] returns the sorted DISTINCT listed words present
+    * (the audit column a filtering report groups by);
+    * [[blocklistOccurrences]] counts total occurrences (the policy
+    * input for threshold rules softer than C4's any-hit drop). Terms
+    * are matched lowercase against [[tokens]]. */
+  def blocklistHits(c: Column, terms: Seq[String]): Column =
+    array_sort(array_intersect(array_distinct(tokens(c)),
+      typedLit(terms.map(_.toLowerCase).distinct)))
+
+  /** Total listed-word occurrences in `c` — see [[blocklistHits]]. */
+  def blocklistOccurrences(c: Column, terms: Seq[String]): Column = {
+    val pats = typedLit(terms.map(_.toLowerCase).distinct)
+    size(filter(tokens(c), t => array_contains(pats, t))).cast(LongType)
+  }
 }

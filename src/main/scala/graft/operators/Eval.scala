@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Model-quality evaluation at corpus scale — the report a pipeline
+  * runs before trusting a learned quality score (the NB classifier,
+  * the DSIR log-ratio) to gate 100 TB of data.
+  *
+  * Exact AUC is the Mann-Whitney rank statistic:
+  *
+  *   AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg)
+  *
+  * with R_pos the sum of positive rows' ranks under the score order and
+  * TIES taking the average rank of their run. The textbook formulation
+  * (`rank() OVER (ORDER BY score)`) is the single-task global window
+  * this codebase bans; here ranks come from the same distributed
+  * machinery as [[Pack.globalIndex]]:
+  *
+  *  1. one hash aggregation collapses rows to (score, n, n_pos) — ties
+  *     merge here, so the scan is score-cardinality-sized;
+  *  2. the distributed prefix scan ([[Pack.prefixSum]], range Exchange +
+  *     config-bounded carry) gives each score group its exclusive
+  *     count-below — average rank = below + (n+1)/2, exactly;
+  *  3. one global aggregate folds the rank sums; kept in ×2 integer
+  *     arithmetic (DECIMAL) until the final division so no fractional
+  *     rank ever touches a double.
+  *
+  * No sort of the full data, no collect, no window over a data-sized
+  * frame — AUC on 100 TB costs one agg + one prefix scan + one 1-row
+  * fold.
+  */
+object Eval {
+
+  /** One-row frame (n_pos, n_neg, auc round-6) for `score` predicting
+    * `label`. Rows where `score` is null are the caller's problem —
+    * filter them first (a null score has no rank); `label` must be a
+    * boolean column. The double division at the end is exact-inputs /
+    * exact-inputs (both fit a double far beyond any realistic corpus
+    * before the 2^53 integer ceiling — ~9e15 rank-sum units). */
+  def auc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val grouped = df
+      .select(score.as("_s"), when(label, 1L).otherwise(0L).as("_y"))
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"))
+    val ranked = Pack.prefixSum(grouped, col("_n"), "_s", "_below")
+    // sum over positive rows of 2*avg_rank = np * (2*below + n + 1)
+    ranked.agg(
+        sum(col("_np")).as("_npos"),
+        sum(col("_n") - col("_np")).as("_nneg"),
+        sum((col("_np") * (col("_below") * 2 + col("_n") + 1))
+          .cast(DecimalType(38, 0))).as("_r2"))
+      .select(col("_npos").as("n_pos"), col("_nneg").as("n_neg"),
+        bround(
+          (col("_r2").cast("double") -
+            col("_npos").cast("double") * (col("_npos") + 1).cast("double"))
+            / (col("_npos").cast("double") * col("_nneg").cast("double") * 2.0),
+          6).as("auc"))
+  }
+}

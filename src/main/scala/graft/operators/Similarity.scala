@@ -225,6 +225,42 @@ object Similarity {
         col("_rn").cast("int").as("rank"))
   }
 
+  /** SEMANTIC decontamination screen — the embedding-space complement
+    * of the n-gram overlap check (`Decontaminate.overlapPairs`): flag
+    * every (benchmark item, corpus document) pair whose cosine clears
+    * `threshold`, so paraphrased or lightly-edited eval leakage that
+    * shares no 8-gram still surfaces. Modern release pipelines run BOTH
+    * screens; this one reuses the IVF machinery: corpus rows take their
+    * nearest-centroid cell in one codegen'd projection (no join, no
+    * shuffle to build the partition), the benchmark probes its `nprobe`
+    * closest cells, and cosine runs only on same-cell pairs — a
+    * threshold SCAN of the cell join rather than a top-k rank (a
+    * contamination report wants every hit, not the k best).
+    *
+    * At 100 TB the shape is q44/q98's: the benchmark side is
+    * eval-suite-sized (broadcast hint — thousands of rows, not
+    * corpus-sized), the corpus never shuffles before the cell join, and
+    * recall tunes with nprobe exactly like the ANN path (the q126/q128
+    * audit applies verbatim — run it over the screen's index before
+    * trusting a clean verdict). Returns (bench_id, corpus_id, cosine
+    * round-6); each pair appears at most once because a corpus row
+    * holds ONE cell. */
+  def semanticScreen(bench: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, centroids: Array[Array[Double]],
+                     threshold: Double, nprobe: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"),
+      element_at(graft.plans.SketchExpressions.nearestCentroids(
+        col(vecCol), centroids, 1), 1).as("_cell"))
+    val q = bench.select(col(idCol).as("bench_id"), col(vecCol).as("_qv"),
+      explode(graft.plans.SketchExpressions.nearestCentroids(
+        col(vecCol), centroids, nprobe)).as("_cell"))
+    c.join(q.hint("broadcast"), Seq("_cell"))
+      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+      .filter(col("cosine") >= threshold)
+      .select(col("bench_id"), col("corpus_id"),
+        bround(col("cosine"), 6).as("cosine"))
+  }
+
   /** Lloyd's k-means on a deterministic sample, spherical (unit-norm)
     * variant: centroids re-normalized each round so dot == cosine. */
   private def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,

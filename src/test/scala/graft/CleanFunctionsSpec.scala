@@ -34,6 +34,19 @@ class CleanFunctionsSpec extends AnyFunSuite {
     assert(one(TFn.stripHtml(lit("  just   text "))) == "just text")
   }
 
+  test("blocklist screen: word granularity, distinct sorted hits, occurrence count") {
+    import graft.functions.{TextFunctions => TFn}
+    val terms = Seq("Bad", "worse", "zzz")
+    // word-level: "badge" must NOT hit "bad"; case-insensitive via tokens
+    assert(one(TFn.blocklistHits(lit("badge BAD worse bad ok"), terms))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("bad", "worse"))
+    assert(one(TFn.blocklistOccurrences(lit("badge BAD worse bad ok"), terms)) == 3L)
+    // no hits -> empty array / zero
+    assert(one(TFn.blocklistHits(lit("clean text only"), terms))
+      .asInstanceOf[scala.collection.Seq[String]].isEmpty)
+    assert(one(TFn.blocklistOccurrences(lit("clean text only"), terms)) == 0L)
+  }
+
   test("F4 capitalizeFirst differs from initcap on multi-word strings") {
     assert(one(CF.capitalizeFirst(lit("gold STAR"))) == "Gold star")
     assert(one(initcap(lit("gold STAR"))) == "Gold Star")

@@ -381,6 +381,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(2L))
   }
 
+  test("auc: hand-computed Mann-Whitney with ties, distributed == formula") {
+    import graft.operators.Eval
+    // scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3, 0.1} — one tied pair
+    // at 0.7. Ranks (avg for ties): 0.1->1, 0.3->2, 0.5->3, 0.7->4.5
+    // (x2), 0.9->6. R_pos = 6 + 4.5 + 3 = 13.5;
+    // AUC = (13.5 - 3*4/2) / (3*3) = 7.5/9 = 0.833333
+    val df = Seq((0.9, true), (0.7, true), (0.5, true),
+      (0.7, false), (0.3, false), (0.1, false))
+      .toDF("s", "y").repartition(4)
+    val r = Eval.auc(df, col("s"), col("y"))
+      .as[(Long, Long, Double)].head()
+    assert(r == ((3L, 3L, 0.833333)))
+    // perfect separation -> 1.0; reversed -> 0.0
+    val sep = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("s", "y")
+    assert(Eval.auc(sep, col("s"), col("y"))
+      .as[(Long, Long, Double)].head() == ((2L, 2L, 1.0)))
+    assert(Eval.auc(sep, col("s"), !col("y"))
+      .as[(Long, Long, Double)].head() == ((2L, 2L, 0.0)))
+    // all-tied scores -> 0.5 exactly (pure average-rank case)
+    val flat = Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))
+      .toDF("s", "y")
+    assert(Eval.auc(flat, col("s"), col("y"))
+      .as[(Long, Long, Double)].head() == ((2L, 2L, 0.5)))
+  }
+
+  test("semanticScreen flags planted contamination, threshold excludes the rest") {
+    import graft.operators.Similarity
+    // 4-dim corpus: two tight direction clusters + one orthogonal row
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.999, 0.04, 0.0, 0.0)),   // near-dup of 1 (cos ~0.9992)
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 1.0, 0.0))
+    ).toDF("id", "v")
+    // bench: an exact copy of 1 and an exact copy of 3 (shifted ids)
+    val bench = Seq(
+      (101L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (103L, Seq(0.0, 1.0, 0.0, 0.0))
+    ).toDF("id", "v")
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0))
+    val hits = Similarity.semanticScreen(bench, corpus, "id", "v", cents,
+        threshold = 0.99, nprobe = 1)
+      .select("bench_id", "corpus_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    // 101 hits its exact copy 1 AND the near-dup 2; 103 hits 3 only;
+    // the orthogonal row and cross-cluster pairs never clear 0.99
+    assert(hits == Set((101L, 1L, 1.0), (101L, 2L, 0.999199), (103L, 3L, 1.0)))
+    // tightening the threshold drops the near-dup, keeps exact copies
+    val strict = Similarity.semanticScreen(bench, corpus, "id", "v", cents,
+        threshold = 0.9999, nprobe = 1)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(strict == Set(1L, 3L))
+  }
+
   test("capPerGroup keeps exactly n per group by md5 order of the id") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "a"), (6L, "b"))
       .toDF("id", "src")
