@@ -81,25 +81,10 @@ object UpsertSink {
                  keys: Seq[String], orderCol: String,
                  retain: Int = 2): Unit = {
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
-    val root = new org.apache.hadoop.fs.Path(tableDir)
-    fs.mkdirs(root)
-    def versions(): Seq[Long] =
-      fs.listStatus(root).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
-        .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toLong).toOption)
-    val prev = versions().filter(_ < batchId).sorted.lastOption
-    val existing = prev match {
-      case Some(p) => spark.read.parquet(s"$tableDir/v$p")
-      case None    => batch.limit(0)
-    }
-    upsert(existing, batch, keys, orderCol)
-      .write.mode("overwrite").parquet(s"$tableDir/v$batchId")
-    val keep = versions().sorted.takeRight(math.max(1, retain)).toSet
-    versions().filterNot(keep).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/v$v"), true): Unit
-    }
+    val existing = VersionedTable.latestBefore(spark, tableDir, batchId)
+      .getOrElse(batch.limit(0))
+    VersionedTable.write(upsert(existing, batch, keys, orderCol),
+      tableDir, batchId, retain)
   }
 
   /** The streaming S6/S7 profile: a CDC/update stream continuously
@@ -121,13 +106,6 @@ object UpsertSink {
 
   /** Current state of the versioned upsert table (max version). */
   def readLatest(spark: org.apache.spark.sql.SparkSession,
-                 tableDir: String): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
-    val vs = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
-      .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toLong).toOption)
-    require(vs.nonEmpty, s"no upsert versions under $tableDir")
-    spark.read.parquet(s"$tableDir/v${vs.max}")
-  }
+                 tableDir: String): DataFrame =
+    VersionedTable.readLatest(spark, tableDir)
 }
