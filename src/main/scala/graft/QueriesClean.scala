@@ -443,5 +443,73 @@ object QueriesClean {
             SELECT _ingest_id, transactionid, ticketprice FROM flagged
             WHERE transactionid IS NOT NULL AND length(trim(transactionid)) > 0 AND NOT isdup"""))
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q41)
+  // ---------------------------------------------------------------- q137/q138
+  // JSONL ingest, oracle-gated end-to-end (the round-10 source's only
+  // gap): render `documents` to a real JSONL landing with four planted
+  // corruption classes on disjoint doc_id residues — truncated JSON
+  // (%23), blank line (%29), required key ABSENT (%31), required key
+  // explicitly null (%37) — then read it back through
+  // JsonlSource.readSplit and return each partition. Corrupt lines are
+  // built by plain concat (no escaping) so the DuckDB oracle replays
+  // them byte-for-byte; clean lines go through to_json and the oracle
+  // checks the round-trip recovers the TABLE values exactly. _ingest_id
+  // is deliberately not selected: monotonic ids depend on file/split
+  // layout (spec-covered in JsonlSourceSpec), while the parse/split
+  // semantics are what the oracle gates.
+  private val jsonlSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  private def jsonlLanding(s: SparkSession, dir: String, prefix: String): String = {
+    val path = graft.streaming.StreamHarness.scratch(prefix)
+    val d = t(s, dir, "documents")
+    val k = col("doc_id")
+    val id = k.cast(StringType)
+    val line = when(k % 23 === 0,
+        concat(lit("{\"doc_id\":"), id, lit(",\"lang\":\""), col("lang"),
+          lit("\",\"text\":")))
+      .when(k % 29 === 0, lit(""))
+      .when(k % 31 === 0,
+        concat(lit("{\"doc_id\":"), id, lit(",\"lang\":\""), col("lang"),
+          lit("\"}")))
+      .when(k % 37 === 0,
+        concat(lit("{\"doc_id\":"), id, lit(",\"lang\":\""), col("lang"),
+          lit("\",\"text\":null}")))
+      .otherwise(to_json(struct(col("doc_id"), col("lang"), col("text"))))
+    d.select(line.as("value")).write.mode("overwrite").text(path)
+    path
+  }
+
+  private val q137 = Q("q137_jsonl_clean",
+    (s, dir) => {
+      val path = jsonlLanding(s, dir, "jsonl_q137")
+      val (clean, _) = graft.sources.JsonlSource.readSplit(s, path,
+        jsonlSchema, required = Seq("text"))
+      clean.select(col("doc_id"), col("lang"), col("text"))
+    },
+    Some("""SELECT doc_id, lang, text FROM documents
+            WHERE NOT (doc_id % 23 = 0 OR doc_id % 29 = 0
+                       OR doc_id % 31 = 0 OR doc_id % 37 = 0)"""))
+
+  private val q138 = Q("q138_jsonl_quarantine",
+    (s, dir) => {
+      val path = jsonlLanding(s, dir, "jsonl_q138")
+      val (_, quarantine) = graft.sources.JsonlSource.readSplit(s, path,
+        jsonlSchema, required = Seq("text"))
+      quarantine.select(col("raw_line"), col("reason"))
+    },
+    Some("""SELECT CASE
+              WHEN doc_id % 23 = 0 THEN '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang || '","text":'
+              WHEN doc_id % 29 = 0 THEN ''
+              WHEN doc_id % 31 = 0 THEN '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang || '"}'
+              ELSE '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang || '","text":null}' END AS raw_line,
+            CASE WHEN doc_id % 23 = 0 THEN 'invalid_json'
+                 WHEN doc_id % 29 = 0 THEN 'blank_line'
+                 WHEN doc_id % 31 = 0 THEN 'missing_required_field'
+                 ELSE 'null_required_field' END AS reason
+            FROM documents
+            WHERE doc_id % 23 = 0 OR doc_id % 29 = 0 OR doc_id % 31 = 0
+               OR doc_id % 37 = 0"""))
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q41, q137, q138)
 }

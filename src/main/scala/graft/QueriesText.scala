@@ -167,7 +167,9 @@ object QueriesText {
   // xxhash64 rolling form stays the production scale path and the spec
   // asserts both induce the SAME duplicate grouping.
   private val q28 = Q("q28_fingerprint",
-    (s, dir) => docsWithDups(s, dir)
+    // Spread: the md5-chain fold is an interpreted HOF per token — on a
+    // single-split scan it serializes on one core (PlanAuditSpec rule 4)
+    (s, dir) => Spread.toCores(docsWithDups(s, dir))
       .select(col("doc_id"), TF.md5Fingerprint(col("text")).as("fp"))
       .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc_id"))
@@ -858,7 +860,9 @@ object QueriesText {
   // emitted, plus the conjunction verdict (thresholds sit inside this
   // corpus's observed spread so both outcomes occur).
   private val q64 = Q("q64_gopher_rules",
-    (s, dir) => t(s, dir, "documents")
+    // Spread: meanTokenLen's per-token fold is an interpreted HOF —
+    // single-split scans serialize it (PlanAuditSpec rule 4)
+    (s, dir) => Spread.toCores(t(s, dir, "documents"))
       .select(col("doc_id"),
         TF.tokenCount(col("text")).as("n_words"),
         round(TF.meanTokenLen(col("text")), 6).as("mean_word_len"),
@@ -3473,11 +3477,21 @@ object QueriesText {
         .select(col("doc_id"), col("lang"), col("text"))
       val m = graft.operators.Dsir.fitLiteralModel(d, "text",
         col("lang") === "en", nBuckets = 4096)
-      val scored = d
-        .select(col("lang"), graft.operators.Dsir.scoreExpr(col("text"), m).as("s"))
-        .select(col("lang"), col("s.n_bigrams").as("nb"),
-          col("s.avg_logratio").as("score"))
-        .filter(col("nb") > 0)
+      // Spread before the scoring projection: the sf0.1 documents scan
+      // is ONE input split, and without the repartition the per-doc
+      // scorer serializes on a single core (the same 1-file trap as
+      // streaming landings — PlanAuditSpec's input-parallelism rule now
+      // guards it). Pin the narrow scored frame so the scorer runs
+      // exactly once: Eval.auc's prefix scan (range-partitioner
+      // sampling + the collapsed key/filter projections) would
+      // otherwise re-evaluate the scoring expression up to three times.
+      val scored = graft.operators.Pin.data(
+        graft.operators.Spread.toCores(d)
+          .select(col("lang"),
+            graft.operators.Dsir.scoreExpr(col("text"), m).as("s"))
+          .select(col("lang"), col("s.n_bigrams").as("nb"),
+            col("s.avg_logratio").as("score"))
+          .filter(col("nb") > 0))
       graft.operators.Eval.auc(scored, col("score"), col("lang") === "en")
     },
     Some("""WITH tk AS (

@@ -193,7 +193,11 @@ object ScaleStress {
       // IVF-PQ: map-only index build + cell-join probe
       "q131_ivfpq_topk",
       // shard manifest: one prefix scan + one shard-granularity agg
-      "q132_shard_manifest")
+      "q132_shard_manifest",
+      // round-11: exact AUC (model fit + fused scoring pass + a
+      // score-cardinality agg + one prefix scan — expect ~linear in the
+      // two corpus passes; was the only round-10 query without a row)
+      "q135_classifier_auc")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",

@@ -195,32 +195,40 @@ object Dsir {
     LiteralModel(ct, cr, ct.values.sum, cr.values.sum, nBuckets)
   }
 
-  /** STATELESS scoring expression against a [[LiteralModel]]: the model
-    * rides as ONE per-bucket log-ratio array literal, so the score is
-    * one map-only projection
-    * — usable unchanged on a STREAMING frame (no join, no stateful
-    * aggregation; the per-doc sum runs inside the `aggregate` HOF with
-    * the same round-12/DECIMAL(38,12) contract as the batch path, so
-    * batch and stream scores are bit-identical — spec-asserted).
-    * Returns a struct (n_bigrams, avg_logratio). */
-  def scoreExpr(text: Column, m: LiteralModel): Column = {
-    // The per-bucket log-ratio is a pure function of the FITTED model,
-    // so it collapses to ONE array<double> literal at plan-build time —
-    // element_at on an array literal is O(1) per lookup, where the
-    // earlier two-literal-MAP formulation paid GetMapValue's O(nBuckets)
-    // linear scan PER FEATURE OCCURRENCE (measured on the sf0.1 scoring
-    // exhibit: 13.1 s → 1.1 s). Rounding replicates the expression
-    // arithmetic exactly — Scala BigDecimal(double) round-12 HALF_UP is
-    // what Spark's round(double, 12) computes — and the bit-parity spec
-    // (DsirSpec) holds the precomputation to the batch path's bits.
-    val lrTable: Seq[Double] = (0 until m.nBuckets).map { b =>
+  /** The model collapsed to its per-bucket round-12 log-ratio table —
+    * a pure function of the FITTED model, so it embeds as one
+    * array<double> literal (or a native expression's constant).
+    * Rounding replicates the expression arithmetic exactly — Scala
+    * BigDecimal(double) round-12 HALF_UP is what Spark's
+    * round(double, 12) computes — and the bit-parity spec (DsirSpec)
+    * holds the precomputation to the batch path's bits. */
+  private[graft] def lrTable(m: LiteralModel): Array[Double] =
+    (0 until m.nBuckets).map { b =>
       val v = math.log((m.ct.getOrElse(b.toLong, 0L) + 1L).toDouble /
                 (m.nt + m.nBuckets)) -
               math.log((m.cr.getOrElse(b.toLong, 0L) + 1L).toDouble /
                 (m.nr + m.nBuckets))
       BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
-    val lrLit = typedLit(lrTable)
+    }.toArray
+
+  /** STATELESS scoring expression against a [[LiteralModel]]: the model
+    * rides as ONE per-bucket log-ratio table inside a fused native
+    * expression ([[graft.plans.DsirScoreNative]]), so the score is one
+    * map-only projection — usable unchanged on a STREAMING frame (no
+    * join, no stateful aggregation), bit-identical to the batch path
+    * AND to the interpreted-HOF formulation it replaced
+    * (DsirSpec + DsirNativeParitySpec). Returns a struct
+    * (n_bigrams, avg_logratio). */
+  def scoreExpr(text: Column, m: LiteralModel): Column =
+    graft.plans.DsirExpressions.dsirScore(text, lrTable(m), m.nBuckets)
+
+  /** The pre-fusion higher-order-function formulation, kept as the
+    * parity oracle for [[scoreExpr]]: per-occurrence
+    * element_at-on-array-literal lookup + DECIMAL(38,12) `aggregate`
+    * fold. Semantically identical; ~10-30× slower (interpreted lambda
+    * walk + a BigDecimal box per expression step). */
+  private[graft] def scoreExprHof(text: Column, m: LiteralModel): Column = {
+    val lrLit = typedLit(lrTable(m).toSeq)
     val lr = (g: Column) =>
       element_at(lrLit, (bucketOf(g, m.nBuckets) + lit(1L)).cast("int"))
         .cast(DecimalType(38, 12))

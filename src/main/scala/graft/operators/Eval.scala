@@ -45,12 +45,17 @@ object Eval {
       .groupBy(col("_s"))
       .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"))
     val ranked = Pack.prefixSum(grouped, col("_n"), "_s", "_below")
-    // sum over positive rows of 2*avg_rank = np * (2*below + n + 1)
+    // sum over positive rows of 2*avg_rank = np * (2*below + n + 1).
+    // The product is taken in DECIMAL, not Long: np×(2·below+n+1) can
+    // exceed 2^63 around ~1e10 rows (below ≈ N), and with ANSI off a
+    // Long product would wrap SILENTLY into a wrong AUC. Casting the
+    // factors first keeps the whole fold exact out to decimal(38).
     ranked.agg(
         sum(col("_np")).as("_npos"),
         sum(col("_n") - col("_np")).as("_nneg"),
-        sum((col("_np") * (col("_below") * 2 + col("_n") + 1))
-          .cast(DecimalType(38, 0))).as("_r2"))
+        sum(col("_np").cast(DecimalType(38, 0)) *
+            (col("_below").cast(DecimalType(38, 0)) * 2 +
+              col("_n").cast(DecimalType(38, 0)) + 1)).as("_r2"))
       .select(col("_npos").as("n_pos"), col("_nneg").as("n_neg"),
         bround(
           (col("_r2").cast("double") -

@@ -33,12 +33,15 @@ object Layout {
     require(bits >= 1 && bits * k <= 62, s"bits*cols must be in [2,62], got ${bits * k}")
     cols.zipWithIndex.map { case (c, j) =>
       val x = c.cast(LongType).bitwiseAND((1L << bits) - 1L)
-      // spread x's bit i to output bit i*k + j; dynamic shift distances
-      // need the SQL shiftleft (the Scala helper only takes Int literals)
-      aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-        (acc, i) => acc + call_function("shiftleft",
-          call_function("shiftright", x, i).bitwiseAND(lit(1L)),
-          i * lit(k) + lit(j)))
+      // spread x's bit i to output bit i*k + j. `bits` is a plan-time
+      // constant, so the loop UNROLLS into a flat sum of shift/mask
+      // terms — pure codegen'd arithmetic, where the earlier
+      // `aggregate(sequence(...))` formulation paid an interpreted
+      // lambda walk per row per bit (and tripped PlanAuditSpec rule 4
+      // when fed straight from a scan)
+      (0 until bits).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), i * k + j)
+      }.reduce(_ + _)
     }.reduce(_ + _)
   }
 

@@ -36,8 +36,14 @@ object JsonlSource {
     * documented way: a corrupt-record column in the parse schema, which
     * PERMISSIVE fills with the raw text exactly when parsing failed.
     * A JSON value that is not an object (bare scalar/array) also lands
-    * there. `required` fields catch the remaining hole: a
-    * syntactically valid object missing load-bearing keys. */
+    * there. `required` fields catch the remaining hole, with the two
+    * failure shapes kept DISTINGUISHABLE for repair tooling: a key that
+    * is ABSENT from the object quarantines as `missing_required_field`
+    * (checked against `json_object_keys` on the raw line), while a key
+    * that is present but explicitly `null` (`{"text": null}`) — a
+    * different upstream bug — quarantines as `null_required_field`.
+    * Both are quarantined either way: a load-bearing field must be
+    * non-null for the clean partition's contract to mean anything. */
   private def parseProjection(raw: DataFrame, schema: StructType,
                               required: Seq[String]): DataFrame = {
     require(!schema.fieldNames.contains(CorruptRec),
@@ -47,14 +53,24 @@ object JsonlSource {
         org.apache.spark.sql.types.StringType))
     val parsed = raw.withColumn("_j", from_json(col("value"), parseSchema,
       Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptRec)))
-    val missing: Option[Column] = required.foldLeft(Option.empty[Column]) {
+    // absent key vs explicit null: json_object_keys on the raw line
+    // sees what the object actually SAID; the parsed struct cannot
+    // (from_json maps both shapes to a null field). Branch order makes
+    // the two reasons disjoint: a row only reaches the null check when
+    // every required key is present.
+    val absent: Option[Column] = required.foldLeft(Option.empty[Column]) {
+      (acc, f) => val c = !array_contains(json_object_keys(col("value")), f)
+        Some(acc.fold(c)(_ || c))
+    }
+    val nulled: Option[Column] = required.foldLeft(Option.empty[Column]) {
       (acc, f) => val c = col(s"_j.$f").isNull
         Some(acc.fold(c)(_ || c))
     }
     parsed.withColumn("_corrupt",
       when(length(trim(col("value"))) === 0, lit("blank_line"))
         .when(col(s"_j.$CorruptRec").isNotNull, lit("invalid_json"))
-        .when(missing.getOrElse(lit(false)), lit("missing_required_field"))
+        .when(absent.getOrElse(lit(false)), lit("missing_required_field"))
+        .when(nulled.getOrElse(lit(false)), lit("null_required_field"))
         .otherwise(lit(null).cast("string")))
   }
 

@@ -43,7 +43,7 @@ object StreamHarness {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
-  private def scratch(prefix: String): String = scratchRoot.synchronized {
+  private[graft] def scratch(prefix: String): String = scratchRoot.synchronized {
     val d = new java.io.File(scratchRoot, prefix)
     deleteRecursively(d)
     if (!d.mkdirs() && !d.isDirectory)

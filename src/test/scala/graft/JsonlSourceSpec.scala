@@ -61,6 +61,24 @@ class JsonlSourceSpec extends AnyFunSuite {
     assert(clean.count() + quar.count() == 8)
   }
 
+  test("required-field check distinguishes an absent key from an explicit null") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_nv").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "present and non-null", "lang": "en"}""",
+      """{"doc_id": 2, "lang": "en"}""",                 // text key ABSENT
+      """{"doc_id": 3, "text": null, "lang": "en"}""")   // text key present, null
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-000.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val (clean, quar) = JsonlSource.readSplit(spark, dir, schema,
+      required = Seq("text"))
+    assert(clean.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    val reasons = quar.select("raw_line", "reason").as[(String, String)]
+      .collect().toMap
+    assert(reasons(lines(1)) == "missing_required_field")
+    assert(reasons(lines(2)) == "null_required_field")
+  }
+
   test("ingest id: stable, unique, ascending in file order within a partition") {
     val dir = writeFixture()
     val (clean, quar) = JsonlSource.readSplit(spark, dir, schema, Seq("doc_id"))

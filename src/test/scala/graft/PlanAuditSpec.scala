@@ -86,11 +86,51 @@ class PlanAuditSpec extends AnyFunSuite {
         "exhaustive, that is the documented exact end of the recall " +
         "dial (PLANS.md q128 row)"))
 
+  /** Rule 4 (the q135 lesson): an INTERPRETED higher-order fold — an
+    * `aggregate` HOF, whose lambda is an expression-tree walk per array
+    * element with no codegen and (for decimal accumulators) a
+    * BigDecimal box per step — must not sit in a narrow chain directly
+    * on a raw file scan. Spark sizes scan partitions by BYTES, so a
+    * compact input becomes ONE task and the fold serializes on a
+    * single core (q135's HOF scoring pass: 31.4 s on one task at
+    * sf0.1; spread, 1.8 s). Structurally requiring an Exchange between
+    * scan and fold is the SF-independent form of ">1 input partition":
+    * after a repartition the stage runs at
+    * spark.sql.shuffle.partitions regardless of how few splits the
+    * scan produced. Deliberately NOT flagged: the graft native
+    * CodegenFallback expressions (PQ encode, SimHash, image headers…)
+    * — fusion made them ~linear in scanned bytes (every registered
+    * query carrying one on a raw scan ran ≤ 1.8 s at sf0.1 in
+    * BENCH_r10), so an exchange there would cost more than it saves;
+    * if one ever grows a super-constant per-row cost it shows up in
+    * bench, not here. The chain walk stops at exchanges
+    * (repartitioned), aggregates (row-bounded) and any multi-child
+    * node (a join's probe side is shuffle- or broadcast-shaped by the
+    * join rules above). */
+  private def isExpensiveExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.ArrayAggregate => true
+      case _ => false
+    }
+
+  private def narrowChainToRawScan(p: SparkPlan): Boolean = p match {
+    case _: FileSourceScanExec => true
+    case _: org.apache.spark.sql.execution.exchange.Exchange => false
+    case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => false
+    case _: BaseAggregateExec => false
+    case u: UnaryExecNode => narrowChainToRawScan(u.child)
+    case _ => false
+  }
+
   private def audit(name: String, plan: SparkPlan): Seq[String] = {
     val issues = scala.collection.mutable.Buffer[String]()
     plan.foreach {
       case _: CartesianProductExec =>
         issues += s"$name: CartesianProduct (non-broadcast cross join)"
+      case pr: ProjectExec
+        if pr.projectList.exists(isExpensiveExpr) && narrowChainToRawScan(pr.child) =>
+        issues += s"$name: expensive interpreted projection directly on a " +
+          "raw file scan (single-split serialization risk) — Spread.toCores first"
       case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
         if (!isBounded(e.child))
           issues += s"$name: SinglePartition exchange over an unbounded stream"
@@ -113,7 +153,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(qs == os,
       s"queries without an oracle: ${(qs -- os).toSeq.sorted.mkString(", ")}; " +
         s"orphan oracles: ${(os -- qs).toSeq.sorted.mkString(", ")}")
-    assert(qs.size >= 104, s"registered query count regressed: ${qs.size}")
+    assert(qs.size >= 138, s"registered query count regressed: ${qs.size}")
   }
 
   test("every registered query satisfies the standing plan rules") {
@@ -137,6 +177,32 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(audited >= 100, s"only $audited queries planned")
       assert(failures.isEmpty,
         s"plan-rule violations:\n  ${failures.mkString("\n  ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("rule 4 catches an expensive projection on a raw scan, passes a spread one") {
+    // reconstruct the exact pre-fix q135 anti-pattern: the fused DSIR
+    // scorer fed straight from the parquet scan (one split at this SF →
+    // one task), then the fixed shape with Spread.toCores between
+    import org.apache.spark.sql.functions.col
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val m = graft.operators.Dsir.fitLiteralModel(docs, "text",
+        col("lang") === "en", nBuckets = 256)
+      // the HOF formulation is the exact pre-fix q135 scorer (the
+      // fused native replacement is exempt from rule 4 by design)
+      val bare = docs.select(
+        graft.operators.Dsir.scoreExprHof(col("text"), m).as("s"))
+      assert(audit("prefix_q135", bare.queryExecution.executedPlan)
+        .exists(_.contains("expensive interpreted projection")),
+        "rule 4 failed to flag the single-split scoring anti-pattern")
+      val spread = graft.operators.Spread.toCores(docs).select(
+        graft.operators.Dsir.scoreExprHof(col("text"), m).as("s"))
+      assert(audit("spread_q135", spread.queryExecution.executedPlan).isEmpty,
+        "rule 4 flagged the spread (fixed) shape")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
