@@ -65,9 +65,13 @@ object Pin {
     * `rdd.doCheckpoint()` runs as a SEPARATE job after the first action
     * completes, recomputing the frame from lineage unless it is cached —
     * so [[materialize]] persists the frame first (MEMORY_AND_DISK),
-    * making the checkpoint job a cache read instead of a recompute; the
-    * ContextCleaner releases the cached blocks when the frame becomes
-    * unreferenced, same as the pins themselves. */
+    * making the checkpoint job a cache read instead of a recompute.
+    * That persist is EXPLICITLY released once the checkpoint
+    * materializes (swept on the next Pin call) — Dataset.persist
+    * registers with the CacheManager, which holds a strong reference
+    * until unpersist, so GC/ContextCleaner would never free it and
+    * per-round iterative pins would otherwise accumulate cache entries
+    * for the session lifetime. */
   def data(df: DataFrame, eager: Boolean = true): DataFrame =
     materialize(df, reliable = true, eager)
 
@@ -78,16 +82,56 @@ object Pin {
 
   private val warnedOnce = new AtomicBoolean(false)
 
+  /** Lazy reliable pins whose pre-checkpoint persist is still live.
+    * Dataset.persist registers the plan with the CacheManager, which
+    * holds a STRONG reference until explicit unpersist — GC never
+    * releases it — so per-round lazy pins (BpeTrain: one data-sized
+    * frame per merge round, 512 at production depth) would accumulate
+    * MEMORY_AND_DISK entries for the session lifetime. Each entry pairs
+    * the persisted frame with the RDD its checkpoint lands on; once
+    * that RDD reports isCheckpointed the cache has served its one
+    * purpose (feeding the deferred doCheckpoint job) and is released.
+    * Swept on every materialize call — iterative callers pin once per
+    * round, so round k+1's pin frees round k's cache. */
+  private val pendingLazyPins =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      (DataFrame, org.apache.spark.rdd.RDD[_])]()
+
+  private def sweepLazyPins(): Unit = {
+    val it = pendingLazyPins.iterator()
+    while (it.hasNext) {
+      val (pinned, rdd) = it.next()
+      if (rdd.isCheckpointed) {
+        pinned.unpersist(blocking = false)
+        it.remove()
+      }
+    }
+  }
+
+  /** Live un-released lazy-pin count (spec hook). */
+  private[graft] def pendingLazyPinCount: Int = pendingLazyPins.size()
+
   def materialize(df: DataFrame, reliable: Boolean = false,
                   eager: Boolean = true): DataFrame = {
+    sweepLazyPins()
     val sc = df.sparkSession.sparkContext
     if (reliable && sc.getCheckpointDir.isDefined) {
       // lazy reliable checkpoint: doCheckpoint launches a separate job
       // AFTER the first action, recomputing from lineage — persist so
       // that job reads the cached blocks instead (Spark's own
-      // RDD.checkpoint scaladoc recommendation)
-      if (!eager) df.persist()
-      df.checkpoint(eager)
+      // RDD.checkpoint scaladoc recommendation); the persist is
+      // released by the sweep above once the checkpoint materializes
+      if (!eager) {
+        df.persist()
+        val out = df.checkpoint(eager = false)
+        // if Spark ever changes checkpoint's result plan shape the
+        // collectFirst misses and we keep the old always-cached
+        // behavior — a leak, never a wrong free
+        out.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(rdd => pendingLazyPins.add((df, rdd)))
+        out
+      } else df.checkpoint(eager)
     } else {
       // warn once per JVM, not per pin — local test runs hit this on
       // every data-sized site and the signal drowns otherwise

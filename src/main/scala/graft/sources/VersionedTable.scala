@@ -18,11 +18,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    need survives at least one retained step.
   *
   * Readers take [[readLatest]] (max version) and never observe a
-  * partial write (parquet overwrite is write-new-then-swap). At 100 TB
-  * a version is a full-table rewrite — the honest merge-on-parquet
-  * cost; a key-partitioned sink with partition-overwrite, or a
-  * Delta/Iceberg MERGE target, keeps these semantics and shrinks the
-  * write.
+  * partial write — NOT because parquet overwrite is atomic (it is not:
+  * it deletes the target then writes task files into `_temporary`, so
+  * the target dir is listable while half-populated), but because
+  * [[write]] stages into a `_tmp_v<id>` dir and RENAMES it into place
+  * (one atomic filesystem op on HDFS/local), [[versions]] only admits
+  * `v*` dirs carrying the committer's `_SUCCESS` marker, and a
+  * replayed batch whose version already exists complete SKIPS the
+  * write entirely (its recompute is bit-identical by the
+  * [[latestBefore]] contract) instead of deleting a live version a
+  * concurrent reader may be mid-scan on. At 100 TB a version is a
+  * full-table rewrite — the honest merge-on-parquet cost; a
+  * key-partitioned sink with partition-overwrite, or a Delta/Iceberg
+  * MERGE target, keeps these semantics and shrinks the write.
   */
 object VersionedTable {
 
@@ -30,13 +38,18 @@ object VersionedTable {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
 
-  /** All version ids present under `tableDir` (creates the dir). */
+  /** All COMPLETE version ids under `tableDir` (creates the dir).
+    * Completeness = the committer's `_SUCCESS` marker: staging dirs
+    * (`_tmp_v*`) fail the name filter, and a dir from a writer that
+    * died before commit is invisible rather than a partial read. */
   def versions(spark: SparkSession, tableDir: String): Seq[Long] = {
     val f = fs(spark, tableDir)
     val root = new org.apache.hadoop.fs.Path(tableDir)
     f.mkdirs(root)
     f.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .filter(st => f.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toLong).toOption)
   }
 
@@ -47,13 +60,26 @@ object VersionedTable {
     versions(spark, tableDir).filter(_ < batchId).sorted.lastOption
       .map(p => spark.read.parquet(s"$tableDir/v$p"))
 
-  /** Overwrite version `batchId` with `state` (deterministic replay
-    * target), then drop versions beyond the newest `retain`. */
+  /** Publish version `batchId`: stage into `_tmp_v<id>`, atomically
+    * rename to `v<id>`, then drop versions beyond the newest `retain`.
+    * A replay that finds its version already COMPLETE is a no-op — the
+    * recompute is bit-identical (same predecessor via [[latestBefore]],
+    * deterministic merge), so skipping both preserves exactly-once AND
+    * never deletes a version a concurrent reader is scanning. */
   def write(state: DataFrame, tableDir: String, batchId: Long,
             retain: Int = 2): Unit = {
     val spark = state.sparkSession
-    state.write.mode("overwrite").parquet(s"$tableDir/v$batchId")
     val f = fs(spark, tableDir)
+    val target = new org.apache.hadoop.fs.Path(s"$tableDir/v$batchId")
+    if (!f.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$tableDir/_tmp_v$batchId")
+      state.write.mode("overwrite").parquet(tmp.toString)
+      // an INCOMPLETE leftover target (no _SUCCESS — a writer that died
+      // mid-commit) is invisible to versions(); replace it
+      f.delete(target, true)
+      if (!f.rename(tmp, target))
+        throw new java.io.IOException(s"rename $tmp -> $target failed")
+    }
     val keep = versions(spark, tableDir).sorted
       .takeRight(math.max(1, retain)).toSet
     versions(spark, tableDir).filterNot(keep).foreach { v =>

@@ -199,11 +199,24 @@ object StreamHarness {
     val landing = s"$dir/landing"
     val sinkDir = s"$dir/sink"
     val ckpt = s"$dir/ckpt"
-    // two sequential write jobs -> strictly increasing file mod times,
-    // so the file source's batch order is originals-then-copies (the
-    // upsertSinkRun arrival-order contract)
+    // originals-then-copies arrival order, made EXPLICIT: sequential
+    // write jobs usually produce increasing file mod times, but on a
+    // filesystem with coarse timestamp granularity the two jobs can
+    // land in the same tick — a copy then rides batch 1 alongside its
+    // original, and which of the two dropDuplicatesWithinWatermark
+    // keeps WITHIN one micro-batch is task-order-nondeterministic (an
+    // intermittent q133 hash flip). Stamp every copy file strictly
+    // later than the newest original file instead of assuming.
     originals.coalesce(4).write.mode("append").parquet(landing)
+    def partFiles() = Option(new java.io.File(landing).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("part-"))
+    val origFiles = partFiles().map(_.getPath).toSet
+    val tOrig = partFiles().map(_.lastModified).max
     copies.coalesce(2).write.mode("append").parquet(landing)
+    partFiles().filterNot(f => origFiles.contains(f.getPath)).foreach { f =>
+      f.setLastModified(math.max(tOrig + 2000L, f.lastModified)): Unit
+    }
     val deduped = spark.readStream
       .schema("doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", 4)

@@ -53,6 +53,27 @@ class PinSpec extends AnyFunSuite {
     } finally resetCheckpointDir()
   }
 
+  test("lazy reliable pin releases its pre-checkpoint cache once materialized") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_l").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val src = spark.range(500).toDF("id")
+      val pinned = Pin.data(src, eager = false)
+      assert(Pin.pendingLazyPinCount == 1,
+        "lazy reliable pin not registered for cache release")
+      // first action materializes the deferred checkpoint (reading the
+      // persist, not recomputing lineage)
+      assert(pinned.count() == 500)
+      // the NEXT pin call sweeps: the materialized pin's cache must be
+      // released (CacheManager holds strong refs — GC never frees it)
+      Pin.data(spark.range(10).toDF("id")).count()
+      assert(Pin.pendingLazyPinCount == 0,
+        "materialized lazy pin's persist was not released on sweep")
+      // the pinned frame still reads fine from its reliable checkpoint
+      assert(pinned.filter(pinned("id") < 5).count() == 5)
+    } finally resetCheckpointDir()
+  }
+
   test("Pin.data without a checkpoint dir falls back to local checkpointing") {
     assert(spark.sparkContext.getCheckpointDir.isEmpty,
       "precondition: suite-shared context must have no checkpoint dir here")
