@@ -201,7 +201,8 @@ object ScaleStress {
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",
-      "skew_stress", "stream_sinks", "bpe_train_512", "checkpoint_cost")
+      "skew_stress", "stream_sinks", "bpe_train_512", "checkpoint_cost",
+      "blocklist_400")
     def wantExhibit(n: String): Boolean = only.forall(_.contains(n))
     // a typo'd subset must FAIL, not complete green measuring nothing
     only.foreach { o =>
@@ -269,6 +270,40 @@ object ScaleStress {
       val dsirBase = time2("dsir_stateless @base") { noop(scoreStateless(baseDir)) }
       val dsirScaled = time2(s"dsir_stateless @${factor}x") { noop(scoreStateless(outDir)) }
       results("dsir_stateless_scoring") = (dsirBase, dsirScaled)
+    }
+
+    // Blocklist at C4-realistic term counts (Raffel et al's list is
+    // ~400 terms; q134's demo uses 4). The HOF formulation pays
+    // array_contains' O(|terms|) scan PER TOKEN — expect it to fall off
+    // a cliff at 400 terms — while the fused hash-set screen
+    // (plans/BlocklistScreen, what blocklistHits/Occurrences now emit)
+    // should be ~flat in the list size. Rows: `blocklist_hof_400` (the
+    // documented anti-pattern) and `blocklist_fused_400` (the shipped
+    // path); the 4-term fused run is printed for the list-size-flatness
+    // check.
+    if (wantExhibit("blocklist_400")) {
+      val base4 = Seq("slow", "vector", "big", "zzz_banned")
+      val terms400 = base4 ++ (0 until 396).map(i => f"zzzterm$i%03d")
+      def screen(dir: String, terms: Seq[String], fused: Boolean): DataFrame = {
+        val d = graft.operators.Spread.toCores(
+          spark.read.parquet(s"$dir/documents.parquet"))
+        val (hits, occ) =
+          if (fused) (graft.functions.TextFunctions.blocklistHits(col("text"), terms),
+            graft.functions.TextFunctions.blocklistOccurrences(col("text"), terms))
+          else (graft.functions.TextFunctions.blocklistHitsHof(col("text"), terms),
+            graft.functions.TextFunctions.blocklistOccurrencesHof(col("text"), terms))
+        d.select(col("doc_id"), array_join(hits, ",").as("hit_terms"),
+          occ.as("n_hits"))
+      }
+      val fused4Base = time2("blocklist fused 4t @base") { noop(screen(baseDir, base4, fused = true)) }
+      val fused4 = time2(s"blocklist fused 4t @${factor}x") { noop(screen(outDir, base4, fused = true)) }
+      val hofBase = time2("blocklist HOF 400t @base") { noop(screen(baseDir, terms400, fused = false)) }
+      val hofScaled = time2(s"blocklist HOF 400t @${factor}x") { noop(screen(outDir, terms400, fused = false)) }
+      val fusedBase = time2("blocklist fused 400t @base") { noop(screen(baseDir, terms400, fused = true)) }
+      val fusedScaled = time2(s"blocklist fused 400t @${factor}x") { noop(screen(outDir, terms400, fused = true)) }
+      results("blocklist_hof_400") = (hofBase, hofScaled)
+      results("blocklist_fused_400") = (fusedBase, fusedScaled)
+      results("blocklist_fused_4") = (fused4Base, fused4)
     }
 
     // hot-bucket skew stress (LSH band join): inject IDENTICAL docs into

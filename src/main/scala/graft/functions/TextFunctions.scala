@@ -200,21 +200,37 @@ object TextFunctions {
     * filter stage (Raffel et al. 2020 drop any page containing a listed
     * word; word-level so a listed "scan" does not hit "scanner"). The
     * pattern set is parameter-sized CONFIG (real blocklists are a few
-    * thousand terms), so it rides as ONE array literal inside
-    * codegen'd higher-order functions: the screen is a map-only
-    * projection with zero joins and zero shuffles at any corpus size.
+    * thousand terms) riding inside the fused
+    * [[graft.plans.BlocklistScreen]] expression as a HASH SET — O(1)
+    * per token regardless of list size, still a map-only projection
+    * with zero joins and zero shuffles at any corpus size. (The
+    * original array-literal HOF forms are kept below as parity oracles:
+    * `array_contains` on a term literal is O(|terms|) PER TOKEN, which
+    * at C4's ~400 terms multiplies the corpus scan — measured in the
+    * `blocklist_400` ScaleStress exhibit.)
     *
     * [[blocklistHits]] returns the sorted DISTINCT listed words present
     * (the audit column a filtering report groups by);
     * [[blocklistOccurrences]] counts total occurrences (the policy
     * input for threshold rules softer than C4's any-hit drop). Terms
-    * are matched lowercase against [[tokens]]. */
+    * are matched lowercase against [[tokens]]. NULL text → NULL for
+    * both (the HOF form's occurrence count inherited Spark's legacy
+    * `size(NULL) = -1` wart under non-ANSI sessions — deliberately NOT
+    * reproduced; the parity spec asserts the divergence). */
   def blocklistHits(c: Column, terms: Seq[String]): Column =
+    graft.plans.DsirExpressions.blocklistScreen(c, terms).getField("hits")
+
+  /** Total listed-word occurrences in `c` — see [[blocklistHits]]. */
+  def blocklistOccurrences(c: Column, terms: Seq[String]): Column =
+    graft.plans.DsirExpressions.blocklistScreen(c, terms).getField("n_occ")
+
+  /** Pre-fusion HOF formulations — the parity oracles for the fused
+    * screen (CleanFunctionsSpec holds them bit-identical). */
+  private[graft] def blocklistHitsHof(c: Column, terms: Seq[String]): Column =
     array_sort(array_intersect(array_distinct(tokens(c)),
       typedLit(terms.map(_.toLowerCase).distinct)))
 
-  /** Total listed-word occurrences in `c` — see [[blocklistHits]]. */
-  def blocklistOccurrences(c: Column, terms: Seq[String]): Column = {
+  private[graft] def blocklistOccurrencesHof(c: Column, terms: Seq[String]): Column = {
     val pats = typedLit(terms.map(_.toLowerCase).distinct)
     size(filter(tokens(c), t => array_contains(pats, t))).cast(LongType)
   }

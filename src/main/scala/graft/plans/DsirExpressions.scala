@@ -53,6 +53,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * real corpus plus adversarial strings (tabs/newlines, Unicode case,
   * repeated separators, null, empty, one-token).
   */
+/** The library-wide tokenization contract
+  * (`filter(split(lower(trim(text)), "\\s+"), len > 0)`), replicated
+  * once for the fused native expressions: UTF8String's OWN trim (space
+  * only) and toLowerCase (full Unicode), then the Java regex split
+  * UTF8String.split delegates to, then the non-empty filter. */
+private[plans] object NativeTokens {
+  private val ws = Pattern.compile("\\s+")
+  def of(v: UTF8String): Array[String] =
+    ws.split(v.trim().toLowerCase().toString, -1).filter(_.nonEmpty)
+}
+
 case class DsirScoreNative(child: Expression, lrTable: Array[Double],
                            nBuckets: Int)
     extends UnaryExpression with CodegenFallback {
@@ -62,8 +73,6 @@ case class DsirScoreNative(child: Expression, lrTable: Array[Double],
     StructField("avg_logratio", DoubleType, nullable = true)))
 
   override def nullable: Boolean = false
-
-  @transient private lazy val ws = Pattern.compile("\\s+")
 
   // the round-12 doubles re-expanded to exact scale-12 decimals ONCE
   // (the HOF pays Spark's double→decimal cast per occurrence)
@@ -75,9 +84,7 @@ case class DsirScoreNative(child: Expression, lrTable: Array[Double],
     val v = child.eval(input)
     val toks: Array[String] =
       if (v == null) Array.empty
-      else ws.split(
-        v.asInstanceOf[UTF8String].trim().toLowerCase().toString, -1)
-        .filter(_.nonEmpty)
+      else NativeTokens.of(v.asInstanceOf[UTF8String])
     val n = if (toks.length >= 2) toks.length - 1 else 0
     if (n == 0) return new GenericInternalRow(Array[Any](0L, null))
     val md = MessageDigest.getInstance("MD5")
@@ -100,8 +107,68 @@ case class DsirScoreNative(child: Expression, lrTable: Array[Double],
     copy(child = newChild)
 }
 
+/** Fused blocklist screen: tokenize once, test each token against a
+  * HASH SET of the terms — O(1) per token where the HOF formulation's
+  * `array_contains` on the term array literal is O(|terms|) per token
+  * (an interpreted lambda per token on top). At C4-realistic list sizes
+  * (~400 terms) the HOF multiplies the whole corpus scan by the list
+  * length; this pass is list-size-independent (measured: the
+  * `blocklist_400` ScaleStress exhibit).
+  *
+  * Output struct, matching the two HOF columns bit-for-bit
+  * (CleanFunctionsSpec parity clauses):
+  *  - `hits`: sorted distinct listed tokens present =
+  *    `array_sort(array_intersect(array_distinct(tokens), terms))` —
+  *    sorted by UTF8String's byte-wise order (what array_sort uses on
+  *    strings), NOT Java String order (they differ beyond ASCII);
+  *  - `n_occ`: total listed-token occurrences =
+  *    `size(filter(tokens, array_contains(terms, _)))`.
+  * NULL text → null struct (both HOF forms are null on null input). */
+case class BlocklistScreen(child: Expression, terms: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("hits", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("n_occ", LongType, nullable = false)))
+
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val termSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    terms.foreach(t => s.add(t.toLowerCase): Unit)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = NativeTokens.of(input.asInstanceOf[UTF8String])
+    var n = 0L
+    val seen = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i < toks.length) {
+      if (termSet.contains(toks(i))) {
+        n += 1
+        seen.add(UTF8String.fromString(toks(i))): Unit
+      }
+      i += 1
+    }
+    val hits = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { hits(j) = it.next(); j += 1 }
+    new GenericInternalRow(Array[Any](
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(hits), n))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BlocklistScreen =
+    copy(child = newChild)
+}
+
 object DsirExpressions {
   def dsirScore(text: Column, lrTable: Array[Double], nBuckets: Int): Column =
     ColumnBridge.column(DsirScoreNative(ColumnBridge.expression(text),
       lrTable, nBuckets))
+
+  def blocklistScreen(text: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(BlocklistScreen(ColumnBridge.expression(text), terms))
 }

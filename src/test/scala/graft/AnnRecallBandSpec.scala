@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
   */
 class AnnRecallBandSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+  import spark.implicits._
 
   private val sfDir = "/root/testdata/sf0.001"
 
@@ -53,6 +54,57 @@ class AnnRecallBandSpec extends AnyFunSuite {
     // the dial's whole point: strictly more recall from the same index
     assert(mean4 > mean1,
       f"multi-probe (4) mean $mean4%.3f did not improve on single-probe $mean1%.3f")
+  }
+
+  test("q136 screen: jittered (paraphrase-band) contamination is caught, not just exact copies") {
+    // q136's registered fixture plants EXACT self-matches (cosine 1.0);
+    // this clause exercises the band the screen exists for — NEAR but
+    // not identical contamination, cosine ∈ [0.98, 1) — with
+    // deterministic hash-noise jitter at 0.15 of each vector's norm
+    // (cos ≈ 1/sqrt(1+0.15²) ≈ 0.989 when the noise is ~orthogonal,
+    // which it is in 64 dims). Catch rate is measured against the
+    // EXACT ground truth (which jittered items truly stayed ≥ 0.98),
+    // so the pin is the screen's recall at nprobe=2, not the jitter's.
+    import graft.functions.{VectorFunctions => VF}
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cb = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(VF.normalize(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val v = VF.asDouble(col("embedding"))
+    val noise = transform(v, (_, i) =>
+      (pmod(xxhash64(col("vec_id"), i, lit("jitter")), lit(2048L))
+        .cast("double") / lit(1024.0)) - lit(1.0))
+    val jemb = zip_with(v, noise,
+      (a, b) => a + b * lit(0.15) * sqrt(VF.dot(v, v)) / sqrt(VF.dot(noise, noise)))
+    val jit = e.filter(col("vec_id") % 11 === 0)
+      .select((col("vec_id") + 40000000L).as("vec_id"), jemb.as("embedding"))
+    // exact ground truth: which planted items REALLY sit in [0.98, 1)
+    val truth = jit.select((col("vec_id") - 40000000L).as("src_id"),
+        col("embedding").as("jv"))
+      .join(e.select(col("vec_id").as("src_id"), col("embedding").as("ov")),
+        "src_id")
+      .withColumn("cos", VF.cosine(col("jv"), col("ov")))
+    val inBand = truth.filter(col("cos") >= 0.98 && col("cos") < 1.0)
+      .select("src_id").as[Long].collect().toSet
+    // the jitter calibration itself: most planted items must land in
+    // band, or the clause is exercising nothing
+    val planted = jit.count()
+    assert(planted > 20 && inBand.size >= planted * 0.8,
+      s"jitter left the band: ${inBand.size} of $planted in [0.98, 1)")
+    // the screen, exactly as q136 runs it (threshold 0.98, nprobe 2)
+    val caught = graft.operators.Similarity.semanticScreen(
+        jit, e, "vec_id", "embedding", cb, threshold = 0.98, nprobe = 2)
+      .filter(col("corpus_id") === col("bench_id") - 40000000L)
+      .select((col("bench_id") - 40000000L).as("src_id"), col("cosine"))
+      .as[(Long, Double)].collect()
+    // every caught pair really is near-but-not-identical
+    caught.foreach { case (id, c) =>
+      assert(c >= 0.98 && c < 1.0, s"src $id cosine $c outside [0.98, 1)") }
+    val recall = caught.map(_._1).toSet.intersect(inBand).size.toDouble / inBand.size
+    assert(recall >= 0.85,
+      f"screen caught $recall%.3f of the in-band jittered plants at " +
+        "nprobe=2 — below the documented paraphrase band; the cell " +
+        "index or probe config drifted (q136 narrative + COVERAGE row)")
   }
 
   test("q128: IVF remedy is green at full probe, mid-band at nprobe=4") {

@@ -47,6 +47,36 @@ class CleanFunctionsSpec extends AnyFunSuite {
     assert(one(TFn.blocklistOccurrences(lit("clean text only"), terms)) == 0L)
   }
 
+  test("fused blocklist screen is bit-identical to the HOF formulation") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{TextFunctions => TFn}
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val terms = Seq("Bad", "worse", "zzz", "ünïcode") ++
+      (0 until 396).map(i => f"zzzterm$i%03d")  // C4-realistic list size
+    val docs = Seq(
+      1L -> "badge BAD worse bad ok zzzterm007 zzzterm007",
+      2L -> "clean text only",
+      3L -> "\tÜNÏCODE bad\nworse  bad ",
+      4L -> "",
+      5L -> null.asInstanceOf[String]).toDF("id", "text")
+    val fused = docs.select(col("id"), TFn.blocklistHits(col("text"), terms).as("h"),
+        TFn.blocklistOccurrences(col("text"), terms).as("n"))
+      .as[(Long, Option[Seq[String]], Option[Long])].collect().sortBy(_._1).toSeq
+    val hof = docs.select(col("id"), TFn.blocklistHitsHof(col("text"), terms).as("h"),
+        TFn.blocklistOccurrencesHof(col("text"), terms).as("n"))
+      .as[(Long, Option[Seq[String]], Option[Long])].collect().sortBy(_._1).toSeq
+    // parity on non-null text; on NULL text the fused screen returns
+    // NULL for both fields by contract, where the HOF's occurrence
+    // count inherits Spark's legacy size(NULL) = -1 wart (with ANSI
+    // off) — a DELIBERATE divergence, asserted rather than papered over
+    assert(fused.filter(_._1 != 5L) == hof.filter(_._1 != 5L))
+    assert(fused.find(_._1 == 5L).get == ((5L, None, None)))
+    assert(hof.find(_._1 == 5L).get == ((5L, None, Some(-1L))))
+    assert(fused.head._2.get == Seq("bad", "worse", "zzzterm007") &&
+      fused.head._3.get == 5L)
+  }
+
   test("F4 capitalizeFirst differs from initcap on multi-word strings") {
     assert(one(CF.capitalizeFirst(lit("gold STAR"))) == "Gold star")
     assert(one(initcap(lit("gold STAR"))) == "Gold Star")
