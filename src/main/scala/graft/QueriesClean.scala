@@ -456,11 +456,16 @@ object QueriesClean {
   // is deliberately not selected: monotonic ids depend on file/split
   // layout (spec-covered in JsonlSourceSpec), while the parse/split
   // semantics are what the oracle gates.
-  private val jsonlSchema = StructType(Seq(
+  private[graft] val jsonlSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("lang", StringType),
     StructField("text", StringType)))
 
-  private def jsonlLanding(s: SparkSession, dir: String, prefix: String): String = {
+  private[graft] val jsonlCleanSql =
+    """SELECT doc_id, lang, text FROM documents
+       WHERE NOT (doc_id % 23 = 0 OR doc_id % 29 = 0
+                  OR doc_id % 31 = 0 OR doc_id % 37 = 0)"""
+
+  private[graft] def jsonlLanding(s: SparkSession, dir: String, prefix: String): String = {
     val path = graft.streaming.StreamHarness.scratch(prefix)
     val d = t(s, dir, "documents")
     val k = col("doc_id")
@@ -487,9 +492,7 @@ object QueriesClean {
         jsonlSchema, required = Seq("text"))
       clean.select(col("doc_id"), col("lang"), col("text"))
     },
-    Some("""SELECT doc_id, lang, text FROM documents
-            WHERE NOT (doc_id % 23 = 0 OR doc_id % 29 = 0
-                       OR doc_id % 31 = 0 OR doc_id % 37 = 0)"""))
+    Some(jsonlCleanSql))
 
   private val q138 = Q("q138_jsonl_quarantine",
     (s, dir) => {
@@ -511,5 +514,18 @@ object QueriesClean {
             WHERE doc_id % 23 = 0 OR doc_id % 29 = 0 OR doc_id % 31 = 0
                OR doc_id % 37 = 0"""))
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q41, q137, q138)
+  // ---------------------------------------------------------------- q139
+  // JSONL ingest EXECUTED as a stream (the q118/q133 pattern): the same
+  // landing as q137/q138 read through JsonlSource.streamParsed over a
+  // real file-source stream, fanned into clean + audit parquet sinks.
+  // The registered result is the CLEAN sink — hash-gated against the
+  // identical oracle as the batch split, so the micro-batch execution
+  // path is held to the same bar; the audit sink's reason histogram is
+  // spec-asserted (StreamingSpec), the q118 audit-leg contract.
+  private val q139 = Q("q139_stream_jsonl",
+    (s, dir) => graft.streaming.StreamHarness.jsonlSinkRun(s, dir)._1
+      .select(col("doc_id"), col("lang"), col("text")),
+    Some(jsonlCleanSql))
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q41, q137, q138, q139)
 }

@@ -3471,29 +3471,35 @@ object QueriesText {
   // for ties; ranks come from one score-keyed hash agg + the
   // distributed prefix scan — no global sort window, no collect. The
   // oracle replays the model fit, the scoring, AND the rank fold.
+  /** Shared prep for the q135/q140 evaluation pair: fit the DSIR model
+    * on `documents`, score every doc with the fused native scorer, and
+    * return the PINNED narrow (lang, nb, score) frame. Spread before
+    * the scoring projection: the sf0.1 documents scan is ONE input
+    * split, and without the repartition the per-doc scorer serializes
+    * on a single core (the same 1-file trap as streaming landings —
+    * PlanAuditSpec's rule 4 now guards it). Pin so the scorer runs
+    * exactly once per query: Eval's downstream passes (the prefix
+    * scan's range sampling, the min/max agg + bin agg, the collapsed
+    * key/filter projections) would otherwise re-evaluate it. Each
+    * caller computes its own frame (bench honesty: no cross-query
+    * memoization of a frame a query's timing should include). */
+  private def dsirScoredDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val m = graft.operators.Dsir.fitLiteralModel(d, "text",
+      col("lang") === "en", nBuckets = 4096)
+    graft.operators.Pin.data(
+      graft.operators.Spread.toCores(d)
+        .select(col("lang"),
+          graft.operators.Dsir.scoreExpr(col("text"), m).as("s"))
+        .select(col("lang"), col("s.n_bigrams").as("nb"),
+          col("s.avg_logratio").as("score"))
+        .filter(col("nb") > 0))
+  }
+
   private val q135 = Q("q135_classifier_auc",
-    (s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("text"))
-      val m = graft.operators.Dsir.fitLiteralModel(d, "text",
-        col("lang") === "en", nBuckets = 4096)
-      // Spread before the scoring projection: the sf0.1 documents scan
-      // is ONE input split, and without the repartition the per-doc
-      // scorer serializes on a single core (the same 1-file trap as
-      // streaming landings — PlanAuditSpec's input-parallelism rule now
-      // guards it). Pin the narrow scored frame so the scorer runs
-      // exactly once: Eval.auc's prefix scan (range-partitioner
-      // sampling + the collapsed key/filter projections) would
-      // otherwise re-evaluate the scoring expression up to three times.
-      val scored = graft.operators.Pin.data(
-        graft.operators.Spread.toCores(d)
-          .select(col("lang"),
-            graft.operators.Dsir.scoreExpr(col("text"), m).as("s"))
-          .select(col("lang"), col("s.n_bigrams").as("nb"),
-            col("s.avg_logratio").as("score"))
-          .filter(col("nb") > 0))
-      graft.operators.Eval.auc(scored, col("score"), col("lang") === "en")
-    },
+    (s, dir) => graft.operators.Eval.auc(dsirScoredDocs(s, dir),
+      col("score"), col("lang") === "en"),
     Some("""WITH tk AS (
               SELECT doc_id, lang = 'en' AS tgt,
                      list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -3601,10 +3607,60 @@ object QueriesText {
             SELECT bench_id, corpus_id, round_even(cos, 6) AS cosine
             FROM pairs WHERE cos >= 0.98"""))
 
+  // --------------------------------------------------------------- q140
+  // Reliability table (calibration) of the DSIR quality score — the
+  // companion report to q135's AUC: AUC says the score RANKS well,
+  // calibration says whether its VALUE means what a threshold policy
+  // assumes. Ten equal-width bins over the observed score range; a
+  // monotone frac_pos column (0.00 → 1.00 on this corpus) is what lets
+  // a pipeline pick a defensible keep-threshold. Same pinned scored
+  // frame as q135; the table itself is one broadcast (min,max) + one
+  // ≤-10-row hash agg — O(corpus scan) at any scale.
+  private val q140 = Q("q140_score_calibration",
+    (s, dir) => graft.operators.Eval.calibration(dsirScoredDocs(s, dir),
+      col("score"), col("lang") === "en", bins = 10),
+    Some("""WITH tk AS (
+              SELECT doc_id, lang = 'en' AS tgt,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            bg AS (
+              SELECT doc_id, tgt, unnest(CASE WHEN len(tk) >= 2 THEN
+                       list_transform(range(1, len(tk)),
+                                      i -> tk[i] || ' ' || tk[i + 1])
+                     ELSE [] END) AS gram
+              FROM tk),
+            hb AS (
+              SELECT doc_id, tgt,
+                     ('0x' || substr(md5(gram), 1, 4))::BIGINT % 4096 AS b
+              FROM bg),
+            c AS (
+              SELECT b,
+                     CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                     CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+              FROM hb GROUP BY b),
+            n AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                         CAST(sum(cr) AS BIGINT) AS nr FROM c),
+            sc AS (
+              SELECT hb.doc_id, bool_or(hb.tgt) AS y,
+                     round(CAST(sum(CAST(round(
+                         ln(CAST(c.ct + 1 AS DOUBLE) / (n.nt + 4096))
+                       - ln(CAST(c.cr + 1 AS DOUBLE) / (n.nr + 4096)), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS s
+              FROM hb JOIN c USING (b) CROSS JOIN n
+              GROUP BY hb.doc_id),
+            ext AS (SELECT min(s) AS mn, max(s) AS mx FROM sc)
+            SELECT CASE WHEN mx = mn THEN 0
+                        ELSE least(CAST(floor((s - mn) / (mx - mn) * 10) AS BIGINT), 9) END AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round_even(CAST(sum(CAST(s AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS mean_score,
+                   round_even(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS frac_pos
+            FROM sc CROSS JOIN ext GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
+    q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140)
 }

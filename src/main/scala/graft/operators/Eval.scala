@@ -33,6 +33,36 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Eval {
 
+  /** Reliability table (the calibration half of the q135 report):
+    * equal-WIDTH score bins over [min, max], one row per non-empty bin
+    * with (bin, n, mean_score, frac_pos) — a well-calibrated score has
+    * mean_score ≈ frac_pos per bin; the gap weighted by n is the ECE.
+    * Determinism contract: scores are expected round-6 (the DSIR/NB
+    * convention), summed exactly as DECIMAL(38,6) before the mean, and
+    * both outputs bround-6 — so any engine with IEEE doubles replays
+    * the table hash-for-hash (the q140 oracle does). Shape at scale:
+    * one global (min, max) agg broadcast as a 1-row frame, then ONE
+    * hash aggregation whose world is ≤ `bins` rows — two corpus passes,
+    * no sort, no window. Degenerate all-equal-scores input collapses to
+    * bin 0. Null scores are the caller's problem, as in [[auc]]. */
+  def calibration(df: DataFrame, score: Column, label: Column,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins must be in [2, 10000], got $bins")
+    val s = df.select(score.as("_s"), when(label, 1L).otherwise(0L).as("_y"))
+    val ext = s.agg(min(col("_s")).as("_mn"), max(col("_s")).as("_mx"))
+    s.crossJoin(broadcast(ext))
+      .withColumn("_bin",
+        when(col("_mx") === col("_mn"), lit(0L)).otherwise(
+          least(floor((col("_s") - col("_mn")) / (col("_mx") - col("_mn"))
+            * bins), lit((bins - 1).toLong))))
+      .groupBy(col("_bin").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        bround(sum(col("_s").cast(DecimalType(38, 6))).cast("double")
+          / count(lit(1)), 6).as("mean_score"),
+        bround(sum(col("_y")).cast("double") / count(lit(1)), 6)
+          .as("frac_pos"))
+  }
+
   /** One-row frame (n_pos, n_neg, auc round-6) for `score` predicting
     * `label`. Rows where `score` is null are the caller's problem —
     * filter them first (a null score has no rank); `label` must be a

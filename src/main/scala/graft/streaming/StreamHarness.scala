@@ -338,6 +338,46 @@ object StreamHarness {
     spark.read.parquet(sinkDir)
   }
 
+  /** JSONL ingest EXECUTED as a stream: the q137/q138 landing (real
+    * JSONL files with the four planted corruption classes) read by
+    * [[graft.sources.JsonlSource.streamParsed]] — one stateless parse
+    * projection over a file-source text stream — fanned into the
+    * S8/S14 pair of sinks: clean rows (parsed fields) to the clean
+    * parquet sink, corrupt rows (raw line + reason) to the audit sink.
+    * Two writeStream queries over the one source, each with its own
+    * checkpoint, both AvailableNow. The CLEAN sink is the q139
+    * registered result (hash-gated against the same DuckDB oracle as
+    * the batch split — the executed micro-batch path must produce
+    * exactly the batch-clean rows); the audit sink's reason histogram
+    * is spec-asserted (StreamingSpec), the same split of duties as
+    * q118's audit leg. Returns (clean sink, audit sink). */
+  def jsonlSinkRun(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val landing = graft.QueriesClean.jsonlLanding(spark, sfDir,
+      "jsonl_stream_landing")
+    val dir = scratch("graft_stream_jsonl")
+    val cleanSink = s"$dir/clean"
+    val auditSink = s"$dir/audit"
+    val parsed = graft.sources.JsonlSource.streamParsed(spark, landing,
+      graft.QueriesClean.jsonlSchema, required = Seq("text"))
+    val qClean = parsed.filter(col("_corrupt").isNull)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$dir/ckpt_clean")
+      .option("path", cleanSink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val qAudit = parsed.filter(col("_corrupt").isNotNull)
+      .select(col("value").as("raw_line"), col("_corrupt").as("reason"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$dir/ckpt_audit")
+      .option("path", auditSink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qClean.awaitTermination()
+    qAudit.awaitTermination()
+    (spark.read.parquet(cleanSink), spark.read.parquet(auditSink))
+  }
+
   /** The S6/S7 STREAMING profile executed end-to-end: an ordered update
     * feed derived from `orders` (500 keys × ~30 versions each, version
     * seq = o_orderkey) lands as six sequential files, streams through

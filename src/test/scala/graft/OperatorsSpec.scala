@@ -407,6 +407,29 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].head() == ((2L, 2L, 0.5)))
   }
 
+  test("calibration: hand-computed reliability bins, clamp and degenerate edges") {
+    import graft.operators.Eval
+    // range [0.0, 1.0], 4 bins of width 0.25. 0.1,0.2 -> bin 0;
+    // 0.3 -> bin 1; 0.6 -> bin 2; 0.9, 1.0 -> bin 3 (the max score
+    // lands exactly on bins*width and must CLAMP to the last bin,
+    // not fall off the table)
+    val df = Seq((0.0, false), (0.1, false), (0.2, true), (0.3, false),
+      (0.6, true), (0.9, true), (1.0, true))
+      .toDF("s", "y").repartition(3)
+    val out = Eval.calibration(df, col("s"), col("y"), bins = 4)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0L, 3L, 0.1, 0.333333),       // mean(0.0,0.1,0.2) pos 1/3
+      (1L, 1L, 0.3, 0.0),
+      (2L, 1L, 0.6, 1.0),
+      (3L, 2L, 0.95, 1.0)))
+    // all-identical scores collapse to bin 0, not a divide-by-zero
+    val flat = Seq((0.5, true), (0.5, false)).toDF("s", "y")
+    assert(Eval.calibration(flat, col("s"), col("y"), bins = 10)
+      .as[(Long, Long, Double, Double)].collect().toSeq ==
+      Seq((0L, 2L, 0.5, 0.5)))
+  }
+
   test("semanticScreen flags planted contamination, threshold excludes the rest") {
     import graft.operators.Similarity
     // 4-dim corpus: two tight direction clusters + one orthogonal row

@@ -226,6 +226,33 @@ class StreamingSpec extends AnyFunSuite {
       s"in-horizon duplicates must collapse to the first arrival: ${got("a")}")
   }
 
+  test("q139 audit leg: streamed JSONL quarantine reasons match the planted classes") {
+    // the clean sink is oracle-gated (q139); this clause owns the audit
+    // sink — every corrupt line lands with the right reason, raw line
+    // preserved, and clean + audit partition the landing exactly
+    val sfDir = "/root/testdata/sf0.001"
+    val (clean, audit) = graft.streaming.StreamHarness.jsonlSinkRun(spark, sfDir)
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(clean.count() + audit.count() == total)
+    val reasons = audit.groupBy("reason").count()
+      .as[(String, Long)].collect().toMap
+    // planted residue classes over doc_id 0..total-1 (branch order:
+    // %23 invalid, then %29 blank, then %31 missing, then %37 null)
+    val ids = 0L until total
+    assert(reasons.getOrElse("invalid_json", 0L) == ids.count(_ % 23 == 0))
+    assert(reasons.getOrElse("blank_line", 0L) ==
+      ids.count(i => i % 29 == 0 && i % 23 != 0))
+    assert(reasons.getOrElse("missing_required_field", 0L) ==
+      ids.count(i => i % 31 == 0 && i % 23 != 0 && i % 29 != 0))
+    assert(reasons.getOrElse("null_required_field", 0L) ==
+      ids.count(i => i % 37 == 0 && i % 23 != 0 && i % 29 != 0 && i % 31 != 0))
+    // raw lines survive verbatim for repair: the null-field class keeps
+    // its constructed JSON shape
+    assert(audit.filter(col("reason") === "null_required_field")
+      .filter(col("raw_line").contains("\"text\":null")).count() ==
+      reasons.getOrElse("null_required_field", 0L))
+  }
+
   test("S17/S12: streaming file source over a landing directory") {
     import java.nio.file.Files
     import graft.sources.CsvSource
