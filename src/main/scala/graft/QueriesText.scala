@@ -3657,10 +3657,74 @@ object QueriesText {
                    round_even(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS frac_pos
             FROM sc CROSS JOIN ext GROUP BY 1"""))
 
+  // --------------------------------------------------------------- q141
+  // Precision/recall threshold sweep — the third leg of the score-gate
+  // report (q135 AUC: does it rank; q140 calibration: does the value
+  // mean anything; q141: what does each concrete CUTOFF buy). One row
+  // per distinct score for the keep-policy `score >= t`: kept volume,
+  // true positives, precision, recall, F1. The sweep is
+  // score-cardinality-sized (one hash agg + two prefix scans + a
+  // broadcast totals row), never data-sized — the oracle replays the
+  // whole pipeline including both running sums.
+  private val q141 = Q("q141_pr_curve",
+    (s, dir) => graft.operators.Eval.prCurve(dsirScoredDocs(s, dir),
+      col("score"), col("lang") === "en"),
+    Some("""WITH tk AS (
+              SELECT doc_id, lang = 'en' AS tgt,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            bg AS (
+              SELECT doc_id, tgt, unnest(CASE WHEN len(tk) >= 2 THEN
+                       list_transform(range(1, len(tk)),
+                                      i -> tk[i] || ' ' || tk[i + 1])
+                     ELSE [] END) AS gram
+              FROM tk),
+            hb AS (
+              SELECT doc_id, tgt,
+                     ('0x' || substr(md5(gram), 1, 4))::BIGINT % 4096 AS b
+              FROM bg),
+            c AS (
+              SELECT b,
+                     CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                     CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+              FROM hb GROUP BY b),
+            n AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                         CAST(sum(cr) AS BIGINT) AS nr FROM c),
+            sc AS (
+              SELECT hb.doc_id, bool_or(hb.tgt) AS y,
+                     round(CAST(sum(CAST(round(
+                         ln(CAST(c.ct + 1 AS DOUBLE) / (n.nt + 4096))
+                       - ln(CAST(c.cr + 1 AS DOUBLE) / (n.nr + 4096)), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS s
+              FROM hb JOIN c USING (b) CROSS JOIN n
+              GROUP BY hb.doc_id),
+            g AS (SELECT s, CAST(count(*) AS BIGINT) AS nn,
+                         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np
+                  FROM sc GROUP BY s),
+            w AS (SELECT *,
+                    CAST(coalesce(sum(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below,
+                    CAST(coalesce(sum(np) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pbelow,
+                    CAST(sum(nn) OVER () AS BIGINT) AS tot,
+                    CAST(sum(np) OVER () AS BIGINT) AS totp
+                  FROM g),
+            raw AS (
+              SELECT s, tot - below AS kept_n, totp - pbelow AS tp,
+                     CAST(totp - pbelow AS DOUBLE) / (tot - below) AS praw,
+                     CASE WHEN totp = 0 THEN 0.0 ELSE CAST(totp - pbelow AS DOUBLE) / totp END AS rraw
+              FROM w)
+            SELECT s AS threshold, kept_n, tp,
+                   round_even(praw, 6) AS precision,
+                   round_even(rraw, 6) AS recall,
+                   round_even(CASE WHEN praw + rraw = 0 THEN 0.0
+                                   ELSE 2 * praw * rraw / (praw + rraw) END, 6) AS f1
+            FROM raw"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140)
+    q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
+    q141)
 }

@@ -63,6 +63,44 @@ object Eval {
           .as("frac_pos"))
   }
 
+  /** Precision/recall sweep — one row per DISTINCT score value, for the
+    * keep-policy `score >= threshold` (the third leg of the q135/q140
+    * report: AUC says the score ranks, calibration says its value
+    * means something, this says what each concrete CUTOFF buys).
+    * Output (threshold, kept_n, tp, precision, recall, f1), round-6
+    * doubles from exact integer counts.
+    *
+    * Same machinery as [[auc]]: one score-keyed hash agg (the sweep is
+    * score-cardinality-sized, NOT data-sized), [[Pack.prefixSum]] for
+    * the exclusive below-counts, and the corpus totals broadcast as a
+    * 1-row frame — no global sort window, no collect. TP at threshold
+    * t = total_pos − pos_below(t); kept = N − below(t). F1 is 0 when
+    * precision + recall is 0 (no division blow-up on an all-negative
+    * tail). Null scores are the caller's problem, as in [[auc]]. */
+  def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val grouped = df
+      .select(score.as("_s"), when(label, 1L).otherwise(0L).as("_y"))
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"))
+    val below = Pack.prefixSum(grouped, col("_n"), "_s", "_below")
+    val belowPos = Pack.prefixSum(below, col("_np"), "_s", "_pbelow")
+    val totals = grouped.agg(sum(col("_n")).as("_tot"),
+      sum(col("_np")).as("_totp"))
+    val p = (col("_tp").cast("double") / col("kept_n"))
+    // all-negative input: recall is 0 by convention, not 0/0 = NaN
+    val r = when(col("_totp") === 0, lit(0.0))
+      .otherwise(col("_tp").cast("double") / col("_totp"))
+    belowPos.crossJoin(broadcast(totals))
+      .withColumn("kept_n", col("_tot") - col("_below"))
+      .withColumn("_tp", col("_totp") - col("_pbelow"))
+      .select(col("_s").as("threshold"), col("kept_n"),
+        col("_tp").as("tp"),
+        bround(p, 6).as("precision"),
+        bround(r, 6).as("recall"),
+        bround(when(p + r === 0.0, 0.0)
+          .otherwise(lit(2.0) * p * r / (p + r)), 6).as("f1"))
+  }
+
   /** One-row frame (n_pos, n_neg, auc round-6) for `score` predicting
     * `label`. Rows where `score` is null are the caller's problem —
     * filter them first (a null score has no rank); `label` must be a

@@ -407,6 +407,30 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].head() == ((2L, 2L, 0.5)))
   }
 
+  test("prCurve: hand-computed sweep, tie handling, all-negative guard") {
+    import graft.operators.Eval
+    // the auc fixture: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3, 0.1}
+    val df = Seq((0.9, true), (0.7, true), (0.5, true),
+      (0.7, false), (0.3, false), (0.1, false))
+      .toDF("s", "y").repartition(4)
+    val out = Eval.prCurve(df, col("s"), col("y"))
+      .as[(Double, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0.1, 6L, 3L, 0.5, 1.0, 0.666667),
+      (0.3, 5L, 3L, 0.6, 1.0, 0.75),
+      (0.5, 4L, 3L, 0.75, 1.0, 0.857143),
+      (0.7, 3L, 2L, 0.666667, 0.666667, 0.666667),  // tie: both 0.7s kept
+      (0.9, 1L, 1L, 1.0, 0.333333, 0.5)))
+    // all-negative input: precision/recall/f1 are 0, never NaN
+    val neg = Seq((0.5, false), (0.3, false)).toDF("s", "y")
+    val outN = Eval.prCurve(neg, col("s"), col("y"))
+      .as[(Double, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(outN == Seq((0.3, 2L, 0L, 0.0, 0.0, 0.0),
+      (0.5, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("calibration: hand-computed reliability bins, clamp and degenerate edges") {
     import graft.operators.Eval
     // range [0.0, 1.0], 4 bins of width 0.25. 0.1,0.2 -> bin 0;
