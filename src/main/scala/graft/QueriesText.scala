@@ -3284,22 +3284,33 @@ object QueriesText {
   // codebook slicing, residual encode argmin, probe-cell routing,
   // per-(query, cell) residual distance tables, subspace-ordered ADC
   // sums — one wrong cell, code, or fold anywhere flips the hash.
+  /** q131/q142 shared model derivation: 16-cell coarse codebook from
+    * the first 16 normalized vectors, 8×64 residual codebooks from the
+    * first 64 vectors' residuals — both parameter-sized collects, both
+    * replayed verbatim by [[ivfPqOracle]]. */
+  private def ivfPqModel(e: DataFrame):
+      (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cb = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    import graft.plans.SketchExpressions.nearestCentroids
+    val samples = e.filter(col("vec_id") < 64).orderBy("vec_id")
+      .select(Pq.residualExpr(col("embedding"),
+        element_at(nearestCentroids(col("embedding"), cb, 1), 1), cb).as("r"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    (cb, Pq.codebooks(samples, m = 8))
+  }
+
   private val q131 = Q("q131_ivfpq_topk",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cb = e.filter(col("vec_id") < 16).orderBy("vec_id")
-        .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
-        .collect().map(_.getSeq[Double](0).toArray)
-      import graft.plans.SketchExpressions.nearestCentroids
-      val samples = e.filter(col("vec_id") < 64).orderBy("vec_id")
-        .select(Pq.residualExpr(col("embedding"),
-          element_at(nearestCentroids(col("embedding"), cb, 1), 1), cb).as("r"))
-        .collect().map(_.getSeq[Double](0).toArray)
-      val cbs = Pq.codebooks(samples, m = 8)
+      val (cb, cbs) = ivfPqModel(e)
       Pq.ivfPqTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
         cb, cbs, k = 3, nprobe = 4)
     },
-    Some("""WITH cb AS (
+    Some(ivfPqOracle))
+
+  private lazy val ivfPqOracle: String = """WITH cb AS (
               SELECT vec_id + 1 AS ci,
                      CASE WHEN n = 0 THEN vd ELSE list_transform(vd, x -> x / n) END AS cv
               FROM (SELECT vec_id,
@@ -3377,7 +3388,7 @@ object QueriesText {
                   FROM adc)
             SELECT query_id, neighbor_id, round_even(adist, 6) AS adist,
                    CAST(rn AS INT) AS rank
-            FROM r WHERE rn <= 3"""))
+            FROM r WHERE rn <= 3"""
 
   // --------------------------------------------------------------- q132
   // Training-shard manifest — the terminal "cut the corpus into release
@@ -3720,11 +3731,33 @@ object QueriesText {
                                    ELSE 2 * praw * rraw / (praw + rraw) END, 6) AS f1
             FROM raw"""))
 
+  // --------------------------------------------------------------- q142
+  // Persisted-index search — the build-once / query-many shape (Faiss
+  // write_index/read_index): q131's exact model and parameters, but the
+  // corpus encode lands on disk as a cell-PARTITIONED parquet index
+  // (atomic tmp+rename publish), the searcher reopens it cold, and the
+  // probe set is pushed into the scan as a partition filter (only the
+  // probed cell directories are read — the 100 TB serving plan). The
+  // oracle is q131's verbatim: one hash proves the whole
+  // build→publish→load→prune→search round trip loses nothing.
+  private val q142 = Q("q142_ann_index_search",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, cbs) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("ann_index_q142")
+      graft.sources.AnnIndex.buildIvfPq(e, "vec_id", "embedding",
+        s"$idxDir/ivfpq", cb, cbs)
+      val idx = graft.sources.AnnIndex.load(s, s"$idxDir/ivfpq")
+      graft.sources.AnnIndex.topK(idx, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3, nprobe = 4)
+    },
+    Some(ivfPqOracle))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
-    q141)
+    q141, q142)
 }

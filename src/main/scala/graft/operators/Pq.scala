@@ -161,14 +161,37 @@ object Pq {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, centroids: Array[Array[Double]],
                 cbs: Array[Array[Array[Double]]], k: Int = 10,
-                nprobe: Int = 4): DataFrame = {
+                nprobe: Int = 4): DataFrame =
+    ivfPqSearch(ivfPqEncode(corpus, idCol, vecCol, centroids, cbs),
+      queries, idCol, vecCol, centroids, cbs, k, nprobe)
+
+  /** The index-build half of [[ivfPqTopK]]: coarse-assign, residual,
+    * PQ-encode — ONE map-only projection, zero Exchanges. Output
+    * `(neighbor_id, _cell, codes)` is the complete searchable state
+    * ([[graft.sources.AnnIndex]] persists exactly this frame,
+    * partitioned by `_cell`, for the build-once / query-many shape). */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[Array[Double]],
+                  cbs: Array[Array[Array[Double]]]): DataFrame = {
     import graft.plans.SketchExpressions.nearestCentroids
-    val c = corpus
+    corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"),
         element_at(nearestCentroids(col(vecCol), centroids, 1), 1).as("_cell"))
       .select(col("neighbor_id"), col("_cell"),
         encodeExpr(residualExpr(col("_v"), col("_cell"), centroids), cbs)
           .as("codes"))
+  }
+
+  /** The search half of [[ivfPqTopK]] over an already-encoded codes
+    * frame (`neighbor_id, _cell, codes` — [[ivfPqEncode]]'s output or a
+    * persisted [[graft.sources.AnnIndex]] scan). Kept separate so the
+    * encode cost is paid once per corpus, not once per query batch. */
+  def ivfPqSearch(codes: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, centroids: Array[Array[Double]],
+                  cbs: Array[Array[Array[Double]]], k: Int = 10,
+                  nprobe: Int = 4): DataFrame = {
+    import graft.plans.SketchExpressions.nearestCentroids
+    val c = codes
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
         explode(nearestCentroids(col(vecCol), centroids, nprobe)).as("_cell"))

@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Pq
+import graft.sources.AnnIndex
+
+/** Persisted IVF-PQ index ([[graft.sources.AnnIndex]]): the
+  * build→publish→load→search round trip must be lossless vs the
+  * in-memory [[Pq.ivfPqTopK]] path, the probe set must reach the codes
+  * scan as a parquet PARTITION filter (the build-once/query-many scale
+  * contract), and publish must be atomic under builder death and
+  * rebuild. */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 8
+
+  private def corpus(n: Int) = {
+    val rng = new scala.util.Random(11)
+    (0L until n.toLong).map { i =>
+      val base = Array.tabulate(dim)(j =>
+        if (j == (i % 4).toInt * 2) 10.0f else 0.0f)
+      val v = base.map(x => x + rng.nextGaussian().toFloat * 0.2f)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def model(e: org.apache.spark.sql.DataFrame) = {
+    val cents = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    import graft.plans.SketchExpressions.nearestCentroids
+    val samples = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(Pq.residualExpr(col("embedding"),
+        element_at(nearestCentroids(col("embedding"), cents, 1), 1), cents).as("r"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    (cents, Pq.codebooks(samples, m = 4))
+  }
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("ann_index_spec").toString
+
+  test("round trip: persisted search equals the in-memory ivfPqTopK path") {
+    val e = corpus(80).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.nlist == 4 && idx.m == 4 && idx.nrows == 80)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val got = AnnIndex.topK(idx, q, "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val want = Pq.ivfPqTopK(q, e, "vec_id", "embedding", cents, cbs,
+      k = 3, nprobe = 2).collect().map(_.toSeq).toSet
+    assert(got == want)
+    // model literals survive the parquet round trip bit-exactly
+    assert(idx.centroids.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(idx.cbs.map(_.map(_.toSeq).toSeq).toSeq ==
+      cbs.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("probe set reaches the codes scan as a partition filter") {
+    val e = corpus(60).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    val idx = AnnIndex.load(spark, dir)
+    // one query, nprobe=1 → exactly one probed cell. AQE wraps the plan
+    // in an opaque leaf (the PlanAuditSpec convention) — disable it for
+    // the inspection.
+    val q = e.filter(col("vec_id") === 0)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (res, plan) =
+      try {
+        val r = AnnIndex.topK(idx, q, "vec_id", "embedding", k = 3, nprobe = 1)
+        (r, r.queryExecution.executedPlan)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("/codes"))
+        => s
+    }
+    assert(scans.nonEmpty, "no parquet scan over the codes table found")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"probe filter did not reach the scan as a partition filter:\n$scan")
+    // only the probed cell directory is read — 1 of 4 partitions
+    assert(scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).length == 1)
+    assert(res.count() == 3)
+  }
+
+  test("prune=false equals prune=true") {
+    val e = corpus(40).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    val idx = AnnIndex.load(spark, dir)
+    val q = e.filter(col("vec_id") % 7 === 0)
+    val a = AnnIndex.topK(idx, q, "vec_id", "embedding", k = 2, nprobe = 2,
+      prune = true).collect().map(_.toSeq).toSet
+    val b = AnnIndex.topK(idx, q, "vec_id", "embedding", k = 2, nprobe = 2,
+      prune = false).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("publish is atomic: a dead builder's _tmp orphan is invisible; rebuild swaps cleanly") {
+    val e = corpus(30).cache()
+    val (cents, cbs) = model(e)
+    val root = tmpDir()
+    val dir = s"$root/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    // simulate a builder that died mid-stage: partial _tmp tree beside it
+    val orphan = new java.io.File(s"$root/_tmp.idx/codes")
+    assert(orphan.mkdirs())
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.nrows == 30)
+    // rebuild over the live index (and over the orphan) replaces both
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, cents, cbs)
+    val idx2 = AnnIndex.load(spark, dir)
+    assert(idx2.nrows == 20)
+    assert(!new java.io.File(s"$root/_tmp.idx").exists())
+  }
+
+  test("load validates model tables against meta") {
+    val e = corpus(30).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    // corrupt: drop a codebook row
+    val cbPath = s"$dir/codebooks"
+    val rows = spark.read.parquet(cbPath).filter(col("code") =!= 1 || col("s") =!= 0)
+    val tmp = s"$dir/codebooks_tmp"
+    rows.write.parquet(tmp)
+    val f = new java.io.File(cbPath)
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+    }
+    rm(f)
+    assert(new java.io.File(tmp).renameTo(f))
+    val ex = intercept[IllegalArgumentException](AnnIndex.load(spark, dir))
+    assert(ex.getMessage.contains("codebooks"))
+  }
+}
