@@ -3310,7 +3310,15 @@ object QueriesText {
     },
     Some(ivfPqOracle))
 
-  private lazy val ivfPqOracle: String = """WITH cb AS (
+  private lazy val ivfPqOracle: String = ivfPqOracleCtes +
+    """
+            SELECT query_id, neighbor_id, round_even(adist, 6) AS adist,
+                   CAST(rn AS INT) AS rank
+            FROM r WHERE rn <= 3"""
+
+  /** The full IVF-PQ replay chain up to the ranked candidate CTE `r` —
+    * shared by q131/q142 (final select) and q143 (rerank tail). */
+  private lazy val ivfPqOracleCtes: String = """WITH cb AS (
               SELECT vec_id + 1 AS ci,
                      CASE WHEN n = 0 THEN vd ELSE list_transform(vd, x -> x / n) END AS cv
               FROM (SELECT vec_id,
@@ -3385,10 +3393,7 @@ object QueriesText {
             r AS (SELECT query_id, neighbor_id, adist,
                          row_number() OVER (PARTITION BY query_id
                            ORDER BY adist ASC, neighbor_id) AS rn
-                  FROM adc)
-            SELECT query_id, neighbor_id, round_even(adist, 6) AS adist,
-                   CAST(rn AS INT) AS rank
-            FROM r WHERE rn <= 3"""
+                  FROM adc)"""
 
   // --------------------------------------------------------------- q132
   // Training-shard manifest — the terminal "cut the corpus into release
@@ -3753,11 +3758,47 @@ object QueriesText {
     },
     Some(ivfPqOracle))
 
+  // --------------------------------------------------------------- q143
+  // Two-stage retrieval: IVF-PQ over-fetches k'=6 candidates per query
+  // (compressed tier, q131's model), then ONLY those candidates' raw
+  // vectors are fetched and reranked by exact cosine to k=3 — Faiss's
+  // refine step. The exact math runs on |queries|×6 pairs, not
+  // |queries|×|corpus|; the corpus is scanned once with the candidate
+  // set broadcast as a join filter. The oracle replays the entire
+  // compressed tier (ivfPqOracleCtes), the candidate cut, and the
+  // exact-cosine rerank — a wrong ADC rank that changes WHICH k'
+  // survive flips the hash even where final cosines agree.
+  private val q143 = Q("q143_ann_rerank",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, cbs) = ivfPqModel(e)
+      val qs = e.filter(col("vec_id") % 50 === 0)
+      val cand = Pq.ivfPqTopK(qs, e, "vec_id", "embedding", cb, cbs,
+        k = 6, nprobe = 4)
+      Similarity.rerankTopK(cand, qs, e, "vec_id", "embedding", k = 3)
+    },
+    Some(ivfPqOracleCtes + s""",
+            cand6 AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 6),
+            ex AS (
+              SELECT c.query_id, c.neighbor_id,
+                     ${PlaneSql.cosSql("qe.embedding", "ne.embedding")} AS cos
+              FROM cand6 c
+              JOIN embeddings qe ON qe.vec_id = c.query_id
+              JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+            rr AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rn
+              FROM ex)
+            SELECT query_id, neighbor_id, round_even(cos, 6) AS cosine,
+                   CAST(rn AS INT) AS rank
+            FROM rr WHERE rn <= 3"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
-    q141, q142)
+    q141, q142, q143)
 }

@@ -44,6 +44,44 @@ object Similarity {
         col("_rn").cast("int").as("rank"))
   }
 
+  /** Two-stage retrieval rerank — the standard production recall
+    * recipe (Faiss's refine / `IndexRefineFlat`, Jégou TPAMI 2011
+    * §V-C): a cheap compressed tier (IVF-PQ / SQ8 / LSH) over-fetches
+    * `k' > k` candidate ids, and only those candidates' RAW vectors are
+    * fetched and scored exactly. The corpus is scanned once, never
+    * shuffled: the candidate id set (|queries| × k' rows — tiny by
+    * construction) broadcasts onto the corpus scan as a join filter, so
+    * the exact math runs on |queries| × k' pairs instead of
+    * |queries| × |corpus|. ADC's quantization error decides only which
+    * k' survive; the final ordering is exact cosine — at 100 TB this
+    * recovers near-brute-force precision for one compressed-index scan
+    * plus a candidate-sized probe of the raw table.
+    *
+    * `candidates` needs only (query_id, neighbor_id) — any ANN tier's
+    * output shape. Ties and zero-norm rows follow [[bruteForceTopK]]
+    * exactly (cosine NULL on zero norms, ordered nulls-last). */
+  def rerankTopK(candidates: DataFrame, queries: DataFrame,
+                 corpus: DataFrame, idCol: String, vecCol: String,
+                 k: Int = 10): DataFrame = {
+    val cand = candidates.select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      norm2(col(vecCol)).as("_cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      norm2(col(vecCol)).as("_qn"))
+    val scored = c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        when(col("_qn") === 0.0 || col("_cn") === 0.0, lit(null).cast("double"))
+          .otherwise(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        bround(col("cosine"), 6).as("cosine"),
+        col("_rn").cast("int").as("rank"))
+  }
+
   /** LSH-bucketed cosine top-k: candidates = rows sharing a hyperplane
     * sign-bucket with the query in ANY of `tables` hash tables.
     *

@@ -225,6 +225,61 @@ class AnnPqSpec extends AnyFunSuite {
     assert(part.nonEmpty && part.length <= out.length)
   }
 
+  test("rerankTopK: exact-cosine order within candidates, non-candidates excluded, refine recovers brute-force top-1") {
+    val e = corpus(100).cache()
+    // hand-given candidate set: rerank scores ONLY these pairs, by the
+    // exact brute-force cosine, in brute-force tie order
+    val cand = Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 4L))
+      .toDF("query_id", "neighbor_id")
+    val qs = e.filter(col("vec_id").isin(0L, 10L))
+    val got = Similarity.rerankTopK(cand, qs, e, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.count(_._1 == 0L) == 2 && got.count(_._1 == 10L) == 1)
+    assert(got.forall(r => cand.collect().map(c => (c.getLong(0), c.getLong(1)))
+      .contains((r._1, r._2))), "a non-candidate leaked into the rerank")
+    val bf = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", k = 99)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getInt(3)))).toMap
+    got.foreach { case (q, n, c, _) =>
+      assert(bf((q, n))._1 == c, s"rerank cosine for ($q,$n) != brute force") }
+    // refine recipe: IVF-PQ over-fetch k'=6 then exact rerank to k=3 —
+    // top-1 must equal brute-force top-1 on the clustered fixture
+    val cb = normalizedRows(e, 8)
+    import graft.plans.SketchExpressions.nearestCentroids
+    val samples = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(Pq.residualExpr(col("embedding"),
+        element_at(nearestCentroids(col("embedding"), cb, 1), 1), cb).as("r"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cbs = Pq.codebooks(samples, m = 2)
+    val queries = e.filter(col("vec_id") % 10 === 0)
+    val approx = Pq.ivfPqTopK(queries, e, "vec_id", "embedding", cb, cbs,
+      k = 12, nprobe = 8)
+    val refined = Similarity.rerankTopK(approx, queries, e, "vec_id",
+        "embedding", k = 3)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding",
+        k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // the rerank guarantee: top-1 is the exact-cosine argmax WITHIN the
+    // candidate set — whenever the compressed tier keeps the true
+    // neighbor among its k', refine recovers it
+    val candSet = approx.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recoverable = exact.filter { case (q, n) =>
+      candSet.get(q).exists(_.contains(n)) }
+    recoverable.foreach { case (q, n) =>
+      assert(refined.get(q).contains(n),
+        s"true neighbor $n of $q was in the candidate set but not refined to top-1") }
+    // and refine never does WORSE than the raw ADC ordering
+    val adcTop1 = approx.filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val agreeRefined = exact.count { case (q, n) => refined.get(q).contains(n) }
+    val agreeAdc = exact.count { case (q, n) => adcTop1.get(q).contains(n) }
+    assert(agreeRefined >= agreeAdc,
+      s"refine ($agreeRefined) worse than raw ADC ($agreeAdc)")
+    assert(recoverable.nonEmpty, "fixture degenerate: no recoverable queries")
+  }
+
   test("ivfPqTopK: a sample vector's residual is its own codeword — ADC self-distance 0") {
     val e = corpus(100).cache()
     val cb = normalizedRows(e, 8)
