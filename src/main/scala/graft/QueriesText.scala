@@ -3794,11 +3794,35 @@ object QueriesText {
                    CAST(rn AS INT) AS rank
             FROM rr WHERE rn <= 3"""))
 
+  // --------------------------------------------------------------- q144
+  // Incremental index append — Faiss `add` / Lucene segment appends:
+  // the index is built on HALF the corpus, the other half lands later
+  // as an immutable appended segment (encoded against the model read
+  // FROM the index, published by an atomic manifest swap), and the
+  // search runs on the reopened snapshot. Per-row encode is
+  // deterministic, so build(part)+append(rest) must hash-equal
+  // build(all): the oracle is q131's verbatim — the same hash that
+  // gates the one-shot build gates the incremental one.
+  private val q144 = Q("q144_ann_index_append",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, cbs) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("ann_index_q144")
+      graft.sources.AnnIndex.buildIvfPq(e.filter(col("vec_id") < 250),
+        "vec_id", "embedding", s"$idxDir/ivfpq", cb, cbs)
+      graft.sources.AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", s"$idxDir/ivfpq")
+      val idx = graft.sources.AnnIndex.load(s, s"$idxDir/ivfpq")
+      graft.sources.AnnIndex.topK(idx, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3, nprobe = 4)
+    },
+    Some(ivfPqOracle))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
-    q141, q142, q143)
+    q141, q142, q143, q144)
 }

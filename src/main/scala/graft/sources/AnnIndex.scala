@@ -7,41 +7,58 @@ import graft.operators.Pq
 
 /** Persisted IVF-PQ index — the build-once / query-many shape every
   * production ANN deployment actually runs (Faiss `write_index` /
-  * `read_index`, Lucene's codec files): the expensive offline job
-  * (train + encode the full corpus) lands a directory of parquet
+  * `read_index` + `add`, Lucene's segment files): the expensive offline
+  * job (train + encode the corpus) lands a directory of parquet
   * artifacts; online query batches open the directory and never touch
-  * the raw vectors again.
+  * the raw vectors again; corpus growth lands as APPENDED immutable
+  * segments, not rebuilds.
   *
-  * Layout under `dir/` (all parquet):
+  * Layout under `dir/`:
   *   - `centroids/`  `(cell INT 1-based, vec ARRAY<DOUBLE>)` — the
   *     coarse quantizer; nlist rows.
   *   - `codebooks/`  `(s INT 0-based, code INT 1-based,
   *     vec ARRAY<DOUBLE>)` — the m residual sub-codebooks; m×ncode rows.
-  *   - `codes/`      `(neighbor_id, codes ARRAY<INT>)` PARTITIONED BY
-  *     `cell` — the corpus, m bytes-worth per row. Partitioning by cell
-  *     is the scale lever: a query batch probes a bounded set of cells
-  *     (≤ nlist, usually ≪), and the probe filter becomes a parquet
-  *     PartitionFilter, so the scan reads ONLY the probed cell
-  *     directories — at 100 TB the difference between reading
-  *     nprobe/nlist of the index and reading all of it.
-  *   - `meta/`       one row `(dim, nlist, m, ncode, nrows)` — load-time
-  *     integrity check.
+  *   - `data/batch-<n>/cell=X/…parquet` — immutable code segments
+  *     (`neighbor_id, codes`), each PARTITIONED BY `cell`. Partitioning
+  *     by cell is the scale lever: a query batch probes a bounded set
+  *     of cells (≤ nlist, usually ≪), and the probe filter becomes a
+  *     parquet PartitionFilter in EVERY segment scan — at 100 TB the
+  *     difference between reading nprobe/nlist of the index and all
+  *     of it.
+  *   - `manifest/m-<n>` — one line per live segment (`batch-<id> nrows`).
+  *     The CURRENT index state is the highest manifest; a segment not
+  *     listed in any manifest does not exist to readers.
+  *   - `meta/` one row `(dim, nlist, m, ncode)` — load-time model check.
   *
-  * Publish is atomic by the [[VersionedTable]] rule: the whole tree is
-  * staged under a `_tmp.<name>` sibling and RENAMED into place (one
-  * filesystem op on HDFS/local), so a reader either sees no index or a
-  * complete one; a builder that dies mid-stage leaves only an invisible
-  * `_tmp.*` orphan. Rebuild-in-place swaps the old tree out the same
-  * way. Model arrays (centroids, codebooks) are parameter-sized by
-  * construction — nlist and m×ncode rows — so the load-time collect is
-  * a few KB regardless of corpus size. */
+  * Snapshot semantics come from two rules (the Iceberg/Delta core,
+  * reduced to parquet + rename):
+  *  - DATA IS IMMUTABLE AND INVISIBLE UNTIL COMMITTED: a build or
+  *    append first finishes its whole `batch-<n>` tree, then publishes
+  *    it by writing the next manifest via stage+atomic-rename. A writer
+  *    that dies mid-batch leaves an orphan no reader ever lists.
+  *  - READERS PIN A MANIFEST: [[load]] resolves the highest manifest
+  *    ONCE and unions exactly those segments, so an open [[Loaded]]
+  *    handle is a consistent snapshot — a concurrent append never
+  *    changes (or half-changes) what it scans. Reopen to see new data.
+  *
+  * [[appendIvfPq]] reads the model FROM THE INDEX (never from the
+  * caller), so appended codes are always encoded against the same
+  * centroids/codebooks as the original build — per-row encode is
+  * deterministic, hence build(all) ≡ build(part) + append(rest), which
+  * is exactly what q144 hash-gates. Single writer assumed (the
+  * [[VersionedTable]] streaming-sink convention); concurrent readers
+  * are always safe. Model arrays are parameter-sized (nlist, m×ncode
+  * rows), so load-time collects are a few KB regardless of corpus
+  * size. */
 object AnnIndex {
 
-  /** An opened index: driver-side model literals + the lazy codes scan
+  /** An opened index snapshot: driver-side model literals + the lazy
+    * union of the manifest's segment scans
     * (`neighbor_id, _cell, codes` — [[Pq.ivfPqEncode]]'s schema). */
   final case class Loaded(centroids: Array[Array[Double]],
                           cbs: Array[Array[Array[Double]]],
-                          codes: DataFrame, nrows: Long) {
+                          codes: DataFrame, nrows: Long,
+                          batches: Seq[Long]) {
     def nlist: Int = centroids.length
     def m: Int = cbs.length
   }
@@ -50,28 +67,74 @@ object AnnIndex {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
 
-  /** Build and atomically publish the index at `dir` (replacing any
-    * complete index already there). The corpus pass is [[Pq.ivfPqEncode]]
-    * — assignment + residual + PQ encode fused into one map-only
-    * projection — plus the partitioned write; no shuffle beyond the
-    * writer's own partitioning. */
+  private def path(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** Highest committed manifest id, or None on a fresh/absent index. */
+  private def currentManifestId(f: org.apache.hadoop.fs.FileSystem,
+                                dir: String): Option[Long] = {
+    val mdir = path(s"$dir/manifest")
+    if (!f.exists(mdir)) None
+    else f.listStatus(mdir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("m-"))
+      .flatMap(st => scala.util.Try(st.getPath.getName.drop(2).toLong).toOption)
+      .maxOption
+  }
+
+  /** Segments of manifest `id`: (batchId, nrows) per line. */
+  private def readManifest(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                           id: Long): Seq[(Long, Long)] = {
+    val in = f.open(path(s"$dir/manifest/m-$id"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(b, n) = line.trim.split("\\s+")
+      (b.stripPrefix("batch-").toLong, n.toLong)
+    }.toSeq
+  }
+
+  /** Stage+rename-publish manifest `id` with the given segment list. */
+  private def writeManifest(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                            id: Long, segs: Seq[(Long, Long)]): Unit = {
+    f.mkdirs(path(s"$dir/manifest"))
+    val tmp = path(s"$dir/manifest/_tmp.m-$id")
+    val out = f.create(tmp, true)
+    try out.write(segs.map { case (b, n) => s"batch-$b $n" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, path(s"$dir/manifest/m-$id")))
+      throw new java.io.IOException(s"manifest m-$id publish failed")
+  }
+
+  /** Encode `delta` with the index model and land it as segment
+    * `batch-<id>` (complete before the caller publishes a manifest). */
+  private def writeSegment(delta: DataFrame, idCol: String, vecCol: String,
+                           dir: String, batchId: Long,
+                           centroids: Array[Array[Double]],
+                           cbs: Array[Array[Array[Double]]]): Long = {
+    val spark = delta.sparkSession
+    val seg = s"$dir/data/batch-$batchId"
+    Pq.ivfPqEncode(delta, idCol, vecCol, centroids, cbs)
+      .withColumnRenamed("_cell", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(seg)
+    spark.read.parquet(seg).count()
+  }
+
+  /** Build and atomically publish a FRESH index at `dir` (replacing any
+    * index already there). The corpus pass is [[Pq.ivfPqEncode]] —
+    * assignment + residual + PQ encode fused into one map-only
+    * projection — plus the partitioned segment write. */
   def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
                  dir: String, centroids: Array[Array[Double]],
                  cbs: Array[Array[Array[Double]]]): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val f = fs(spark, dir)
-    val target = new org.apache.hadoop.fs.Path(dir)
-    val parent = Option(target.getParent).getOrElse(
-      new org.apache.hadoop.fs.Path("."))
+    val target = path(dir)
+    val parent = Option(target.getParent).getOrElse(path("."))
     f.mkdirs(parent)
-    val tmp = new org.apache.hadoop.fs.Path(parent,
-      s"_tmp.${target.getName}")
+    val tmp = path(parent.toString + s"/_tmp.${target.getName}")
     f.delete(tmp, true)
 
-    val enc = Pq.ivfPqEncode(corpus, idCol, vecCol, centroids, cbs)
-      .withColumnRenamed("_cell", "cell")
-    enc.write.partitionBy("cell").parquet(s"$tmp/codes")
     centroids.zipWithIndex
       .map { case (v, i) => (i + 1, v.toSeq) }.toSeq
       .toDF("cell", "vec")
@@ -81,26 +144,46 @@ object AnnIndex {
         cb.zipWithIndex.map { case (v, j) => (s, j + 1, v.toSeq) } }.toSeq
       .toDF("s", "code", "vec")
       .repartition(1).write.parquet(s"$tmp/codebooks")
-    val nrows = spark.read.parquet(s"$tmp/codes").count()
     Seq((centroids.head.length, centroids.length, cbs.length,
-        cbs.head.length, nrows))
-      .toDF("dim", "nlist", "m", "ncode", "nrows")
+        cbs.head.length))
+      .toDF("dim", "nlist", "m", "ncode")
       .repartition(1).write.parquet(s"$tmp/meta")
+    val n = writeSegment(corpus, idCol, vecCol, tmp.toString, 0L,
+      centroids, cbs)
+    writeManifest(f, tmp.toString, 0L, Seq((0L, n)))
 
     f.delete(target, true)
     if (!f.rename(tmp, target))
       throw new java.io.IOException(s"rename $tmp -> $target failed")
   }
 
-  /** Open a published index: collect the parameter-sized model tables
-    * into driver literals (validated against `meta`), leave the codes
-    * table as a lazy scan. */
+  /** Append `delta` to a live index as a new immutable segment. The
+    * encode model is read FROM THE INDEX, so appended codes are
+    * bit-consistent with the build; the segment becomes visible only
+    * with the manifest publish at the end (readers mid-append see the
+    * previous snapshot). */
+  def appendIvfPq(delta: DataFrame, idCol: String, vecCol: String,
+                  dir: String): Unit = {
+    val spark = delta.sparkSession
+    val f = fs(spark, dir)
+    val idx = load(spark, dir)
+    val mid = currentManifestId(f, dir).get
+    val batchId = idx.batches.max + 1
+    val n = writeSegment(delta, idCol, vecCol, dir, batchId,
+      idx.centroids, idx.cbs)
+    val segs = readManifest(f, dir, mid) :+ (batchId, n)
+    writeManifest(f, dir, mid + 1, segs)
+  }
+
+  /** Open the current snapshot: collect the parameter-sized model
+    * tables into driver literals (validated against `meta`), pin the
+    * highest manifest, and union its segment scans lazily. */
   def load(spark: SparkSession, dir: String): Loaded = {
+    val f = fs(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").collect().head
-    val (dim, nlist, m, ncode, nrows) =
+    val (dim, nlist, m, ncode) =
       (meta.getAs[Int]("dim"), meta.getAs[Int]("nlist"),
-        meta.getAs[Int]("m"), meta.getAs[Int]("ncode"),
-        meta.getAs[Long]("nrows"))
+        meta.getAs[Int]("m"), meta.getAs[Int]("ncode"))
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
@@ -112,18 +195,23 @@ object AnnIndex {
       s"codebooks table does not match meta ($m x $ncode)")
     val cbs = cbRows.grouped(ncode)
       .map(_.map(_.getSeq[Double](2).toArray).toArray).toArray
-    val codes = spark.read.parquet(s"$dir/codes")
+    val mid = currentManifestId(f, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest under $dir"))
+    val segs = readManifest(f, dir, mid)
+    val codes = segs.map { case (b, _) =>
+      spark.read.parquet(s"$dir/data/batch-$b") }
+      .reduce(_ unionByName _)
       .select(col("neighbor_id"), col("cell").as("_cell"), col("codes"))
-    Loaded(cents, cbs, codes, nrows)
+    Loaded(cents, cbs, codes, segs.map(_._2).sum, segs.map(_._1))
   }
 
-  /** Query an opened index: [[Pq.ivfPqSearch]] over the persisted
-    * codes, with the probe set pushed into the scan as a partition
-    * filter. The probed-cell collect is bounded by nlist REGARDLESS of
-    * query count (distinct over the exploded probe list), so pruning is
-    * always parameter-sized; `prune = false` keeps the plain cell-join
-    * plan for the corpus-as-queries shape where every cell is probed
-    * anyway. */
+  /** Query an opened snapshot: [[Pq.ivfPqSearch]] over the pinned
+    * segment union, with the probe set pushed into EVERY segment scan
+    * as a partition filter. The probed-cell collect is bounded by nlist
+    * REGARDLESS of query count (distinct over the exploded probe list),
+    * so pruning is always parameter-sized; `prune = false` keeps the
+    * plain cell-join plan for the corpus-as-queries shape where every
+    * cell is probed anyway. */
   def topK(idx: Loaded, queries: DataFrame, idCol: String, vecCol: String,
            k: Int = 10, nprobe: Int = 4, prune: Boolean = true): DataFrame = {
     import graft.plans.SketchExpressions.nearestCentroids

@@ -80,17 +80,59 @@ class AnnIndexSpec extends AnyFunSuite {
       } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     val scans = plan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
-          if s.relation.location.rootPaths.exists(_.toString.contains("/codes"))
+          if s.relation.location.rootPaths.exists(_.toString.contains("/data/batch-"))
         => s
     }
-    assert(scans.nonEmpty, "no parquet scan over the codes table found")
-    val scan = scans.head
-    assert(scan.partitionFilters.nonEmpty,
-      s"probe filter did not reach the scan as a partition filter:\n$scan")
-    // only the probed cell directory is read — 1 of 4 partitions
-    assert(scan.relation.location.listFiles(
-      scan.partitionFilters, scan.dataFilters).length == 1)
+    assert(scans.nonEmpty, "no parquet scan over the codes segments found")
+    scans.foreach { scan =>
+      assert(scan.partitionFilters.nonEmpty,
+        s"probe filter did not reach the scan as a partition filter:\n$scan")
+      // only the probed cell directory is read — 1 of 4 partitions
+      assert(scan.relation.location.listFiles(
+        scan.partitionFilters, scan.dataFilters).length == 1)
+    }
     assert(res.count() == 3)
+  }
+
+  test("append: build(part)+append(rest) searches identically to build(all); snapshots pin") {
+    val e = corpus(80).cache()
+    val (cents, cbs) = model(e)
+    val root = tmpDir()
+    val full = s"$root/full"
+    val inc = s"$root/inc"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", full, cents, cbs)
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 40), "vec_id", "embedding",
+      inc, cents, cbs)
+    val before = AnnIndex.load(spark, inc)
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 40), "vec_id", "embedding",
+      inc)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val after = AnnIndex.load(spark, inc)
+    assert(after.nrows == 80 && after.batches == Seq(0L, 1L))
+    val got = AnnIndex.topK(after, q, "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val want = AnnIndex.topK(AnnIndex.load(spark, full), q, "vec_id",
+      "embedding", k = 3, nprobe = 2).collect().map(_.toSeq).toSet
+    assert(got == want, "incremental index diverged from the full build")
+    // the pre-append handle is a pinned snapshot: still 40 rows
+    assert(before.nrows == 40 && before.codes.count() == 40)
+    assert(after.codes.count() == 80)
+  }
+
+  test("an uncommitted segment (no manifest entry) is invisible to readers") {
+    val e = corpus(30).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    // simulate an appender that died after its segment write but before
+    // the manifest publish: a complete batch dir, no manifest entry
+    graft.operators.Pq.ivfPqEncode(e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", cents, cbs)
+      .withColumnRenamed("_cell", "cell")
+      .write.partitionBy("cell").parquet(s"$dir/data/batch-99")
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.nrows == 30 && idx.codes.count() == 30 &&
+      idx.batches == Seq(0L))
   }
 
   test("prune=false equals prune=true") {
