@@ -3818,11 +3818,82 @@ object QueriesText {
     },
     Some(ivfPqOracle))
 
+  // --------------------------------------------------------------- q145
+  // Greedy token-budget selection — the terminal act of quality-scored
+  // pretraining curation: rank every document by its DSIR score and
+  // keep the best until the 12k-token budget is spent (a doc is kept
+  // iff its token span STARTS inside the budget — q132's shard
+  // convention, so the budget is always filled). The running sum is the
+  // distributed prefix scan over the (−score, id) range order, never a
+  // single-task ORDER BY window. The oracle replays the classifier
+  // fit, the per-doc scoring, the DESC order, and the running sum.
+  private val q145 = Q("q145_token_budget_select",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val m = graft.operators.Dsir.fitLiteralModel(d, "text",
+        col("lang") === "en", nBuckets = 4096)
+      val scored = graft.operators.Pin.data(
+        graft.operators.Spread.toCores(d)
+          .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"),
+            graft.operators.Dsir.scoreExpr(col("text"), m).as("_s"))
+          .select(col("doc_id"), col("n_tokens"),
+            col("_s.n_bigrams").as("nb"), col("_s.avg_logratio").as("score"))
+          .filter(col("nb") > 0)
+          .drop("nb"))
+      graft.operators.Split.tokenBudgetSelect(scored, col("score"),
+        col("n_tokens"), "doc_id", budget = 12000L)
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id, lang = 'en' AS tgt,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            bg AS (
+              SELECT doc_id, tgt, unnest(CASE WHEN len(tk) >= 2 THEN
+                       list_transform(range(1, len(tk)),
+                                      i -> tk[i] || ' ' || tk[i + 1])
+                     ELSE [] END) AS gram
+              FROM tk),
+            hb AS (
+              SELECT doc_id, tgt,
+                     ('0x' || substr(md5(gram), 1, 4))::BIGINT % 4096 AS b
+              FROM bg),
+            c AS (
+              SELECT b,
+                     CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                     CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+              FROM hb GROUP BY b),
+            n AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                         CAST(sum(cr) AS BIGINT) AS nr FROM c),
+            sc AS (
+              SELECT hb.doc_id,
+                     round(CAST(sum(CAST(round(
+                         ln(CAST(c.ct + 1 AS DOUBLE) / (n.nt + 4096))
+                       - ln(CAST(c.cr + 1 AS DOUBLE) / (n.nr + 4096)), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS score
+              FROM hb JOIN c USING (b) CROSS JOIN n
+              GROUP BY hb.doc_id),
+            tc AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                          t -> len(t) > 0)) AS BIGINT) AS n_tokens
+              FROM documents),
+            j AS (SELECT sc.doc_id, tc.n_tokens, sc.score
+                  FROM sc JOIN tc USING (doc_id)),
+            w AS (SELECT *,
+                    CAST(coalesce(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cum_before
+                  FROM j)
+            SELECT doc_id, n_tokens, score, cum_before
+            FROM w WHERE cum_before < 12000"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
-    q141, q142, q143, q144)
+    q141, q142, q143, q144, q145)
 }

@@ -185,6 +185,34 @@ object Split {
       coalesce(element_at(typedLit(thresholds), stratum.cast("string")), lit(0L)))
   }
 
+  /** Greedy token-budget selection — "keep the best-scoring documents
+    * until the token budget is spent", the terminal act of every
+    * quality-scored pretraining pipeline (DSIR/DoReMi-style selection
+    * fills a fixed compute budget, not a fixed doc count). Documents
+    * are ranked by (`score` DESC, id ASC — a total order), and a
+    * document is kept iff its token span STARTS inside the budget (the
+    * q132 shard-assignment convention: the boundary document that
+    * crosses the budget line is included, so the budget is always
+    * filled). Adds `cum_before` = tokens admitted strictly ahead of the
+    * row.
+    *
+    * Scale: the global running sum is [[Pack.prefixSum]]'s distributed
+    * prefix scan over a range partitioning of the (−score, id) sort key
+    * — one range Exchange + a config-bounded carry join; NO
+    * single-task `ORDER BY` window, no collect, and the filter is a
+    * projection over the scanned frame. NaN scores are the caller's
+    * bug (−NaN breaks the range order); score NULLs sort like the
+    * underlying range partitioner places them — filter them first. */
+  def tokenBudgetSelect(df: DataFrame, score: Column, tokens: Column,
+                        idCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val keyed = df.withColumn("_sel_key",
+      struct((-score).as("ns"), col(idCol).as("id")))
+    Pack.prefixSum(keyed, tokens, "_sel_key", "cum_before")
+      .filter(col("cum_before") < budget)
+      .drop("_sel_key")
+  }
+
   /** Leakage-safe split assignment: near-duplicate documents must never
     * straddle train/test (evaluating on a near-copy of a training doc is
     * contamination — the failure mode the dedup-before-split rule in

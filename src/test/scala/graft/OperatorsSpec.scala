@@ -484,6 +484,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(strict == Set(1L, 3L))
   }
 
+  test("tokenBudgetSelect: score order, boundary doc included, exact cum_before") {
+    // score desc, id asc: 30(0.9) -> 10(0.5) -> 20(0.5) -> 40(0.1)
+    val df = Seq((10L, 0.5, 60L), (20L, 0.5, 50L), (30L, 0.9, 40L),
+      (40L, 0.1, 100L)).toDF("doc_id", "score", "n_tokens")
+    val got = Split.tokenBudgetSelect(df, col("score"), col("n_tokens"),
+        "doc_id", budget = 120L)
+      .select("doc_id", "cum_before").as[(Long, Long)].collect.toMap
+    // 30 starts at 0, 10 at 40, 20 at 100 (crosses 120 -> still kept:
+    // span STARTS inside the budget); 40 starts at 150 -> dropped
+    assert(got == Map(30L -> 0L, 10L -> 40L, 20L -> 100L))
+    // budget below the first doc keeps exactly the best doc
+    val one = Split.tokenBudgetSelect(df, col("score"), col("n_tokens"),
+        "doc_id", budget = 1L)
+      .select("doc_id").as[Long].collect.toSeq
+    assert(one == Seq(30L))
+    // invariant to input partitioning
+    val again = Split.tokenBudgetSelect(df.repartition(5), col("score"),
+        col("n_tokens"), "doc_id", budget = 120L)
+      .select("doc_id", "cum_before").as[(Long, Long)].collect.toMap
+    assert(again == got)
+  }
+
   test("capPerGroup keeps exactly n per group by md5 order of the id") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "a"), (6L, "b"))
       .toDF("id", "src")
