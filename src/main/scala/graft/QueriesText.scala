@@ -3288,7 +3288,7 @@ object QueriesText {
     * the first 16 normalized vectors, 8×64 residual codebooks from the
     * first 64 vectors' residuals — both parameter-sized collects, both
     * replayed verbatim by [[ivfPqOracle]]. */
-  private def ivfPqModel(e: DataFrame):
+  private[graft] def ivfPqModel(e: DataFrame):
       (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val cb = e.filter(col("vec_id") < 16).orderBy("vec_id")
       .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
@@ -3889,11 +3889,37 @@ object QueriesText {
             SELECT doc_id, n_tokens, score, cum_before
             FROM w WHERE cum_before < 12000"""))
 
+  // --------------------------------------------------------------- q146
+  // Index compaction — Iceberg rewriteDataFiles / Lucene merge: after
+  // an append the index holds two segments; compact rewrites the live
+  // union as ONE cell-partitioned segment and publishes a manifest
+  // listing only it, then expire drops the now-unreachable old
+  // segments. The search result must be untouched by either — q131's
+  // verbatim oracle hash-gates the full lifecycle
+  // (build→append→compact→expire→search).
+  private val q146 = Q("q146_ann_index_compact",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, cbs) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("ann_index_q146")
+      val d = s"$idxDir/ivfpq"
+      graft.sources.AnnIndex.buildIvfPq(e.filter(col("vec_id") < 250),
+        "vec_id", "embedding", d, cb, cbs)
+      graft.sources.AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", d)
+      graft.sources.AnnIndex.compact(s, d)
+      graft.sources.AnnIndex.expire(s, d)
+      val idx = graft.sources.AnnIndex.load(s, d)
+      graft.sources.AnnIndex.topK(idx, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3, nprobe = 4)
+    },
+    Some(ivfPqOracle))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
-    q141, q142, q143, q144, q145)
+    q141, q142, q143, q144, q145, q146)
 }

@@ -197,7 +197,19 @@ object ScaleStress {
       // round-11: exact AUC (model fit + fused scoring pass + a
       // score-cardinality agg + one prefix scan — expect ~linear in the
       // two corpus passes; was the only round-10 query without a row)
-      "q135_classifier_auc")
+      "q135_classifier_auc",
+      // round-11 persisted-index family: q142 = q131's encode + a
+      // partitioned write + the pruned serving scan (expect write-
+      // dominated ~linear); q143 adds a candidate-sized exact rerank to
+      // the q131 plan (the refine term is |q|×k', constant per query);
+      // q144 = q142 split into build(half)+append(half) — same total
+      // encode bytes, one extra manifest swap; q145 = the q135 scoring
+      // shape + one prefix scan (expect the q135 ratio class)
+      "q142_ann_index_search", "q143_ann_rerank", "q144_ann_index_append",
+      "q145_token_budget_select",
+      // q146 = q144 + a one-segment rewrite + expire (segment-volume-
+      // sized; expect the q142/q144 write-dominated class)
+      "q146_ann_index_compact")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",

@@ -29,7 +29,7 @@ object Verify {
     val knownNames = SparkEntry.queries.keySet ++
       Set("stream_parity", "stream_neardup_parity",
         "stream_neardup_ttl_parity", "stream_register_parity",
-        "stream_upsert_parity")
+        "stream_upsert_parity", "stream_ann_index_parity")
     only.foreach { names =>
       val unknown = names -- knownNames
       require(unknown.isEmpty,
@@ -102,6 +102,7 @@ object Verify {
     parityCheck("stream_neardup_ttl_parity")(streamNearDupTtlParity(spark, sfDir))
     parityCheck("stream_register_parity")(streamRegisterParity(spark, sfDir))
     parityCheck("stream_upsert_parity")(streamUpsertParity(spark, sfDir))
+    parityCheck("stream_ann_index_parity")(streamAnnIndexParity(spark, sfDir))
     val failJson = failed
       .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
@@ -194,5 +195,17 @@ object Verify {
     import graft.streaming.StreamHarness
     val (streamOut, batchOut) = StreamHarness.upsertSinkRun(spark, sfDir)
     parityJson("stream_upsert_parity", streamOut, batchOut)
+  }
+
+  /** Streaming-vs-batch parity for continuous vector-index ingestion:
+    * five idempotent micro-batch segment appends into the snapshot-
+    * isolated [[graft.sources.AnnIndex]] (seeded by a batch build),
+    * searched and compared against a one-shot build of the full corpus
+    * ([[graft.streaming.StreamHarness.annIngestRun]]). THROWS on hash
+    * mismatch. */
+  def streamAnnIndexParity(spark: SparkSession, sfDir: String): String = {
+    import graft.streaming.StreamHarness
+    val (streamOut, batchOut) = StreamHarness.annIngestRun(spark, sfDir)
+    parityJson("stream_ann_index_parity", streamOut, batchOut)
   }
 }

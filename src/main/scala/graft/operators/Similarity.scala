@@ -64,15 +64,20 @@ object Similarity {
                  corpus: DataFrame, idCol: String, vecCol: String,
                  k: Int = 10): DataFrame = {
     val cand = candidates.select(col("query_id"), col("neighbor_id"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-      norm2(col(vecCol)).as("_cn"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      norm2(col(vecCol)).as("_qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    // joins FIRST, exact math after: the norms/dot run on the
+    // candidate-sized joined frame, never on the full corpus scan (a
+    // pre-join norm projection would evaluate for every corpus row —
+    // the raw-scan rule PlanAuditSpec enforces). Per-pair norms are the
+    // same IEEE results as per-row-hoisted ones (the q33 argument).
+    val qn = norm2(col("_qv"))
+    val cn = norm2(col("_cv"))
     val scored = c.join(broadcast(cand), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine",
-        when(col("_qn") === 0.0 || col("_cn") === 0.0, lit(null).cast("double"))
-          .otherwise(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn"))))
+        when(qn === 0.0 || cn === 0.0, lit(null).cast("double"))
+          .otherwise(dot(col("_qv"), col("_cv")) / (qn * cn)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("_rn", row_number().over(w))

@@ -106,15 +106,27 @@ object AnnIndex {
   }
 
   /** Encode `delta` with the index model and land it as segment
-    * `batch-<id>` (complete before the caller publishes a manifest). */
+    * `batch-<id>` (complete before the caller publishes a manifest).
+    * The encode input is spread across cores first (a compact delta
+    * arrives as ONE file → one scan split → the whole encode serializes
+    * on one task — the landing-dir trap), and the ENCODED rows are
+    * shuffled by cell before the partitioned write so each segment
+    * holds ≤ nlist files (one per populated cell) instead of
+    * tasks × cells small files — the file-count term that otherwise
+    * dominates manifest-union listings as segments accumulate. The
+    * shuffle moves (id, cell, codes) — post-compression bytes, not
+    * vectors — and at production nlist (thousands, [[graft.operators
+    * .Similarity.autoNlist]]) it is as parallel as the cluster. */
   private def writeSegment(delta: DataFrame, idCol: String, vecCol: String,
                            dir: String, batchId: Long,
                            centroids: Array[Array[Double]],
                            cbs: Array[Array[Array[Double]]]): Long = {
     val spark = delta.sparkSession
     val seg = s"$dir/data/batch-$batchId"
-    Pq.ivfPqEncode(delta, idCol, vecCol, centroids, cbs)
+    Pq.ivfPqEncode(graft.operators.Spread.toCores(delta), idCol, vecCol,
+        centroids, cbs)
       .withColumnRenamed("_cell", "cell")
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(seg)
     spark.read.parquet(seg).count()
   }
@@ -161,18 +173,99 @@ object AnnIndex {
     * encode model is read FROM THE INDEX, so appended codes are
     * bit-consistent with the build; the segment becomes visible only
     * with the manifest publish at the end (readers mid-append see the
-    * previous snapshot). */
+    * previous snapshot).
+    *
+    * `segmentId` makes the append IDEMPOTENT for at-least-once callers
+    * (foreachBatch replay after a crash): a segment already in the
+    * current manifest is a committed duplicate delivery — the append is
+    * skipped entirely. A crash BETWEEN segment write and manifest
+    * publish leaves an unlisted (invisible) segment; the replay
+    * overwrites it and publishes — either way the manifest lists the
+    * segment exactly once. */
   def appendIvfPq(delta: DataFrame, idCol: String, vecCol: String,
-                  dir: String): Unit = {
+                  dir: String, segmentId: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
     val f = fs(spark, dir)
     val idx = load(spark, dir)
     val mid = currentManifestId(f, dir).get
-    val batchId = idx.batches.max + 1
-    val n = writeSegment(delta, idCol, vecCol, dir, batchId,
-      idx.centroids, idx.cbs)
-    val segs = readManifest(f, dir, mid) :+ (batchId, n)
-    writeManifest(f, dir, mid + 1, segs)
+    val batchId = segmentId.getOrElse(idx.batches.max + 1)
+    if (!idx.batches.contains(batchId)) {
+      val n = writeSegment(delta, idCol, vecCol, dir, batchId,
+        idx.centroids, idx.cbs)
+      val segs = readManifest(f, dir, mid) :+ (batchId, n)
+      writeManifest(f, dir, mid + 1, segs)
+    }
+  }
+
+  /** Continuous index ingestion: every micro-batch lands as one
+    * idempotent [[appendIvfPq]] segment (segment id = foreachBatch id +
+    * 1 — deterministic across checkpoint restarts, so an at-least-once
+    * redelivery is the no-op replay path above). Requires an index
+    * seeded by [[buildIvfPq]] (which owns segment 0); the stream owns
+    * segments 1…. Readers keep their snapshot isolation — a query
+    * serving from [[load]] never observes a half-applied micro-batch. */
+  def streamAppend(updates: DataFrame, idCol: String, vecCol: String,
+                   dir: String, checkpoint: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        appendIvfPq(batch.toDF(), idCol, vecCol, dir,
+          segmentId = Some(id + 1))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Compact all live segments into one (Iceberg `rewriteDataFiles`,
+    * Lucene's merge): read the current snapshot's union, rewrite it as
+    * a single new cell-partitioned segment, publish a manifest listing
+    * ONLY that segment. Readers pinned on older manifests keep working
+    * — their batch dirs are untouched until [[expire]]. No-op on a
+    * single-segment index. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val mid = currentManifestId(f, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest under $dir"))
+    val segs = readManifest(f, dir, mid)
+    if (segs.length > 1) {
+      val newId = segs.map(_._1).max + 1
+      val union = segs.map { case (b, _) =>
+        spark.read.parquet(s"$dir/data/batch-$b") }
+        .reduce(_ unionByName _)
+        .select(col("neighbor_id"), col("codes"), col("cell"))
+      union.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/data/batch-$newId")
+      val n = spark.read.parquet(s"$dir/data/batch-$newId").count()
+      writeManifest(f, dir, mid + 1, Seq((newId, n)))
+    }
+  }
+
+  /** Drop everything no CURRENT reader can reach: segments not listed
+    * in the highest manifest, and all older manifests. After expiry a
+    * handle pinned on an older snapshot can no longer scan — run it
+    * only once in-flight readers have drained (the Iceberg
+    * expire-snapshots contract). */
+  def expire(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val mid = currentManifestId(f, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest under $dir"))
+    val live = readManifest(f, dir, mid).map(_._1).toSet
+    val dataDir = path(s"$dir/data")
+    if (f.exists(dataDir)) f.listStatus(dataDir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("batch-") &&
+          !scala.util.Try(name.drop(6).toLong).toOption.exists(live))
+        f.delete(st.getPath, true): Unit
+    }
+    f.listStatus(path(s"$dir/manifest")).foreach { st =>
+      val name = st.getPath.getName
+      // only manifest files (a ChecksumFileSystem's delete removes the
+      // .crc sidecar with its file — never match sidecars directly, or
+      // the LIVE manifest's sidecar gets deleted by the != filter)
+      if (name.startsWith("m-") && name != s"m-$mid")
+        f.delete(st.getPath, true): Unit
+    }
   }
 
   /** Open the current snapshot: collect the parameter-sized model

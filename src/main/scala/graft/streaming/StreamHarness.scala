@@ -389,6 +389,49 @@ object StreamHarness {
     * respects version order per key and last-writer-wins composes to
     * the global max-seq row — the parity claim. Returns
     * (final streamed table, batch twin). */
+  /** Continuous vector-index ingestion executed end-to-end: the index
+    * is seeded by a batch build on the first 100 vectors (segment 0),
+    * the REST of the corpus lands as five sequential files and streams
+    * through [[graft.sources.AnnIndex.streamAppend]] one file per
+    * micro-batch — five real idempotent segment appends, each visible
+    * only with its atomic manifest publish — and the final snapshot's
+    * pruned IVF-PQ search must hash-equal the same search on a ONE-SHOT
+    * batch build of the full corpus (per-row encode is deterministic
+    * and search is order-free, so segmentation must not matter).
+    * Returns (streamed-index search, batch-build search). */
+  def annIngestRun(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import graft.sources.AnnIndex
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (cb, cbs) = graft.QueriesText.ivfPqModel(e)
+    val dir = scratch("graft_stream_ann")
+    val landing = s"$dir/landing"
+    val streamed = s"$dir/index_stream"
+    val full = s"$dir/index_full"
+    val ckpt = s"$dir/ckpt"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 100), "vec_id",
+      "embedding", streamed, cb, cbs)
+    val rest = e.filter(col("vec_id") >= 100)
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val span = (maxId - 100) / 5 + 1
+    (0 until 5).foreach { i =>
+      rest.filter(col("vec_id") >= 100 + i * span &&
+          col("vec_id") < 100 + (i + 1) * span)
+        .coalesce(1).write.mode("append").parquet(landing)
+    }
+    val stream = spark.readStream
+      .schema(e.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+    AnnIndex.streamAppend(stream, "vec_id", "embedding", streamed, ckpt,
+      Trigger.AvailableNow()).awaitTermination()
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", full, cb, cbs)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    (AnnIndex.topK(AnnIndex.load(spark, streamed), q, "vec_id",
+        "embedding", k = 3, nprobe = 4),
+      AnnIndex.topK(AnnIndex.load(spark, full), q, "vec_id",
+        "embedding", k = 3, nprobe = 4))
+  }
+
   def upsertSinkRun(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     import graft.sources.UpsertSink
     val o = spark.read.parquet(s"$sfDir/orders.parquet")

@@ -119,6 +119,56 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(after.codes.count() == 80)
   }
 
+  test("appendIvfPq with an explicit segmentId is idempotent (at-least-once replay)") {
+    val e = corpus(40).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, cents, cbs)
+    val delta = e.filter(col("vec_id") >= 20)
+    AnnIndex.appendIvfPq(delta, "vec_id", "embedding", dir, Some(1L))
+    AnnIndex.appendIvfPq(delta, "vec_id", "embedding", dir, Some(1L)) // replay
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.nrows == 40 && idx.batches == Seq(0L, 1L),
+      "replayed append must be a no-op, not a duplicate segment")
+  }
+
+  test("compact rewrites to one segment, expire drops the rest; search unchanged") {
+    val e = corpus(60).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 30), "vec_id", "embedding",
+      dir, cents, cbs)
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 30), "vec_id",
+      "embedding", dir)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val before = AnnIndex.topK(AnnIndex.load(spark, dir), q, "vec_id",
+      "embedding", k = 3, nprobe = 2).collect().map(_.toSeq).toSet
+    val pinned = AnnIndex.load(spark, dir) // snapshot taken pre-compact
+    AnnIndex.compact(spark, dir)
+    val compacted = AnnIndex.load(spark, dir)
+    assert(compacted.batches == Seq(2L) && compacted.nrows == 60)
+    val after = AnnIndex.topK(compacted, q, "vec_id", "embedding",
+      k = 3, nprobe = 2).collect().map(_.toSeq).toSet
+    assert(after == before, "compaction changed search results")
+    // the pre-compact snapshot still scans — its segments are untouched
+    assert(pinned.codes.count() == 60)
+    // expire drops the now-unreachable segments and older manifests
+    AnnIndex.expire(spark, dir)
+    val dataDirs = new java.io.File(s"$dir/data").listFiles().map(_.getName).toSet
+    assert(dataDirs == Set("batch-2"), s"expire left $dataDirs")
+    val manifests = new java.io.File(s"$dir/manifest").listFiles()
+      .map(_.getName).filter(_.startsWith("m-")).toSet
+    assert(manifests == Set("m-2"))
+    val reloaded = AnnIndex.load(spark, dir)
+    assert(reloaded.nrows == 60 &&
+      AnnIndex.topK(reloaded, q, "vec_id", "embedding", k = 3,
+        nprobe = 2).collect().map(_.toSeq).toSet == before)
+    // compact on a single-segment index is a no-op
+    AnnIndex.compact(spark, dir)
+    assert(AnnIndex.load(spark, dir).batches == Seq(2L))
+  }
+
   test("an uncommitted segment (no manifest entry) is invisible to readers") {
     val e = corpus(30).cache()
     val (cents, cbs) = model(e)
