@@ -3915,11 +3915,65 @@ object QueriesText {
     },
     Some(ivfPqOracle))
 
+  // --------------------------------------------------------------- q147
+  // PII anonymization — the Dolma scrub stage: emails, dotted-quad IPs
+  // and phone numbers replaced with typed placeholders, plus the
+  // per-class audit counts. PII is PLANTED deterministically on
+  // disjoint doc_id residues (%7 email, %11 phone, %13 IP — composite
+  // residues get several classes in one document), and ALL rows are
+  // returned, so the hash pins both the redactions and the
+  // must-not-touch complement. The oracle replays the planting concat
+  // and every regex pass verbatim (patterns are RE2-safe by design).
+  private val q147 = Q("q147_pii_redact",
+    (s, dir) => {
+      val raw = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact agent"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" seen from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") * 7) % 256).cast("string")))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("_raw"))
+        .select(col("doc_id"), TF.redactPii(col("_raw")).as("redacted"),
+          TF.piiCounts(col("_raw")).as("_c"))
+        .select(col("doc_id"), col("redacted"),
+          col("_c.n_email").as("n_email"), col("_c.n_ip").as("n_ip"),
+          col("_c.n_phone").as("n_phone"))
+    },
+    Some("""WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact agent' || doc_id || '@example.com now' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                          THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                          THEN ' seen from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ELSE '' END
+                     AS raw
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+                   CAST(len(regexp_extract_all(raw, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone
+            FROM planted"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
-    q141, q142, q143, q144, q145, q146)
+    q141, q142, q143, q144, q145, q146, q147)
 }

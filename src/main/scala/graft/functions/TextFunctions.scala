@@ -196,6 +196,37 @@ object TextFunctions {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** PII anonymization — the Dolma/RedPajama scrub stage (Soldaini et
+    * al. 2024 §2.3 replace emails/phones/IPs with typed placeholder
+    * tokens rather than dropping the document): three sequential
+    * regexp_replace passes, EMAIL first (an email's local part can
+    * contain digit runs the phone pattern would shred), then IP before
+    * PHONE (both are digit shapes; the dotted-quad must win). Patterns
+    * are deliberately RE2-safe (no lookaround, no backreferences) so
+    * the DuckDB oracle replays them verbatim and a Flink/Trino port
+    * keeps the exact match set. One codegen'd projection — zero joins,
+    * zero shuffles, linear in scanned bytes at any corpus size. */
+  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PiiPhone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  def redactPii(c: Column): Column = {
+    val noEmail = regexp_replace(c, PiiEmail, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, PiiIp, "<IP>")
+    regexp_replace(noIp, PiiPhone, "<PHONE>")
+  }
+
+  /** Per-class PII match counts on the INPUT text (each class counted
+    * independently — the audit histogram a scrub report aggregates;
+    * [[redactPii]]'s sequential replacement can only differ on inputs
+    * where one class's match contains another's, which the
+    * email-first / ip-before-phone order then resolves). */
+  def piiCounts(c: Column): Column =
+    struct(
+      regexp_count(c, lit(PiiEmail)).cast(LongType).as("n_email"),
+      regexp_count(c, lit(PiiIp)).cast(LongType).as("n_ip"),
+      regexp_count(c, lit(PiiPhone)).cast(LongType).as("n_phone"))
+
   /** Blocklist screen at WORD granularity — the C4-style "bad words"
     * filter stage (Raffel et al. 2020 drop any page containing a listed
     * word; word-level so a listed "scan" does not hit "scanner"). The

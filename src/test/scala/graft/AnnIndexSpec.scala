@@ -169,6 +169,44 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.load(spark, dir).batches == Seq(2L))
   }
 
+  test("streamAppend resumes from its checkpoint: two-phase ingest equals one-shot build") {
+    import org.apache.spark.sql.streaming.Trigger
+    val e = corpus(60).cache()
+    val (cents, cbs) = model(e)
+    val root = tmpDir()
+    val dir = s"$root/idx"
+    val landing = s"$root/landing"
+    val ckpt = s"$root/ckpt"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, cents, cbs)
+    def land(lo: Long, hi: Long): Unit =
+      e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("append").parquet(landing)
+    def ingest(): Unit = {
+      val stream = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      AnnIndex.streamAppend(stream, "vec_id", "embedding", dir, ckpt,
+        Trigger.AvailableNow()).awaitTermination()
+    }
+    land(20, 40); ingest()            // phase 1: one micro-batch
+    assert(AnnIndex.load(spark, dir).nrows == 40)
+    land(40, 60); ingest()            // restart from the same checkpoint
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.nrows == 60,
+      s"resume double-applied or skipped a batch: ${idx.batches}")
+    // the resumed run must NOT have re-applied phase 1's batch: segment
+    // ids are contiguous and unique
+    assert(idx.batches == idx.batches.distinct.sorted)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val full = s"$root/full"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", full, cents, cbs)
+    val got = AnnIndex.topK(idx, q, "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val want = AnnIndex.topK(AnnIndex.load(spark, full), q, "vec_id",
+      "embedding", k = 3, nprobe = 2).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("an uncommitted segment (no manifest entry) is invisible to readers") {
     val e = corpus(30).cache()
     val (cents, cbs) = model(e)

@@ -34,6 +34,30 @@ class CleanFunctionsSpec extends AnyFunSuite {
     assert(one(TFn.stripHtml(lit("  just   text "))) == "just text")
   }
 
+  test("PII redaction: typed placeholders, class precedence, clean text untouched") {
+    import graft.functions.{TextFunctions => TFn}
+    def red(s: String) = one(TFn.redactPii(lit(s))).asInstanceOf[String]
+    assert(red("mail a.b-c_9@sub.example.org today")
+      == "mail <EMAIL> today")
+    assert(red("srv at 192.168.1.77 and 10.0.0.1.") == "srv at <IP> and <IP>.")
+    assert(red("call 555-123-4567 or 555.987.6543")
+      == "call <PHONE> or <PHONE>")
+    // email wins over the digit shapes inside it; ip beats phone on the
+    // dotted-quad (sequential order: email -> ip -> phone)
+    assert(red("x 555.123.4567@example.com y") == "x <EMAIL> y")
+    assert(red("quad 555.123.456.7 stays ip") == "quad <IP> stays ip")
+    // versions / decimals / short digit runs are NOT redacted
+    assert(red("v1.2.3 and 3.14 and 12-34-56 stay") ==
+      "v1.2.3 and 3.14 and 12-34-56 stay")
+    val counts = one(TFn.piiCounts(
+      lit("a@b.co c@d.org 1.2.3.4 555-000-1111")))
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert((counts.getLong(0), counts.getLong(1), counts.getLong(2))
+      == ((2L, 1L, 1L)))
+    // NULL text propagates NULL, not a crash or empty string
+    assert(one(TFn.redactPii(lit(null).cast("string"))) == null)
+  }
+
   test("blocklist screen: word granularity, distinct sorted hits, occurrence count") {
     import graft.functions.{TextFunctions => TFn}
     val terms = Seq("Bad", "worse", "zzz")
