@@ -3219,7 +3219,10 @@ object QueriesText {
       graft.operators.Sq.topK(e.filter(col("vec_id") % 50 === 0), codes,
         "vec_id", "embedding", m, k = 3)
     },
-    Some("""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+    Some(sqOracle))
+
+  /** q130/q148 shared replay: model refit, re-encode, factored search. */
+  private lazy val sqOracle: String = """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
             mm AS (
               SELECT d.i, min(CAST(e.embedding[d.i] AS DOUBLE)) AS mn,
                      max(CAST(e.embedding[d.i] AS DOUBLE)) AS mx
@@ -3271,7 +3274,7 @@ object QueriesText {
               FROM scored)
             SELECT query_id, neighbor_id, round_even(cos_sq, 6) AS cosine_sq,
                    CAST(rn AS INT) AS rank
-            FROM r WHERE rn <= 3"""))
+            FROM r WHERE rn <= 3"""
 
   // --------------------------------------------------------------- q131
   // IVF-PQ / IVFADC (Jégou TPAMI 2011 §IV; Faiss `IVF16,PQ8`): the two
@@ -3969,11 +3972,35 @@ object QueriesText {
                    CAST(len(regexp_extract_all(raw, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone
             FROM planted"""))
 
+  // --------------------------------------------------------------- q148
+  // Persisted SQ8 tier — the cheap compressed index family through the
+  // SAME segment/manifest lifecycle as the IVF-PQ flagship: build on
+  // half the corpus, append the rest as an immutable segment (model
+  // read FROM the index), reopen, search the factored dot over the
+  // pinned segment union. q130's verbatim oracle hash-gates the whole
+  // round trip; SQ has no cells, so segments are flat scans (the cheap
+  // tier's trade - no probe pruning, 4x less scan I/O than floats).
+  private val q148 = Q("q148_sq_index_search",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m = graft.operators.Sq.fit(e, "embedding")
+      val idxDir = graft.streaming.StreamHarness.scratch("sq_index_q148")
+      val d = s"$idxDir/sq8"
+      graft.sources.AnnIndex.buildSq(e.filter(col("vec_id") < 250),
+        "vec_id", "embedding", d, m)
+      graft.sources.AnnIndex.appendSq(e.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", d)
+      val idx = graft.sources.AnnIndex.loadSq(s, d)
+      graft.sources.AnnIndex.topKSq(idx, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3)
+    },
+    Some(sqOracle))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
-    q141, q142, q143, q144, q145, q146, q147)
+    q141, q142, q143, q144, q145, q146, q147, q148)
 }

@@ -219,9 +219,10 @@ object AnnIndex {
 
   /** Compact all live segments into one (Iceberg `rewriteDataFiles`,
     * Lucene's merge): read the current snapshot's union, rewrite it as
-    * a single new cell-partitioned segment, publish a manifest listing
-    * ONLY that segment. Readers pinned on older manifests keep working
-    * — their batch dirs are untouched until [[expire]]. No-op on a
+    * a single new segment (cell-partitioned when the family has cells —
+    * IVF-PQ; flat for SQ8), publish a manifest listing ONLY that
+    * segment. Readers pinned on older manifests keep working — their
+    * batch dirs are untouched until [[expire]]. No-op on a
     * single-segment index. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val f = fs(spark, dir)
@@ -233,13 +234,111 @@ object AnnIndex {
       val union = segs.map { case (b, _) =>
         spark.read.parquet(s"$dir/data/batch-$b") }
         .reduce(_ unionByName _)
-        .select(col("neighbor_id"), col("codes"), col("cell"))
-      union.write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$dir/data/batch-$newId")
+      val writer =
+        if (union.columns.contains("cell"))
+          union.repartition(col("cell")).write.partitionBy("cell")
+        else union.write
+      writer.mode("overwrite").parquet(s"$dir/data/batch-$newId")
       val n = spark.read.parquet(s"$dir/data/batch-$newId").count()
       writeManifest(f, dir, mid + 1, Seq((newId, n)))
     }
   }
+
+  // ------------------------------------------------------------- SQ8
+
+  /** An opened SQ8 snapshot: the 2×dim affine model + the lazy segment
+    * union (`neighbor_id, codes, recon_norm` — [[Sq.encode]]'s
+    * schema). SQ has no coarse cells, so segments are flat scans; the
+    * probe-pruning lever does not apply (search is a full codes scan by
+    * design — the cheap tier's trade). */
+  final case class LoadedSq(model: graft.operators.Sq.Model,
+                            codes: DataFrame, nrows: Long,
+                            batches: Seq[Long]) {
+    def dim: Int = model.dim
+  }
+
+  private def writeSqSegment(delta: DataFrame, idCol: String,
+                             vecCol: String, dir: String, batchId: Long,
+                             m: graft.operators.Sq.Model): Long = {
+    val spark = delta.sparkSession
+    val seg = s"$dir/data/batch-$batchId"
+    graft.operators.Sq.encode(graft.operators.Spread.toCores(delta),
+        idCol, vecCol, m)
+      .write.mode("overwrite").parquet(seg)
+    spark.read.parquet(seg).count()
+  }
+
+  /** Build and atomically publish a fresh SQ8 index at `dir` — same
+    * staging/manifest protocol as [[buildIvfPq]], with the
+    * parameter-sized model persisted as (i, mn, step, inv) rows. */
+  def buildSq(corpus: DataFrame, idCol: String, vecCol: String,
+              dir: String, m: graft.operators.Sq.Model): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val f = fs(spark, dir)
+    val target = path(dir)
+    val parent = Option(target.getParent).getOrElse(path("."))
+    f.mkdirs(parent)
+    val tmp = path(parent.toString + s"/_tmp.${target.getName}")
+    f.delete(tmp, true)
+
+    (0 until m.dim).map(i => (i, m.mins(i), m.steps(i), m.invSteps(i)))
+      .toDF("i", "mn", "step", "inv")
+      .repartition(1).write.parquet(s"$tmp/model")
+    Seq((m.dim, "sq8")).toDF("dim", "kind")
+      .repartition(1).write.parquet(s"$tmp/meta")
+    val n = writeSqSegment(corpus, idCol, vecCol, tmp.toString, 0L, m)
+    writeManifest(f, tmp.toString, 0L, Seq((0L, n)))
+
+    f.delete(target, true)
+    if (!f.rename(tmp, target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+  }
+
+  /** Append a new immutable SQ8 segment — model read FROM the index,
+    * same idempotent `segmentId` contract as [[appendIvfPq]]. */
+  def appendSq(delta: DataFrame, idCol: String, vecCol: String,
+               dir: String, segmentId: Option[Long] = None): Unit = {
+    val spark = delta.sparkSession
+    val f = fs(spark, dir)
+    val idx = loadSq(spark, dir)
+    val mid = currentManifestId(f, dir).get
+    val batchId = segmentId.getOrElse(idx.batches.max + 1)
+    if (!idx.batches.contains(batchId)) {
+      val n = writeSqSegment(delta, idCol, vecCol, dir, batchId, idx.model)
+      val segs = readManifest(f, dir, mid) :+ (batchId, n)
+      writeManifest(f, dir, mid + 1, segs)
+    }
+  }
+
+  /** Open the current SQ8 snapshot (model validated against meta). */
+  def loadSq(spark: SparkSession, dir: String): LoadedSq = {
+    val f = fs(spark, dir)
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    require(meta.schema.fieldNames.contains("kind") &&
+        meta.getAs[String]("kind") == "sq8",
+      s"$dir is not an sq8 index")
+    val dim = meta.getAs[Int]("dim")
+    val rows = spark.read.parquet(s"$dir/model").orderBy("i").collect()
+    require(rows.length == dim, s"model table does not match meta ($dim dims)")
+    val m = graft.operators.Sq.Model(
+      rows.map(_.getAs[Double]("mn")),
+      rows.map(_.getAs[Double]("step")),
+      rows.map(_.getAs[Double]("inv")))
+    val mid = currentManifestId(f, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest under $dir"))
+    val segs = readManifest(f, dir, mid)
+    val codes = segs.map { case (b, _) =>
+      spark.read.parquet(s"$dir/data/batch-$b") }
+      .reduce(_ unionByName _)
+    LoadedSq(m, codes, segs.map(_._2).sum, segs.map(_._1))
+  }
+
+  /** Query an opened SQ8 snapshot — [[Sq.topK]]'s factored-dot scan
+    * over the pinned segment union. */
+  def topKSq(idx: LoadedSq, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int = 10): DataFrame =
+    graft.operators.Sq.topK(queries, idx.codes, idCol, vecCol, idx.model, k)
 
   /** Drop everything no CURRENT reader can reach: segments not listed
     * in the highest manifest, and all older manifests. After expiry a

@@ -256,6 +256,44 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/_tmp.idx").exists())
   }
 
+  test("SQ8 tier: round trip, model survival, incremental==full, flat-segment compact") {
+    import graft.operators.Sq
+    val e = corpus(60).cache()
+    val m = Sq.fit(e, "embedding")
+    val root = tmpDir()
+    val dir = s"$root/sq"
+    AnnIndex.buildSq(e.filter(col("vec_id") < 30), "vec_id", "embedding",
+      dir, m)
+    AnnIndex.appendSq(e.filter(col("vec_id") >= 30), "vec_id", "embedding",
+      dir)
+    val idx = AnnIndex.loadSq(spark, dir)
+    assert(idx.nrows == 60 && idx.batches == Seq(0L, 1L) && idx.dim == dim)
+    // model literals survive the parquet round trip bit-exactly
+    assert(idx.model.mins.toSeq == m.mins.toSeq &&
+      idx.model.steps.toSeq == m.steps.toSeq &&
+      idx.model.invSteps.toSeq == m.invSteps.toSeq)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val got = AnnIndex.topKSq(idx, q, "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSet
+    val want = Sq.topK(q, Sq.encode(e, "vec_id", "embedding", m),
+      "vec_id", "embedding", m, k = 3).collect().map(_.toSeq).toSet
+    assert(got == want, "persisted SQ search diverged from the in-memory path")
+    // compact flattens two segments into one; search unchanged
+    AnnIndex.compact(spark, dir)
+    AnnIndex.expire(spark, dir)
+    val idx2 = AnnIndex.loadSq(spark, dir)
+    assert(idx2.batches == Seq(2L) && idx2.nrows == 60)
+    assert(AnnIndex.topKSq(idx2, q, "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSet == want)
+    // an IVF-PQ loader must refuse an sq8 directory
+    val ex = intercept[IllegalArgumentException] {
+      val (cents, cbs) = model(e)
+      AnnIndex.buildIvfPq(e, "vec_id", "embedding", s"$root/pq", cents, cbs)
+      AnnIndex.loadSq(spark, s"$root/pq")
+    }
+    assert(ex.getMessage.contains("sq8"))
+  }
+
   test("load validates model tables against meta") {
     val e = corpus(30).cache()
     val (cents, cbs) = model(e)
