@@ -3320,8 +3320,10 @@ object QueriesText {
             FROM r WHERE rn <= 3"""
 
   /** The full IVF-PQ replay chain up to the ranked candidate CTE `r` —
-    * shared by q131/q142 (final select) and q143 (rerank tail). */
-  private lazy val ivfPqOracleCtes: String = """WITH cb AS (
+    * shared by q131/q142 (final select) and q143 (rerank tail);
+    * [[ivfPqAssignCtes]] is its coarse-assignment prefix (through the
+    * `ranked` CTE), reused alone by q149's balance report. */
+  private lazy val ivfPqAssignCtes: String = """WITH cb AS (
               SELECT vec_id + 1 AS ci,
                      CASE WHEN n = 0 THEN vd ELSE list_transform(vd, x -> x / n) END AS cv
               FROM (SELECT vec_id,
@@ -3342,7 +3344,9 @@ object QueriesText {
             ranked AS (
               SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
                        ORDER BY dp DESC, ci) AS rn
-              FROM dots),
+              FROM dots)"""
+
+  private lazy val ivfPqOracleCtes: String = ivfPqAssignCtes + """,
             resid AS (
               SELECT r.vec_id, r.ci AS cell,
                      list_transform(range(1, 65),
@@ -3996,11 +4000,38 @@ object QueriesText {
     },
     Some(sqOracle))
 
+  // --------------------------------------------------------------- q149
+  // Index balance report — Faiss's imbalance audit as a query: per-cell
+  // vector counts and corpus fractions over the persisted snapshot. An
+  // IVF list far above the mean is a latency AND recall hazard (every
+  // query probing it scans that multiple of the codes), so this is the
+  // report an operator watches before retraining the coarse codebook.
+  // One nlist-bounded hash agg + a broadcast 1-row total; the oracle
+  // replays the coarse assignment (the q131 ranked CTE) and both
+  // report columns.
+  private val q149 = Q("q149_ann_index_stats",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, cbs) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("ann_index_q149")
+      graft.sources.AnnIndex.buildIvfPq(e, "vec_id", "embedding",
+        s"$idxDir/ivfpq", cb, cbs)
+      graft.sources.AnnIndex.cellStats(
+        graft.sources.AnnIndex.load(s, s"$idxDir/ivfpq"))
+    },
+    Some(ivfPqAssignCtes + """,
+            cs AS (SELECT ci AS cell, CAST(count(*) AS BIGINT) AS n_vectors
+                   FROM ranked WHERE rn = 1 GROUP BY ci),
+            tt AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS t FROM cs)
+            SELECT CAST(cell AS INT) AS cell, n_vectors,
+                   round_even(CAST(n_vectors AS DOUBLE) / t, 6) AS frac
+            FROM cs CROSS JOIN tt"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
-    q141, q142, q143, q144, q145, q146, q147, q148)
+    q141, q142, q143, q144, q145, q146, q147, q148, q149)
 }

@@ -367,10 +367,14 @@ object AnnIndex {
     }
   }
 
-  /** Open the current snapshot: collect the parameter-sized model
-    * tables into driver literals (validated against `meta`), pin the
-    * highest manifest, and union its segment scans lazily. */
-  def load(spark: SparkSession, dir: String): Loaded = {
+  /** Open a snapshot: collect the parameter-sized model tables into
+    * driver literals (validated against `meta`), pin a manifest, and
+    * union its segment scans lazily. `asOf` time-travels to an OLDER
+    * manifest generation (any id [[versionsOf]] lists — useful to
+    * reproduce a search exactly as it ran before an append, the
+    * Iceberg/Delta `VERSION AS OF` read); default is the current
+    * (highest) manifest. Fails loudly on an expired or unknown id. */
+  def load(spark: SparkSession, dir: String, asOf: Option[Long] = None): Loaded = {
     val f = fs(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").collect().head
     val (dim, nlist, m, ncode) =
@@ -387,14 +391,44 @@ object AnnIndex {
       s"codebooks table does not match meta ($m x $ncode)")
     val cbs = cbRows.grouped(ncode)
       .map(_.map(_.getSeq[Double](2).toArray).toArray).toArray
-    val mid = currentManifestId(f, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest under $dir"))
+    val mid = asOf.getOrElse(currentManifestId(f, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest under $dir")))
+    require(f.exists(path(s"$dir/manifest/m-$mid")),
+      s"manifest m-$mid does not exist under $dir (expired or never published)")
     val segs = readManifest(f, dir, mid)
     val codes = segs.map { case (b, _) =>
       spark.read.parquet(s"$dir/data/batch-$b") }
       .reduce(_ unionByName _)
       .select(col("neighbor_id"), col("cell").as("_cell"), col("codes"))
     Loaded(cents, cbs, codes, segs.map(_._2).sum, segs.map(_._1))
+  }
+
+  /** Published manifest generations — the snapshot ids [[load]]'s
+    * `asOf` accepts (oldest first; [[expire]] collapses this to the
+    * current one). */
+  def versionsOf(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    val mdir = path(s"$dir/manifest")
+    if (!f.exists(mdir)) Seq.empty
+    else f.listStatus(mdir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("m-"))
+      .flatMap(st => scala.util.Try(st.getPath.getName.drop(2).toLong).toOption)
+      .sorted
+  }
+
+  /** Per-cell population report over an opened snapshot — the ops-side
+    * balance audit (an IVF list 100× the mean is a latency and recall
+    * hazard: every query probing it scans 100× the codes; Faiss's
+    * imbalance_factor). One nlist-bounded hash agg over the codes scan
+    * plus a broadcast 1-row total — no sort, no collect. */
+  def cellStats(idx: Loaded): DataFrame = {
+    val counts = idx.codes.groupBy(col("_cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val total = counts.agg(sum(col("n_vectors")).as("_t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("_cell").cast("int").as("cell"),
+        col("n_vectors"),
+        bround(col("n_vectors") / col("_t"), 6).as("frac"))
   }
 
   /** Query an opened snapshot: [[Pq.ivfPqSearch]] over the pinned

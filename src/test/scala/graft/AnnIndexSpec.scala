@@ -256,6 +256,26 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/_tmp.idx").exists())
   }
 
+  test("time travel: load asOf an older manifest reproduces the pre-append snapshot") {
+    val e = corpus(50).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 25), "vec_id", "embedding",
+      dir, cents, cbs)
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 25), "vec_id",
+      "embedding", dir)
+    assert(AnnIndex.versionsOf(spark, dir) == Seq(0L, 1L))
+    val old = AnnIndex.load(spark, dir, asOf = Some(0L))
+    assert(old.nrows == 25 && old.batches == Seq(0L))
+    assert(AnnIndex.load(spark, dir).nrows == 50)
+    // unknown / expired generation fails loudly, not silently-current
+    val ex = intercept[IllegalArgumentException](
+      AnnIndex.load(spark, dir, asOf = Some(9L)))
+    assert(ex.getMessage.contains("m-9"))
+    AnnIndex.expire(spark, dir)
+    assert(AnnIndex.versionsOf(spark, dir) == Seq(1L))
+  }
+
   test("SQ8 tier: round trip, model survival, incremental==full, flat-segment compact") {
     import graft.operators.Sq
     val e = corpus(60).cache()
