@@ -4027,11 +4027,50 @@ object QueriesText {
                    round_even(CAST(n_vectors AS DOUBLE) / t, 6) AS frac
             FROM cs CROSS JOIN tt"""))
 
+  // --------------------------------------------------------------- q150
+  // Resumable staged pipeline executed end-to-end: clean -> dedup ->
+  // report, each stage landing a parquet artifact with a completion
+  // marker, each downstream stage reading the PERSISTED artifact (so a
+  // crash recomputes only incomplete stages - StagedPipeline's make
+  // rule, spec-covered in PipelinesSpec). The registered result is the
+  // final report; the oracle replays all three stages logically, so
+  // the hash proves the staged execution loses nothing vs the direct
+  // computation.
+  private val q150 = Q("q150_staged_pipeline",
+    (s, dir) => {
+      import graft.pipelines.StagedPipeline.{run => runStages, Stage}
+      val root = graft.streaming.StreamHarness.scratch("staged_q150")
+      val out = runStages(s, s"$root/pipe", Seq(
+        Stage("clean", _ => t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            lower(trim(col("text"))).as("text"))
+          .withColumn("n_tokens", TF.tokenCount(col("text")))
+          .filter(col("n_tokens") >= 5)),
+        Stage("dedup", st => Dedup.keepFirst(st("clean"), Seq("text"), "doc_id")),
+        Stage("report", st => st("dedup").groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens")))))
+      out("report")
+    },
+    Some("""WITH clean AS (
+              SELECT doc_id, lang, lower(trim(text)) AS text,
+                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                          t -> len(t) > 0)) AS BIGINT) AS n_tokens
+              FROM documents),
+            c2 AS (SELECT * FROM clean WHERE n_tokens >= 5),
+            d AS (SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY text
+                             ORDER BY doc_id) AS rn
+                    FROM c2) WHERE rn = 1)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM d GROUP BY lang"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
-    q141, q142, q143, q144, q145, q146, q147, q148, q149)
+    q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
 }

@@ -11,6 +11,46 @@ class PipelinesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("StagedPipeline: resume skips completed stages, crash recomputes only the incomplete tail, tag change cascades") {
+    import graft.pipelines.StagedPipeline
+    import StagedPipeline.Stage
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("staged_spec").toString
+    val src = Seq((1L, "a", 2L), (2L, "a", 3L), (3L, "b", 5L))
+      .toDF("id", "k", "v")
+    val ran = scala.collection.mutable.Buffer[String]()
+    def stages(failAgg: Boolean, tag: String = "v1") = Seq(
+      Stage("base", { _ => ran += "base"; src }, tag),
+      Stage("doubled", { st => ran += "doubled"
+        st("base").withColumn("v2", col("v") * 2) }, tag),
+      Stage("agg", { st => ran += "agg"
+        if (failAgg) sys.error("boom")
+        st("doubled").groupBy("k").agg(sum("v2").as("s")) }, tag))
+
+    // crash in stage 3: stages 1-2 complete, pipeline throws
+    intercept[RuntimeException](
+      StagedPipeline.run(spark, dir, stages(failAgg = true)))
+    assert(ran.toSeq == Seq("base", "doubled", "agg"))
+    ran.clear()
+    // retry: ONLY the incomplete stage recomputes; result == direct
+    val out = StagedPipeline.run(spark, dir, stages(failAgg = false))
+    assert(ran.toSeq == Seq("agg"), s"recomputed too much: $ran")
+    val got = out("agg").orderBy("k").as[(String, Long)].collect.toSeq
+    assert(got == Seq(("a", 10L), ("b", 10L)))
+    ran.clear()
+    // full resume: nothing recomputes, outputs still readable
+    val cached = scala.collection.mutable.Buffer[(String, Boolean)]()
+    val out2 = StagedPipeline.run(spark, dir, stages(failAgg = false),
+      onStage = (n, c) => cached += ((n, c)))
+    assert(ran.isEmpty && cached.forall(_._2))
+    assert(out2("agg").orderBy("k").as[(String, Long)].collect.toSeq == got)
+    ran.clear()
+    // tag bump on stage 2 invalidates it AND the downstream stage, not stage 1
+    val mixed = Seq(stages(false).head) ++ stages(false, "v2").tail
+    StagedPipeline.run(spark, dir, mixed)
+    assert(ran.toSeq == Seq("doubled", "agg"), s"cascade wrong: $ran")
+  }
+
   test("M3 airlines: normalize, alliance map, dedup, regex split") {
     val in = Seq(
       (0L, "aa ", "american  airlines", "oneworld"),
