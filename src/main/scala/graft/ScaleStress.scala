@@ -209,7 +209,12 @@ object ScaleStress {
       "q145_token_budget_select",
       // q146 = q144 + a one-segment rewrite + expire (segment-volume-
       // sized; expect the q142/q144 write-dominated class)
-      "q146_ann_index_compact")
+      "q146_ann_index_compact",
+      // q147 = one codegen'd regex projection (expect ~linear in
+      // scanned bytes); q148 = SQ8 fit pass + two segment writes + the
+      // factored-dot scan (the q130/q142 write-dominated class); q150 =
+      // three staged jobs with an artifact write+read per boundary
+      "q147_pii_redact", "q148_sq_index_search", "q150_staged_pipeline")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",
