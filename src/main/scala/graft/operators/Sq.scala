@@ -104,6 +104,13 @@ object Sq {
         encodeExpr(col(vecCol), m).as("codes"))
       .withColumn("recon_norm", reconNormExpr(col("codes"), m))
 
+  /** The interpreted fold [[topK]]'s native SqDotCodes replaced — kept
+    * as the bit-parity oracle (AnnPqSpec asserts exact Double equality
+    * against the fused loop). */
+  private[graft] def sqDotHof(codes: Column, weights: Column): Column =
+    aggregate(zip_with(codes, weights, (c, w) => c.cast("double") * w),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Approximate cosine top-k over the codes table. Queries broadcast
     * with their precomputed weight array / bias / norm; the corpus side
     * never shuffles before the per-query rank-limit window (partial
@@ -125,10 +132,12 @@ object Sq {
     val scored = codesDf.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .filter(col("_qn") =!= 0.0 && col("recon_norm") =!= 0.0)
+      // the per-candidate codes×weights fold is the search's whole
+      // per-pair cost: fused native loop (SqDotCodes — bit-identical to
+      // sqDotHof, the parity-spec'd zip_with+aggregate form)
       .withColumn("cosine_sq",
-        (aggregate(zip_with(col("codes"), col("_w"),
-            (c, w) => c.cast("double") * w),
-          lit(0.0), (acc, x) => acc + x) + col("_bias"))
+        (graft.plans.SketchExpressions.sqDot(col("codes"), col("_w"))
+          + col("_bias"))
           / (col("_qn") * col("recon_norm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sq").desc, col("neighbor_id"))

@@ -544,6 +544,53 @@ case class CosineSim(left: Expression, right: Expression)
       newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
 }
 
+/** SQ8 factored-dot fold: Σ codes(i)·weights(i) over two equal-length
+  * arrays — the per-candidate cost of [[graft.operators.Sq.topK]]'s
+  * asymmetric search, fused into one JVM loop (the PqEncodeNative /
+  * CosineSim pattern). IEEE-identical to the HOF formulation
+  * (`aggregate(zip_with(codes, w, (c, w) => c·w), 0.0, _+_)`): codes
+  * cast to double, products accumulated left-to-right in index order.
+  * NULL on length mismatch or any null element — exactly zip_with's
+  * null-padding contract, so the swap is invisible to oracle hashes. */
+case class SqDotCodes(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val (etL, etR) = (left.dataType, right.dataType) match {
+    case (ArrayType(a, _), ArrayType(b, _)) => (a, b)
+    case other => throw new IllegalArgumentException(s"expected two arrays, got $other")
+  }
+
+  private def toD(arr: ArrayData, et: DataType, i: Int): Double = et match {
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType    => arr.getLong(i).toDouble
+    case FloatType   => arr.getFloat(i).toDouble
+    case DoubleType  => arr.getDouble(i)
+    case _           => arr.get(i, et).toString.toDouble
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += toD(a, etL, i) * toD(b, etR, i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SqDotCodes = copy(left = newLeft, right = newRight)
+}
+
 /** Duplicate word-n-gram fraction: 1 - distinct/total over the n-grams of
   * a token array, 0.0 when the document has fewer than n tokens — the
   * Gopher/C4 repetition signal. Value-identical to the HOF formulation
@@ -607,6 +654,10 @@ object SketchExpressions {
                        nprobe: Int): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(vec),
       centroids, nprobe))
+
+  def sqDot(codes: Column, weights: Column): Column =
+    ColumnBridge.column(SqDotCodes(ColumnBridge.expression(codes),
+      ColumnBridge.expression(weights)))
 
   def pqDistTable(vec: Column, cbs: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqDistTable(ColumnBridge.expression(vec), cbs))

@@ -319,6 +319,26 @@ class AnnPqSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ Sq
 
+  test("native SqDotCodes is bit-identical to the HOF fold") {
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(64)(rng.nextInt(256)),
+        Seq.fill(64)(rng.nextGaussian() * (if (i % 3 == 0) 1e6 else 1e-3)))
+    }.toDF("id", "codes", "w")
+    val both = rows.select(
+      graft.plans.SketchExpressions.sqDot(col("codes"), col("w")).as("nat"),
+      Sq.sqDotHof(col("codes"), col("w")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), // EXACT — same fold order
+        s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}") }
+    // length mismatch -> NULL (zip_with's padding contract)
+    val mm = rows.limit(1).select(
+      graft.plans.SketchExpressions.sqDot(col("codes"), slice(col("w"), 1, 10)))
+      .collect().head
+    assert(mm.isNullAt(0))
+  }
+
   test("Sq fit/encode: extremes hit 0/255, constant dims code 0, recon norm self-consistent") {
     val e = corpus(100).cache()
     // append a constant dimension to exercise the range==0 guard
