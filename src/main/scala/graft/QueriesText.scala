@@ -4066,11 +4066,58 @@ object QueriesText {
                    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
             FROM d GROUP BY lang"""))
 
+  // --------------------------------------------------------------- q151
+  // URL screen — the C4/RefinedWeb crawl-side filter: host extraction,
+  // registered-domain collapse (subdomains and ports fold away), and a
+  // blocked-domain flag, over URLs planted deterministically per doc
+  // (cdn. subdomains on %4, :8080 ports on %5, .com/.org split on %3).
+  // The blocklist carries a never-present domain too, so the hash pins
+  // absent-domain semantics alongside the hits. All rows returned -
+  // the complement is gated like q147.
+  private val q151 = Q("q151_url_screen",
+    (s, dir) => {
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 4 === 0, lit("cdn.")).otherwise(lit("")),
+        lit("site"), (col("doc_id") % 17).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(".example.com"))
+          .otherwise(lit(".example.org")),
+        when(col("doc_id") % 5 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), col("doc_id").cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), url.as("_url"))
+        .select(col("doc_id"),
+          TF.urlHost(col("_url")).as("host"),
+          TF.registeredDomain(TF.urlHost(col("_url"))).as("domain"),
+          TF.domainBlocked(col("_url"),
+            Seq("example.org", "spam.test")).as("blocked"))
+    },
+    Some("""WITH u AS (
+              SELECT doc_id,
+                     'https://' ||
+                     CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END ||
+                     'site' || (doc_id % 17) ||
+                     CASE WHEN doc_id % 3 = 0 THEN '.example.com' ELSE '.example.org' END ||
+                     CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+                     '/p/' || doc_id AS url
+              FROM documents),
+            h AS (
+              SELECT doc_id, url,
+                     nullif(regexp_extract(lower(url), '^https?://([^/?#]+)', 1), '') AS host
+              FROM u),
+            d AS (
+              SELECT doc_id, url, host,
+                     nullif(regexp_extract(regexp_replace(host, ':[0-9]+$', ''),
+                                           '([^.]+\.[^.]+)$', 1), '') AS domain
+              FROM h)
+            SELECT doc_id, host, domain,
+                   coalesce(domain IN ('example.org', 'spam.test'), false) AS blocked
+            FROM d"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
-    q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
+    q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151)
 }

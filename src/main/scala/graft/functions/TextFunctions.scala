@@ -227,6 +227,38 @@ object TextFunctions {
       regexp_count(c, lit(PiiIp)).cast(LongType).as("n_ip"),
       regexp_count(c, lit(PiiPhone)).cast(LongType).as("n_phone"))
 
+  /** URL screen — the C4/RefinedWeb crawl-side filter family (Penedo et
+    * al. 2023 §3.1 drop documents by source URL before any content
+    * work, it is the cheapest possible reject): host extraction,
+    * registered-domain collapse (`cdn.site3.example.com` →
+    * `example.com`-level policy needs the last-two-label fold), and a
+    * blocked-domain membership flag. RE2-safe regex, codegen'd
+    * projections, zero joins — the blocklist is parameter-sized config
+    * exactly like [[blocklistHits]]' term list. NULL/malformed URLs
+    * yield NULL host/domain and `false` (a missing URL is not evidence
+    * of a blocked one — quarantine on null separately if provenance is
+    * mandatory). */
+  def urlHost(url: Column): Column = {
+    val h = regexp_extract(lower(url), "^https?://([^/?#]+)", 1)
+    when(h === "", lit(null).cast(StringType)).otherwise(h)
+  }
+
+  /** Last two dot-labels of the host (the eTLD+1 approximation a
+    * suffix-list-free engine can replay anywhere; ports stripped). */
+  def registeredDomain(host: Column): Column = {
+    val noPort = regexp_replace(host, ":[0-9]+$", "")
+    val d = regexp_extract(noPort, "([^.]+\\.[^.]+)$", 1)
+    when(d === "", lit(null).cast(StringType)).otherwise(d)
+  }
+
+  /** TRUE iff the url's registered domain is in `blocked` (compared
+    * lowercase). NULL-safe: null/malformed urls are false. */
+  def domainBlocked(url: Column, blocked: Seq[String]): Column = {
+    require(blocked.nonEmpty, "empty domain blocklist")
+    coalesce(registeredDomain(urlHost(url))
+      .isin(blocked.map(_.toLowerCase): _*), lit(false))
+  }
+
   /** Blocklist screen at WORD granularity — the C4-style "bad words"
     * filter stage (Raffel et al. 2020 drop any page containing a listed
     * word; word-level so a listed "scan" does not hit "scanner"). The

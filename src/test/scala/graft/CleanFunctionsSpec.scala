@@ -58,6 +58,24 @@ class CleanFunctionsSpec extends AnyFunSuite {
     assert(one(TFn.redactPii(lit(null).cast("string"))) == null)
   }
 
+  test("URL screen: host, registered domain, blocked flag, null/malformed safety") {
+    import graft.functions.{TextFunctions => TFn}
+    def s(c: org.apache.spark.sql.Column) = one(c).asInstanceOf[String]
+    assert(s(TFn.urlHost(lit("https://CDN.Site3.Example.COM:8080/p/1?q=2")))
+      == "cdn.site3.example.com:8080")
+    assert(s(TFn.registeredDomain(lit("cdn.site3.example.com:8080")))
+      == "example.com")
+    assert(s(TFn.registeredDomain(lit("localhost"))) == null) // single label
+    assert(one(TFn.urlHost(lit("not a url"))) == null)
+    assert(one(TFn.urlHost(lit("ftp://x.example.com/f"))) == null) // scheme-gated
+    val b = Seq("example.org", "spam.test")
+    assert(one(TFn.domainBlocked(lit("http://a.b.example.org/x"), b)) == true)
+    assert(one(TFn.domainBlocked(lit("https://example.com/x"), b)) == false)
+    // null / malformed url -> false, never null (absence is not evidence)
+    assert(one(TFn.domainBlocked(lit(null).cast("string"), b)) == false)
+    assert(one(TFn.domainBlocked(lit("garbage"), b)) == false)
+  }
+
   test("blocklist screen: word granularity, distinct sorted hits, occurrence count") {
     import graft.functions.{TextFunctions => TFn}
     val terms = Seq("Bad", "worse", "zzz")
