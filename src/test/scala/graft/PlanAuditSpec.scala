@@ -79,6 +79,11 @@ class PlanAuditSpec extends AnyFunSuite {
         "a dim-sized weight array + bias scalar) over the CODES scan — " +
         "q107's linear-scan-over-compressed-index shape (PLANS.md q130 " +
         "row); corpus-sized query sets go through q106/q131's cell join"),
+    "q148_sq_index_search" ->
+      ("q130's persisted form: the SAME SQ8 ADC scan shape (1/50-sampled " +
+        "query batch broadcast over the codes scan — q130's exemption), " +
+        "reading the segment union instead of an in-memory encode " +
+        "(PLANS.md q148 row)"),
     "q128_ann_recall_remedy" ->
       ("q126's remedy twin: the same pinned brute-force ground truth " +
         "(q33's exemption) joined against the IVF probe at nprobe = 4 " +
