@@ -70,8 +70,14 @@ object Sq {
   }
 
   /** SQ8 code array for one vector: per dimension,
-    * `clamp(round((x - min) * invStep), 0, 255)` as int. */
-  def encodeExpr(vec: Column, m: Model): Column = {
+    * `clamp(round((x - min) * invStep), 0, 255)` as int — the fused
+    * native loop (bit-parity-spec'd against [[encodeExprHof]]). */
+  def encodeExpr(vec: Column, m: Model): Column =
+    graft.plans.SketchExpressions.sqEncode(vec, m.mins, m.invSteps)
+
+  /** The interpreted form encodeExpr's native replaced — kept as the
+    * bit-parity oracle (AnnPqSpec). */
+  private[graft] def encodeExprHof(vec: Column, m: Model): Column = {
     val mins = typedLit(m.mins.toSeq)
     val inv = typedLit(m.invSteps.toSeq)
     transform(asDouble(vec), (x, i) =>
@@ -81,8 +87,14 @@ object Sq {
   }
 
   /** Reconstruction norm from the STORED codes — what search divides
-    * by, so cosine ranks reflect the index the scan actually reads. */
-  def reconNormExpr(codes: Column, m: Model): Column = {
+    * by, so cosine ranks reflect the index the scan actually reads.
+    * Fused native loop (bit-parity-spec'd against [[reconNormHof]]). */
+  def reconNormExpr(codes: Column, m: Model): Column =
+    graft.plans.SketchExpressions.sqReconNorm(codes, m.mins, m.steps)
+
+  /** The interpreted form reconNormExpr's native replaced — kept as
+    * the bit-parity oracle (AnnPqSpec). */
+  private[graft] def reconNormHof(codes: Column, m: Model): Column = {
     val mins = typedLit(m.mins.toSeq)
     val steps = typedLit(m.steps.toSeq)
     sqrt(aggregate(

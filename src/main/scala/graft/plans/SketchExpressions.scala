@@ -591,6 +591,81 @@ case class SqDotCodes(left: Expression, right: Expression)
       newRight: Expression): SqDotCodes = copy(left = newLeft, right = newRight)
 }
 
+/** SQ8 encode: per dimension `clamp(round((x - min) * invStep), 0, 255)`
+  * as int — [[graft.operators.Sq.encodeExpr]]'s per-row cost fused into
+  * one loop. Bit-identical to the HOF form: the round replicates
+  * Spark's `Round` double branch exactly
+  * (`scala.math.BigDecimal(d).setScale(0, HALF_UP).toDouble`, NaN/Inf
+  * passed through), and the clamp applies AFTER the round in the same
+  * least/greatest order. */
+case class SqEncode(child: Expression, mins: Array[Double],
+                    invSteps: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(s"expected array, got $other")
+  }
+
+  private def roundHalfUp(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else scala.math.BigDecimal(d)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), mins.length)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val x = elemType match {
+        case FloatType  => arr.getFloat(i).toDouble
+        case DoubleType => arr.getDouble(i)
+        case _          => arr.get(i, elemType).toString.toDouble
+      }
+      val r = roundHalfUp((x - mins(i)) * invSteps(i))
+      val clamped = math.min(255.0, math.max(0.0, r))
+      out(i) = clamped.toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqEncode =
+    copy(child = newChild)
+}
+
+/** SQ8 reconstruction norm from the stored codes:
+  * `sqrt(Σ (min_i + c_i·step_i)²)`, left-to-right — the per-row fold of
+  * [[graft.operators.Sq.reconNormExpr]] fused, IEEE-identical to the
+  * transform+aggregate HOF. */
+case class SqReconNorm(child: Expression, mins: Array[Double],
+                       steps: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), mins.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val rec = mins(i) + arr.getInt(i).toDouble * steps(i)
+      acc += rec * rec
+      i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(acc))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqReconNorm =
+    copy(child = newChild)
+}
+
 /** Duplicate word-n-gram fraction: 1 - distinct/total over the n-grams of
   * a token array, 0.0 when the document has fewer than n tokens — the
   * Gopher/C4 repetition signal. Value-identical to the HOF formulation
@@ -654,6 +729,12 @@ object SketchExpressions {
                        nprobe: Int): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(vec),
       centroids, nprobe))
+
+  def sqEncode(vec: Column, mins: Array[Double], invSteps: Array[Double]): Column =
+    ColumnBridge.column(SqEncode(ColumnBridge.expression(vec), mins, invSteps))
+
+  def sqReconNorm(codes: Column, mins: Array[Double], steps: Array[Double]): Column =
+    ColumnBridge.column(SqReconNorm(ColumnBridge.expression(codes), mins, steps))
 
   def sqDot(codes: Column, weights: Column): Column =
     ColumnBridge.column(SqDotCodes(ColumnBridge.expression(codes),

@@ -319,6 +319,38 @@ class AnnPqSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ Sq
 
+  test("native SqEncode / SqReconNorm are bit-identical to the HOF forms") {
+    // adversarial model: inv=1 over mins=0 makes (x-min)*inv hit EXACT
+    // .5 halfway points — where a naive rint/floor(x+0.5) would diverge
+    // from Spark's BigDecimal HALF_UP round
+    val m = Sq.Model(
+      mins = Array(0.0, -1.5, 2.25, 0.0),
+      steps = Array(1.0, 0.5, 0.125, 0.0),
+      invSteps = Array(1.0, 2.0, 8.0, 0.0))
+    val rng = new scala.util.Random(31)
+    val rows = ((0 until 30).map { i =>
+      (i.toLong, Seq.fill(4)((rng.nextGaussian() * 40).toFloat))
+    } ++ Seq(
+      (100L, Seq(2.5f, 0.75f, 2.3125f, 9.9f)),    // exact halfway codes
+      (101L, Seq(-3.5f, -1.25f, 300f, -300f)),    // clamp both ends
+      (102L, Seq(0.5f, 127.5f, 255.5f, 0f))))
+      .toDF("id", "vec")
+    val enc = rows.select(
+      Sq.encodeExpr(col("vec"), m).as("nat"),
+      Sq.encodeExprHof(col("vec"), m).as("hof"))
+      .collect()
+    enc.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+        s"encode diverged: ${r.getSeq[Int](0)} vs ${r.getSeq[Int](1)}") }
+    val norms = rows.select(Sq.encodeExprHof(col("vec"), m).as("codes"))
+      .select(
+        Sq.reconNormExpr(col("codes"), m).as("nat"),
+        Sq.reconNormHof(col("codes"), m).as("hof"))
+      .collect()
+    norms.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) } // EXACT — same fold order
+  }
+
   test("native SqDotCodes is bit-identical to the HOF fold") {
     val rng = new scala.util.Random(23)
     val rows = (0 until 40).map { i =>
