@@ -29,7 +29,8 @@ object Verify {
     val knownNames = SparkEntry.queries.keySet ++
       Set("stream_parity", "stream_neardup_parity",
         "stream_neardup_ttl_parity", "stream_register_parity",
-        "stream_upsert_parity", "stream_ann_index_parity")
+        "stream_upsert_parity", "stream_ann_index_parity",
+        "stream_ann_lifecycle_parity")
     only.foreach { names =>
       val unknown = names -- knownNames
       require(unknown.isEmpty,
@@ -103,6 +104,7 @@ object Verify {
     parityCheck("stream_register_parity")(streamRegisterParity(spark, sfDir))
     parityCheck("stream_upsert_parity")(streamUpsertParity(spark, sfDir))
     parityCheck("stream_ann_index_parity")(streamAnnIndexParity(spark, sfDir))
+    parityCheck("stream_ann_lifecycle_parity")(streamAnnLifecycleParity(spark, sfDir))
     val failJson = failed
       .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
@@ -207,5 +209,17 @@ object Verify {
     import graft.streaming.StreamHarness
     val (streamOut, batchOut) = StreamHarness.annIngestRun(spark, sfDir)
     parityJson("stream_ann_index_parity", streamOut, batchOut)
+  }
+
+  /** Streaming-vs-batch parity for the FULL index lifecycle — streamed
+    * appends, a mid-stream COMPACTION, then the stream RESUMED from its
+    * checkpoint ([[graft.streaming.StreamHarness.annLifecycleRun]]).
+    * Gates that compaction never collides with a later micro-batch's
+    * segment allocation (the silent-data-loss regression). THROWS on
+    * hash mismatch. */
+  def streamAnnLifecycleParity(spark: SparkSession, sfDir: String): String = {
+    import graft.streaming.StreamHarness
+    val (streamOut, batchOut) = StreamHarness.annLifecycleRun(spark, sfDir)
+    parityJson("stream_ann_lifecycle_parity", streamOut, batchOut)
   }
 }

@@ -11,7 +11,8 @@ import graft.operators.Pq
   * job (train + encode the corpus) lands a directory of parquet
   * artifacts; online query batches open the directory and never touch
   * the raw vectors again; corpus growth lands as APPENDED immutable
-  * segments, not rebuilds.
+  * segments, not rebuilds; takedowns land as TOMBSTONE sets that mask
+  * rows at read until a compaction physically drops them.
   *
   * Layout under `dir/`:
   *   - `centroids/`  `(cell INT 1-based, vec ARRAY<DOUBLE>)` — the
@@ -25,8 +26,20 @@ import graft.operators.Pq
   *     parquet PartitionFilter in EVERY segment scan — at 100 TB the
   *     difference between reading nprobe/nlist of the index and all
   *     of it.
-  *   - `manifest/m-<n>` — one line per live segment (`batch-<id> nrows`).
-  *     The CURRENT index state is the highest manifest; a segment not
+  *   - `tomb/t-<n>` — immutable tombstone sets (`neighbor_id`), written
+  *     by [[delete]]. Segment and tombstone ids share ONE monotonic
+  *     namespace, and a tombstone masks exactly the segments with a
+  *     LOWER id (the Lucene/Iceberg sequence-number rule) — so a row
+  *     re-appended after a delete is visible again, and a streamed
+  *     correction can tombstone the stale vector and append the new one
+  *     in a single commit.
+  *   - `manifest/m-<n>` — the index state as of generation n:
+  *     a `hw <id>` high-water line (the highest segment/tombstone id
+  *     EVER allocated — never reused, even after a compaction drops the
+  *     segment that carried it), a `shw <key>` line (the highest
+  *     committed stream dedup key, see [[appendIvfPq]]), one
+  *     `batch-<id> <nrows>` line per live segment and one
+  *     `tomb-<id> <nrows>` line per live tombstone set. A segment not
   *     listed in any manifest does not exist to readers.
   *   - `meta/` one row `(dim, nlist, m, ncode)` — load-time model check.
   *
@@ -37,8 +50,9 @@ import graft.operators.Pq
   *    it by writing the next manifest via stage+atomic-rename. A writer
   *    that dies mid-batch leaves an orphan no reader ever lists.
   *  - READERS PIN A MANIFEST: [[load]] resolves the highest manifest
-  *    ONCE and unions exactly those segments, so an open [[Loaded]]
-  *    handle is a consistent snapshot — a concurrent append never
+  *    ONCE and unions exactly those segments (masked by exactly that
+  *    generation's tombstones), so an open [[Loaded]] handle is a
+  *    consistent snapshot — a concurrent append or delete never
   *    changes (or half-changes) what it scans. Reopen to see new data.
   *
   * [[appendIvfPq]] reads the model FROM THE INDEX (never from the
@@ -54,7 +68,11 @@ object AnnIndex {
 
   /** An opened index snapshot: driver-side model literals + the lazy
     * union of the manifest's segment scans
-    * (`neighbor_id, _cell, codes` — [[Pq.ivfPqEncode]]'s schema). */
+    * (`neighbor_id, _cell, codes` — [[Pq.ivfPqEncode]]'s schema), with
+    * the snapshot's tombstones already masked out of `codes`. `nrows`
+    * counts the PHYSICAL rows of the live segments (an upper bound on
+    * visible rows while tombstones are pending; compaction restores
+    * equality). */
   final case class Loaded(centroids: Array[Array[Double]],
                           cbs: Array[Array[Array[Double]]],
                           codes: DataFrame, nrows: Long,
@@ -69,6 +87,18 @@ object AnnIndex {
 
   private def path(s: String) = new org.apache.hadoop.fs.Path(s)
 
+  /** One manifest generation, parsed. `hw` is the segment/tombstone id
+    * high-water mark: every id ≤ hw has been allocated by SOME
+    * committed generation (possibly since compacted away) and is never
+    * allocated again — the invariant that makes compaction safe under
+    * concurrent-in-time stream replays. `shw` is the highest committed
+    * stream dedup key (−1 before any keyed append). */
+  private final case class ManifestData(segs: Seq[(Long, Long)],
+                                        tombs: Seq[(Long, Long)],
+                                        hw: Long, shw: Long) {
+    def nextId: Long = hw + 1
+  }
+
   /** Highest committed manifest id, or None on a fresh/absent index. */
   private def currentManifestId(f: org.apache.hadoop.fs.FileSystem,
                                 dir: String): Option[Long] = {
@@ -80,29 +110,61 @@ object AnnIndex {
       .maxOption
   }
 
-  /** Segments of manifest `id`: (batchId, nrows) per line. */
+  /** Parse manifest `id`. Pre-high-water manifests (no `hw`/`shw`
+    * lines) default to hw = max listed id and shw = −1. */
   private def readManifest(f: org.apache.hadoop.fs.FileSystem, dir: String,
-                           id: Long): Seq[(Long, Long)] = {
+                           id: Long): ManifestData = {
     val in = f.open(path(s"$dir/manifest/m-$id"))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    txt.linesIterator.filter(_.nonEmpty).map { line =>
-      val Array(b, n) = line.trim.split("\\s+")
-      (b.stripPrefix("batch-").toLong, n.toLong)
-    }.toSeq
+    var hw = -1L
+    var shw = -1L
+    val segs = Seq.newBuilder[(Long, Long)]
+    val tombs = Seq.newBuilder[(Long, Long)]
+    txt.linesIterator.filter(_.nonEmpty).foreach { line =>
+      val Array(k, v) = line.trim.split("\\s+")
+      if (k == "hw") hw = v.toLong
+      else if (k == "shw") shw = v.toLong
+      else if (k.startsWith("batch-")) segs += ((k.drop(6).toLong, v.toLong))
+      else if (k.startsWith("tomb-")) tombs += ((k.drop(5).toLong, v.toLong))
+    }
+    val s = segs.result()
+    val t = tombs.result()
+    val maxListed = (s.map(_._1) ++ t.map(_._1)).maxOption.getOrElse(-1L)
+    ManifestData(s, t, math.max(hw, maxListed), shw)
   }
 
-  /** Stage+rename-publish manifest `id` with the given segment list. */
+  /** Stage+rename-publish manifest `id` with the given state. */
   private def writeManifest(f: org.apache.hadoop.fs.FileSystem, dir: String,
-                            id: Long, segs: Seq[(Long, Long)]): Unit = {
+                            id: Long, md: ManifestData): Unit = {
     f.mkdirs(path(s"$dir/manifest"))
     val tmp = path(s"$dir/manifest/_tmp.m-$id")
     val out = f.create(tmp, true)
-    try out.write(segs.map { case (b, n) => s"batch-$b $n" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val body = (Seq(s"hw ${md.hw}", s"shw ${md.shw}") ++
+      md.segs.map { case (b, n) => s"batch-$b $n" } ++
+      md.tombs.map { case (t, n) => s"tomb-$t $n" })
+      .mkString("", "\n", "\n")
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, path(s"$dir/manifest/m-$id")))
       throw new java.io.IOException(s"manifest m-$id publish failed")
+  }
+
+  /** Row count of a just-written segment WITHOUT reading it when it is
+    * empty: a zero-row partitioned write leaves a `_SUCCESS`-only tree,
+    * and `spark.read.parquet` on it fails schema inference — on the
+    * streaming path that failure replays forever (the wedged-checkpoint
+    * trap). A data-file listing decides emptiness first. */
+  private def countSegment(spark: SparkSession,
+                           f: org.apache.hadoop.fs.FileSystem,
+                           seg: String): Long = {
+    val it = f.listFiles(path(seg), true)
+    var hasData = false
+    while (!hasData && it.hasNext) {
+      val n = it.next().getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) hasData = true
+    }
+    if (!hasData) 0L else spark.read.parquet(seg).count()
   }
 
   /** Encode `delta` with the index model and land it as segment
@@ -128,7 +190,28 @@ object AnnIndex {
       .withColumnRenamed("_cell", "cell")
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(seg)
-    spark.read.parquet(seg).count()
+    countSegment(spark, fs(spark, dir), seg)
+  }
+
+  /** The snapshot's visible code union: each live segment masked by the
+    * tombstone sets with a HIGHER id (sequence-number rule — a
+    * tombstone never masks a segment appended after it, so
+    * delete-then-reinsert works). Tombstone sets are takedown-sized
+    * relative to the corpus, so AQE plans the anti-joins as broadcasts;
+    * a tombstone set that has grown large is the signal to [[compact]],
+    * which physically drops the rows and clears the sets. */
+  private def visibleUnion(spark: SparkSession, dir: String,
+                           md: ManifestData): DataFrame = {
+    val tombFrames = md.tombs.map { case (t, _) =>
+      t -> spark.read.parquet(s"$dir/tomb/t-$t") }.toMap
+    md.segs.map { case (b, _) =>
+      val base = spark.read.parquet(s"$dir/data/batch-$b")
+      val masks = md.tombs.collect { case (t, _) if t > b => tombFrames(t) }
+      if (masks.isEmpty) base
+      else base.join(
+        masks.reduce(_ unionByName _).select(col("neighbor_id")).distinct(),
+        Seq("neighbor_id"), "left_anti")
+    }.reduce(_ unionByName _)
   }
 
   /** Build and atomically publish a FRESH index at `dir` (replacing any
@@ -162,7 +245,8 @@ object AnnIndex {
       .repartition(1).write.parquet(s"$tmp/meta")
     val n = writeSegment(corpus, idCol, vecCol, tmp.toString, 0L,
       centroids, cbs)
-    writeManifest(f, tmp.toString, 0L, Seq((0L, n)))
+    writeManifest(f, tmp.toString, 0L,
+      ManifestData(Seq((0L, n)), Seq.empty, hw = 0L, shw = -1L))
 
     f.delete(target, true)
     if (!f.rename(tmp, target))
@@ -173,74 +257,124 @@ object AnnIndex {
     * encode model is read FROM THE INDEX, so appended codes are
     * bit-consistent with the build; the segment becomes visible only
     * with the manifest publish at the end (readers mid-append see the
-    * previous snapshot).
+    * previous snapshot). The segment id is allocated from the manifest
+    * HIGH-WATER MARK — ids are never reused, even after a compaction
+    * retires the segments that carried them.
     *
-    * `segmentId` makes the append IDEMPOTENT for at-least-once callers
-    * (foreachBatch replay after a crash): a segment already in the
-    * current manifest is a committed duplicate delivery — the append is
-    * skipped entirely. A crash BETWEEN segment write and manifest
-    * publish leaves an unlisted (invisible) segment; the replay
-    * overwrites it and publishes — either way the manifest lists the
-    * segment exactly once. */
+    * `dedupKey` makes the append IDEMPOTENT for at-least-once callers
+    * (foreachBatch replay after a crash): keys must be monotonically
+    * increasing across the caller's successful appends (the foreachBatch
+    * batch-id contract), and a key ≤ the manifest's committed
+    * stream-high-water is a duplicate delivery — the append is skipped
+    * entirely. The dedup key is deliberately NOT the segment id: a
+    * compaction consumes ids from the shared namespace, so any scheme
+    * that derives segment ids from replayable batch ids collides with
+    * the compacted segment and silently drops the batch. A crash
+    * BETWEEN segment write and manifest publish leaves an unlisted
+    * (invisible) segment at hw+1; the replay overwrites it and
+    * publishes — either way the manifest lists the rows exactly once.
+    * An EMPTY delta is dropped before any manifest change (a zero-row
+    * segment would wedge every checkpoint replay on schema inference). */
   def appendIvfPq(delta: DataFrame, idCol: String, vecCol: String,
-                  dir: String, segmentId: Option[Long] = None): Unit = {
+                  dir: String, dedupKey: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
     val f = fs(spark, dir)
+    val mid = currentManifestId(f, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest under $dir"))
+    val md = readManifest(f, dir, mid)
+    if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
     val idx = load(spark, dir)
-    val mid = currentManifestId(f, dir).get
-    val batchId = segmentId.getOrElse(idx.batches.max + 1)
-    if (!idx.batches.contains(batchId)) {
-      val n = writeSegment(delta, idCol, vecCol, dir, batchId,
-        idx.centroids, idx.cbs)
-      val segs = readManifest(f, dir, mid) :+ (batchId, n)
-      writeManifest(f, dir, mid + 1, segs)
-    }
+    val batchId = md.nextId
+    val n = writeSegment(delta, idCol, vecCol, dir, batchId,
+      idx.centroids, idx.cbs)
+    if (n == 0) { f.delete(path(s"$dir/data/batch-$batchId"), true); return }
+    writeManifest(f, dir, mid + 1, md.copy(
+      segs = md.segs :+ (batchId, n), hw = batchId,
+      shw = math.max(md.shw, dedupKey.getOrElse(md.shw))))
   }
 
   /** Continuous index ingestion: every micro-batch lands as one
-    * idempotent [[appendIvfPq]] segment (segment id = foreachBatch id +
-    * 1 — deterministic across checkpoint restarts, so an at-least-once
-    * redelivery is the no-op replay path above). Requires an index
-    * seeded by [[buildIvfPq]] (which owns segment 0); the stream owns
-    * segments 1…. Readers keep their snapshot isolation — a query
-    * serving from [[load]] never observes a half-applied micro-batch. */
+    * idempotent [[appendIvfPq]] segment, with the foreachBatch id as
+    * the append's DEDUP KEY (deterministic across checkpoint restarts,
+    * so an at-least-once redelivery is the no-op replay path above —
+    * and safe across [[compact]], which allocates segment ids from the
+    * same high-water mark the appends do). Requires an index seeded by
+    * [[buildIvfPq]] (which owns segment 0). Readers keep their snapshot
+    * isolation — a query serving from [[load]] never observes a
+    * half-applied micro-batch. */
   def streamAppend(updates: DataFrame, idCol: String, vecCol: String,
                    dir: String, checkpoint: String,
                    trigger: org.apache.spark.sql.streaming.Trigger)
       : org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        appendIvfPq(batch.toDF(), idCol, vecCol, dir,
-          segmentId = Some(id + 1))
+        appendIvfPq(batch.toDF(), idCol, vecCol, dir, dedupKey = Some(id))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
 
-  /** Compact all live segments into one (Iceberg `rewriteDataFiles`,
-    * Lucene's merge): read the current snapshot's union, rewrite it as
-    * a single new segment (cell-partitioned when the family has cells —
-    * IVF-PQ; flat for SQ8), publish a manifest listing ONLY that
-    * segment. Readers pinned on older manifests keep working — their
-    * batch dirs are untouched until [[expire]]. No-op on a
-    * single-segment index. */
+  /** Tombstone `ids` (one column named `idCol`) out of the CURRENT
+    * snapshot — the takedown/eviction verb: the id set lands as an
+    * immutable `tomb/t-<n>` parquet and the next manifest generation
+    * lists it; readers of that generation anti-join it out of every
+    * OLDER segment's scan ([[visibleUnion]]'s sequence-number rule), so
+    * a later re-append of the same id is visible again. Rows are
+    * physically dropped — and the tombstone sets cleared — by the next
+    * [[compact]]. Pinned pre-delete readers are untouched (their
+    * manifest lists no such tombstone). Works on either index family
+    * (IVF-PQ or SQ8) — only ids and the manifest are involved.
+    * An empty id set is a no-op. */
+  def delete(ids: DataFrame, idCol: String, dir: String): Unit = {
+    val spark = ids.sparkSession
+    val f = fs(spark, dir)
+    val mid = currentManifestId(f, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest under $dir"))
+    val md = readManifest(f, dir, mid)
+    val tid = md.nextId
+    val tseg = s"$dir/tomb/t-$tid"
+    ids.select(col(idCol).cast("long").as("neighbor_id")).distinct()
+      .write.mode("overwrite").parquet(tseg)
+    val n = countSegment(spark, f, tseg)
+    if (n == 0) { f.delete(path(tseg), true); return }
+    writeManifest(f, dir, mid + 1, md.copy(
+      tombs = md.tombs :+ (tid, n), hw = tid))
+  }
+
+  /** Compact the current snapshot into one segment (Iceberg
+    * `rewriteDataFiles`, Lucene's merge): read the visible union —
+    * tombstoned rows PHYSICALLY DROPPED here — rewrite it as a single
+    * new segment (cell-partitioned when the family has cells — IVF-PQ;
+    * flat for SQ8), publish a manifest listing ONLY that segment, no
+    * tombstones, and the advanced high-water mark (the id consumed here
+    * is never handed to a later append — the collision that would
+    * otherwise silently drop the first post-compact micro-batch).
+    * Readers pinned on older manifests keep working — their batch dirs
+    * are untouched until [[expire]]. No-op on a single-segment index
+    * with no tombstones; refuses to compact an index whose visible
+    * union is empty (a fully-tombstoned index should be rebuilt, not
+    * compacted into an unreadable zero-row segment). */
   def compact(spark: SparkSession, dir: String): Unit = {
     val f = fs(spark, dir)
     val mid = currentManifestId(f, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed manifest under $dir"))
-    val segs = readManifest(f, dir, mid)
-    if (segs.length > 1) {
-      val newId = segs.map(_._1).max + 1
-      val union = segs.map { case (b, _) =>
-        spark.read.parquet(s"$dir/data/batch-$b") }
-        .reduce(_ unionByName _)
+    val md = readManifest(f, dir, mid)
+    if (md.segs.length > 1 || md.tombs.nonEmpty) {
+      val newId = md.nextId
+      val union = visibleUnion(spark, dir, md)
       val writer =
         if (union.columns.contains("cell"))
           union.repartition(col("cell")).write.partitionBy("cell")
         else union.write
       writer.mode("overwrite").parquet(s"$dir/data/batch-$newId")
-      val n = spark.read.parquet(s"$dir/data/batch-$newId").count()
-      writeManifest(f, dir, mid + 1, Seq((newId, n)))
+      val n = countSegment(spark, f, s"$dir/data/batch-$newId")
+      if (n == 0) {
+        f.delete(path(s"$dir/data/batch-$newId"), true)
+        throw new IllegalStateException(
+          s"refusing to compact $dir: every row is tombstoned — rebuild")
+      }
+      writeManifest(f, dir, mid + 1, ManifestData(
+        Seq((newId, n)), Seq.empty, hw = newId, shw = md.shw))
     }
   }
 
@@ -248,9 +382,10 @@ object AnnIndex {
 
   /** An opened SQ8 snapshot: the 2×dim affine model + the lazy segment
     * union (`neighbor_id, codes, recon_norm` — [[Sq.encode]]'s
-    * schema). SQ has no coarse cells, so segments are flat scans; the
-    * probe-pruning lever does not apply (search is a full codes scan by
-    * design — the cheap tier's trade). */
+    * schema), tombstones masked as in [[Loaded]]. SQ has no coarse
+    * cells, so segments are flat scans; the probe-pruning lever does
+    * not apply (search is a full codes scan by design — the cheap
+    * tier's trade). */
   final case class LoadedSq(model: graft.operators.Sq.Model,
                             codes: DataFrame, nrows: Long,
                             batches: Seq[Long]) {
@@ -265,7 +400,7 @@ object AnnIndex {
     graft.operators.Sq.encode(graft.operators.Spread.toCores(delta),
         idCol, vecCol, m)
       .write.mode("overwrite").parquet(seg)
-    spark.read.parquet(seg).count()
+    countSegment(spark, fs(spark, dir), seg)
   }
 
   /** Build and atomically publish a fresh SQ8 index at `dir` — same
@@ -288,7 +423,8 @@ object AnnIndex {
     Seq((m.dim, "sq8")).toDF("dim", "kind")
       .repartition(1).write.parquet(s"$tmp/meta")
     val n = writeSqSegment(corpus, idCol, vecCol, tmp.toString, 0L, m)
-    writeManifest(f, tmp.toString, 0L, Seq((0L, n)))
+    writeManifest(f, tmp.toString, 0L,
+      ManifestData(Seq((0L, n)), Seq.empty, hw = 0L, shw = -1L))
 
     f.delete(target, true)
     if (!f.rename(tmp, target))
@@ -296,19 +432,23 @@ object AnnIndex {
   }
 
   /** Append a new immutable SQ8 segment — model read FROM the index,
-    * same idempotent `segmentId` contract as [[appendIvfPq]]. */
+    * same high-water allocation, idempotent `dedupKey` contract and
+    * empty-delta short-circuit as [[appendIvfPq]]. */
   def appendSq(delta: DataFrame, idCol: String, vecCol: String,
-               dir: String, segmentId: Option[Long] = None): Unit = {
+               dir: String, dedupKey: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
     val f = fs(spark, dir)
+    val mid = currentManifestId(f, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest under $dir"))
+    val md = readManifest(f, dir, mid)
+    if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
     val idx = loadSq(spark, dir)
-    val mid = currentManifestId(f, dir).get
-    val batchId = segmentId.getOrElse(idx.batches.max + 1)
-    if (!idx.batches.contains(batchId)) {
-      val n = writeSqSegment(delta, idCol, vecCol, dir, batchId, idx.model)
-      val segs = readManifest(f, dir, mid) :+ (batchId, n)
-      writeManifest(f, dir, mid + 1, segs)
-    }
+    val batchId = md.nextId
+    val n = writeSqSegment(delta, idCol, vecCol, dir, batchId, idx.model)
+    if (n == 0) { f.delete(path(s"$dir/data/batch-$batchId"), true); return }
+    writeManifest(f, dir, mid + 1, md.copy(
+      segs = md.segs :+ (batchId, n), hw = batchId,
+      shw = math.max(md.shw, dedupKey.getOrElse(md.shw))))
   }
 
   /** Open the current SQ8 snapshot (model validated against meta). */
@@ -327,11 +467,9 @@ object AnnIndex {
       rows.map(_.getAs[Double]("inv")))
     val mid = currentManifestId(f, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed manifest under $dir"))
-    val segs = readManifest(f, dir, mid)
-    val codes = segs.map { case (b, _) =>
-      spark.read.parquet(s"$dir/data/batch-$b") }
-      .reduce(_ unionByName _)
-    LoadedSq(m, codes, segs.map(_._2).sum, segs.map(_._1))
+    val md = readManifest(f, dir, mid)
+    LoadedSq(m, visibleUnion(spark, dir, md), md.segs.map(_._2).sum,
+      md.segs.map(_._1))
   }
 
   /** Query an opened SQ8 snapshot — [[Sq.topK]]'s factored-dot scan
@@ -340,21 +478,30 @@ object AnnIndex {
              vecCol: String, k: Int = 10): DataFrame =
     graft.operators.Sq.topK(queries, idx.codes, idCol, vecCol, idx.model, k)
 
-  /** Drop everything no CURRENT reader can reach: segments not listed
-    * in the highest manifest, and all older manifests. After expiry a
-    * handle pinned on an older snapshot can no longer scan — run it
-    * only once in-flight readers have drained (the Iceberg
-    * expire-snapshots contract). */
+  /** Drop everything no CURRENT reader can reach: segments and
+    * tombstone sets not listed in the highest manifest, and all older
+    * manifests. After expiry a handle pinned on an older snapshot can
+    * no longer scan — run it only once in-flight readers have drained
+    * (the Iceberg expire-snapshots contract). */
   def expire(spark: SparkSession, dir: String): Unit = {
     val f = fs(spark, dir)
     val mid = currentManifestId(f, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed manifest under $dir"))
-    val live = readManifest(f, dir, mid).map(_._1).toSet
+    val md = readManifest(f, dir, mid)
+    val live = md.segs.map(_._1).toSet
+    val liveTombs = md.tombs.map(_._1).toSet
     val dataDir = path(s"$dir/data")
     if (f.exists(dataDir)) f.listStatus(dataDir).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("batch-") &&
           !scala.util.Try(name.drop(6).toLong).toOption.exists(live))
+        f.delete(st.getPath, true): Unit
+    }
+    val tombDir = path(s"$dir/tomb")
+    if (f.exists(tombDir)) f.listStatus(tombDir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("t-") &&
+          !scala.util.Try(name.drop(2).toLong).toOption.exists(liveTombs))
         f.delete(st.getPath, true): Unit
     }
     f.listStatus(path(s"$dir/manifest")).foreach { st =>
@@ -369,11 +516,13 @@ object AnnIndex {
 
   /** Open a snapshot: collect the parameter-sized model tables into
     * driver literals (validated against `meta`), pin a manifest, and
-    * union its segment scans lazily. `asOf` time-travels to an OLDER
-    * manifest generation (any id [[versionsOf]] lists — useful to
-    * reproduce a search exactly as it ran before an append, the
-    * Iceberg/Delta `VERSION AS OF` read); default is the current
-    * (highest) manifest. Fails loudly on an expired or unknown id. */
+    * union its segment scans lazily (tombstones of THAT generation
+    * masked — a handle opened before a [[delete]] still sees the
+    * deleted rows). `asOf` time-travels to an OLDER manifest generation
+    * (any id [[versionsOf]] lists — useful to reproduce a search
+    * exactly as it ran before an append, the Iceberg/Delta
+    * `VERSION AS OF` read); default is the current (highest) manifest.
+    * Fails loudly on an expired or unknown id. */
   def load(spark: SparkSession, dir: String, asOf: Option[Long] = None): Loaded = {
     val f = fs(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").collect().head
@@ -395,12 +544,10 @@ object AnnIndex {
       throw new IllegalArgumentException(s"no committed manifest under $dir")))
     require(f.exists(path(s"$dir/manifest/m-$mid")),
       s"manifest m-$mid does not exist under $dir (expired or never published)")
-    val segs = readManifest(f, dir, mid)
-    val codes = segs.map { case (b, _) =>
-      spark.read.parquet(s"$dir/data/batch-$b") }
-      .reduce(_ unionByName _)
+    val md = readManifest(f, dir, mid)
+    val codes = visibleUnion(spark, dir, md)
       .select(col("neighbor_id"), col("cell").as("_cell"), col("codes"))
-    Loaded(cents, cbs, codes, segs.map(_._2).sum, segs.map(_._1))
+    Loaded(cents, cbs, codes, md.segs.map(_._2).sum, md.segs.map(_._1))
   }
 
   /** Published manifest generations — the snapshot ids [[load]]'s
@@ -437,21 +584,28 @@ object AnnIndex {
     * REGARDLESS of query count (distinct over the exploded probe list),
     * so pruning is always parameter-sized; `prune = false` keeps the
     * plain cell-join plan for the corpus-as-queries shape where every
-    * cell is probed anyway. */
+    * cell is probed anyway. The prune path executes the queries plan
+    * TWICE (probe-cell collect, then the search join), so it pins the
+    * frame first — a nondeterministic queries frame would otherwise
+    * probe a different cell set than the search scores. */
   def topK(idx: Loaded, queries: DataFrame, idCol: String, vecCol: String,
            k: Int = 10, nprobe: Int = 4, prune: Boolean = true): DataFrame = {
     import graft.plans.SketchExpressions.nearestCentroids
-    val codes =
-      if (!prune) idx.codes
-      else {
-        val probed = queries
-          .select(explode(nearestCentroids(col(vecCol), idx.centroids,
-            nprobe)).as("_cell"))
-          .distinct().collect().map(_.getInt(0)).sorted
+    if (!prune)
+      Pq.ivfPqSearch(idx.codes, queries, idCol, vecCol, idx.centroids,
+        idx.cbs, k, nprobe)
+    else {
+      val q = queries.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probed = q
+        .select(explode(nearestCentroids(col(vecCol), idx.centroids,
+          nprobe)).as("_cell"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      val codes =
         if (probed.length >= idx.nlist) idx.codes
         else idx.codes.filter(col("_cell").isin(probed.map(Int.box): _*))
-      }
-    Pq.ivfPqSearch(codes, queries, idCol, vecCol, idx.centroids, idx.cbs,
-      k, nprobe)
+      Pq.ivfPqSearch(codes, q, idCol, vecCol, idx.centroids, idx.cbs,
+        k, nprobe)
+    }
   }
 }

@@ -432,6 +432,52 @@ object StreamHarness {
         "embedding", k = 3, nprobe = 4))
   }
 
+  /** The FULL index lifecycle executed end-to-end under streaming
+    * ingest: seed build (first 100 vectors) → three streamed
+    * micro-batch appends → COMPACT (the production maintenance step,
+    * which consumes a segment id from the shared high-water mark) →
+    * stream RESUMED from the same checkpoint for two more micro-batches
+    * → search the final snapshot. The search must hash-equal the same
+    * search on a one-shot batch build of the full corpus — the gate
+    * that a post-compact micro-batch is never mistaken for the
+    * compacted segment and silently dropped (the segment-id-collision
+    * data-loss regression). Returns (lifecycle search, batch search). */
+  def annLifecycleRun(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import graft.sources.AnnIndex
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (cb, cbs) = graft.QueriesText.ivfPqModel(e)
+    val dir = scratch("graft_stream_ann_lifecycle")
+    val landing = s"$dir/landing"
+    val streamed = s"$dir/index_stream"
+    val full = s"$dir/index_full"
+    val ckpt = s"$dir/ckpt"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 100), "vec_id",
+      "embedding", streamed, cb, cbs)
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val span = (maxId - 100) / 5 + 1
+    def land(i: Int): Unit =
+      e.filter(col("vec_id") >= 100 + i * span &&
+          col("vec_id") < 100 + (i + 1) * span)
+        .coalesce(1).write.mode("append").parquet(landing)
+    def ingest(): Unit = {
+      val stream = spark.readStream
+        .schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+      AnnIndex.streamAppend(stream, "vec_id", "embedding", streamed, ckpt,
+        Trigger.AvailableNow()).awaitTermination()
+    }
+    (0 until 3).foreach(land); ingest()
+    AnnIndex.compact(spark, streamed)
+    (3 until 5).foreach(land); ingest()
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", full, cb, cbs)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    (AnnIndex.topK(AnnIndex.load(spark, streamed), q, "vec_id",
+        "embedding", k = 3, nprobe = 4),
+      AnnIndex.topK(AnnIndex.load(spark, full), q, "vec_id",
+        "embedding", k = 3, nprobe = 4))
+  }
+
   def upsertSinkRun(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     import graft.sources.UpsertSink
     val o = spark.read.parquet(s"$sfDir/orders.parquet")

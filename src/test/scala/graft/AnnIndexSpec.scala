@@ -119,7 +119,7 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(after.codes.count() == 80)
   }
 
-  test("appendIvfPq with an explicit segmentId is idempotent (at-least-once replay)") {
+  test("appendIvfPq with a dedupKey is idempotent (at-least-once replay)") {
     val e = corpus(40).cache()
     val (cents, cbs) = model(e)
     val dir = s"${tmpDir()}/idx"
@@ -131,6 +131,171 @@ class AnnIndexSpec extends AnyFunSuite {
     val idx = AnnIndex.load(spark, dir)
     assert(idx.nrows == 40 && idx.batches == Seq(0L, 1L),
       "replayed append must be a no-op, not a duplicate segment")
+  }
+
+  test("compaction never collides with stream segment ids: the first post-compact " +
+      "micro-batch LANDS (regression: deterministic id+1 scheme silently dropped it)") {
+    val e = corpus(60).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, cents, cbs)
+    // micro-batch 0 (keyed append, the streamAppend path)
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 20 && col("vec_id") < 40),
+      "vec_id", "embedding", dir, Some(0L))
+    // compaction consumes the next id from the SHARED high-water mark
+    AnnIndex.compact(spark, dir)
+    val compacted = AnnIndex.load(spark, dir)
+    assert(compacted.nrows == 40)
+    // micro-batch 1 replays with its deterministic key after the compact:
+    // it must be recognized as NEW work and land — not be mistaken for
+    // the compacted segment and silently skipped
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 40), "vec_id",
+      "embedding", dir, Some(1L))
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.nrows == 60,
+      s"post-compact micro-batch was dropped: segments ${idx.batches}")
+    assert(idx.batches == idx.batches.distinct,
+      s"segment id reused across compaction: ${idx.batches}")
+    // and the replay of that same batch is still a no-op
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 40), "vec_id",
+      "embedding", dir, Some(1L))
+    assert(AnnIndex.load(spark, dir).nrows == 60)
+  }
+
+  test("streamAppend survives a mid-stream compaction: resume after compact loses nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val e = corpus(60).cache()
+    val (cents, cbs) = model(e)
+    val root = tmpDir()
+    val dir = s"$root/idx"
+    val landing = s"$root/landing"
+    val ckpt = s"$root/ckpt"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, cents, cbs)
+    def land(lo: Long, hi: Long): Unit =
+      e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("append").parquet(landing)
+    def ingest(): Unit = {
+      val stream = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      AnnIndex.streamAppend(stream, "vec_id", "embedding", dir, ckpt,
+        Trigger.AvailableNow()).awaitTermination()
+    }
+    land(20, 40); ingest()
+    AnnIndex.compact(spark, dir) // the production maintenance step
+    land(40, 60); ingest()       // resume from the same checkpoint
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.nrows == 60,
+      s"compaction ate the first post-compact micro-batch: ${idx.batches}")
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val full = s"$root/full"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", full, cents, cbs)
+    val got = AnnIndex.topK(idx, q, "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val want = AnnIndex.topK(AnnIndex.load(spark, full), q, "vec_id",
+      "embedding", k = 3, nprobe = 2).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("an empty delta is a no-op, not a wedged zero-row segment") {
+    val e = corpus(30).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    val before = AnnIndex.versionsOf(spark, dir)
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") < 0), "vec_id", "embedding",
+      dir, Some(0L)) // empty micro-batch
+    assert(AnnIndex.versionsOf(spark, dir) == before,
+      "empty delta must not publish a manifest generation")
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.nrows == 30 && idx.codes.count() == 30)
+    // the index is not wedged: the next real append still lands
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 100),
+      "vec_id", "embedding", dir, Some(1L))
+    assert(AnnIndex.load(spark, dir).nrows == 35)
+  }
+
+  test("delete: tombstones mask rows at read; pinned pre-delete reader still sees them") {
+    import spark.implicits._
+    val e = corpus(50).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    val pinned = AnnIndex.load(spark, dir) // snapshot taken pre-delete
+    val dead = (0L until 50L by 5).toDF("vec_id")
+    AnnIndex.delete(dead, "vec_id", dir)
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.codes.count() == 40, "tombstoned rows still visible")
+    assert(idx.codes.filter(col("neighbor_id") % 5 === 0).count() == 0)
+    // the pinned snapshot's manifest lists no tombstone — untouched
+    assert(pinned.codes.count() == 50)
+    // deleted ids never surface as neighbors
+    val q = e.filter(col("vec_id") % 10 === 3)
+    val res = AnnIndex.topK(idx, q, "vec_id", "embedding", k = 3, nprobe = 2)
+    assert(res.filter(col("neighbor_id") % 5 === 0).count() == 0)
+    // deleting nothing is a no-op generation-wise
+    val gens = AnnIndex.versionsOf(spark, dir)
+    AnnIndex.delete(spark.emptyDataset[Long].toDF("vec_id"), "vec_id", dir)
+    assert(AnnIndex.versionsOf(spark, dir) == gens)
+  }
+
+  test("delete then re-append: the tombstone masks only OLDER segments (reinsert works)") {
+    import spark.implicits._
+    val e = corpus(40).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    AnnIndex.delete(Seq(7L).toDF("vec_id"), "vec_id", dir)
+    assert(AnnIndex.load(spark, dir).codes
+      .filter(col("neighbor_id") === 7).count() == 0)
+    // the corrected vector arrives later as a normal append
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") === 7), "vec_id",
+      "embedding", dir)
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.codes.filter(col("neighbor_id") === 7).count() == 1,
+      "tombstone must not mask the segment appended after it")
+  }
+
+  test("compact physically drops tombstoned rows and clears the tombstones; expire reclaims") {
+    import spark.implicits._
+    val e = corpus(40).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, cents, cbs)
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 20), "vec_id",
+      "embedding", dir)
+    AnnIndex.delete((0L until 40L by 4).toDF("vec_id"), "vec_id", dir)
+    val visBefore = AnnIndex.load(spark, dir).codes
+      .collect().map(_.toSeq).toSet
+    AnnIndex.compact(spark, dir)
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.batches.length == 1 && idx.nrows == 30,
+      s"compact kept tombstoned rows: nrows=${idx.nrows}")
+    assert(idx.codes.collect().map(_.toSeq).toSet == visBefore)
+    AnnIndex.expire(spark, dir)
+    val tombDir = new java.io.File(s"$dir/tomb")
+    assert(!tombDir.exists() || tombDir.listFiles()
+        .count(_.getName.startsWith("t-")) == 0,
+      "expire left unreachable tombstone sets")
+    assert(AnnIndex.load(spark, dir).codes.count() == 30)
+  }
+
+  test("delete works on the SQ8 family too") {
+    import spark.implicits._
+    import graft.operators.Sq
+    val e = corpus(30).cache()
+    val m = Sq.fit(e, "embedding")
+    val dir = s"${tmpDir()}/sq"
+    AnnIndex.buildSq(e, "vec_id", "embedding", dir, m)
+    AnnIndex.delete(Seq(3L, 4L, 5L).toDF("vec_id"), "vec_id", dir)
+    val idx = AnnIndex.loadSq(spark, dir)
+    assert(idx.codes.count() == 27)
+    val q = e.filter(col("vec_id") === 3)
+    val res = AnnIndex.topKSq(idx, q, "vec_id", "embedding", k = 5)
+    assert(res.filter(col("neighbor_id").isin(3L, 4L, 5L)).count() == 0)
   }
 
   test("compact rewrites to one segment, expire drops the rest; search unchanged") {
