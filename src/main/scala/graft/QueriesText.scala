@@ -3346,7 +3346,13 @@ object QueriesText {
                        ORDER BY dp DESC, ci) AS rn
               FROM dots)"""
 
-  private lazy val ivfPqOracleCtes: String = ivfPqAssignCtes + """,
+  private lazy val ivfPqOracleCtes: String =
+    ivfPqOracleCtesFor("vec_id % 50 = 0")
+
+  /** [[ivfPqOracleCtes]] with the query panel parameterized — q153's
+    * fixed-literal serving panel replays the same chain with an id-list
+    * predicate instead of the corpus-derived residue sample. */
+  private def ivfPqOracleCtesFor(panelPred: String): String = ivfPqAssignCtes + s""",
             resid AS (
               SELECT r.vec_id, r.ci AS cell,
                      list_transform(range(1, 65),
@@ -3371,7 +3377,7 @@ object QueriesText {
                                PARTITION BY vec_id, s ORDER BY d ASC, c2) AS rn
                       FROM ndist) WHERE rn = 1),
             qcell AS (SELECT vec_id AS query_id, ci AS cell FROM ranked
-                      WHERE vec_id % 50 = 0 AND rn <= 4),
+                      WHERE ($panelPred) AND rn <= 4),
             qresid AS (
               SELECT qc.query_id, qc.cell,
                      list_transform(range(1, 65),
@@ -4070,13 +4076,18 @@ object QueriesText {
   // URL screen — the C4/RefinedWeb crawl-side filter: host extraction,
   // registered-domain collapse (subdomains and ports fold away), and a
   // blocked-domain flag, over URLs planted deterministically per doc
-  // (cdn. subdomains on %4, :8080 ports on %5, .com/.org split on %3).
-  // The blocklist carries a never-present domain too, so the hash pins
-  // absent-domain semantics alongside the hits. All rows returned -
-  // the complement is gated like q147.
+  // (cdn. subdomains on %4, :8080 ports on %5, .com/.org split on %3,
+  // and USERINFO evasion attempts on %7/%11 — `user:pw@` and the
+  // stacked `a:b@c@`, which must be stripped to the LAST `@` so the
+  // blocklist still sees the real host). The blocklist carries a
+  // never-present domain too, so the hash pins absent-domain semantics
+  // alongside the hits. All rows returned - the complement is gated
+  // like q147.
   private val q151 = Q("q151_url_screen",
     (s, dir) => {
       val url = concat(lit("https://"),
+        when(col("doc_id") % 7 === 0, lit("user:pw@")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("a:b@c@")).otherwise(lit("")),
         when(col("doc_id") % 4 === 0, lit("cdn.")).otherwise(lit("")),
         lit("site"), (col("doc_id") % 17).cast("string"),
         when(col("doc_id") % 3 === 0, lit(".example.com"))
@@ -4094,6 +4105,8 @@ object QueriesText {
     Some("""WITH u AS (
               SELECT doc_id,
                      'https://' ||
+                     CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END ||
+                     CASE WHEN doc_id % 11 = 0 THEN 'a:b@c@' ELSE '' END ||
                      CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END ||
                      'site' || (doc_id % 17) ||
                      CASE WHEN doc_id % 3 = 0 THEN '.example.com' ELSE '.example.org' END ||
@@ -4102,7 +4115,9 @@ object QueriesText {
               FROM documents),
             h AS (
               SELECT doc_id, url,
-                     nullif(regexp_extract(lower(url), '^https?://([^/?#]+)', 1), '') AS host
+                     nullif(regexp_replace(
+                       regexp_extract(lower(url), '^https?://([^/?#]+)', 1),
+                       '^.*@', ''), '') AS host
               FROM u),
             d AS (
               SELECT doc_id, url, host,
@@ -4113,11 +4128,175 @@ object QueriesText {
                    coalesce(domain IN ('example.org', 'spam.test'), false) AS blocked
             FROM d"""))
 
+  // --------------------------------------------------------------- q152
+  // Index takedown — the first lifecycle verb after append that a real
+  // deployment needs (GDPR erasure, licence eviction): the index is
+  // built on the corpus PLUS a full decoy twin (every vector duplicated
+  // at id+1000000 — before the delete, each decoy ties its original on
+  // ADC distance, so an unmasked decoy WOULD displace real neighbors),
+  // then the decoys are tombstoned out and the standard search runs.
+  // The result must hash-equal q131's verbatim oracle over the clean
+  // corpus — one hash proves the tombstones mask every decoy row at
+  // scan and nothing else.
+  private val q152 = Q("q152_ann_index_delete",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, cbs) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("ann_index_q152")
+      val d = s"$idxDir/ivfpq"
+      val decoys = e.withColumn("vec_id", col("vec_id") + lit(1000000L))
+      graft.sources.AnnIndex.buildIvfPq(e.unionByName(decoys), "vec_id",
+        "embedding", d, cb, cbs)
+      graft.sources.AnnIndex.delete(decoys.select(col("vec_id")), "vec_id", d)
+      val idx = graft.sources.AnnIndex.load(s, d)
+      graft.sources.AnnIndex.topK(idx, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3, nprobe = 4)
+    },
+    Some(ivfPqOracle))
+
+  // --------------------------------------------------------------- q153
+  // Production-shaped index SERVING: a FIXED literal query panel (what
+  // an online endpoint actually receives — panel size independent of
+  // corpus size, unlike the corpus-derived %50 residue audits, whose
+  // query count grows with the data) served from the persisted IVF-PQ
+  // snapshot, with per-query recall@3 against the exact brute-force
+  // top-3 on the SAME panel. This is the shape BASELINE.md argues stays
+  // corpus-linear at scale — registered and ScaleStress-measured
+  // instead of argued. The oracle replays the whole compressed tier for
+  // the literal panel (the parameterized q131 chain), the exact ground
+  // truth, and the overlap count.
+  private val annPanelIds = Seq(0L, 63L, 150L, 221L, 305L, 350L, 441L, 499L)
+
+  private val q153 = Q("q153_ann_index_serve",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, cbs) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("ann_index_q153")
+      val d = s"$idxDir/ivfpq"
+      graft.sources.AnnIndex.buildIvfPq(e, "vec_id", "embedding", d, cb, cbs)
+      val idx = graft.sources.AnnIndex.load(s, d)
+      val panel = e.filter(col("vec_id").isin(annPanelIds: _*))
+      val ann = graft.sources.AnnIndex.topK(idx, panel, "vec_id",
+          "embedding", k = 3, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val bf = Similarity.bruteForceTopK(panel, e, "vec_id", "embedding",
+          k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val matched = bf.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_matched"))
+      panel.select(col("vec_id").as("query_id"))
+        .join(matched, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          bround(coalesce(col("n_matched"), lit(0L)).cast(DoubleType) / 3.0, 6)
+            .as("recall_at_3"))
+    },
+    Some(s"""${ivfPqOracleCtesFor(
+        s"vec_id IN (${annPanelIds.mkString(", ")})")},
+            ann AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 3),
+            qs AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id IN (${annPanelIds.mkString(", ")})),
+            bfs AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ${PlaneSql.cosSql("q.embedding", "c.embedding")} AS cos
+              FROM qs q CROSS JOIN embeddings c WHERE c.vec_id <> q.vec_id),
+            bfr AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rn
+              FROM bfs),
+            bf AS (SELECT query_id, neighbor_id FROM bfr WHERE rn <= 3),
+            m AS (
+              SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_matched
+              FROM bf JOIN ann USING (query_id, neighbor_id)
+              GROUP BY bf.query_id)
+            SELECT q.vec_id AS query_id,
+                   coalesce(m.n_matched, 0) AS n_matched,
+                   round_even(CAST(coalesce(m.n_matched, 0) AS DOUBLE) / 3.0, 6)
+                     AS recall_at_3
+            FROM qs q LEFT JOIN m ON m.query_id = q.vec_id"""))
+
+  // --------------------------------------------------------------- q154
+  // Image content near-dup — the media twin of the q32 SimHash family:
+  // a difference hash (dHash, the pHash family's cheap member) packs
+  // each payload's 65-cell mean-brightness profile into ONE long, and
+  // the SAME 4x16-bit chunk blocking join that serves text SimHash
+  // finds hamming<=3 pairs (pigeonhole-complete, bit_count verify).
+  // Twins are PLANTED: half the media get a copy (id+500000) whose
+  // payload differs in exactly the trailing two bytes (same length, so
+  // cell spans align and only the last cells' means move) — every twin
+  // pair must surface at hamming <= 3 while unrelated media (random
+  // text bodies, ~32 bits apart) must not. The luminance extractor is
+  // the environment-stubbed step (raw bytes as deterministic fake
+  // grayscale); the oracle replays the byte rebuild, the 65-cell means,
+  // the 64 difference bits, the chunk blocking, and the hamming verify.
+  private val q154 = Q("q154_media_neardup",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 2 && col("doc_id") < 600)
+        .select(col("doc_id"), col("text"))
+      val twins = base.filter(col("doc_id") % 6 === 2)
+        .select(col("doc_id"),
+          concat(col("text").substr(lit(1), length(col("text")) - 2),
+            lit("zq")).as("text"))
+      val media = Multimodal.asMedia(base, "doc_id", "text")
+        .unionByName(Multimodal.asMedia(twins, "doc_id", "text")
+          .withColumn("media_id", col("media_id") + lit(500000L)))
+      Multimodal.mediaNearDups(media, "payload", "media_id", maxHamming = 3)
+    },
+    Some("""WITH base AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id % 3 = 2 AND doc_id < 600),
+            m AS (
+              SELECT doc_id AS media_id, doc_id AS hid, text FROM base
+              UNION ALL
+              SELECT doc_id + 500000 AS media_id, doc_id AS hid,
+                     substr(text, 1, len(text) - 2) || 'zq' AS text
+              FROM base WHERE doc_id % 6 = 2),
+            hx AS (
+              SELECT media_id,
+                     '474946383961'
+                     || printf('%02X', (hid % 1920 + 1) % 256) || printf('%02X', (hid % 1920 + 1) // 256)
+                     || printf('%02X', (hid % 1080 + 1) % 256) || printf('%02X', (hid % 1080 + 1) // 256)
+                     || hex(encode(text)) AS hs
+              FROM m),
+            bys AS (SELECT media_id, len(hs) // 2 AS n, hs FROM hx),
+            bv AS (SELECT media_id, hs, n, unnest(range(1, n + 1)) AS i FROM bys),
+            vals AS (
+              SELECT media_id, ('0x' || substr(hs, CAST(2*i - 1 AS INT), 2))::INT AS v,
+                     ((i - 1) * 65) // n AS cell
+              FROM bv),
+            cm AS (SELECT media_id, cell, avg(v) AS mean FROM vals GROUP BY 1, 2),
+            jj AS (SELECT unnest(range(0, 64)) AS j),
+            ids AS (SELECT DISTINCT media_id FROM bys),
+            cj AS (
+              SELECT ids.media_id, jj.j,
+                     coalesce(c0.mean, 0) AS m0, coalesce(c1.mean, 0) AS m1
+              FROM ids CROSS JOIN jj
+              LEFT JOIN cm c0 ON c0.media_id = ids.media_id AND c0.cell = jj.j
+              LEFT JOIN cm c1 ON c1.media_id = ids.media_id AND c1.cell = jj.j + 1),
+            bits AS (SELECT media_id, j, CASE WHEN m1 > m0 THEN 1 ELSE 0 END AS bit FROM cj),
+            ch AS (SELECT media_id, (63 - j) // 16 AS chunk,
+                          CAST(sum(bit << CAST((63 - j) % 16 AS INT)) AS BIGINT) AS ch_val
+                   FROM bits GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+                     FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.ch_val = b.ch_val
+                                         AND a.media_id < b.media_id),
+            hm AS (SELECT c.id_a, c.id_b,
+                          CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+                   FROM cand c
+                   JOIN bits ba ON ba.media_id = c.id_a
+                   JOIN bits bb ON bb.media_id = c.id_b AND bb.j = ba.j
+                   GROUP BY 1, 2)
+            SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
     q100, q101, q102, q104, q105, q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
-    q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151)
+    q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
+    q153, q154)
 }

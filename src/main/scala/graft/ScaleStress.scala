@@ -214,7 +214,16 @@ object ScaleStress {
       // scanned bytes); q148 = SQ8 fit pass + two segment writes + the
       // factored-dot scan (the q130/q142 write-dominated class); q150 =
       // three staged jobs with an artifact write+read per boundary
-      "q147_pii_redact", "q148_sq_index_search", "q150_staged_pipeline")
+      "q147_pii_redact", "q148_sq_index_search", "q150_staged_pipeline",
+      // round-13: q152 = q142's build at 2x volume (corpus + decoy twin)
+      // + a tombstone write + the anti-join-masked pruned scan (expect
+      // the q142 write-dominated class at ~2x); q153 = the FIXED-panel
+      // serving shape — index build is corpus-linear, the panel is 8
+      // literal ids at every factor, so the search term is ~flat and
+      // the row should track q142's build cost (the corpus-derived %50
+      // audits grow their query count with the data; this is the
+      // production serving shape BASELINE.md argues — now measured)
+      "q152_ann_index_delete", "q153_ann_index_serve")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",

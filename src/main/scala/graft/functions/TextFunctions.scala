@@ -237,9 +237,15 @@ object TextFunctions {
     * exactly like [[blocklistHits]]' term list. NULL/malformed URLs
     * yield NULL host/domain and `false` (a missing URL is not evidence
     * of a blocked one — quarantine on null separately if provenance is
-    * mandatory). */
+    * mandatory). USERINFO IS STRIPPED before the host is returned —
+    * `https://evil@blocked.example.com/` must screen as
+    * `blocked.example.com`, not sail past the blocklist inside an
+    * authority that still carries `evil@`; the strip is greedy to the
+    * LAST `@` (the WHATWG parse — `a:b@c@host` is userinfo `a:b@c`),
+    * so stacking `@`s is not an evasion either. */
   def urlHost(url: Column): Column = {
-    val h = regexp_extract(lower(url), "^https?://([^/?#]+)", 1)
+    val auth = regexp_extract(lower(url), "^https?://([^/?#]+)", 1)
+    val h = regexp_replace(auth, "^.*@", "")
     when(h === "", lit(null).cast(StringType)).otherwise(h)
   }
 

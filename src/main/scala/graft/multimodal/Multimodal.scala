@@ -203,6 +203,27 @@ object Multimodal {
       b => size(filter(nibbles, n => n === b)))
   }
 
+  /** Media content DIFFERENCE HASH — see [[graft.plans.DHash64]]: the
+    * pHash-family near-dup sketch, one long per payload, computed in a
+    * single byte pass. The coarse-grid/difference structure is the
+    * public dHash; the luminance extractor is the environment-stubbed
+    * step (raw bytes as deterministic fake grayscale — a deployment
+    * binds a decode-to-luma codec here, nothing else changes). */
+  def dHash64(payload: Column): Column =
+    graft.plans.ImageExpressions.dHash64(payload)
+
+  /** Media content near-dup pairs: [[dHash64]] per payload, then the
+    * SAME blocked Hamming search the text SimHash family runs
+    * ([[graft.operators.TextDedup.packedNearDups]] — 4 × 16-bit chunk
+    * blocking, pigeonhole-complete for hamming ≤ 3, `bit_count(a^b)`
+    * verify). One fixed-width row per payload on the shuffle regardless
+    * of media size; returns (id_a, id_b, hamming). */
+  def mediaNearDups(media: DataFrame, payloadCol: String, idCol: String,
+                    maxHamming: Int = 3): DataFrame =
+    graft.operators.TextDedup.packedNearDups(
+      media.select(col(idCol).as("_id"), dHash64(col(payloadCol)).as("_ph")),
+      maxHamming, 4, 16)
+
   /** Resize PLAN for decoded media: target dimensions fitting within
     * `maxW` x `maxH` with aspect ratio preserved and no upscaling, plus
     * the scale factor — the metadata half of a thumbnail stage, as a

@@ -327,13 +327,28 @@ object TextDedup {
     * single `bit_count(a ^ b)` — no arrays ever reach the shuffle, so each
     * joined row is (id, long, int, long) regardless of document size. */
   def simHashNearDups(docs: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3): DataFrame = {
-    val packed = docs.select(col(idCol).as("_id"),
-      packBits(simHashBits(col(textCol))).as("_ph"))
+                      maxHamming: Int = 3): DataFrame =
+    packedNearDups(docs.select(col(idCol).as("_id"),
+      packBits(simHashBits(col(textCol))).as("_ph")), maxHamming, 4, 16)
+
+  /** Blocked Hamming pair search over ONE PACKED-LONG sketch per row —
+    * the shared engine under text SimHash (64- and 60-bit) and the
+    * media dHash: block on `nChunks` x `chunkBits` bit-slices
+    * (pigeonhole — hamming <= nChunks-1 guarantees at least one shared
+    * exact chunk over any partition of the bits), verify candidates by
+    * a single `bit_count(a ^ b)`. `packed` must be (`_id`, `_ph`).
+    * Chunk keys are shifts+masks and verification is one XOR — no
+    * arrays ever reach the shuffle, each joined row is fixed-width
+    * regardless of payload/document size. */
+  private[graft] def packedNearDups(packed: DataFrame, maxHamming: Int,
+                                    nChunks: Int, chunkBits: Int): DataFrame = {
+    require(maxHamming < nChunks,
+      s"pigeonhole blocking needs maxHamming < nChunks ($maxHamming >= $nChunks)")
+    val mask = (1L << chunkBits) - 1
     val chunked = packed.select(col("_id"), col("_ph"),
-        explode(array((0 until 4).map { ch =>
+        explode(array((0 until nChunks).map { ch =>
           struct(lit(ch).as("chunk"),
-            shiftright(col("_ph"), ch * 16).bitwiseAND(0xFFFFL).as("ch_val"))
+            shiftright(col("_ph"), ch * chunkBits).bitwiseAND(mask).as("ch_val"))
         }: _*)).as("cs"))
       .select(col("_id"), col("_ph"), col("cs.chunk").as("chunk"), col("cs.ch_val").as("ch_val"))
     val a = chunked.as("a"); val b = chunked.as("b")
@@ -352,24 +367,10 @@ object TextDedup {
     * packed long per doc on the shuffle — but every step is plain SQL
     * (`md5` hex parse + shifts), so the whole query is DuckDB-checkable. */
   def simHashNearDups60(docs: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 3): DataFrame = {
-    val packed = docs.select(col(idCol).as("_id"),
+                        maxHamming: Int = 3): DataFrame =
+    packedNearDups(docs.select(col(idCol).as("_id"),
       graft.plans.OracleHashExpressions.simHash60(
-        TextFunctions.tokens(col(textCol))).as("_ph"))
-    val chunked = packed.select(col("_id"), col("_ph"),
-        explode(array((0 until 4).map { ch =>
-          struct(lit(ch).as("chunk"),
-            shiftright(col("_ph"), ch * 15).bitwiseAND(0x7FFFL).as("ch_val"))
-        }: _*)).as("cs"))
-      .select(col("_id"), col("_ph"), col("cs.chunk").as("chunk"), col("cs.ch_val").as("ch_val"))
-    val a = chunked.as("a"); val b = chunked.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ch_val") === col("b.ch_val") &&
-        col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
-        bit_count(col("a._ph").bitwiseXOR(col("b._ph"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-  }
+        TextFunctions.tokens(col(textCol))).as("_ph")), maxHamming, 4, 15)
 
   /** Cross-document duplicated n-gram coverage — the corpus-level
     * repetition signal (RefinedWeb/CCNet run line-level dedup; with no

@@ -117,7 +117,60 @@ case class ImageMeta(child: Expression)
     copy(child = newChild)
 }
 
+/** Difference hash (dHash — the pHash family's cheapest member) over a
+  * media payload: 65 equal-span cells of mean "luminance", bit j set iff
+  * cell j+1 is brighter than cell j, packed MSB-first into one long
+  * (TextDedup.packBits' bit order, so the SimHash 4×16-bit chunk
+  * blocking join applies verbatim). The structure is the public dHash
+  * (difference of a coarse grid, invariant to global brightness/scale
+  * shifts); the LUMINANCE EXTRACTOR is the environment-stubbed step —
+  * pixel codecs are not available here, so raw payload bytes stand in
+  * as the deterministic fake (documented contract: a real deployment
+  * swaps in a decode-to-grayscale batch codec; every Spark-side shape —
+  * one pass per payload, one long on the shuffle, the blocking join —
+  * is identical). One byte pass per row, no allocation beyond two
+  * 65-slot arrays; NULL/empty payload → NULL. */
+case class DHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val n = b.length
+    if (n == 0) null
+    else {
+      val sums = new Array[Long](65)
+      val cnts = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        val cell = ((i.toLong * 65L) / n).toInt
+        sums(cell) += (b(i) & 0xFF)
+        cnts(cell) += 1
+        i += 1
+      }
+      def mean(j: Int): Double =
+        if (cnts(j) == 0) 0.0 else sums(j).toDouble / cnts(j)
+      var acc = 0L
+      var j = 0
+      while (j < 64) {
+        acc = acc * 2L + (if (mean(j + 1) > mean(j)) 1L else 0L)
+        j += 1
+      }
+      acc
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DHash64 =
+    copy(child = newChild)
+}
+
 object ImageExpressions {
   def imageMeta(payload: Column): Column =
     ColumnBridge.column(ImageMeta(ColumnBridge.expression(payload)))
+
+  def dHash64(payload: Column): Column =
+    ColumnBridge.column(DHash64(ColumnBridge.expression(payload)))
 }

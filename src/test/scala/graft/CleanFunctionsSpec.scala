@@ -74,6 +74,17 @@ class CleanFunctionsSpec extends AnyFunSuite {
     // null / malformed url -> false, never null (absence is not evidence)
     assert(one(TFn.domainBlocked(lit(null).cast("string"), b)) == false)
     assert(one(TFn.domainBlocked(lit("garbage"), b)) == false)
+    // USERINFO EVASION: the authority's userinfo must be stripped, so a
+    // blocked host cannot hide behind `user@` — including the stacked
+    // `a:b@c@` form (parse to the LAST `@`, the WHATWG rule)
+    assert(s(TFn.urlHost(lit("https://evil@blocked.example.org/x")))
+      == "blocked.example.org")
+    assert(s(TFn.urlHost(lit("https://a:b@c@blocked.example.org:81/x")))
+      == "blocked.example.org:81")
+    assert(one(TFn.domainBlocked(lit("https://x@site.example.org/p"), b)) == true)
+    assert(one(TFn.domainBlocked(lit("https://a:b@c@site.example.org/p"), b)) == true)
+    // userinfo with an EMPTY host is malformed, not a host
+    assert(one(TFn.urlHost(lit("https://user@/path"))) == null)
   }
 
   test("blocklist screen: word granularity, distinct sorted hits, occurrence count") {

@@ -228,6 +228,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(4L)._2 == 1 && got(4L)._3 == 1)  // degenerate dims clamp to 1
   }
 
+  test("dHash64: deterministic, brightness-structure-sensitive, tail-local edits stay near") {
+    import graft.multimodal.{Multimodal => M}
+    // identical payloads hash identically
+    val p = Seq((1L, "the quick brown fox jumps over the lazy dog " * 8))
+      .toDF("id", "s").select(encode(col("s"), "UTF-8").as("p"))
+    val h2 = p.union(p).select(M.dHash64(col("p"))).as[Long].collect()
+    assert(h2(0) == h2(1))
+    // a trailing same-length edit moves only the last cells' means:
+    // hamming must stay <= 3 (the planted-twin contract)
+    val body = "w" + ("abcdefgh" * 40) // 321 bytes, ~5 bytes per cell
+    val twin = body.dropRight(2) + "zq"
+    val far = "zyxw" * 80 + "q" // same length, different structure
+    val hs = Seq(body, twin, far).toDF("s")
+      .select(M.dHash64(encode(col("s"), "UTF-8"))).as[Long].collect()
+    assert(java.lang.Long.bitCount(hs(0) ^ hs(1)) <= 3,
+      s"tail edit moved ${java.lang.Long.bitCount(hs(0) ^ hs(1))} bits")
+    assert(java.lang.Long.bitCount(hs(0) ^ hs(2)) > 3,
+      "structurally different payloads must not be near")
+    // NULL / empty payloads yield NULL, not a crash or zero
+    val n = Seq((1, "")).toDF("i", "s")
+      .select(M.dHash64(when(col("i") === 2, encode(col("s"), "UTF-8"))))
+      .collect().head
+    assert(n.isNullAt(0))
+    assert(Seq((1, "")).toDF("i", "s")
+      .select(M.dHash64(encode(col("s"), "UTF-8"))).collect().head.isNullAt(0))
+  }
+
+  test("mediaNearDups surfaces exactly the planted twins via the blocked join") {
+    import graft.multimodal.{Multimodal => M}
+    val rng = new scala.util.Random(7)
+    def randText() = Seq.fill(60)(
+      ("a" + rng.alphanumeric.take(6).mkString)).mkString(" ")
+    val base = (0L until 40L).map(i => (i, randText())).toDF("doc_id", "text")
+    val twins = base.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"),
+        concat(col("text").substr(lit(1), length(col("text")) - 2),
+          lit("zq")).as("text"))
+    val media = M.asMedia(base, "doc_id", "text")
+      .unionByName(M.asMedia(twins, "doc_id", "text")
+        .withColumn("media_id", col("media_id") + lit(500000L)))
+    val pairs = M.mediaNearDups(media, "payload", "media_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 40L by 2).map(i => (i, i + 500000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing planted twins: ${(expected -- pairs).take(5)}")
+    // no unrelated pair sneaks under the hamming bound
+    assert((pairs -- expected).isEmpty,
+      s"false near-dups: ${(pairs -- expected).take(5)}")
+  }
+
   test("frameSample keeps every stride-th fixed-size chunk") {
     val m = Multimodal.asMedia(docs.filter(col("doc_id") === 1), "doc_id", "text")
     val frames = Multimodal.frameSample(m, chunkBytes = 8, stride = 2)

@@ -89,7 +89,13 @@ class PlanAuditSpec extends AnyFunSuite {
         "(q33's exemption) joined against the IVF probe at nprobe = 4 " +
         "and nprobe = 16 = nlist — full probe is deliberately " +
         "exhaustive, that is the documented exact end of the recall " +
-        "dial (PLANS.md q128 row)"))
+        "dial (PLANS.md q128 row)"),
+    "q153_ann_index_serve" ->
+      ("embeds q33's brute-force exactness baseline as the serving " +
+        "panel's recall GROUND TRUTH — the query side is an 8-id " +
+        "LITERAL panel (broadcast by construction, bounded at every " +
+        "corpus size); the served side is the audited q142 pruned " +
+        "index scan (PLANS.md q153 row)"))
 
   /** Rule 4 (the q135 lesson): an INTERPRETED higher-order fold — an
     * `aggregate` HOF, whose lambda is an expression-tree walk per array
@@ -158,7 +164,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(qs == os,
       s"queries without an oracle: ${(qs -- os).toSeq.sorted.mkString(", ")}; " +
         s"orphan oracles: ${(os -- qs).toSeq.sorted.mkString(", ")}")
-    assert(qs.size >= 151, s"registered query count regressed: ${qs.size}")
+    assert(qs.size >= 154, s"registered query count regressed: ${qs.size}")
   }
 
   test("every registered query satisfies the standing plan rules") {
