@@ -4291,6 +4291,33 @@ object QueriesText {
                    GROUP BY 1, 2)
             SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3"""))
 
+  // --------------------------------------------------------------- q155
+  // SQ8 CELL-PARTITIONED layout — one layout, both read paths: the
+  // cheap tier built WITH the IVF coarse quantizer (q128's 16-cell
+  // codebook), so segments carry a `cell` partition column and topKSq
+  // gains the probe-pruned PartitionFilter read (the q142 scan shape —
+  // AnnIndexSpec asserts the filter reaches the segment scan and reads
+  // only probed cell dirs), while the DEFAULT full scan registered here
+  // must stay hash-identical to the flat layout: q130's verbatim oracle
+  // gates build(half, cells)+append(rest)+reopen+full-search — the cell
+  // column is pure layout, zero semantic drift.
+  private val q155 = Q("q155_sq_cell_search",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m = graft.operators.Sq.fit(e, "embedding")
+      val (cb, _) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("sq_cell_q155")
+      val d = s"$idxDir/sq8c"
+      graft.sources.AnnIndex.buildSq(e.filter(col("vec_id") < 250),
+        "vec_id", "embedding", d, m, Some(cb))
+      graft.sources.AnnIndex.appendSq(e.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", d)
+      val idx = graft.sources.AnnIndex.loadSq(s, d)
+      graft.sources.AnnIndex.topKSq(idx, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3)
+    },
+    Some(sqOracle))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
@@ -4298,5 +4325,5 @@ object QueriesText {
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154)
+    q153, q154, q155)
 }

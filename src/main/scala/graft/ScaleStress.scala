@@ -223,7 +223,10 @@ object ScaleStress {
       // the row should track q142's build cost (the corpus-derived %50
       // audits grow their query count with the data; this is the
       // production serving shape BASELINE.md argues — now measured)
-      "q152_ann_index_delete", "q153_ann_index_serve")
+      "q152_ann_index_delete", "q153_ann_index_serve",
+      // q155 = q148's write-dominated class with a cell shuffle before
+      // the partitioned segment writes
+      "q155_sq_cell_search")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",

@@ -381,33 +381,60 @@ object AnnIndex {
   // ------------------------------------------------------------- SQ8
 
   /** An opened SQ8 snapshot: the 2×dim affine model + the lazy segment
-    * union (`neighbor_id, codes, recon_norm` — [[Sq.encode]]'s
-    * schema), tombstones masked as in [[Loaded]]. SQ has no coarse
-    * cells, so segments are flat scans; the probe-pruning lever does
-    * not apply (search is a full codes scan by design — the cheap
-    * tier's trade). */
+    * union (`neighbor_id, codes, recon_norm` — [[Sq.encode]]'s schema,
+    * plus `cell` when the index was built with a coarse quantizer),
+    * tombstones masked as in [[Loaded]]. Flat SQ segments are full
+    * scans (the cheap tier's trade); a CELL-PARTITIONED SQ index keeps
+    * the same full-scan default while also serving [[topKSq]]'s pruned
+    * mode — one layout, both read paths. */
   final case class LoadedSq(model: graft.operators.Sq.Model,
+                            centroids: Option[Array[Array[Double]]],
                             codes: DataFrame, nrows: Long,
                             batches: Seq[Long]) {
     def dim: Int = model.dim
+    def nlist: Int = centroids.map(_.length).getOrElse(0)
   }
 
+  /** Land one SQ segment. With a coarse quantizer the encoded rows gain
+    * a `cell` column (nearest centroid of the RAW vector — the same
+    * assignment the IVF-PQ tier makes) and the segment is PARTITIONED
+    * BY it, exactly like [[writeSegment]] — so the probe filter can
+    * become a parquet PartitionFilter in pruned reads. */
   private def writeSqSegment(delta: DataFrame, idCol: String,
                              vecCol: String, dir: String, batchId: Long,
-                             m: graft.operators.Sq.Model): Long = {
+                             m: graft.operators.Sq.Model,
+                             centroids: Option[Array[Array[Double]]]): Long = {
+    import graft.operators.Sq
     val spark = delta.sparkSession
     val seg = s"$dir/data/batch-$batchId"
-    graft.operators.Sq.encode(graft.operators.Spread.toCores(delta),
-        idCol, vecCol, m)
-      .write.mode("overwrite").parquet(seg)
+    val spread = graft.operators.Spread.toCores(delta)
+    centroids match {
+      case None =>
+        Sq.encode(spread, idCol, vecCol, m)
+          .write.mode("overwrite").parquet(seg)
+      case Some(cents) =>
+        import graft.plans.SketchExpressions.nearestCentroids
+        spread.select(col(idCol).as("neighbor_id"),
+            Sq.encodeExpr(col(vecCol), m).as("codes"),
+            element_at(nearestCentroids(col(vecCol), cents, 1), 1).as("cell"))
+          .withColumn("recon_norm", Sq.reconNormExpr(col("codes"), m))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(seg)
+    }
     countSegment(spark, fs(spark, dir), seg)
   }
 
   /** Build and atomically publish a fresh SQ8 index at `dir` — same
     * staging/manifest protocol as [[buildIvfPq]], with the
-    * parameter-sized model persisted as (i, mn, step, inv) rows. */
+    * parameter-sized model persisted as (i, mn, step, inv) rows.
+    * Passing `centroids` (typically the IVF tier's coarse quantizer)
+    * produces the CELL-PARTITIONED layout: segments carry a `cell`
+    * partition column, the centroids persist beside the model, and
+    * [[topKSq]] gains the probe-pruned read path — while the default
+    * full scan stays hash-identical to the flat layout (q155's gate). */
   def buildSq(corpus: DataFrame, idCol: String, vecCol: String,
-              dir: String, m: graft.operators.Sq.Model): Unit = {
+              dir: String, m: graft.operators.Sq.Model,
+              centroids: Option[Array[Array[Double]]] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val f = fs(spark, dir)
@@ -422,7 +449,13 @@ object AnnIndex {
       .repartition(1).write.parquet(s"$tmp/model")
     Seq((m.dim, "sq8")).toDF("dim", "kind")
       .repartition(1).write.parquet(s"$tmp/meta")
-    val n = writeSqSegment(corpus, idCol, vecCol, tmp.toString, 0L, m)
+    centroids.foreach { cents =>
+      cents.zipWithIndex.map { case (v, i) => (i + 1, v.toSeq) }.toSeq
+        .toDF("cell", "vec")
+        .repartition(1).write.parquet(s"$tmp/centroids")
+    }
+    val n = writeSqSegment(corpus, idCol, vecCol, tmp.toString, 0L, m,
+      centroids)
     writeManifest(f, tmp.toString, 0L,
       ManifestData(Seq((0L, n)), Seq.empty, hw = 0L, shw = -1L))
 
@@ -431,9 +464,10 @@ object AnnIndex {
       throw new java.io.IOException(s"rename $tmp -> $target failed")
   }
 
-  /** Append a new immutable SQ8 segment — model read FROM the index,
-    * same high-water allocation, idempotent `dedupKey` contract and
-    * empty-delta short-circuit as [[appendIvfPq]]. */
+  /** Append a new immutable SQ8 segment — model (and coarse quantizer,
+    * when present) read FROM the index, same high-water allocation,
+    * idempotent `dedupKey` contract and empty-delta short-circuit as
+    * [[appendIvfPq]]. */
   def appendSq(delta: DataFrame, idCol: String, vecCol: String,
                dir: String, dedupKey: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
@@ -444,14 +478,16 @@ object AnnIndex {
     if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
     val idx = loadSq(spark, dir)
     val batchId = md.nextId
-    val n = writeSqSegment(delta, idCol, vecCol, dir, batchId, idx.model)
+    val n = writeSqSegment(delta, idCol, vecCol, dir, batchId, idx.model,
+      idx.centroids)
     if (n == 0) { f.delete(path(s"$dir/data/batch-$batchId"), true); return }
     writeManifest(f, dir, mid + 1, md.copy(
       segs = md.segs :+ (batchId, n), hw = batchId,
       shw = math.max(md.shw, dedupKey.getOrElse(md.shw))))
   }
 
-  /** Open the current SQ8 snapshot (model validated against meta). */
+  /** Open the current SQ8 snapshot (model validated against meta;
+    * coarse centroids loaded when the index has the cell layout). */
   def loadSq(spark: SparkSession, dir: String): LoadedSq = {
     val f = fs(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").collect().head
@@ -465,18 +501,50 @@ object AnnIndex {
       rows.map(_.getAs[Double]("mn")),
       rows.map(_.getAs[Double]("step")),
       rows.map(_.getAs[Double]("inv")))
+    val cents =
+      if (!f.exists(path(s"$dir/centroids"))) None
+      else Some(spark.read.parquet(s"$dir/centroids")
+        .orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toArray))
+    cents.foreach(c => require(c.forall(_.length == dim),
+      s"centroids table does not match meta (dim $dim)"))
     val mid = currentManifestId(f, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed manifest under $dir"))
     val md = readManifest(f, dir, mid)
-    LoadedSq(m, visibleUnion(spark, dir, md), md.segs.map(_._2).sum,
+    LoadedSq(m, cents, visibleUnion(spark, dir, md), md.segs.map(_._2).sum,
       md.segs.map(_._1))
   }
 
   /** Query an opened SQ8 snapshot — [[Sq.topK]]'s factored-dot scan
-    * over the pinned segment union. */
+    * over the pinned segment union. The DEFAULT is the full codes scan
+    * (the cheap tier's exact-over-compressed contract — hash-identical
+    * whether the layout is flat or cell-partitioned). `prune = true` on
+    * a cell-built index restricts candidates to the queries' nprobe
+    * nearest coarse cells, pushed into every segment scan as a parquet
+    * PartitionFilter (the IVF trade: nprobe/nlist of the scan I/O for
+    * approximate recall — [[topK]]'s plan with SQ scoring). Pruning a
+    * flat index fails loudly rather than silently full-scanning. */
   def topKSq(idx: LoadedSq, queries: DataFrame, idCol: String,
-             vecCol: String, k: Int = 10): DataFrame =
-    graft.operators.Sq.topK(queries, idx.codes, idCol, vecCol, idx.model, k)
+             vecCol: String, k: Int = 10, nprobe: Int = 4,
+             prune: Boolean = false): DataFrame = {
+    import graft.plans.SketchExpressions.nearestCentroids
+    if (!prune)
+      graft.operators.Sq.topK(queries, idx.codes, idCol, vecCol, idx.model, k)
+    else {
+      val cents = idx.centroids.getOrElse(throw new IllegalArgumentException(
+        "prune=true needs a cell-partitioned SQ index (buildSq with centroids)"))
+      val q = queries.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probed = q
+        .select(explode(nearestCentroids(col(vecCol), cents, nprobe))
+          .as("_cell"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      val codes =
+        if (probed.length >= cents.length) idx.codes
+        else idx.codes.filter(col("cell").isin(probed.map(Int.box): _*))
+      graft.operators.Sq.topK(q, codes, idCol, vecCol, idx.model, k)
+    }
+  }
 
   /** Drop everything no CURRENT reader can reach: segments and
     * tombstone sets not listed in the highest manifest, and all older

@@ -479,6 +479,71 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("sq8"))
   }
 
+  test("cell-partitioned SQ8: full scan == flat layout; pruned probe is a partition filter") {
+    import graft.operators.Sq
+    import graft.plans.SketchExpressions.nearestCentroids
+    val e = corpus(60).cache()
+    val m = Sq.fit(e, "embedding")
+    val (cents, _) = model(e)
+    val root = tmpDir()
+    val flat = s"$root/flat"
+    val celled = s"$root/cells"
+    AnnIndex.buildSq(e, "vec_id", "embedding", flat, m)
+    AnnIndex.buildSq(e.filter(col("vec_id") < 30), "vec_id", "embedding",
+      celled, m, Some(cents))
+    AnnIndex.appendSq(e.filter(col("vec_id") >= 30), "vec_id", "embedding",
+      celled)
+    val fi = AnnIndex.loadSq(spark, flat)
+    val ci = AnnIndex.loadSq(spark, celled)
+    assert(fi.centroids.isEmpty && ci.centroids.isDefined && ci.nlist == 4)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    // the cell column is pure LAYOUT: default full scan hash-identical
+    val flatRes = AnnIndex.topKSq(fi, q, "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(AnnIndex.topKSq(ci, q, "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSet == flatRes)
+    // pruned mode: one query, nprobe=1 -> the probe reaches the segment
+    // scans as a parquet PartitionFilter reading only the probed cell
+    val q1 = e.filter(col("vec_id") === 0)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (res, plan) =
+      try {
+        val r = AnnIndex.topKSq(ci, q1, "vec_id", "embedding", k = 3,
+          nprobe = 1, prune = true)
+        (r.collect().map(_.toSeq).toSet, r.queryExecution.executedPlan)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val scans = plan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains("/data/batch-"))
+        => sc
+    }
+    assert(scans.nonEmpty, "no parquet scan over the SQ segments found")
+    scans.foreach { scan =>
+      assert(scan.partitionFilters.nonEmpty,
+        s"SQ probe did not reach the scan as a partition filter:\n$scan")
+      assert(scan.relation.location.listFiles(
+        scan.partitionFilters, scan.dataFilters).length == 1)
+    }
+    // pruned correctness: equals the in-memory SQ search restricted to
+    // the probed cells (the IVF-SQ semantic)
+    val probed = q1.select(explode(nearestCentroids(col("embedding"),
+        cents, 1)).as("c")).distinct().collect().map(_.getInt(0)).toSet
+    val sub = e.filter(element_at(nearestCentroids(col("embedding"),
+      cents, 1), 1).isin(probed.toSeq.map(Int.box): _*))
+    val want = Sq.topK(q1, Sq.encode(sub, "vec_id", "embedding", m),
+      "vec_id", "embedding", m, k = 3).collect().map(_.toSeq).toSet
+    assert(res == want, "pruned SQ search diverged from the restricted scan")
+    // pruning a FLAT index fails loudly, never silently full-scans
+    val ex = intercept[IllegalArgumentException](
+      AnnIndex.topKSq(fi, q1, "vec_id", "embedding", k = 3, prune = true))
+    assert(ex.getMessage.contains("cell-partitioned"))
+    // compact keeps the cell partitioning; full scan unchanged
+    AnnIndex.compact(spark, celled)
+    assert(AnnIndex.topKSq(AnnIndex.loadSq(spark, celled), q, "vec_id",
+      "embedding", k = 3).collect().map(_.toSeq).toSet == flatRes)
+  }
+
   test("load validates model tables against meta") {
     val e = corpus(30).cache()
     val (cents, cbs) = model(e)

@@ -90,6 +90,12 @@ class PlanAuditSpec extends AnyFunSuite {
         "and nprobe = 16 = nlist — full probe is deliberately " +
         "exhaustive, that is the documented exact end of the recall " +
         "dial (PLANS.md q128 row)"),
+    "q155_sq_cell_search" ->
+      ("q148's cell-partitioned twin: the SAME SQ8 ADC scan shape " +
+        "(1/50-sampled query batch broadcast over the codes scan — " +
+        "q130's exemption) over cell-partitioned segments; the pruned " +
+        "PartitionFilter path is plan-asserted in AnnIndexSpec " +
+        "(PLANS.md q155 row)"),
     "q153_ann_index_serve" ->
       ("embeds q33's brute-force exactness baseline as the serving " +
         "panel's recall GROUND TRUTH — the query side is an 8-id " +
@@ -164,7 +170,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(qs == os,
       s"queries without an oracle: ${(qs -- os).toSeq.sorted.mkString(", ")}; " +
         s"orphan oracles: ${(os -- qs).toSeq.sorted.mkString(", ")}")
-    assert(qs.size >= 154, s"registered query count regressed: ${qs.size}")
+    assert(qs.size >= 155, s"registered query count regressed: ${qs.size}")
   }
 
   test("every registered query satisfies the standing plan rules") {
