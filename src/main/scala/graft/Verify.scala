@@ -30,7 +30,7 @@ object Verify {
       Set("stream_parity", "stream_neardup_parity",
         "stream_neardup_ttl_parity", "stream_register_parity",
         "stream_upsert_parity", "stream_ann_index_parity",
-        "stream_ann_lifecycle_parity")
+        "stream_ann_lifecycle_parity", "stream_index_upsert_parity")
     only.foreach { names =>
       val unknown = names -- knownNames
       require(unknown.isEmpty,
@@ -105,6 +105,7 @@ object Verify {
     parityCheck("stream_upsert_parity")(streamUpsertParity(spark, sfDir))
     parityCheck("stream_ann_index_parity")(streamAnnIndexParity(spark, sfDir))
     parityCheck("stream_ann_lifecycle_parity")(streamAnnLifecycleParity(spark, sfDir))
+    parityCheck("stream_index_upsert_parity")(streamIndexUpsertParity(spark, sfDir))
     val failJson = failed
       .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
@@ -221,5 +222,19 @@ object Verify {
     import graft.streaming.StreamHarness
     val (streamOut, batchOut) = StreamHarness.annLifecycleRun(spark, sfDir)
     parityJson("stream_ann_lifecycle_parity", streamOut, batchOut)
+  }
+
+  /** Streamed-correction parity: one foreachBatch merges each
+    * micro-batch into the versioned table AND tombstone-upserts the
+    * vector index ([[graft.streaming.StreamHarness.annUpsertRun]] —
+    * the index is seeded STALE, corrections stream in); the corrected
+    * index's search must hash-equal a one-shot build of the true
+    * corpus, so no stale vector can ever surface. THROWS on hash
+    * mismatch (or on the versioned table drifting from the batch
+    * per-key-latest). */
+  def streamIndexUpsertParity(spark: SparkSession, sfDir: String): String = {
+    import graft.streaming.StreamHarness
+    val (streamOut, batchOut) = StreamHarness.annUpsertRun(spark, sfDir)
+    parityJson("stream_index_upsert_parity", streamOut, batchOut)
   }
 }

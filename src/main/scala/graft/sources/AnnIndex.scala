@@ -314,6 +314,62 @@ object AnnIndex {
       .trigger(trigger)
       .start()
 
+  /** One streamed-CORRECTION batch — upsert semantics for the index:
+    * the batch's ids are tombstoned at id `t` (masking every OLDER
+    * segment's copy) and the re-encoded batch lands as segment `t+1`,
+    * which the strictly-older tombstone never masks — both published by
+    * ONE atomic manifest swap, so readers see the correction entire or
+    * not at all, and the stale vector can never surface again. Same
+    * `dedupKey` replay contract and empty-batch short-circuit as
+    * [[appendIvfPq]]; a crash between the artifact writes and the
+    * publish re-lands both at the same ids. Rows within one batch must
+    * be unique per id (tombstones separate BATCHES, not rows — reduce
+    * to latest-per-key first, [[UpsertSink.upsert]]'s convention).
+    * Pair with [[UpsertSink.applyBatch]] in the same foreachBatch to
+    * keep the versioned raw table and the index in lockstep (the
+    * `stream_index_upsert_parity` harness runs exactly that). */
+  def upsertBatchIvfPq(batch: DataFrame, idCol: String, vecCol: String,
+                       dir: String, dedupKey: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    val f = fs(spark, dir)
+    val mid = currentManifestId(f, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest under $dir"))
+    val md = readManifest(f, dir, mid)
+    if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
+    val idx = load(spark, dir)
+    val tid = md.nextId
+    val segId = tid + 1
+    val n = writeSegment(batch, idCol, vecCol, dir, segId,
+      idx.centroids, idx.cbs)
+    if (n == 0) { f.delete(path(s"$dir/data/batch-$segId"), true); return }
+    val tseg = s"$dir/tomb/t-$tid"
+    batch.select(col(idCol).cast("long").as("neighbor_id")).distinct()
+      .write.mode("overwrite").parquet(tseg)
+    val tn = countSegment(spark, f, tseg)
+    writeManifest(f, dir, mid + 1, md.copy(
+      segs = md.segs :+ (segId, n),
+      tombs = md.tombs :+ (tid, tn),
+      hw = segId,
+      shw = math.max(md.shw, dedupKey.getOrElse(md.shw))))
+  }
+
+  /** Continuous CORRECTION ingest: [[upsertBatchIvfPq]] per micro-batch
+    * with the foreachBatch id as the dedup key — the index-side twin of
+    * [[UpsertSink.streamUpsert]]: last delivery per id wins, earlier
+    * vectors are tombstone-masked and physically dropped by the next
+    * [[compact]]. */
+  def streamUpsert(updates: DataFrame, idCol: String, vecCol: String,
+                   dir: String, checkpoint: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        upsertBatchIvfPq(batch.toDF(), idCol, vecCol, dir, dedupKey = Some(id))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Tombstone `ids` (one column named `idCol`) out of the CURRENT
     * snapshot — the takedown/eviction verb: the id set lands as an
     * immutable `tomb/t-<n>` parquet and the next manifest generation

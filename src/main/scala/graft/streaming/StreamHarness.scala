@@ -478,6 +478,71 @@ object StreamHarness {
         "embedding", k = 3, nprobe = 4))
   }
 
+  /** Streamed CORRECTIONS against both stores at once: the index is
+    * seeded with STALE vectors (first component shifted +5), then the
+    * true vectors stream in five micro-batches through one foreachBatch
+    * that (a) merges the batch into a [[graft.sources.UpsertSink]]
+    * versioned table and (b) runs
+    * [[graft.sources.AnnIndex.upsertBatchIvfPq]] — tombstone the stale
+    * copy + append the corrected segment in one atomic manifest swap.
+    * The final index search must hash-equal the same search on a
+    * one-shot build of the TRUE corpus (every stale vector masked —
+    * none may surface), and the versioned table must equal the batch
+    * per-key-latest (asserted here; a drift throws into
+    * verify_failures). Returns (corrected-index search, true-build
+    * search). */
+  def annUpsertRun(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import graft.sources.{AnnIndex, UpsertSink}
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (cb, cbs) = graft.QueriesText.ivfPqModel(e)
+    val dir = scratch("graft_stream_ann_upsert")
+    val landing = s"$dir/landing"
+    val idxDir = s"$dir/index"
+    val tableDir = s"$dir/table"
+    val full = s"$dir/index_true"
+    val ckpt = s"$dir/ckpt"
+    val stale = e.select(col("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(5.0f)).otherwise(x)).as("embedding"))
+    AnnIndex.buildIvfPq(stale, "vec_id", "embedding", idxDir, cb, cbs)
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val span = maxId / 5 + 1
+    (0 until 5).foreach { i =>
+      e.filter(col("vec_id") >= i * span && col("vec_id") < (i + 1) * span)
+        .coalesce(1).write.mode("append").parquet(landing)
+    }
+    val stream = spark.readStream
+      .schema(e.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF()
+        UpsertSink.applyBatch(b.withColumn("seq", lit(id)), id, tableDir,
+          Seq("vec_id"), "seq")
+        AnnIndex.upsertBatchIvfPq(b, "vec_id", "embedding", idxDir,
+          dedupKey = Some(id))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the raw-table leg of the lockstep claim: versioned table == the
+    // batch per-key-latest over the same feed
+    val tbl = UpsertSink.readLatest(spark, tableDir)
+      .select(col("vec_id"), col("embedding"))
+    val expectTbl = e.select(col("vec_id"), col("embedding"))
+    require(tbl.unionByName(expectTbl).distinct().count() == expectTbl.count()
+        && tbl.count() == expectTbl.count(),
+      "versioned table drifted from the batch per-key-latest")
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", full, cb, cbs)
+    val panel = e.filter(col("vec_id") % 50 === 0)
+    (AnnIndex.topK(AnnIndex.load(spark, idxDir), panel, "vec_id",
+        "embedding", k = 3, nprobe = 4),
+      AnnIndex.topK(AnnIndex.load(spark, full), panel, "vec_id",
+        "embedding", k = 3, nprobe = 4))
+  }
+
   def upsertSinkRun(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     import graft.sources.UpsertSink
     val o = spark.read.parquet(s"$sfDir/orders.parquet")

@@ -479,6 +479,44 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("sq8"))
   }
 
+  test("upsertBatchIvfPq: correction atomically replaces the stale vector; replay is a no-op") {
+    val e = corpus(40).cache()
+    val (cents, cbs) = model(e)
+    val root = tmpDir()
+    val dir = s"$root/idx"
+    val stale = e.select(col("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(5.0f)).otherwise(x)).as("embedding"))
+    AnnIndex.buildIvfPq(stale, "vec_id", "embedding", dir, cents, cbs)
+    val fix = e.filter(col("vec_id") < 20)
+    AnnIndex.upsertBatchIvfPq(fix, "vec_id", "embedding", dir, Some(0L))
+    AnnIndex.upsertBatchIvfPq(fix, "vec_id", "embedding", dir, Some(0L)) // replay
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.batches.length == 2,
+      s"replay must be a no-op, not a new segment: ${idx.batches}")
+    // exactly one visible row per id: corrected for <20, stale for >=20
+    assert(idx.codes.count() == 40)
+    assert(idx.codes.groupBy(col("neighbor_id")).count()
+      .filter(col("count") > 1).count() == 0, "stale copy still visible")
+    // corrected rows carry the TRUE encodes (bit-equal to a true build)
+    val trueDir = s"$root/true"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", trueDir, cents, cbs)
+    def rows(d: String, pred: org.apache.spark.sql.Column) =
+      AnnIndex.load(spark, d).codes.filter(pred)
+        .collect().map(_.toSeq).toSet
+    assert(rows(dir, col("neighbor_id") < 20) ==
+      rows(trueDir, col("neighbor_id") < 20))
+    // ...and the uncorrected rows still carry the stale encodes
+    val staleDir = s"$root/stale"
+    AnnIndex.buildIvfPq(stale, "vec_id", "embedding", staleDir, cents, cbs)
+    assert(rows(dir, col("neighbor_id") >= 20) ==
+      rows(staleDir, col("neighbor_id") >= 20))
+    // compact physically drops the masked stale copies
+    AnnIndex.compact(spark, dir)
+    val compacted = AnnIndex.load(spark, dir)
+    assert(compacted.nrows == 40 && compacted.codes.count() == 40)
+  }
+
   test("cell-partitioned SQ8: full scan == flat layout; pruned probe is a partition filter") {
     import graft.operators.Sq
     import graft.plans.SketchExpressions.nearestCentroids
