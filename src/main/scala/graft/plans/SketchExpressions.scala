@@ -593,11 +593,15 @@ case class SqDotCodes(left: Expression, right: Expression)
 
 /** SQ8 encode: per dimension `clamp(round((x - min) * invStep), 0, 255)`
   * as int — [[graft.operators.Sq.encodeExpr]]'s per-row cost fused into
-  * one loop. Bit-identical to the HOF form: the round replicates
-  * Spark's `Round` double branch exactly
+  * one loop. Bit-identical to the HOF form ON ALL INPUTS, non-finite
+  * included: the round replicates Spark's `Round` double branch exactly
   * (`scala.math.BigDecimal(d).setScale(0, HALF_UP).toDouble`, NaN/Inf
-  * passed through), and the clamp applies AFTER the round in the same
-  * least/greatest order. */
+  * passed through), and the clamp applies AFTER the round under SPARK'S
+  * ordering, where NaN sorts greater than every double — so
+  * `greatest(0, NaN) = NaN` and `least(255, NaN) = 255`, i.e. a NaN
+  * scale lands at code 255 (java Math.min/max would propagate the NaN
+  * to `.toInt` = 0 — the divergence AnnPqSpec pins). ±Inf clamp to
+  * 255/0 identically under both orderings. */
 case class SqEncode(child: Expression, mins: Array[Double],
                     invSteps: Array[Double])
     extends UnaryExpression with CodegenFallback {
@@ -627,7 +631,11 @@ case class SqEncode(child: Expression, mins: Array[Double],
         case _          => arr.get(i, elemType).toString.toDouble
       }
       val r = roundHalfUp((x - mins(i)) * invSteps(i))
-      val clamped = math.min(255.0, math.max(0.0, r))
+      // Spark ordering: NaN > every double, so greatest(0, NaN) = NaN
+      // and least(255, NaN) = 255 — NOT java's NaN-propagating min/max
+      val clamped =
+        if (java.lang.Double.isNaN(r)) 255.0
+        else math.min(255.0, math.max(0.0, r))
       out(i) = clamped.toInt
       i += 1
     }

@@ -333,7 +333,14 @@ class AnnPqSpec extends AnyFunSuite {
     } ++ Seq(
       (100L, Seq(2.5f, 0.75f, 2.3125f, 9.9f)),    // exact halfway codes
       (101L, Seq(-3.5f, -1.25f, 300f, -300f)),    // clamp both ends
-      (102L, Seq(0.5f, 127.5f, 255.5f, 0f))))
+      (102L, Seq(0.5f, 127.5f, 255.5f, 0f)),
+      // NON-FINITE inputs: Spark's clamp ordering sorts NaN above every
+      // double (greatest(0,NaN)=NaN, least(255,NaN)=255 -> code 255);
+      // java Math.min/max would propagate the NaN to .toInt = 0 — the
+      // divergence this row pins closed. ±Inf clamp to 255/0 under
+      // both orderings.
+      (103L, Seq(Float.NaN, Float.PositiveInfinity,
+        Float.NegativeInfinity, Float.NaN))))
       .toDF("id", "vec")
     val enc = rows.select(
       Sq.encodeExpr(col("vec"), m).as("nat"),
