@@ -3222,7 +3222,14 @@ object QueriesText {
     Some(sqOracle))
 
   /** q130/q148 shared replay: model refit, re-encode, factored search. */
-  private lazy val sqOracle: String = """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+  private lazy val sqOracle: String = "WITH " + sqScoringCtes("vec_id % 50 = 0", "")
+
+  /** The SQ replay parameterized on the query panel and an optional
+    * candidate restriction on the CODES side (q156 joins the IVF
+    * probed-cell set there — the pruned read's exact semantic: rows
+    * outside the probed cells are never scanned, hence never scored). */
+  private def sqScoringCtes(panelPred: String, candJoin: String): String =
+    s"""dims AS (SELECT unnest(range(1, 65)) AS i),
             mm AS (
               SELECT d.i, min(CAST(e.embedding[d.i] AS DOUBLE)) AS mn,
                      max(CAST(e.embedding[d.i] AS DOUBLE)) AS mx
@@ -3237,14 +3244,14 @@ object QueriesText {
               SELECT e.vec_id, st.i,
                      CAST(least(255.0, greatest(0.0,
                        round((CAST(e.embedding[st.i] AS DOUBLE) - st.mn) * st.inv))) AS INT) AS c
-              FROM embeddings e CROSS JOIN st),
+              FROM embeddings e $candJoin CROSS JOIN st),
             encv AS (
               SELECT cd.vec_id,
                      sqrt(list_sum(list((st.mn + cd.c * st.step) * (st.mn + cd.c * st.step)
                        ORDER BY cd.i))) AS rnorm
               FROM codes cd JOIN st USING (i)
               GROUP BY cd.vec_id),
-            qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+            qs AS (SELECT vec_id, embedding FROM embeddings WHERE $panelPred),
             qprep AS (
               SELECT q.vec_id AS query_id,
                      list_sum(list(CAST(q.embedding[st.i] AS DOUBLE) * st.mn
@@ -3262,11 +3269,11 @@ object QueriesText {
               GROUP BY q.vec_id, cd.vec_id),
             scored AS (
               SELECT sc.query_id, sc.neighbor_id,
-                     (sc.wdot + qp.bias) / (qp.qn * ev.rnorm) AS cos_sq
+                     (sc.wdot + qp.bias) / (qp.qn * ev2.rnorm) AS cos_sq
               FROM sc
               JOIN qprep qp ON qp.query_id = sc.query_id
-              JOIN encv ev ON ev.vec_id = sc.neighbor_id
-              WHERE qp.qn <> 0 AND ev.rnorm <> 0),
+              JOIN encv ev2 ON ev2.vec_id = sc.neighbor_id
+              WHERE qp.qn <> 0 AND ev2.rnorm <> 0),
             r AS (
               SELECT query_id, neighbor_id, cos_sq,
                      row_number() OVER (PARTITION BY query_id
@@ -4318,6 +4325,41 @@ object QueriesText {
     },
     Some(sqOracle))
 
+  // --------------------------------------------------------------- q156
+  // The PRUNED SQ read path oracle-gated (q155's other read mode, until
+  // now only plan-asserted): the fixed 8-id panel probes its nprobe=1
+  // nearest coarse cells, the scan is restricted to the probed cell
+  // DIRECTORIES (a parquet PartitionFilter — 6 of 16 cells at sf0.01),
+  // and the factored SQ dot ranks only what was scanned. The semantic
+  // is "global probed-cell union, exact-over-the-remainder": a vector
+  // in an unprobed cell can never surface, which is exactly what the
+  // oracle replays — coarse assignment (the q131 ranked CTE), the
+  // panel's probe set, the candidate restriction ON THE CODES SIDE,
+  // then the q130 scoring chain verbatim. One wrong cell route, one
+  // unpruned row, or one pruned-away true neighbor flips the hash.
+  private val q156 = Q("q156_sq_pruned_search",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m = graft.operators.Sq.fit(e, "embedding")
+      val (cb, _) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("sq_prune_q156")
+      val d = s"$idxDir/sq8c"
+      graft.sources.AnnIndex.buildSq(e, "vec_id", "embedding", d, m, Some(cb))
+      val idx = graft.sources.AnnIndex.loadSq(s, d)
+      graft.sources.AnnIndex.topKSq(idx,
+        e.filter(col("vec_id").isin(annPanelIds: _*)),
+        "vec_id", "embedding", k = 3, nprobe = 1, prune = true)
+    },
+    Some(ivfPqAssignCtes + s""",
+            probe AS (SELECT DISTINCT ci FROM ranked
+                      WHERE vec_id IN (${annPanelIds.mkString(", ")}) AND rn <= 1),
+            acell AS (SELECT vec_id, ci FROM ranked WHERE rn = 1),
+            cand AS (SELECT vec_id FROM acell
+                     WHERE ci IN (SELECT ci FROM probe)),
+            ${sqScoringCtes(
+              s"vec_id IN (${annPanelIds.mkString(", ")})",
+              "JOIN cand ON cand.vec_id = e.vec_id")}"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
@@ -4325,5 +4367,5 @@ object QueriesText {
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155)
+    q153, q154, q155, q156)
 }

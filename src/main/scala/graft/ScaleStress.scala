@@ -225,8 +225,10 @@ object ScaleStress {
       // production serving shape BASELINE.md argues — now measured)
       "q152_ann_index_delete", "q153_ann_index_serve",
       // q155 = q148's write-dominated class with a cell shuffle before
-      // the partitioned segment writes
-      "q155_sq_cell_search")
+      // the partitioned segment writes; q156 = the same build + the
+      // PRUNED read (fixed 8-id panel, nprobe=1) — the scan term is
+      // probed-cells-sized, so growth should be build-dominated
+      "q155_sq_cell_search", "q156_sq_pruned_search")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",

@@ -96,6 +96,11 @@ class PlanAuditSpec extends AnyFunSuite {
         "q130's exemption) over cell-partitioned segments; the pruned " +
         "PartitionFilter path is plan-asserted in AnnIndexSpec " +
         "(PLANS.md q155 row)"),
+    "q156_sq_pruned_search" ->
+      ("the pruned SQ read: q130's broadcast-query scan shape over the " +
+        "PartitionFilter-restricted cell directories — the query side " +
+        "is the 8-id literal panel (bounded at every corpus size), the " +
+        "scanned side is nprobe/nlist of the codes (PLANS.md q156 row)"),
     "q153_ann_index_serve" ->
       ("embeds q33's brute-force exactness baseline as the serving " +
         "panel's recall GROUND TRUTH — the query side is an 8-id " +
@@ -170,7 +175,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(qs == os,
       s"queries without an oracle: ${(qs -- os).toSeq.sorted.mkString(", ")}; " +
         s"orphan oracles: ${(os -- qs).toSeq.sorted.mkString(", ")}")
-    assert(qs.size >= 155, s"registered query count regressed: ${qs.size}")
+    assert(qs.size >= 156, s"registered query count regressed: ${qs.size}")
   }
 
   test("every registered query satisfies the standing plan rules") {
