@@ -4360,6 +4360,59 @@ object QueriesText {
               s"vec_id IN (${annPanelIds.mkString(", ")})",
               "JOIN cand ON cand.vec_id = e.vec_id")}"""))
 
+  // --------------------------------------------------------------- q157
+  // Snapshot TIME TRAVEL oracle-gated (until now spec-only): the index
+  // is built on the clean corpus (generation 0), then a full DECOY TWIN
+  // is appended (generation 1, every vector duplicated at id+1000000 —
+  // each decoy ties its original on ADC distance, so a leaky snapshot
+  // WOULD surface decoys as neighbors), and the search runs on
+  // `load(asOf = 0)` — the reader pinned BEFORE the append. The result
+  // must hash-equal q131's verbatim oracle over the clean corpus: one
+  // hash proves a pinned manifest generation sees exactly its own
+  // segments, nothing newer (Iceberg/Delta VERSION AS OF).
+  private val q157 = Q("q157_ann_time_travel",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, cbs) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("ann_tt_q157")
+      val d = s"$idxDir/ivfpq"
+      graft.sources.AnnIndex.buildIvfPq(e, "vec_id", "embedding", d, cb, cbs)
+      graft.sources.AnnIndex.appendIvfPq(
+        e.withColumn("vec_id", col("vec_id") + lit(1000000L)),
+        "vec_id", "embedding", d)
+      val pinned = graft.sources.AnnIndex.load(s, d, asOf = Some(0L))
+      graft.sources.AnnIndex.topK(pinned, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3, nprobe = 4)
+    },
+    Some(ivfPqOracle))
+
+  // --------------------------------------------------------------- q158
+  // Delete → COMPACT → EXPIRE lifecycle gated end-to-end: q152's
+  // takedown (corpus + decoy twin, decoys tombstoned) followed by the
+  // maintenance pass — compact physically drops every masked row and
+  // clears the tombstone sets, expire reclaims the retired segments and
+  // tombstone files — and the search on the reopened single-segment
+  // index must STILL hash-equal q131's verbatim oracle. One hash proves
+  // the physical purge loses nothing a reader could see and resurrects
+  // nothing it couldn't.
+  private val q158 = Q("q158_ann_delete_compact",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, cbs) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("ann_dc_q158")
+      val d = s"$idxDir/ivfpq"
+      val decoys = e.withColumn("vec_id", col("vec_id") + lit(1000000L))
+      graft.sources.AnnIndex.buildIvfPq(e.unionByName(decoys), "vec_id",
+        "embedding", d, cb, cbs)
+      graft.sources.AnnIndex.delete(decoys.select(col("vec_id")), "vec_id", d)
+      graft.sources.AnnIndex.compact(s, d)
+      graft.sources.AnnIndex.expire(s, d)
+      val idx = graft.sources.AnnIndex.load(s, d)
+      graft.sources.AnnIndex.topK(idx, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3, nprobe = 4)
+    },
+    Some(ivfPqOracle))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
@@ -4367,5 +4420,5 @@ object QueriesText {
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156)
+    q153, q154, q155, q156, q157, q158)
 }
