@@ -228,7 +228,13 @@ object ScaleStress {
       // the partitioned segment writes; q156 = the same build + the
       // PRUNED read (fixed 8-id panel, nprobe=1) — the scan term is
       // probed-cells-sized, so growth should be build-dominated
-      "q155_sq_cell_search", "q156_sq_pruned_search")
+      "q155_sq_cell_search", "q156_sq_pruned_search",
+      // q157 = two q142 builds' volume + a pinned-generation read (the
+      // time-travel read costs what the old snapshot cost); q158 = q152
+      // + the maintenance pass (compact's rewrite is visible-volume-
+      // sized, expire driver-side) — both expect the write-dominated
+      // q142/q152 ratio class
+      "q157_ann_time_travel", "q158_ann_delete_compact")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",
