@@ -3358,8 +3358,12 @@ object QueriesText {
 
   /** [[ivfPqOracleCtes]] with the query panel parameterized — q153's
     * fixed-literal serving panel replays the same chain with an id-list
-    * predicate instead of the corpus-derived residue sample. */
-  private def ivfPqOracleCtesFor(panelPred: String): String = ivfPqAssignCtes + s""",
+    * predicate instead of the corpus-derived residue sample — and an
+    * optional NEIGHBOR predicate (q159's filtered search: the candidate
+    * set is masked before ranking, the pre-filter semantic). */
+  private def ivfPqOracleCtesFor(panelPred: String,
+                                 candPred: String = "TRUE"): String =
+    ivfPqAssignCtes + s""",
             resid AS (
               SELECT r.vec_id, r.ci AS cell,
                      list_transform(range(1, 65),
@@ -3401,7 +3405,7 @@ object QueriesText {
             cand AS (
               SELECT q.query_id, t.vec_id AS neighbor_id, q.cell
               FROM qcell q JOIN resid t USING (cell)
-              WHERE q.query_id <> t.vec_id),
+              WHERE q.query_id <> t.vec_id AND ($candPred)),
             adc AS (
               SELECT c.query_id, c.neighbor_id,
                      list_sum(list(qd.d ORDER BY qd.s)) AS adist
@@ -4413,6 +4417,36 @@ object QueriesText {
     },
     Some(ivfPqOracle))
 
+  // --------------------------------------------------------------- q159
+  // FILTERED vector search — the metadata-predicate query every
+  // production vector deployment serves ("nearest WHERE lang='en'"):
+  // the allowed-id set (label < 5, half the corpus) is semi-joined into
+  // the persisted index's codes scan BEFORE ranking, so each query
+  // still returns k ALLOWED neighbors (pre-filter semantics —
+  // post-filtering a plain top-k would silently return fewer). The
+  // oracle is q131's chain with the candidate set masked by the same
+  // predicate: a disallowed neighbor anywhere in any top-3, or a rank
+  // shifted by an unmasked candidate, flips the hash.
+  private val q159 = Q("q159_ann_filtered_search",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, cbs) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("ann_filter_q159")
+      val d = s"$idxDir/ivfpq"
+      graft.sources.AnnIndex.buildIvfPq(e, "vec_id", "embedding", d, cb, cbs)
+      val idx = graft.sources.AnnIndex.load(s, d)
+      graft.sources.AnnIndex.topKWhere(idx,
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        allowed = e.filter(col("label") < 5), allowedIdCol = "vec_id",
+        k = 3, nprobe = 4)
+    },
+    Some(ivfPqOracleCtesFor("vec_id % 50 = 0",
+      "t.vec_id IN (SELECT vec_id FROM embeddings WHERE label < 5)") +
+      """
+            SELECT query_id, neighbor_id, round_even(adist, 6) AS adist,
+                   CAST(rn AS INT) AS rank
+            FROM r WHERE rn <= 3"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
@@ -4420,5 +4454,5 @@ object QueriesText {
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158)
+    q153, q154, q155, q156, q157, q158, q159)
 }

@@ -234,7 +234,10 @@ object ScaleStress {
       // + the maintenance pass (compact's rewrite is visible-volume-
       // sized, expire driver-side) — both expect the write-dominated
       // q142/q152 ratio class
-      "q157_ann_time_travel", "q158_ann_delete_compact")
+      "q157_ann_time_travel", "q158_ann_delete_compact",
+      // q159 = q142's serving plan + one id-mask semi-join (mask half
+      // the corpus) — expect the q142 write-dominated class
+      "q159_ann_filtered_search")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",

@@ -687,6 +687,28 @@ object AnnIndex {
       .sorted
   }
 
+  /** FILTERED search — the metadata-predicate vector query every
+    * production deployment serves ("nearest neighbors WHERE lang='en'"):
+    * the allowed-id set is semi-joined into the codes scan BEFORE
+    * ranking (pre-filter semantics — each query still returns up to k
+    * ALLOWED neighbors; post-filtering a plain top-k would silently
+    * return fewer), then the standard [[topK]] runs. The mask is
+    * id-only and distinct, so AQE broadcasts selective filters; probe
+    * pruning still pushes through the semi-join's streamed side as a
+    * PartitionFilter. Because per-row encode is deterministic,
+    * index-over-everything + mask ≡ an index built on only the allowed
+    * rows — AnnIndexSpec pins that equivalence, q159 hash-gates it. */
+  def topKWhere(idx: Loaded, queries: DataFrame, idCol: String,
+                vecCol: String, allowed: DataFrame, allowedIdCol: String,
+                k: Int = 10, nprobe: Int = 4,
+                prune: Boolean = true): DataFrame = {
+    val mask = allowed.select(col(allowedIdCol).cast("long")
+      .as("neighbor_id")).distinct()
+    topK(idx.copy(codes = idx.codes.join(mask, Seq("neighbor_id"),
+        "left_semi")),
+      queries, idCol, vecCol, k, nprobe, prune)
+  }
+
   /** Per-cell population report over an opened snapshot — the ops-side
     * balance audit (an IVF list 100× the mean is a latency and recall
     * hazard: every query probing it scans 100× the codes; Faiss's

@@ -582,6 +582,32 @@ class AnnIndexSpec extends AnyFunSuite {
       "embedding", k = 3).collect().map(_.toSeq).toSet == flatRes)
   }
 
+  test("topKWhere: pre-filter semantics — equals an index built on only the allowed rows") {
+    val e = corpus(60).cache()
+    val (cents, cbs) = model(e)
+    val root = tmpDir()
+    val full = s"$root/full"
+    val subset = s"$root/subset"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", full, cents, cbs)
+    val allowedPred = col("vec_id") % 3 =!= 0 // 2/3 of the corpus
+    AnnIndex.buildIvfPq(e.filter(allowedPred), "vec_id", "embedding",
+      subset, cents, cbs)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val got = AnnIndex.topKWhere(AnnIndex.load(spark, full), q, "vec_id",
+        "embedding", allowed = e.filter(allowedPred), allowedIdCol = "vec_id",
+        k = 3, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    // no disallowed neighbor anywhere
+    assert(got.forall(r => r(1).asInstanceOf[Long] % 3 != 0),
+      "filtered search surfaced a disallowed neighbor")
+    // pre-filter semantics: identical to searching an index that only
+    // ever contained the allowed rows (deterministic per-row encode)
+    val want = AnnIndex.topK(AnnIndex.load(spark, subset), q, "vec_id",
+        "embedding", k = 3, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "mask-at-read diverged from the allowed-only build")
+  }
+
   test("load validates model tables against meta") {
     val e = corpus(30).cache()
     val (cents, cbs) = model(e)
