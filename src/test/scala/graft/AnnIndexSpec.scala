@@ -582,6 +582,36 @@ class AnnIndexSpec extends AnyFunSuite {
       "embedding", k = 3).collect().map(_.toSeq).toSet == flatRes)
   }
 
+  test("upsertBatchIvfPq: a correction of a correction — last write wins, once") {
+    val e = corpus(30).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    def shifted(by: Float) = e.filter(col("vec_id") === 7)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(by)).otherwise(x)).as("embedding"))
+    AnnIndex.upsertBatchIvfPq(shifted(3.0f), "vec_id", "embedding", dir, Some(0L))
+    AnnIndex.upsertBatchIvfPq(shifted(9.0f), "vec_id", "embedding", dir, Some(1L))
+    val idx = AnnIndex.load(spark, dir)
+    val rows7 = idx.codes.filter(col("neighbor_id") === 7)
+      .collect().map(_.toSeq)
+    assert(rows7.length == 1,
+      s"expected exactly the last correction, got ${rows7.length} copies")
+    // the surviving row is the SECOND correction's encode: bit-equal to
+    // a fresh build containing only that version of id 7
+    val refDir = s"${tmpDir()}/ref"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") =!= 7).unionByName(shifted(9.0f)),
+      "vec_id", "embedding", refDir, cents, cbs)
+    val want = AnnIndex.load(spark, refDir).codes
+      .filter(col("neighbor_id") === 7).collect().map(_.toSeq)
+    assert(rows7.toSet == want.toSet, "stale correction survived")
+    // compaction purges both stale copies and stays at one row
+    AnnIndex.compact(spark, dir)
+    assert(AnnIndex.load(spark, dir).codes
+      .filter(col("neighbor_id") === 7).count() == 1)
+  }
+
   test("topKWhere: pre-filter semantics — equals an index built on only the allowed rows") {
     val e = corpus(60).cache()
     val (cents, cbs) = model(e)
