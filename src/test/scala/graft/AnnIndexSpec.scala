@@ -638,6 +638,36 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got == want, "mask-at-read diverged from the allowed-only build")
   }
 
+  test("probe partition filter survives tombstones (pushdown through the anti-join)") {
+    import spark.implicits._
+    val e = corpus(60).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    AnnIndex.delete(Seq(11L, 22L, 33L).toDF("vec_id"), "vec_id", dir)
+    val idx = AnnIndex.load(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try AnnIndex.topK(idx, q, "vec_id", "embedding", k = 3, nprobe = 1)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val segScans = plan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains("/data/batch-"))
+        => sc
+    }
+    assert(segScans.nonEmpty)
+    segScans.foreach { scan =>
+      assert(scan.partitionFilters.nonEmpty,
+        "tombstone anti-join blocked the probe filter from reaching the scan")
+      assert(scan.relation.location.listFiles(
+        scan.partitionFilters, scan.dataFilters).length == 1,
+        "pruned read stopped pruning once tombstones were present")
+    }
+  }
+
   test("load validates model tables against meta") {
     val e = corpus(30).cache()
     val (cents, cbs) = model(e)
