@@ -674,6 +674,24 @@ object AnnIndex {
     Loaded(cents, cbs, codes, md.segs.map(_._2).sum, md.segs.map(_._1))
   }
 
+  /** Ops-side index metadata as a DataFrame — what an operator looks at
+    * before deciding to compact, expire, or page someone: one row per
+    * (manifest generation × artifact), artifact kind `segment` or
+    * `tombstone`, with the generation's id high-water and stream
+    * high-water repeated per row. Driver-side file metadata only (the
+    * manifests are parameter-sized); no data files are opened, so
+    * describing a 100 TB index costs a directory listing. */
+  def describe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, dir)
+    versionsOf(spark, dir).flatMap { gen =>
+      val md = readManifest(f, dir, gen)
+      md.segs.map { case (b, n) => (gen, "segment", b, n, md.hw, md.shw) } ++
+        md.tombs.map { case (t, n) => (gen, "tombstone", t, n, md.hw, md.shw) }
+    }.toDF("generation", "kind", "artifact_id", "n_rows",
+      "id_high_water", "stream_high_water")
+  }
+
   /** Published manifest generations — the snapshot ids [[load]]'s
     * `asOf` accepts (oldest first; [[expire]] collapses this to the
     * current one). */

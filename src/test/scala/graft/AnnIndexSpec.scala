@@ -668,6 +668,36 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("describe: one row per generation x artifact, high-waters visible, no data reads") {
+    import spark.implicits._
+    val e = corpus(40).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, cents, cbs)
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 20), "vec_id",
+      "embedding", dir, Some(0L))
+    AnnIndex.delete(Seq(3L).toDF("vec_id"), "vec_id", dir)
+    val d = AnnIndex.describe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(d == Set(
+      (0L, "segment", 0L, 20L, 0L, -1L),
+      (1L, "segment", 0L, 20L, 1L, 0L),
+      (1L, "segment", 1L, 20L, 1L, 0L),
+      (2L, "segment", 0L, 20L, 2L, 0L),
+      (2L, "segment", 1L, 20L, 2L, 0L),
+      (2L, "tombstone", 2L, 1L, 2L, 0L)), s"describe mismatch: $d")
+    // post-compact: one segment, no tombstones, high-water advanced
+    AnnIndex.compact(spark, dir)
+    AnnIndex.expire(spark, dir)
+    val after = AnnIndex.describe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(after == Set((3L, "segment", 3L, 39L, 3L, 0L)),
+      s"post-maintenance describe mismatch: $after")
+  }
+
   test("load validates model tables against meta") {
     val e = corpus(30).cache()
     val (cents, cbs) = model(e)
