@@ -19,8 +19,10 @@ import graft.operators.Pq
   *     coarse quantizer; nlist rows.
   *   - `codebooks/`  `(s INT 0-based, code INT 1-based,
   *     vec ARRAY<DOUBLE>)` — the m residual sub-codebooks; m×ncode rows.
-  *   - `data/batch-<n>/cell=X/…parquet` — immutable code segments
-  *     (`neighbor_id, codes`), each PARTITIONED BY `cell`. Partitioning
+  *   - `data/batch-<uniq>/cell=X/…parquet` — immutable code segments
+  *     (`neighbor_id, codes`), staged under unique directory names and
+  *     mapped to their logical ids by the manifest, each PARTITIONED
+  *     BY `cell`. Partitioning
   *     by cell is the scale lever: a query batch probes a bounded set
   *     of cells (≤ nlist, usually ≪), and the probe filter becomes a
   *     parquet PartitionFilter in EVERY segment scan — at 100 TB the
@@ -33,37 +35,69 @@ import graft.operators.Pq
   *     re-appended after a delete is visible again, and a streamed
   *     correction can tombstone the stale vector and append the new one
   *     in a single commit.
-  *   - `manifest/m-<n>` — the index state as of generation n:
-  *     a `hw <id>` high-water line (the highest segment/tombstone id
-  *     EVER allocated — never reused, even after a compaction drops the
+  *   - `manifest/m-<n>` — the index state as of generation n: a `v2`
+  *     header line, a `model <v>` line (which model version encodes
+  *     this snapshot's segments — 0 is the build's root-level
+  *     `centroids/`/`codebooks/`/`meta/`, higher versions live under
+  *     `model-v<v>/` and are written by [[retrain]]), a `hw <id>`
+  *     high-water line (the highest segment/tombstone id EVER
+  *     allocated — never reused, even after a compaction drops the
   *     segment that carried it), a `shw <key>` line (the highest
   *     committed stream dedup key, see [[appendIvfPq]]), one
-  *     `batch-<id> <nrows>` line per live segment and one
-  *     `tomb-<id> <nrows>` line per live tombstone set. A segment not
-  *     listed in any manifest does not exist to readers.
+  *     `batch-<id> <nrows>` line per live segment, one
+  *     `tomb-<id> <nrows>` line per live tombstone set, and a final
+  *     `commit` sentinel (a reader that opens the file mid-write sees
+  *     a missing sentinel and retries — the create-exclusive publish
+  *     below is atomic for WRITERS but not for a racing read of the
+  *     few-hundred-byte body). A segment not listed in any manifest
+  *     does not exist to readers.
   *   - `meta/` one row `(dim, nlist, m, ncode)` — load-time model check.
   *
   * Snapshot semantics come from two rules (the Iceberg/Delta core,
-  * reduced to parquet + rename):
+  * reduced to parquet + create-exclusive):
   *  - DATA IS IMMUTABLE AND INVISIBLE UNTIL COMMITTED: a build or
   *    append first finishes its whole `batch-<n>` tree, then publishes
-  *    it by writing the next manifest via stage+atomic-rename. A writer
-  *    that dies mid-batch leaves an orphan no reader ever lists.
+  *    it by creating the next manifest. A writer that dies mid-batch
+  *    leaves an orphan no reader ever lists.
   *  - READERS PIN A MANIFEST: [[load]] resolves the highest manifest
   *    ONCE and unions exactly those segments (masked by exactly that
   *    generation's tombstones), so an open [[Loaded]] handle is a
   *    consistent snapshot — a concurrent append or delete never
   *    changes (or half-changes) what it scans. Reopen to see new data.
   *
+  * CONCURRENT WRITERS are safe via optimistic concurrency (the
+  * Iceberg/Delta commit loop, reduced to one primitive): manifest
+  * generation n+1 is published with `create(path, overwrite = false)`
+  * — atomic create-exclusive, the put-if-absent every HDFS-like and
+  * object-store FS exposes — so of two writers that both read m-n,
+  * exactly ONE wins m-n+1. The loser re-reads the new current
+  * manifest, RE-BASES (its artifacts were staged under UNIQUE names,
+  * so the retry only re-assigns their logical ids from the fresh
+  * high-water mark in the manifest line — no data moves, and two
+  * in-flight writers can never overwrite each other's staging), and
+  * retries against m-n+2. A
+  * [[compact]] that loses rewrites from the fresh snapshot instead
+  * (its output depends on the base it read — the Iceberg
+  * rewrite-data-files validation rule); a writer that observes the
+  * MODEL VERSION changed underneath it (a concurrent [[retrain]])
+  * aborts loudly rather than commit codes encoded with a stale model.
+  * At 100 TB this is the difference between "the streaming ingester
+  * and the nightly compactor are one process" and letting them race.
+  *
   * [[appendIvfPq]] reads the model FROM THE INDEX (never from the
   * caller), so appended codes are always encoded against the same
   * centroids/codebooks as the original build — per-row encode is
   * deterministic, hence build(all) ≡ build(part) + append(rest), which
-  * is exactly what q144 hash-gates. Single writer assumed (the
-  * [[VersionedTable]] streaming-sink convention); concurrent readers
-  * are always safe. Model arrays are parameter-sized (nlist, m×ncode
-  * rows), so load-time collects are a few KB regardless of corpus
-  * size. */
+  * is exactly what q144 hash-gates. Model arrays are parameter-sized
+  * (nlist, m×ncode rows), so load-time collects are a few KB
+  * regardless of corpus size.
+  *
+  * MIGRATION NOTE (pre-round-13 manifests): a manifest written before
+  * the high-water format parses with `shw = -1`, so a streaming
+  * checkpoint resumed against such an index would replay its
+  * crash-window micro-batch as a duplicate segment (every dedup key
+  * passes a −1 floor). Run one [[compact]] (which stamps the current
+  * format) before resuming old checkpoints against an old index. */
 object AnnIndex {
 
   /** An opened index snapshot: driver-side model literals + the lazy
@@ -87,17 +121,36 @@ object AnnIndex {
 
   private def path(s: String) = new org.apache.hadoop.fs.Path(s)
 
+  /** One committed artifact: its LOGICAL id (the sequence number that
+    * orders tombstones against segments), row count, and the PHYSICAL
+    * directory name under `data/` or `tomb/`. The two are decoupled
+    * because ids are allocated optimistically: a writer stages its
+    * data under a unique name, and a lost publish race re-assigns only
+    * the id in the retried manifest line — no data moves, and two
+    * in-flight writers can never overwrite each other's staging (the
+    * Iceberg unique-file-name + metadata-pointer rule). Legacy
+    * manifests (2-token lines) imply dirName = `batch-<id>`/`t-<id>`. */
+  private final case class Art(id: Long, n: Long, dirName: String)
+
   /** One manifest generation, parsed. `hw` is the segment/tombstone id
     * high-water mark: every id ≤ hw has been allocated by SOME
     * committed generation (possibly since compacted away) and is never
     * allocated again — the invariant that makes compaction safe under
     * concurrent-in-time stream replays. `shw` is the highest committed
-    * stream dedup key (−1 before any keyed append). */
-  private final case class ManifestData(segs: Seq[(Long, Long)],
-                                        tombs: Seq[(Long, Long)],
-                                        hw: Long, shw: Long) {
+    * stream dedup key (−1 before any keyed append). `model` is the
+    * model version this generation's segments are encoded with (0 =
+    * the build's root artifacts; a [[retrain]] bumps it). */
+  private final case class ManifestData(segs: Seq[Art],
+                                        tombs: Seq[Art],
+                                        hw: Long, shw: Long,
+                                        model: Long = 0L) {
     def nextId: Long = hw + 1
   }
+
+  /** Unique staging name for a new artifact directory — what lets two
+    * writers stage concurrently without ever colliding on a path. */
+  private def freshName(prefix: String): String =
+    prefix + java.util.UUID.randomUUID.toString.replace("-", "").take(16)
 
   /** Highest committed manifest id, or None on a fresh/absent index. */
   private def currentManifestId(f: org.apache.hadoop.fs.FileSystem,
@@ -110,45 +163,118 @@ object AnnIndex {
       .maxOption
   }
 
-  /** Parse manifest `id`. Pre-high-water manifests (no `hw`/`shw`
-    * lines) default to hw = max listed id and shw = −1. */
+  /** Parse manifest `id`. A `v2` manifest (create-exclusive-published)
+    * must end with its `commit` sentinel — a reader racing the
+    * few-hundred-byte body write sees a truncated file and RETRIES
+    * briefly before failing loudly (never silently parses a partial
+    * snapshot). Legacy manifests (rename-published, hence
+    * content-atomic: no `v2` header) parse as before — pre-high-water
+    * ones default to hw = max listed id and shw = −1. */
   private def readManifest(f: org.apache.hadoop.fs.FileSystem, dir: String,
                            id: Long): ManifestData = {
-    val in = f.open(path(s"$dir/manifest/m-$id"))
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    var hw = -1L
-    var shw = -1L
-    val segs = Seq.newBuilder[(Long, Long)]
-    val tombs = Seq.newBuilder[(Long, Long)]
-    txt.linesIterator.filter(_.nonEmpty).foreach { line =>
-      val Array(k, v) = line.trim.split("\\s+")
-      if (k == "hw") hw = v.toLong
-      else if (k == "shw") shw = v.toLong
-      else if (k.startsWith("batch-")) segs += ((k.drop(6).toLong, v.toLong))
-      else if (k.startsWith("tomb-")) tombs += ((k.drop(5).toLong, v.toLong))
+    var attempt = 0
+    while (true) {
+      val in = f.open(path(s"$dir/manifest/m-$id"))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val lines = txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      val v2 = lines.headOption.contains("v2")
+      if ((v2 && lines.last == "commit") || (!v2 && lines.nonEmpty)) {
+        var hw = -1L
+        var shw = -1L
+        var model = 0L
+        val segs = Seq.newBuilder[Art]
+        val tombs = Seq.newBuilder[Art]
+        lines.foreach { line =>
+          line.split("\\s+") match {
+            case Array("hw", v) => hw = v.toLong
+            case Array("shw", v) => shw = v.toLong
+            case Array("model", v) => model = v.toLong
+            case Array(k, v) if k.startsWith("batch-") =>
+              segs += Art(k.drop(6).toLong, v.toLong, k)
+            case Array(k, v, d) if k.startsWith("batch-") =>
+              segs += Art(k.drop(6).toLong, v.toLong, d)
+            case Array(k, v) if k.startsWith("tomb-") =>
+              tombs += Art(k.drop(5).toLong, v.toLong, "t-" + k.drop(5))
+            case Array(k, v, d) if k.startsWith("tomb-") =>
+              tombs += Art(k.drop(5).toLong, v.toLong, d)
+            case _ => // v2 / commit sentinels
+          }
+        }
+        val s = segs.result()
+        val t = tombs.result()
+        val maxListed = (s.map(_.id) ++ t.map(_.id)).maxOption.getOrElse(-1L)
+        return ManifestData(s, t, math.max(hw, maxListed), shw, model)
+      }
+      attempt += 1
+      if (attempt > 60)
+        throw new java.io.IOException(
+          s"manifest m-$id under $dir is truncated (no commit sentinel) — " +
+            "its writer died mid-publish; delete it to fall back to the " +
+            "previous generation")
+      Thread.sleep(25)
     }
-    val s = segs.result()
-    val t = tombs.result()
-    val maxListed = (s.map(_._1) ++ t.map(_._1)).maxOption.getOrElse(-1L)
-    ManifestData(s, t, math.max(hw, maxListed), shw)
+    sys.error("unreachable")
   }
 
-  /** Stage+rename-publish manifest `id` with the given state. */
-  private def writeManifest(f: org.apache.hadoop.fs.FileSystem, dir: String,
-                            id: Long, md: ManifestData): Unit = {
+  /** One-shot, per-index test hook fired immediately before a publish
+    * attempt — lets a spec inject a COMPETING commit deterministically
+    * into the race window (read-manifest → publish) that a wall-clock
+    * interleaving could only hit probabilistically. Keyed by index dir
+    * and removed atomically before it runs, so the competing commit
+    * itself does not recurse and concurrent suites cannot steal each
+    * other's hooks. */
+  private[graft] val testBeforePublish =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Unit]()
+  private def fireTestHook(dir: String): Unit =
+    Option(testBeforePublish.remove(dir)).foreach(_())
+
+  /** Attempt to publish manifest `id` via atomic CREATE-EXCLUSIVE
+    * (`create(path, overwrite = false)` — put-if-absent): returns
+    * false when generation `id` already exists, i.e. a concurrent
+    * writer won the race and the caller must re-base and retry. This
+    * is the primitive rename-over could not give us: on
+    * RawLocalFileSystem and several object-store FS impls a rename
+    * onto an existing destination silently REPLACES it, dropping the
+    * winner's commit. */
+  private def tryPublish(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                         id: Long, md: ManifestData): Boolean = {
     f.mkdirs(path(s"$dir/manifest"))
-    val tmp = path(s"$dir/manifest/_tmp.m-$id")
-    val out = f.create(tmp, true)
-    val body = (Seq(s"hw ${md.hw}", s"shw ${md.shw}") ++
-      md.segs.map { case (b, n) => s"batch-$b $n" } ++
-      md.tombs.map { case (t, n) => s"tomb-$t $n" })
+    val dest = path(s"$dir/manifest/m-$id")
+    val out =
+      try f.create(dest, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case _: java.io.IOException if f.exists(dest) => return false
+      }
+    val body = (Seq("v2", s"model ${md.model}", s"hw ${md.hw}",
+        s"shw ${md.shw}") ++
+      md.segs.map(a => s"batch-${a.id} ${a.n} ${a.dirName}") ++
+      md.tombs.map(a => s"tomb-${a.id} ${a.n} ${a.dirName}") ++
+      Seq("commit"))
       .mkString("", "\n", "\n")
     try out.write(body.getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, path(s"$dir/manifest/m-$id")))
-      throw new java.io.IOException(s"manifest m-$id publish failed")
+    true
   }
+
+  /** Publish manifest `id`, failing loudly on a conflict — for the
+    * builds, whose staging tree cannot be contended. */
+  private def writeManifest(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                            id: Long, md: ManifestData): Unit =
+    if (!tryPublish(f, dir, id, md))
+      throw new java.io.IOException(s"manifest m-$id publish failed")
+
+  /** The freshest committed (generation id, manifest) — what a loser
+    * of a publish race re-bases onto. */
+  private def refresh(f: org.apache.hadoop.fs.FileSystem,
+                      dir: String): (Long, ManifestData) = {
+    val mid = currentManifestId(f, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest under $dir"))
+    (mid, readManifest(f, dir, mid))
+  }
+
+  private val maxCommitAttempts = 64
 
   /** Row count of a just-written segment WITHOUT reading it when it is
     * empty: a zero-row partitioned write leaves a `_SUCCESS`-only tree,
@@ -180,11 +306,11 @@ object AnnIndex {
     * vectors — and at production nlist (thousands, [[graft.operators
     * .Similarity.autoNlist]]) it is as parallel as the cluster. */
   private def writeSegment(delta: DataFrame, idCol: String, vecCol: String,
-                           dir: String, batchId: Long,
+                           dir: String, segName: String,
                            centroids: Array[Array[Double]],
                            cbs: Array[Array[Array[Double]]]): Long = {
     val spark = delta.sparkSession
-    val seg = s"$dir/data/batch-$batchId"
+    val seg = s"$dir/data/$segName"
     Pq.ivfPqEncode(graft.operators.Spread.toCores(delta), idCol, vecCol,
         centroids, cbs)
       .withColumnRenamed("_cell", "cell")
@@ -202,11 +328,11 @@ object AnnIndex {
     * which physically drops the rows and clears the sets. */
   private def visibleUnion(spark: SparkSession, dir: String,
                            md: ManifestData): DataFrame = {
-    val tombFrames = md.tombs.map { case (t, _) =>
-      t -> spark.read.parquet(s"$dir/tomb/t-$t") }.toMap
-    md.segs.map { case (b, _) =>
-      val base = spark.read.parquet(s"$dir/data/batch-$b")
-      val masks = md.tombs.collect { case (t, _) if t > b => tombFrames(t) }
+    val tombFrames = md.tombs.map { t =>
+      t.id -> spark.read.parquet(s"$dir/tomb/${t.dirName}") }.toMap
+    md.segs.map { b =>
+      val base = spark.read.parquet(s"$dir/data/${b.dirName}")
+      val masks = md.tombs.collect { case t if t.id > b.id => tombFrames(t.id) }
       if (masks.isEmpty) base
       else base.join(
         masks.reduce(_ unionByName _).select(col("neighbor_id")).distinct(),
@@ -243,10 +369,11 @@ object AnnIndex {
         cbs.head.length))
       .toDF("dim", "nlist", "m", "ncode")
       .repartition(1).write.parquet(s"$tmp/meta")
-    val n = writeSegment(corpus, idCol, vecCol, tmp.toString, 0L,
+    val segName = freshName("batch-")
+    val n = writeSegment(corpus, idCol, vecCol, tmp.toString, segName,
       centroids, cbs)
     writeManifest(f, tmp.toString, 0L,
-      ManifestData(Seq((0L, n)), Seq.empty, hw = 0L, shw = -1L))
+      ManifestData(Seq(Art(0L, n, segName)), Seq.empty, hw = 0L, shw = -1L))
 
     f.delete(target, true)
     if (!f.rename(tmp, target))
@@ -274,23 +401,45 @@ object AnnIndex {
     * (invisible) segment at hw+1; the replay overwrites it and
     * publishes — either way the manifest lists the rows exactly once.
     * An EMPTY delta is dropped before any manifest change (a zero-row
-    * segment would wedge every checkpoint replay on schema inference). */
+    * segment would wedge every checkpoint replay on schema inference).
+    * A lost publish race (a concurrent delete/compact/append won the
+    * generation) RE-BASES: the segment was staged under a unique
+    * directory name, so the retry just re-assigns its logical id from
+    * the winner's high-water mark in the manifest line — no data
+    * moves, and both commits survive in adjacent generations. */
   def appendIvfPq(delta: DataFrame, idCol: String, vecCol: String,
                   dir: String, dedupKey: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
     val f = fs(spark, dir)
-    val mid = currentManifestId(f, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest under $dir"))
-    val md = readManifest(f, dir, mid)
+    var (mid, md) = refresh(f, dir)
     if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
-    val idx = load(spark, dir)
-    val batchId = md.nextId
-    val n = writeSegment(delta, idCol, vecCol, dir, batchId,
+    val idx = load(spark, dir, asOf = Some(mid))
+    val segName = freshName("batch-")
+    val n = writeSegment(delta, idCol, vecCol, dir, segName,
       idx.centroids, idx.cbs)
-    if (n == 0) { f.delete(path(s"$dir/data/batch-$batchId"), true); return }
-    writeManifest(f, dir, mid + 1, md.copy(
-      segs = md.segs :+ (batchId, n), hw = batchId,
-      shw = math.max(md.shw, dedupKey.getOrElse(md.shw))))
+    if (n == 0) { f.delete(path(s"$dir/data/$segName"), true); return }
+    var attempts = 0
+    while (true) {
+      fireTestHook(dir)
+      if (tryPublish(f, dir, mid + 1, md.copy(
+          segs = md.segs :+ Art(md.nextId, n, segName), hw = md.nextId,
+          shw = math.max(md.shw, dedupKey.getOrElse(md.shw))))) return
+      attempts += 1
+      if (attempts >= maxCommitAttempts)
+        throw new java.io.IOException(
+          s"append to $dir lost $attempts publish races — giving up")
+      val (nmid, nmd) = refresh(f, dir)
+      if (dedupKey.exists(_ <= nmd.shw)) { // a replica committed this batch
+        f.delete(path(s"$dir/data/$segName"), true); return
+      }
+      if (nmd.model != md.model) {
+        f.delete(path(s"$dir/data/$segName"), true)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent retrain of $dir (model ${md.model} -> ${nmd.model}) " +
+            "— this segment was encoded with the old model; re-run the append")
+      }
+      mid = nmid; md = nmd
+    }
   }
 
   /** Continuous index ingestion: every micro-batch lands as one
@@ -332,25 +481,45 @@ object AnnIndex {
                        dir: String, dedupKey: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val f = fs(spark, dir)
-    val mid = currentManifestId(f, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest under $dir"))
-    val md = readManifest(f, dir, mid)
+    var (mid, md) = refresh(f, dir)
     if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
-    val idx = load(spark, dir)
-    val tid = md.nextId
-    val segId = tid + 1
-    val n = writeSegment(batch, idCol, vecCol, dir, segId,
+    val idx = load(spark, dir, asOf = Some(mid))
+    val segName = freshName("batch-")
+    val tombName = freshName("t-")
+    val n = writeSegment(batch, idCol, vecCol, dir, segName,
       idx.centroids, idx.cbs)
-    if (n == 0) { f.delete(path(s"$dir/data/batch-$segId"), true); return }
-    val tseg = s"$dir/tomb/t-$tid"
+    if (n == 0) { f.delete(path(s"$dir/data/$segName"), true); return }
     batch.select(col(idCol).cast("long").as("neighbor_id")).distinct()
-      .write.mode("overwrite").parquet(tseg)
-    val tn = countSegment(spark, f, tseg)
-    writeManifest(f, dir, mid + 1, md.copy(
-      segs = md.segs :+ (segId, n),
-      tombs = md.tombs :+ (tid, tn),
-      hw = segId,
-      shw = math.max(md.shw, dedupKey.getOrElse(md.shw))))
+      .write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
+    val tn = countSegment(spark, f, s"$dir/tomb/$tombName")
+    var attempts = 0
+    while (true) {
+      fireTestHook(dir)
+      val tid = md.nextId
+      if (tryPublish(f, dir, mid + 1, md.copy(
+          segs = md.segs :+ Art(tid + 1, n, segName),
+          tombs = md.tombs :+ Art(tid, tn, tombName),
+          hw = tid + 1,
+          shw = math.max(md.shw, dedupKey.getOrElse(md.shw))))) return
+      attempts += 1
+      if (attempts >= maxCommitAttempts)
+        throw new java.io.IOException(
+          s"upsert to $dir lost $attempts publish races — giving up")
+      val (nmid, nmd) = refresh(f, dir)
+      if (dedupKey.exists(_ <= nmd.shw)) { // a replica committed this batch
+        f.delete(path(s"$dir/data/$segName"), true)
+        f.delete(path(s"$dir/tomb/$tombName"), true)
+        return
+      }
+      if (nmd.model != md.model) {
+        f.delete(path(s"$dir/data/$segName"), true)
+        f.delete(path(s"$dir/tomb/$tombName"), true)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent retrain of $dir (model ${md.model} -> ${nmd.model}) " +
+            "— this segment was encoded with the old model; re-run the upsert")
+      }
+      mid = nmid; md = nmd
+    }
   }
 
   /** Continuous CORRECTION ingest: [[upsertBatchIvfPq]] per micro-batch
@@ -384,17 +553,29 @@ object AnnIndex {
   def delete(ids: DataFrame, idCol: String, dir: String): Unit = {
     val spark = ids.sparkSession
     val f = fs(spark, dir)
-    val mid = currentManifestId(f, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest under $dir"))
-    val md = readManifest(f, dir, mid)
-    val tid = md.nextId
-    val tseg = s"$dir/tomb/t-$tid"
+    var (mid, md) = refresh(f, dir)
+    val tombName = freshName("t-")
     ids.select(col(idCol).cast("long").as("neighbor_id")).distinct()
-      .write.mode("overwrite").parquet(tseg)
-    val n = countSegment(spark, f, tseg)
-    if (n == 0) { f.delete(path(tseg), true); return }
-    writeManifest(f, dir, mid + 1, md.copy(
-      tombs = md.tombs :+ (tid, n), hw = tid))
+      .write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
+    val n = countSegment(spark, f, s"$dir/tomb/$tombName")
+    if (n == 0) { f.delete(path(s"$dir/tomb/$tombName"), true); return }
+    var attempts = 0
+    while (true) {
+      fireTestHook(dir)
+      if (tryPublish(f, dir, mid + 1, md.copy(
+          tombs = md.tombs :+ Art(md.nextId, n, tombName),
+          hw = md.nextId))) return
+      attempts += 1
+      if (attempts >= maxCommitAttempts)
+        throw new java.io.IOException(
+          s"delete on $dir lost $attempts publish races — giving up")
+      // re-based delete applies AS OF ITS COMMIT: a fresh tombstone id
+      // (> every committed segment) also masks matching rows a
+      // concurrent append just landed — delete-after-append semantics,
+      // exactly what commit ordering says happened.
+      val (nmid, nmd) = refresh(f, dir)
+      mid = nmid; md = nmd
+    }
   }
 
   /** Compact the current snapshot into one segment (Iceberg
@@ -412,25 +593,37 @@ object AnnIndex {
     * compacted into an unreadable zero-row segment). */
   def compact(spark: SparkSession, dir: String): Unit = {
     val f = fs(spark, dir)
-    val mid = currentManifestId(f, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest under $dir"))
-    val md = readManifest(f, dir, mid)
-    if (md.segs.length > 1 || md.tombs.nonEmpty) {
-      val newId = md.nextId
+    var attempts = 0
+    while (true) {
+      val (mid, md) = refresh(f, dir)
+      if (md.segs.length <= 1 && md.tombs.isEmpty) return
+      val segName = freshName("batch-")
       val union = visibleUnion(spark, dir, md)
       val writer =
         if (union.columns.contains("cell"))
           union.repartition(col("cell")).write.partitionBy("cell")
         else union.write
-      writer.mode("overwrite").parquet(s"$dir/data/batch-$newId")
-      val n = countSegment(spark, f, s"$dir/data/batch-$newId")
+      writer.mode("overwrite").parquet(s"$dir/data/$segName")
+      val n = countSegment(spark, f, s"$dir/data/$segName")
       if (n == 0) {
-        f.delete(path(s"$dir/data/batch-$newId"), true)
+        f.delete(path(s"$dir/data/$segName"), true)
         throw new IllegalStateException(
           s"refusing to compact $dir: every row is tombstoned — rebuild")
       }
-      writeManifest(f, dir, mid + 1, ManifestData(
-        Seq((newId, n)), Seq.empty, hw = newId, shw = md.shw))
+      fireTestHook(dir)
+      if (tryPublish(f, dir, mid + 1, ManifestData(
+          Seq(Art(md.nextId, n, segName)), Seq.empty,
+          hw = md.nextId, shw = md.shw, model = md.model))) return
+      // Lost the race: the compacted segment reflects a base that is no
+      // longer current (an append's rows would vanish, a delete's rows
+      // would resurrect if the stale rewrite were published anyway) —
+      // drop it and rewrite from the fresh snapshot, the Iceberg
+      // rewrite-data-files validation rule.
+      f.delete(path(s"$dir/data/$segName"), true)
+      attempts += 1
+      if (attempts >= maxCommitAttempts)
+        throw new java.io.IOException(
+          s"compact of $dir lost $attempts publish races — giving up")
     }
   }
 
@@ -457,12 +650,12 @@ object AnnIndex {
     * BY it, exactly like [[writeSegment]] — so the probe filter can
     * become a parquet PartitionFilter in pruned reads. */
   private def writeSqSegment(delta: DataFrame, idCol: String,
-                             vecCol: String, dir: String, batchId: Long,
+                             vecCol: String, dir: String, segName: String,
                              m: graft.operators.Sq.Model,
                              centroids: Option[Array[Array[Double]]]): Long = {
     import graft.operators.Sq
     val spark = delta.sparkSession
-    val seg = s"$dir/data/batch-$batchId"
+    val seg = s"$dir/data/$segName"
     val spread = graft.operators.Spread.toCores(delta)
     centroids match {
       case None =>
@@ -510,10 +703,11 @@ object AnnIndex {
         .toDF("cell", "vec")
         .repartition(1).write.parquet(s"$tmp/centroids")
     }
-    val n = writeSqSegment(corpus, idCol, vecCol, tmp.toString, 0L, m,
+    val segName = freshName("batch-")
+    val n = writeSqSegment(corpus, idCol, vecCol, tmp.toString, segName, m,
       centroids)
     writeManifest(f, tmp.toString, 0L,
-      ManifestData(Seq((0L, n)), Seq.empty, hw = 0L, shw = -1L))
+      ManifestData(Seq(Art(0L, n, segName)), Seq.empty, hw = 0L, shw = -1L))
 
     f.delete(target, true)
     if (!f.rename(tmp, target))
@@ -528,18 +722,29 @@ object AnnIndex {
                dir: String, dedupKey: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
     val f = fs(spark, dir)
-    val mid = currentManifestId(f, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest under $dir"))
-    val md = readManifest(f, dir, mid)
+    var (mid, md) = refresh(f, dir)
     if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
     val idx = loadSq(spark, dir)
-    val batchId = md.nextId
-    val n = writeSqSegment(delta, idCol, vecCol, dir, batchId, idx.model,
+    val segName = freshName("batch-")
+    val n = writeSqSegment(delta, idCol, vecCol, dir, segName, idx.model,
       idx.centroids)
-    if (n == 0) { f.delete(path(s"$dir/data/batch-$batchId"), true); return }
-    writeManifest(f, dir, mid + 1, md.copy(
-      segs = md.segs :+ (batchId, n), hw = batchId,
-      shw = math.max(md.shw, dedupKey.getOrElse(md.shw))))
+    if (n == 0) { f.delete(path(s"$dir/data/$segName"), true); return }
+    var attempts = 0
+    while (true) {
+      fireTestHook(dir)
+      if (tryPublish(f, dir, mid + 1, md.copy(
+          segs = md.segs :+ Art(md.nextId, n, segName), hw = md.nextId,
+          shw = math.max(md.shw, dedupKey.getOrElse(md.shw))))) return
+      attempts += 1
+      if (attempts >= maxCommitAttempts)
+        throw new java.io.IOException(
+          s"append to $dir lost $attempts publish races — giving up")
+      val (nmid, nmd) = refresh(f, dir)
+      if (dedupKey.exists(_ <= nmd.shw)) { // a replica committed this batch
+        f.delete(path(s"$dir/data/$segName"), true); return
+      }
+      mid = nmid; md = nmd
+    }
   }
 
   /** Open the current SQ8 snapshot (model validated against meta;
@@ -567,8 +772,8 @@ object AnnIndex {
     val mid = currentManifestId(f, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed manifest under $dir"))
     val md = readManifest(f, dir, mid)
-    LoadedSq(m, cents, visibleUnion(spark, dir, md), md.segs.map(_._2).sum,
-      md.segs.map(_._1))
+    LoadedSq(m, cents, visibleUnion(spark, dir, md), md.segs.map(_.n).sum,
+      md.segs.map(_.id))
   }
 
   /** Query an opened SQ8 snapshot — [[Sq.topK]]'s factored-dot scan
@@ -580,6 +785,36 @@ object AnnIndex {
     * PartitionFilter (the IVF trade: nprobe/nlist of the scan I/O for
     * approximate recall — [[topK]]'s plan with SQ scoring). Pruning a
     * flat index fails loudly rather than silently full-scanning. */
+  /** Serving-batch snapshot cap: a pruned search runs the queries plan
+    * twice (probe-cell collect, then the scoring join), so the batch
+    * is SNAPSHOTTED first. Up to this many rows it becomes a driver
+    * local relation (the probe collect already pays one pass — ≤ a few
+    * MB at embedding dims); larger batches land once to a scratch
+    * parquet and are read back. Both are stable across re-execution —
+    * stronger than the previous MEMORY_AND_DISK persist, whose blocks
+    * could be EVICTED and silently recompute a nondeterministic source
+    * — and neither leaves anything in the cache manager behind (the
+    * round-13 serving-path leak: every pruned search pinned its query
+    * frame forever). */
+  private val snapshotCollectMax = 8192
+
+  private val snapshotCounter = new java.util.concurrent.atomic.AtomicLong
+
+  private def snapshotQueries(queries: DataFrame, idCol: String,
+                              vecCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    val proj = queries.select(col(idCol), col(vecCol))
+    val rows = proj.limit(snapshotCollectMax + 1).collect()
+    if (rows.length <= snapshotCollectMax)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), proj.schema)
+    else {
+      val dir = graft.streaming.StreamHarness.scratch(
+        s"ann_query_snapshot_${snapshotCounter.incrementAndGet()}")
+      proj.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+  }
+
   def topKSq(idx: LoadedSq, queries: DataFrame, idCol: String,
              vecCol: String, k: Int = 10, nprobe: Int = 4,
              prune: Boolean = false): DataFrame = {
@@ -589,8 +824,7 @@ object AnnIndex {
     else {
       val cents = idx.centroids.getOrElse(throw new IllegalArgumentException(
         "prune=true needs a cell-partitioned SQ index (buildSq with centroids)"))
-      val q = queries.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = snapshotQueries(queries, idCol, vecCol)
       val probed = q
         .select(explode(nearestCentroids(col(vecCol), cents, nprobe))
           .as("_cell"))
@@ -602,40 +836,59 @@ object AnnIndex {
     }
   }
 
-  /** Drop everything no CURRENT reader can reach: segments and
-    * tombstone sets not listed in the highest manifest, and all older
-    * manifests. After expiry a handle pinned on an older snapshot can
-    * no longer scan — run it only once in-flight readers have drained
-    * (the Iceberg expire-snapshots contract). */
-  def expire(spark: SparkSession, dir: String): Unit = {
+  /** Snapshot retention + garbage collection (the Iceberg
+    * `expire_snapshots(retain_last = N)` contract): keep the newest
+    * `keepLast` manifest generations — every [[load]]`(asOf)` target
+    * among them stays readable — and reclaim everything only OLDER
+    * generations reference: their manifests, segments and tombstone
+    * sets no retained generation lists, and [[retrain]] model
+    * directories no retained generation pins. A handle pinned on a
+    * dropped generation can no longer scan — run expiry only once
+    * those readers have drained. Default `keepLast = 1` is the
+    * aggressive reclaim (only the current snapshot survives).
+    *
+    * ORPHANS — artifact directories in NO manifest at all (a writer
+    * that died between staging and publish) — are reclaimed only when
+    * older than `orphanGraceMs` (default 24 h, the Iceberg
+    * remove-orphan-files `older_than` rule): a LIVE writer's staged-
+    * but-unpublished segment looks exactly like an orphan, and
+    * reaping it mid-commit would publish a manifest pointing at
+    * nothing. */
+  def expire(spark: SparkSession, dir: String, keepLast: Int = 1,
+             orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val f = fs(spark, dir)
-    val mid = currentManifestId(f, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest under $dir"))
-    val md = readManifest(f, dir, mid)
-    val live = md.segs.map(_._1).toSet
-    val liveTombs = md.tombs.map(_._1).toSet
-    val dataDir = path(s"$dir/data")
-    if (f.exists(dataDir)) f.listStatus(dataDir).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("batch-") &&
-          !scala.util.Try(name.drop(6).toLong).toOption.exists(live))
-        f.delete(st.getPath, true): Unit
+    val gens = versionsOf(spark, dir)
+    if (gens.isEmpty)
+      throw new IllegalArgumentException(s"no committed manifest under $dir")
+    val (dropped, kept) = gens.splitAt(math.max(0, gens.length - keepLast))
+    val keptMds = kept.map(readManifest(f, dir, _))
+    val liveData = keptMds.flatMap(_.segs.map(_.dirName)).toSet
+    val liveTombs = keptMds.flatMap(_.tombs.map(_.dirName)).toSet
+    val liveModels = keptMds.map(_.model).toSet
+    val droppedMds = dropped.map(readManifest(f, dir, _))
+    // committed-but-dropped artifacts: no writer can be mid-commit on
+    // them (they are published), reclaim immediately
+    (droppedMds.flatMap(_.segs.map(_.dirName)).toSet -- liveData)
+      .foreach(d => f.delete(path(s"$dir/data/$d"), true): Unit)
+    (droppedMds.flatMap(_.tombs.map(_.dirName)).toSet -- liveTombs)
+      .foreach(d => f.delete(path(s"$dir/tomb/$d"), true): Unit)
+    (droppedMds.map(_.model).toSet -- liveModels - 0L)
+      .foreach(v => f.delete(path(s"$dir/model-v$v"), true): Unit)
+    dropped.foreach(g => f.delete(path(s"$dir/manifest/m-$g"), true): Unit)
+    // true orphans: referenced by NOTHING — grace-windowed reap
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    def reapOrphans(sub: String, prefix: String, live: Set[String]): Unit = {
+      val d = path(s"$dir/$sub")
+      if (f.exists(d)) f.listStatus(d).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(prefix) && !live(name) &&
+            st.getModificationTime < cutoff)
+          f.delete(st.getPath, true): Unit
+      }
     }
-    val tombDir = path(s"$dir/tomb")
-    if (f.exists(tombDir)) f.listStatus(tombDir).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("t-") &&
-          !scala.util.Try(name.drop(2).toLong).toOption.exists(liveTombs))
-        f.delete(st.getPath, true): Unit
-    }
-    f.listStatus(path(s"$dir/manifest")).foreach { st =>
-      val name = st.getPath.getName
-      // only manifest files (a ChecksumFileSystem's delete removes the
-      // .crc sidecar with its file — never match sidecars directly, or
-      // the LIVE manifest's sidecar gets deleted by the != filter)
-      if (name.startsWith("m-") && name != s"m-$mid")
-        f.delete(st.getPath, true): Unit
-    }
+    reapOrphans("data", "batch-", liveData)
+    reapOrphans("tomb", "t-", liveTombs)
   }
 
   /** Open a snapshot: collect the parameter-sized model tables into
@@ -649,29 +902,33 @@ object AnnIndex {
     * Fails loudly on an expired or unknown id. */
   def load(spark: SparkSession, dir: String, asOf: Option[Long] = None): Loaded = {
     val f = fs(spark, dir)
-    val meta = spark.read.parquet(s"$dir/meta").collect().head
-    val (dim, nlist, m, ncode) =
-      (meta.getAs[Int]("dim"), meta.getAs[Int]("nlist"),
-        meta.getAs[Int]("m"), meta.getAs[Int]("ncode"))
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
-    require(cents.length == nlist && cents.forall(_.length == dim),
-      s"centroids table does not match meta ($nlist x $dim)")
-    val cbRows = spark.read.parquet(s"$dir/codebooks")
-      .orderBy("s", "code").collect()
-    require(cbRows.length == m * ncode,
-      s"codebooks table does not match meta ($m x $ncode)")
-    val cbs = cbRows.grouped(ncode)
-      .map(_.map(_.getSeq[Double](2).toArray).toArray).toArray
     val mid = asOf.getOrElse(currentManifestId(f, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed manifest under $dir")))
     require(f.exists(path(s"$dir/manifest/m-$mid")),
       s"manifest m-$mid does not exist under $dir (expired or never published)")
     val md = readManifest(f, dir, mid)
+    // model artifacts resolve THROUGH the pinned manifest: a reader
+    // pinned before a [[retrain]] keeps scoring with the model its
+    // segments were encoded with (version 0 = the build's root dirs)
+    val mroot = if (md.model == 0L) dir else s"$dir/model-v${md.model}"
+    val meta = spark.read.parquet(s"$mroot/meta").collect().head
+    val (dim, nlist, m, ncode) =
+      (meta.getAs[Int]("dim"), meta.getAs[Int]("nlist"),
+        meta.getAs[Int]("m"), meta.getAs[Int]("ncode"))
+    val cents = spark.read.parquet(s"$mroot/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(cents.length == nlist && cents.forall(_.length == dim),
+      s"centroids table does not match meta ($nlist x $dim)")
+    val cbRows = spark.read.parquet(s"$mroot/codebooks")
+      .orderBy("s", "code").collect()
+    require(cbRows.length == m * ncode,
+      s"codebooks table does not match meta ($m x $ncode)")
+    val cbs = cbRows.grouped(ncode)
+      .map(_.map(_.getSeq[Double](2).toArray).toArray).toArray
     val codes = visibleUnion(spark, dir, md)
       .select(col("neighbor_id"), col("cell").as("_cell"), col("codes"))
-    Loaded(cents, cbs, codes, md.segs.map(_._2).sum, md.segs.map(_._1))
+    Loaded(cents, cbs, codes, md.segs.map(_.n).sum, md.segs.map(_.id))
   }
 
   /** Ops-side index metadata as a DataFrame — what an operator looks at
@@ -686,10 +943,12 @@ object AnnIndex {
     val f = fs(spark, dir)
     versionsOf(spark, dir).flatMap { gen =>
       val md = readManifest(f, dir, gen)
-      md.segs.map { case (b, n) => (gen, "segment", b, n, md.hw, md.shw) } ++
-        md.tombs.map { case (t, n) => (gen, "tombstone", t, n, md.hw, md.shw) }
+      md.segs.map(a =>
+        (gen, "segment", a.id, a.n, md.hw, md.shw, md.model)) ++
+        md.tombs.map(a =>
+          (gen, "tombstone", a.id, a.n, md.hw, md.shw, md.model))
     }.toDF("generation", "kind", "artifact_id", "n_rows",
-      "id_high_water", "stream_high_water")
+      "id_high_water", "stream_high_water", "model_version")
   }
 
   /** Published manifest generations — the snapshot ids [[load]]'s
@@ -749,9 +1008,10 @@ object AnnIndex {
     * so pruning is always parameter-sized; `prune = false` keeps the
     * plain cell-join plan for the corpus-as-queries shape where every
     * cell is probed anyway. The prune path executes the queries plan
-    * TWICE (probe-cell collect, then the search join), so it pins the
-    * frame first — a nondeterministic queries frame would otherwise
-    * probe a different cell set than the search scores. */
+    * TWICE (probe-cell collect, then the search join), so it SNAPSHOTS
+    * the batch first ([[snapshotQueries]] — a nondeterministic queries
+    * frame would otherwise probe a different cell set than the search
+    * scores), leaving nothing behind in the cache manager. */
   def topK(idx: Loaded, queries: DataFrame, idCol: String, vecCol: String,
            k: Int = 10, nprobe: Int = 4, prune: Boolean = true): DataFrame = {
     import graft.plans.SketchExpressions.nearestCentroids
@@ -759,8 +1019,7 @@ object AnnIndex {
       Pq.ivfPqSearch(idx.codes, queries, idCol, vecCol, idx.centroids,
         idx.cbs, k, nprobe)
     else {
-      val q = queries.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = snapshotQueries(queries, idCol, vecCol)
       val probed = q
         .select(explode(nearestCentroids(col(vecCol), idx.centroids,
           nprobe)).as("_cell"))

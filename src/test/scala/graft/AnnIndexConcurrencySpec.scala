@@ -1,0 +1,226 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Pq
+import graft.sources.AnnIndex
+
+/** Concurrent-writer commit safety for the persisted index
+  * ([[graft.sources.AnnIndex]]): manifest publish is atomic
+  * create-exclusive (put-if-absent), so of two writers racing a
+  * generation exactly one wins and the loser re-bases and retries —
+  * BOTH commits must survive, and the final search must equal the
+  * sequential result. The deterministic tests inject the competing
+  * commit through the per-index `testBeforePublish` hook (fired in the
+  * read-manifest → publish window — the race a wall-clock interleaving
+  * could only hit probabilistically); the threaded test runs real
+  * concurrent appenders as a belt-and-braces sweep. Also gates the v2
+  * manifest sentinel (truncated manifests fail loudly, never parse as
+  * a partial snapshot) and [[AnnIndex.expire]]'s retention/orphan
+  * rules. */
+class AnnIndexConcurrencySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 8
+
+  private def corpus(from: Int, until: Int) = {
+    val rng = new scala.util.Random(13)
+    val noise = Array.fill(until)(rng.nextGaussian().toFloat * 0.2f)
+    (from.toLong until until.toLong).map { i =>
+      val base = Array.tabulate(dim)(j =>
+        if (j == (i % 4).toInt * 2) 10.0f else 0.0f)
+      (i, base.map(x => x + noise(i.toInt)).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def model(e: org.apache.spark.sql.DataFrame) = {
+    val cents = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    import graft.plans.SketchExpressions.nearestCentroids
+    val samples = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(Pq.residualExpr(col("embedding"),
+        element_at(nearestCentroids(col("embedding"), cents, 1), 1), cents).as("r"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    (cents, Pq.codebooks(samples, m = 4))
+  }
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("ann_ccy_spec").toString
+
+  private def search(idx: AnnIndex.Loaded,
+                     q: org.apache.spark.sql.DataFrame) =
+    AnnIndex.topK(idx, q, "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+
+  test("append loses the publish race to a concurrent compact: BOTH commits survive") {
+    val e = corpus(0, 60).cache()
+    val (cents, cbs) = model(e)
+    val root = tmpDir()
+    val dir = s"$root/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, cents, cbs)
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 20 && col("vec_id") < 40),
+      "vec_id", "embedding", dir) // m-1: two segments, compactable
+    // the append below reads m-1, stages its segment, and THEN the
+    // hook compacts (m-2) — the append's publish of m-2 must lose,
+    // re-base onto the compacted snapshot, and win m-3
+    AnnIndex.testBeforePublish.put(dir,
+      () => AnnIndex.compact(spark, dir))
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 40), "vec_id",
+      "embedding", dir)
+    assert(AnnIndex.versionsOf(spark, dir) == Seq(0L, 1L, 2L, 3L),
+      "a commit vanished: expected build, append, compact, re-based append")
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.nrows == 60, s"lost rows: ${idx.nrows}")
+    // ids never reused: compact consumed 2, the re-based append took 3
+    assert(idx.batches == Seq(2L, 3L), s"unexpected ids: ${idx.batches}")
+    // the final search equals the sequential (no-race) result
+    val seq = s"$root/seq"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", seq, cents, cbs)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    assert(search(idx, q) == search(AnnIndex.load(spark, seq), q),
+      "racing writers diverged from the sequential result")
+  }
+
+  test("compact loses the publish race to a concurrent append: rewrites from the fresh snapshot") {
+    val e = corpus(0, 60).cache()
+    val (cents, cbs) = model(e)
+    val root = tmpDir()
+    val dir = s"$root/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, cents, cbs)
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 20 && col("vec_id") < 40),
+      "vec_id", "embedding", dir)
+    // compact reads m-1 and rewrites its union; the hook lands a THIRD
+    // segment at m-2. Publishing the stale rewrite would silently drop
+    // those 20 rows — the loser must discard it and recompact from m-2.
+    AnnIndex.testBeforePublish.put(dir,
+      () => AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 40), "vec_id",
+        "embedding", dir))
+    AnnIndex.compact(spark, dir)
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.nrows == 60,
+      s"compact raced an append and lost its rows: ${idx.nrows}")
+    assert(idx.batches.length == 1, "compact did not produce one segment")
+    val seq = s"$root/seq"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", seq, cents, cbs)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    assert(search(idx, q) == search(AnnIndex.load(spark, seq), q))
+  }
+
+  test("delete loses the publish race to an append: tombstone re-bases, masks as of its commit") {
+    val e = corpus(0, 60).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 40), "vec_id", "embedding",
+      dir, cents, cbs)
+    AnnIndex.testBeforePublish.put(dir,
+      () => AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 40), "vec_id",
+        "embedding", dir))
+    AnnIndex.delete(Seq(1L, 2L, 3L).toDF("vec_id"), "vec_id", dir)
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.codes.count() == 57,
+      "append or delete vanished under the race")
+    assert(AnnIndex.versionsOf(spark, dir) == Seq(0L, 1L, 2L))
+  }
+
+  test("threaded: concurrent appenders all commit, none lost") {
+    val e = corpus(0, 70).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      dir, cents, cbs)
+    val ranges = Seq((10, 20), (20, 30), (30, 40), (40, 50), (50, 60), (60, 70))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val futures = ranges.map { case (a, b) =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            AnnIndex.appendIvfPq(
+              e.filter(col("vec_id") >= a && col("vec_id") < b),
+              "vec_id", "embedding", dir)
+        })
+      }
+      futures.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.nrows == 70, s"a concurrent append was lost: ${idx.nrows}")
+    assert(idx.batches.sorted == (0L to 6L), s"ids not contiguous: ${idx.batches}")
+    assert(AnnIndex.versionsOf(spark, dir) == (0L to 6L),
+      "each commit must land its own generation")
+    assert(idx.codes.select("neighbor_id").distinct().count() == 70)
+  }
+
+  test("a truncated v2 manifest (writer died mid-publish) fails loudly, never parses partially") {
+    val e = corpus(0, 20).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    // simulate a publisher that died after create-exclusive but before
+    // finishing the body: a v2 header with no commit sentinel
+    val w = new java.io.FileWriter(s"$dir/manifest/m-1")
+    w.write("v2\nmodel 0\nhw 5\nbatch-5 999 batch-dead")
+    w.close()
+    val ex = intercept[java.io.IOException](AnnIndex.load(spark, dir))
+    assert(ex.getMessage.contains("truncated"), ex.getMessage)
+  }
+
+  test("expire(keepLast = 2) keeps the previous generation readable; older ones fail loudly") {
+    val e = corpus(0, 60).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, cents, cbs)
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 20 && col("vec_id") < 40),
+      "vec_id", "embedding", dir)
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 40), "vec_id",
+      "embedding", dir)
+    AnnIndex.expire(spark, dir, keepLast = 2)
+    assert(AnnIndex.versionsOf(spark, dir) == Seq(1L, 2L))
+    // both retained generations stay fully scannable
+    assert(AnnIndex.load(spark, dir, asOf = Some(1L)).codes.count() == 40)
+    assert(AnnIndex.load(spark, dir, asOf = Some(2L)).codes.count() == 60)
+    // the dropped one fails loudly
+    val ex = intercept[IllegalArgumentException](
+      AnnIndex.load(spark, dir, asOf = Some(0L)))
+    assert(ex.getMessage.contains("m-0"))
+  }
+
+  test("expire reclaims segments only dropped generations reference, keeps shared ones") {
+    val e = corpus(0, 40).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e.unionByName(
+        e.withColumn("vec_id", col("vec_id") + lit(1000L))),
+      "vec_id", "embedding", dir, cents, cbs)
+    AnnIndex.delete(e.select(col("vec_id") + lit(1000L) as "vec_id"),
+      "vec_id", dir)
+    AnnIndex.compact(spark, dir) // m-2: one fresh segment, no tombstones
+    AnnIndex.expire(spark, dir, keepLast = 1)
+    // the pre-compact segment and the tombstone set are gone
+    val data = new java.io.File(s"$dir/data").list().toSeq
+    assert(data.length == 1, s"unreclaimed segments: $data")
+    val tomb = new java.io.File(s"$dir/tomb")
+    assert(!tomb.exists() || tomb.list().isEmpty,
+      "expire left unreachable tombstone sets")
+    assert(AnnIndex.load(spark, dir).codes.count() == 40)
+  }
+
+  test("expire leaves fresh orphans alone (grace window) but reaps aged ones") {
+    val e = corpus(0, 20).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    // an in-flight (or crashed) writer's staged segment: in NO manifest
+    val orphan = new java.io.File(s"$dir/data/batch-inflight0000")
+    assert(orphan.mkdirs())
+    AnnIndex.expire(spark, dir) // default 24 h grace: must survive
+    assert(orphan.exists(),
+      "expire reaped a fresh orphan — would yank an in-flight commit")
+    AnnIndex.expire(spark, dir, keepLast = 1, orphanGraceMs = -1000)
+    assert(!orphan.exists(), "aged orphan not reclaimed")
+    assert(AnnIndex.load(spark, dir).codes.count() == 20)
+  }
+}

@@ -320,8 +320,9 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(pinned.codes.count() == 60)
     // expire drops the now-unreachable segments and older manifests
     AnnIndex.expire(spark, dir)
+    // exactly the compacted segment's (unique-named) dir remains
     val dataDirs = new java.io.File(s"$dir/data").listFiles().map(_.getName).toSet
-    assert(dataDirs == Set("batch-2"), s"expire left $dataDirs")
+    assert(dataDirs.size == 1, s"expire left $dataDirs")
     val manifests = new java.io.File(s"$dir/manifest").listFiles()
       .map(_.getName).filter(_.startsWith("m-")).toSet
     assert(manifests == Set("m-2"))
@@ -386,6 +387,32 @@ class AnnIndexSpec extends AnyFunSuite {
     val idx = AnnIndex.load(spark, dir)
     assert(idx.nrows == 30 && idx.codes.count() == 30 &&
       idx.batches == Seq(0L))
+  }
+
+  test("pruned searches leave nothing behind in the cache manager (serving-path leak)") {
+    val e = corpus(60).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    val idx = AnnIndex.load(spark, dir)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    // several serving calls on the same query frame — the round-13
+    // persist-based pin left the CALLER's frame cached forever (and
+    // logged CacheManager re-cache warnings from the second call on)
+    (1 to 3).foreach { _ =>
+      assert(AnnIndex.topK(idx, q, "vec_id", "embedding", k = 3, nprobe = 2,
+        prune = true).count() > 0)
+    }
+    assert(q.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      s"pruned search silently pinned the caller's query frame: ${q.storageLevel}")
+    // and the SQ pruned path makes the same promise
+    val sqDir = s"${tmpDir()}/sq"
+    AnnIndex.buildSq(e, "vec_id", "embedding", sqDir,
+      graft.operators.Sq.fit(e, "embedding"), Some(cents))
+    val sqIdx = AnnIndex.loadSq(spark, sqDir)
+    assert(AnnIndex.topKSq(sqIdx, q, "vec_id", "embedding", k = 3,
+      nprobe = 2, prune = true).count() > 0)
+    assert(q.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 
   test("prune=false equals prune=true") {
@@ -680,21 +707,21 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndex.delete(Seq(3L).toDF("vec_id"), "vec_id", dir)
     val d = AnnIndex.describe(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))).toSet
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
     assert(d == Set(
-      (0L, "segment", 0L, 20L, 0L, -1L),
-      (1L, "segment", 0L, 20L, 1L, 0L),
-      (1L, "segment", 1L, 20L, 1L, 0L),
-      (2L, "segment", 0L, 20L, 2L, 0L),
-      (2L, "segment", 1L, 20L, 2L, 0L),
-      (2L, "tombstone", 2L, 1L, 2L, 0L)), s"describe mismatch: $d")
+      (0L, "segment", 0L, 20L, 0L, -1L, 0L),
+      (1L, "segment", 0L, 20L, 1L, 0L, 0L),
+      (1L, "segment", 1L, 20L, 1L, 0L, 0L),
+      (2L, "segment", 0L, 20L, 2L, 0L, 0L),
+      (2L, "segment", 1L, 20L, 2L, 0L, 0L),
+      (2L, "tombstone", 2L, 1L, 2L, 0L, 0L)), s"describe mismatch: $d")
     // post-compact: one segment, no tombstones, high-water advanced
     AnnIndex.compact(spark, dir)
     AnnIndex.expire(spark, dir)
     val after = AnnIndex.describe(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))).toSet
-    assert(after == Set((3L, "segment", 3L, 39L, 3L, 0L)),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(after == Set((3L, "segment", 3L, 39L, 3L, 0L, 0L)),
       s"post-maintenance describe mismatch: $after")
   }
 
