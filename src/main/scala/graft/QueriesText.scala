@@ -4447,6 +4447,97 @@ object QueriesText {
                    CAST(rn AS INT) AS rank
             FROM r WHERE rn <= 3"""))
 
+  // --------------------------------------------------------------- q160
+  // Snapshot RETENTION under maintenance (Iceberg expire_snapshots
+  // retain_last): the index carries three generations — the combined
+  // build (corpus + decoy twin), the takedown that tombstones the
+  // decoys, and a SECOND decoy wave appended after it — then
+  // expire(keepLast = 2) reclaims the oldest generation's manifest
+  // while keeping the takedown generation a valid time-travel target.
+  // The gated read pins THAT retained middle generation: it must see
+  // the corpus with the first decoys masked and the second wave not
+  // yet in existence — q131's verbatim oracle over the clean corpus.
+  // An expire that over-reclaims (the round-13 all-or-nothing drop)
+  // makes the pinned read throw; an asOf that leaks either decoy wave
+  // flips the hash (each decoy ties its original on ADC distance).
+  private val q160 = Q("q160_ann_retention",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, cbs) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("ann_ret_q160")
+      val d = s"$idxDir/ivfpq"
+      val decoys = e.withColumn("vec_id", col("vec_id") + lit(1000000L))
+      graft.sources.AnnIndex.buildIvfPq(e.unionByName(decoys), "vec_id",
+        "embedding", d, cb, cbs)                                      // m-0
+      graft.sources.AnnIndex.delete(decoys.select(col("vec_id")),
+        "vec_id", d)                                                  // m-1
+      graft.sources.AnnIndex.appendIvfPq(
+        e.withColumn("vec_id", col("vec_id") + lit(2000000L)),
+        "vec_id", "embedding", d)                                     // m-2
+      graft.sources.AnnIndex.expire(s, d, keepLast = 2)
+      val pinned = graft.sources.AnnIndex.load(s, d, asOf = Some(1L))
+      graft.sources.AnnIndex.topK(pinned, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3, nprobe = 4)
+    },
+    Some(ivfPqOracle))
+
+  // --------------------------------------------------------------- q161
+  // MODEL-DRIFT MIGRATION gated: the index is first built with a
+  // deliberately-wrong model (centroids/codebooks fitted on the
+  // REVERSED vectors — valid shapes, poor fit), then retrain()
+  // re-encodes the corpus against the true q131 model INTO THE SAME
+  // MANIFEST CHAIN (generation 1, model version 1). The search on the
+  // migrated index must hash-equal q131's verbatim oracle — i.e.
+  // retrain(corpus) ≡ buildIvfPq(corpus), the contract that makes the
+  // migration safe to run in place: pinned pre-retrain readers keep
+  // the old model (AnnIndexConcurrencySpec pins that), and one
+  // residual code or probe route from the stale model flips the hash.
+  private val q161 = Q("q161_ann_retrain",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, cbs) = ivfPqModel(e)
+      val (badCb, badCbs) = ivfPqModel(
+        e.select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+      val idxDir = graft.streaming.StreamHarness.scratch("ann_rt_q161")
+      val d = s"$idxDir/ivfpq"
+      graft.sources.AnnIndex.buildIvfPq(e, "vec_id", "embedding", d,
+        badCb, badCbs)
+      graft.sources.AnnIndex.retrain(e, "vec_id", "embedding", d, cb, cbs)
+      val idx = graft.sources.AnnIndex.load(s, d)
+      graft.sources.AnnIndex.topK(idx, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3, nprobe = 4)
+    },
+    Some(ivfPqOracle))
+
+  // --------------------------------------------------------------- q162
+  // q159's TINY-ALLOWLIST twin: the allowed set is 5 ids (one per 100
+  // — a takedown review set, not a population), which trips
+  // topKWhere's escape hatch: the mask is collected once and
+  // re-planted as a broadcast LITERAL (no allowed-side subplan inside
+  // the search join), while probe pruning and the nprobe ranking
+  // semantics stay exactly q159's — so the oracle is the same chain
+  // with the candidate predicate swapped, and a hatch that changed
+  // semantics (extra candidates, lost self-exclusion, wrong cell
+  // routing) flips the hash.
+  private val q162 = Q("q162_ann_filtered_tiny",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, cbs) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("ann_tiny_q162")
+      val d = s"$idxDir/ivfpq"
+      graft.sources.AnnIndex.buildIvfPq(e, "vec_id", "embedding", d, cb, cbs)
+      val idx = graft.sources.AnnIndex.load(s, d)
+      graft.sources.AnnIndex.topKWhere(idx,
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        allowed = e.filter(col("vec_id") % 100 === 0),
+        allowedIdCol = "vec_id", k = 3, nprobe = 4)
+    },
+    Some(ivfPqOracleCtesFor("vec_id % 50 = 0", "t.vec_id % 100 = 0") +
+      """
+            SELECT query_id, neighbor_id, round_even(adist, 6) AS adist,
+                   CAST(rn AS INT) AS rank
+            FROM r WHERE rn <= 3"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
@@ -4454,5 +4545,5 @@ object QueriesText {
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
 }

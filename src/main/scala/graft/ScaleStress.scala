@@ -237,7 +237,14 @@ object ScaleStress {
       "q157_ann_time_travel", "q158_ann_delete_compact",
       // q159 = q142's serving plan + one id-mask semi-join (mask half
       // the corpus) — expect the q142 write-dominated class
-      "q159_ann_filtered_search")
+      "q159_ann_filtered_search",
+      // q160 = q158's build/takedown volume + one more append +
+      // driver-side retention listing — the pinned read is one-segment
+      // q152; q161 = two build passes' volume (bad-model build + the
+      // retrain re-encode) with the q142 serving read; q162 = q159
+      // with the mask a 5-id LITERAL at every factor, so the filtered
+      // read term should be ~flat and growth build-dominated
+      "q160_ann_retention", "q161_ann_retrain", "q162_ann_filtered_tiny")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",

@@ -143,7 +143,8 @@ object AnnIndex {
   private final case class ManifestData(segs: Seq[Art],
                                         tombs: Seq[Art],
                                         hw: Long, shw: Long,
-                                        model: Long = 0L) {
+                                        model: Long = 0L,
+                                        modelDir: String = "") {
     def nextId: Long = hw + 1
   }
 
@@ -183,6 +184,7 @@ object AnnIndex {
         var hw = -1L
         var shw = -1L
         var model = 0L
+        var modelDir = ""
         val segs = Seq.newBuilder[Art]
         val tombs = Seq.newBuilder[Art]
         lines.foreach { line =>
@@ -190,6 +192,7 @@ object AnnIndex {
             case Array("hw", v) => hw = v.toLong
             case Array("shw", v) => shw = v.toLong
             case Array("model", v) => model = v.toLong
+            case Array("model", v, d) => model = v.toLong; modelDir = d
             case Array(k, v) if k.startsWith("batch-") =>
               segs += Art(k.drop(6).toLong, v.toLong, k)
             case Array(k, v, d) if k.startsWith("batch-") =>
@@ -204,7 +207,8 @@ object AnnIndex {
         val s = segs.result()
         val t = tombs.result()
         val maxListed = (s.map(_.id) ++ t.map(_.id)).maxOption.getOrElse(-1L)
-        return ManifestData(s, t, math.max(hw, maxListed), shw, model)
+        return ManifestData(s, t, math.max(hw, maxListed), shw, model,
+          modelDir)
       }
       attempt += 1
       if (attempt > 60)
@@ -247,7 +251,10 @@ object AnnIndex {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
         case _: java.io.IOException if f.exists(dest) => return false
       }
-    val body = (Seq("v2", s"model ${md.model}", s"hw ${md.hw}",
+    val modelLine =
+      if (md.modelDir.isEmpty) s"model ${md.model}"
+      else s"model ${md.model} ${md.modelDir}"
+    val body = (Seq("v2", modelLine, s"hw ${md.hw}",
         s"shw ${md.shw}") ++
       md.segs.map(a => s"batch-${a.id} ${a.n} ${a.dirName}") ++
       md.tombs.map(a => s"tomb-${a.id} ${a.n} ${a.dirName}") ++
@@ -344,11 +351,33 @@ object AnnIndex {
     * index already there). The corpus pass is [[Pq.ivfPqEncode]] —
     * assignment + residual + PQ encode fused into one map-only
     * projection — plus the partitioned segment write. */
+  /** Land the parameter-sized IVF-PQ model tables (centroids,
+    * codebooks, meta) under `root` — the build writes them at the
+    * index root (model version 0), [[retrain]] under a fresh
+    * `model-<uniq>/` directory. */
+  private def writeModelArtifacts(spark: SparkSession, root: String,
+                                  centroids: Array[Array[Double]],
+                                  cbs: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (v, i) => (i + 1, v.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$root/centroids")
+    cbs.zipWithIndex
+      .flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (v, j) => (s, j + 1, v.toSeq) } }.toSeq
+      .toDF("s", "code", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$root/codebooks")
+    Seq((centroids.head.length, centroids.length, cbs.length,
+        cbs.head.length))
+      .toDF("dim", "nlist", "m", "ncode")
+      .repartition(1).write.mode("overwrite").parquet(s"$root/meta")
+  }
+
   def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
                  dir: String, centroids: Array[Array[Double]],
                  cbs: Array[Array[Array[Double]]]): Unit = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     val f = fs(spark, dir)
     val target = path(dir)
     val parent = Option(target.getParent).getOrElse(path("."))
@@ -356,19 +385,7 @@ object AnnIndex {
     val tmp = path(parent.toString + s"/_tmp.${target.getName}")
     f.delete(tmp, true)
 
-    centroids.zipWithIndex
-      .map { case (v, i) => (i + 1, v.toSeq) }.toSeq
-      .toDF("cell", "vec")
-      .repartition(1).write.parquet(s"$tmp/centroids")
-    cbs.zipWithIndex
-      .flatMap { case (cb, s) =>
-        cb.zipWithIndex.map { case (v, j) => (s, j + 1, v.toSeq) } }.toSeq
-      .toDF("s", "code", "vec")
-      .repartition(1).write.parquet(s"$tmp/codebooks")
-    Seq((centroids.head.length, centroids.length, cbs.length,
-        cbs.head.length))
-      .toDF("dim", "nlist", "m", "ncode")
-      .repartition(1).write.parquet(s"$tmp/meta")
+    writeModelArtifacts(spark, tmp.toString, centroids, cbs)
     val segName = freshName("batch-")
     val n = writeSegment(corpus, idCol, vecCol, tmp.toString, segName,
       centroids, cbs)
@@ -627,6 +644,62 @@ object AnnIndex {
     }
   }
 
+  /** MODEL-DRIFT MIGRATION (Faiss's "retrain when the distribution
+    * moves", Lucene's full re-index, done in place): re-encode the
+    * current corpus against NEW centroids/codebooks and publish the
+    * result as the next generation of the SAME manifest chain — the
+    * index keeps its directory, its generation history, and its
+    * stream dedup high-water, so time travel and checkpointed
+    * ingestion survive the migration. Appends forever encode against
+    * the model the index was BUILT with (correct for consistency,
+    * but a corpus that drifts away from its generation-0 training
+    * sample degrades recall with no remedy); retrain is the missing
+    * lifecycle verb. The new model lands under a unique `model-<uniq>/`
+    * directory and the manifest's `model` line points at it, so a
+    * reader pinned on a pre-retrain generation KEEPS SCORING WITH THE
+    * OLD MODEL — its segments were encoded with it — while post-retrain
+    * readers and appends resolve the new one. `retrain(corpus')` is
+    * hash-equivalent to `buildIvfPq(corpus')` (per-row encode is
+    * deterministic — q160 gates it) without invalidating pinned
+    * readers or the streaming checkpoint, which a rebuild-and-swap
+    * does. Like [[compact]], the snapshot it replaces is the whole
+    * corpus: the caller owns the raw vectors (the index stores only
+    * codes), so drain or pause writers whose deltas are not in
+    * `corpus` — a concurrent append loses its publish race and aborts
+    * loudly on the model-version change rather than commit stale
+    * codes. */
+  def retrain(corpus: DataFrame, idCol: String, vecCol: String,
+              dir: String, centroids: Array[Array[Double]],
+              cbs: Array[Array[Array[Double]]]): Unit = {
+    val spark = corpus.sparkSession
+    val f = fs(spark, dir)
+    var (mid, md) = refresh(f, dir)
+    val modelDir = freshName("model-")
+    writeModelArtifacts(spark, s"$dir/$modelDir", centroids, cbs)
+    val segName = freshName("batch-")
+    val n = writeSegment(corpus, idCol, vecCol, dir, segName, centroids, cbs)
+    if (n == 0) {
+      f.delete(path(s"$dir/data/$segName"), true)
+      f.delete(path(s"$dir/$modelDir"), true)
+      throw new IllegalArgumentException(
+        s"refusing to retrain $dir onto an empty corpus")
+    }
+    var attempts = 0
+    while (true) {
+      fireTestHook(dir)
+      if (tryPublish(f, dir, mid + 1, ManifestData(
+          Seq(Art(md.nextId, n, segName)), Seq.empty,
+          hw = md.nextId, shw = md.shw,
+          model = md.model + 1, modelDir = modelDir))) return
+      attempts += 1
+      if (attempts >= maxCommitAttempts)
+        throw new java.io.IOException(
+          s"retrain of $dir lost $attempts publish races — giving up")
+      val (nmid, nmd) = refresh(f, dir)
+      mid = nmid; md = nmd
+    }
+  }
+
   // ------------------------------------------------------------- SQ8
 
   /** An opened SQ8 snapshot: the 2×dim affine model + the lazy segment
@@ -865,7 +938,7 @@ object AnnIndex {
     val keptMds = kept.map(readManifest(f, dir, _))
     val liveData = keptMds.flatMap(_.segs.map(_.dirName)).toSet
     val liveTombs = keptMds.flatMap(_.tombs.map(_.dirName)).toSet
-    val liveModels = keptMds.map(_.model).toSet
+    val liveModelDirs = keptMds.map(_.modelDir).filter(_.nonEmpty).toSet
     val droppedMds = dropped.map(readManifest(f, dir, _))
     // committed-but-dropped artifacts: no writer can be mid-commit on
     // them (they are published), reclaim immediately
@@ -873,8 +946,8 @@ object AnnIndex {
       .foreach(d => f.delete(path(s"$dir/data/$d"), true): Unit)
     (droppedMds.flatMap(_.tombs.map(_.dirName)).toSet -- liveTombs)
       .foreach(d => f.delete(path(s"$dir/tomb/$d"), true): Unit)
-    (droppedMds.map(_.model).toSet -- liveModels - 0L)
-      .foreach(v => f.delete(path(s"$dir/model-v$v"), true): Unit)
+    (droppedMds.map(_.modelDir).filter(_.nonEmpty).toSet -- liveModelDirs)
+      .foreach(d => f.delete(path(s"$dir/$d"), true): Unit)
     dropped.foreach(g => f.delete(path(s"$dir/manifest/m-$g"), true): Unit)
     // true orphans: referenced by NOTHING — grace-windowed reap
     val cutoff = System.currentTimeMillis() - orphanGraceMs
@@ -910,7 +983,7 @@ object AnnIndex {
     // model artifacts resolve THROUGH the pinned manifest: a reader
     // pinned before a [[retrain]] keeps scoring with the model its
     // segments were encoded with (version 0 = the build's root dirs)
-    val mroot = if (md.model == 0L) dir else s"$dir/model-v${md.model}"
+    val mroot = if (md.modelDir.isEmpty) dir else s"$dir/${md.modelDir}"
     val meta = spark.read.parquet(s"$mroot/meta").collect().head
     val (dim, nlist, m, ncode) =
       (meta.getAs[Int]("dim"), meta.getAs[Int]("nlist"),
@@ -974,14 +1047,34 @@ object AnnIndex {
     * pruning still pushes through the semi-join's streamed side as a
     * PartitionFilter. Because per-row encode is deterministic,
     * index-over-everything + mask ≡ an index built on only the allowed
-    * rows — AnnIndexSpec pins that equivalence, q159 hash-gates it. */
+    * rows — AnnIndexSpec pins that equivalence, q159 hash-gates it.
+    *
+    * TINY-ALLOWLIST ESCAPE HATCH: a highly selective filter (a
+    * takedown review set, one tenant's documents) is a PARAMETER, not
+    * a dataset — when the distinct mask fits under `smallMask` rows it
+    * is collected once and re-planted as a broadcast LITERAL, so the
+    * search join never re-executes the allowed-side subplan (which at
+    * 100 TB may itself be a corpus scan) and the optimizer sees a
+    * guaranteed-broadcast build side instead of an estimate. Ranking
+    * semantics are IDENTICAL on both paths (`nprobe` governs the
+    * candidate cells either way — the hatch changes plan shape only),
+    * which is what keeps one oracle valid for both; q161 gates the
+    * literal-mask plan, AnnIndexSpec asserts the probe PartitionFilter
+    * survives it. */
   def topKWhere(idx: Loaded, queries: DataFrame, idCol: String,
                 vecCol: String, allowed: DataFrame, allowedIdCol: String,
                 k: Int = 10, nprobe: Int = 4,
-                prune: Boolean = true): DataFrame = {
+                prune: Boolean = true, smallMask: Int = 1024): DataFrame = {
+    val spark = queries.sparkSession
     val mask = allowed.select(col(allowedIdCol).cast("long")
       .as("neighbor_id")).distinct()
-    topK(idx.copy(codes = idx.codes.join(mask, Seq("neighbor_id"),
+    val small = mask.limit(smallMask + 1).collect()
+    val maskFrame =
+      if (small.length <= smallMask)
+        broadcast(spark.createDataFrame(
+          java.util.Arrays.asList(small: _*), mask.schema))
+      else mask
+    topK(idx.copy(codes = idx.codes.join(maskFrame, Seq("neighbor_id"),
         "left_semi")),
       queries, idCol, vecCol, k, nprobe, prune)
   }

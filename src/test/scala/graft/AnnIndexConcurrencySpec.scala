@@ -208,6 +208,85 @@ class AnnIndexConcurrencySpec extends AnyFunSuite {
     assert(AnnIndex.load(spark, dir).codes.count() == 40)
   }
 
+  test("retrain: new model, same manifest chain — equals a fresh build; pinned readers keep the old model") {
+    val e = corpus(0, 60).cache()
+    val (goodC, goodCb) = model(e)
+    // a deliberately-wrong initial model: trained on the REVERSED
+    // vectors — valid shape, poor fit, so the migration is observable
+    val (badC, badCb) = model(e.select(col("vec_id"),
+      reverse(col("embedding")).as("embedding")))
+    val root = tmpDir()
+    val dir = s"$root/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, badC, badCb)
+    val pre = AnnIndex.load(spark, dir)
+    AnnIndex.retrain(e, "vec_id", "embedding", dir, goodC, goodCb)
+    val post = AnnIndex.load(spark, dir)
+    // the migrated index is hash-equivalent to a fresh build on the
+    // new model (deterministic per-row encode) ...
+    val seq = s"$root/seq"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", seq, goodC, goodCb)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    assert(search(post, q) == search(AnnIndex.load(spark, seq), q),
+      "retrain diverged from a fresh build on the same model")
+    // ... while the pre-retrain snapshot STILL scores with the model
+    // its segments were encoded with — both the open handle and a
+    // time-travel read of generation 0
+    assert(pre.centroids.map(_.toSeq).toSeq == badC.map(_.toSeq).toSeq)
+    assert(AnnIndex.load(spark, dir, asOf = Some(0L))
+      .centroids.map(_.toSeq).toSeq == badC.map(_.toSeq).toSeq)
+    assert(post.centroids.map(_.toSeq).toSeq == goodC.map(_.toSeq).toSeq)
+    // and appends after the migration encode against the NEW model
+    val dir2 = s"$root/grow"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 40), "vec_id", "embedding",
+      dir2, badC, badCb)
+    AnnIndex.retrain(e.filter(col("vec_id") < 40), "vec_id", "embedding",
+      dir2, goodC, goodCb)
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 40), "vec_id",
+      "embedding", dir2)
+    assert(search(AnnIndex.load(spark, dir2), q) ==
+      search(AnnIndex.load(spark, seq), q),
+      "post-retrain append did not encode with the migrated model")
+  }
+
+  test("a concurrent retrain aborts an in-flight append loudly (stale-model codes never commit)") {
+    val e = corpus(0, 60).cache()
+    val (goodC, goodCb) = model(e)
+    val (badC, badCb) = model(e.select(col("vec_id"),
+      reverse(col("embedding")).as("embedding")))
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 40), "vec_id", "embedding",
+      dir, badC, badCb)
+    AnnIndex.testBeforePublish.put(dir,
+      () => AnnIndex.retrain(e.filter(col("vec_id") < 40), "vec_id",
+        "embedding", dir, goodC, goodCb))
+    intercept[java.util.ConcurrentModificationException] {
+      AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 40), "vec_id",
+        "embedding", dir)
+    }
+    // the aborted append left nothing visible; the retrain won cleanly
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.nrows == 40)
+    assert(idx.centroids.map(_.toSeq).toSeq == goodC.map(_.toSeq).toSeq)
+  }
+
+  test("expire reclaims model directories only dropped generations pin") {
+    val e = corpus(0, 40).cache()
+    val (goodC, goodCb) = model(e)
+    val (badC, badCb) = model(e.select(col("vec_id"),
+      reverse(col("embedding")).as("embedding")))
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, badC, badCb)
+    AnnIndex.retrain(e, "vec_id", "embedding", dir, goodC, goodCb) // m-1
+    AnnIndex.retrain(e, "vec_id", "embedding", dir, goodC, goodCb) // m-2
+    val modelDirs0 = new java.io.File(dir).list().count(_.startsWith("model-"))
+    assert(modelDirs0 == 2, s"expected two retrain model dirs, got $modelDirs0")
+    AnnIndex.expire(spark, dir, keepLast = 1)
+    val modelDirs1 = new java.io.File(dir).list().count(_.startsWith("model-"))
+    assert(modelDirs1 == 1, "superseded model dir not reclaimed")
+    // the survivor is exactly the pinned generation's model
+    assert(AnnIndex.load(spark, dir).codes.count() == 40)
+  }
+
   test("expire leaves fresh orphans alone (grace window) but reaps aged ones") {
     val e = corpus(0, 20).cache()
     val (cents, cbs) = model(e)

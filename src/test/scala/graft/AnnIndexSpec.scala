@@ -695,6 +695,82 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ pruned probe partition filter survives tombstones too") {
+    import spark.implicits._
+    val e = corpus(60).cache()
+    val (cents, _) = model(e)
+    val dir = s"${tmpDir()}/sq"
+    AnnIndex.buildSq(e, "vec_id", "embedding", dir,
+      graft.operators.Sq.fit(e, "embedding"), Some(cents))
+    AnnIndex.delete(Seq(11L, 22L, 33L).toDF("vec_id"), "vec_id", dir)
+    val idx = AnnIndex.loadSq(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try AnnIndex.topKSq(idx, q, "vec_id", "embedding", k = 3, nprobe = 1,
+        prune = true).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val segScans = plan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains("/data/batch-"))
+        => sc
+    }
+    assert(segScans.nonEmpty)
+    segScans.foreach { scan =>
+      assert(scan.partitionFilters.nonEmpty,
+        "tombstone anti-join blocked the SQ probe filter from reaching the scan")
+      assert(scan.relation.location.listFiles(
+        scan.partitionFilters, scan.dataFilters).length == 1,
+        "SQ pruned read stopped pruning once tombstones were present")
+    }
+  }
+
+  test("topKWhere tiny allowlist: mask re-plants as a broadcast literal, probe filter still prunes") {
+    val e = corpus(60).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    val idx = AnnIndex.load(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+    val allowed = e.filter(col("vec_id").isin(5L, 6L, 7L, 8L, 9L))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (small, big) =
+      try {
+        val s = AnnIndex.topKWhere(idx, q, "vec_id", "embedding",
+          allowed = allowed, allowedIdCol = "vec_id", k = 3, nprobe = 1)
+        val plan = s.queryExecution.executedPlan
+        // the allowed-side subplan collapsed to a literal local relation
+        assert(plan.exists {
+          case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+          case _ => false
+        }, s"tiny mask was not re-planted as a literal:\n$plan")
+        // ... without a SECOND parquet scan for the mask: every file
+        // scan in the plan reads index segments, none the corpus
+        val scans = plan.collect {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc }
+        assert(scans.nonEmpty && scans.forall(
+          _.relation.location.rootPaths.exists(_.toString.contains("/data/batch-"))),
+          "the literal-mask path still scanned the allowed-side source")
+        // and the probe PartitionFilter survives the semi-join
+        scans.foreach { scan =>
+          assert(scan.partitionFilters.nonEmpty)
+          assert(scan.relation.location.listFiles(
+            scan.partitionFilters, scan.dataFilters).length == 1)
+        }
+        // semantics identical to the big-mask plan (smallMask = 0
+        // disables the hatch): same oracle covers both paths
+        (s.collect().map(_.toSeq).toSet,
+          AnnIndex.topKWhere(idx, q, "vec_id", "embedding",
+            allowed = allowed, allowedIdCol = "vec_id", k = 3, nprobe = 1,
+            smallMask = 0).collect().map(_.toSeq).toSet)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(small == big, "escape hatch changed ranking semantics")
+    assert(small.nonEmpty &&
+      small.forall(r => Set(5L, 6L, 7L, 8L, 9L)(r(1).asInstanceOf[Long])))
+  }
+
   test("describe: one row per generation x artifact, high-waters visible, no data reads") {
     import spark.implicits._
     val e = corpus(40).cache()

@@ -175,7 +175,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(qs == os,
       s"queries without an oracle: ${(qs -- os).toSeq.sorted.mkString(", ")}; " +
         s"orphan oracles: ${(os -- qs).toSeq.sorted.mkString(", ")}")
-    assert(qs.size >= 159, s"registered query count regressed: ${qs.size}")
+    assert(qs.size >= 162, s"registered query count regressed: ${qs.size}")
   }
 
   test("every registered query satisfies the standing plan rules") {
