@@ -325,7 +325,13 @@ object TextDedup {
     * The sketch is packed into ONE long per document before the join:
     * chunk keys are bit-slices (`shiftright` + mask) and verification is a
     * single `bit_count(a ^ b)` — no arrays ever reach the shuffle, so each
-    * joined row is (id, long, int, long) regardless of document size. */
+    * joined row is (id, long, int, long) regardless of document size.
+    *
+    * `maxHamming` is CAPPED at 3 (nChunks − 1): the pigeonhole guarantee
+    * only holds up to one less than the chunk count, so a larger radius
+    * would silently miss pairs — the call throws instead (loud over
+    * incomplete; widen the radius by raising the chunk count, at the
+    * cost of more candidate pairs). */
   def simHashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3): DataFrame =
     packedNearDups(docs.select(col(idCol).as("_id"),
@@ -365,7 +371,10 @@ object TextDedup {
     * hamming <= 3 over any 4-way bit partition shares a chunk), verified
     * by `bit_count(a ^ b)`. Same shape as [[simHashNearDups]] — one
     * packed long per doc on the shuffle — but every step is plain SQL
-    * (`md5` hex parse + shifts), so the whole query is DuckDB-checkable. */
+    * (`md5` hex parse + shifts), so the whole query is DuckDB-checkable.
+    * Same `maxHamming <= 3` precondition as [[simHashNearDups]]
+    * (pigeonhole over 4 chunks) — larger radii throw rather than
+    * silently under-report. */
   def simHashNearDups60(docs: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 3): DataFrame =
     packedNearDups(docs.select(col(idCol).as("_id"),

@@ -415,8 +415,9 @@ object AnnIndex {
     * that derives segment ids from replayable batch ids collides with
     * the compacted segment and silently drops the batch. A crash
     * BETWEEN segment write and manifest publish leaves an unlisted
-    * (invisible) segment at hw+1; the replay overwrites it and
-    * publishes — either way the manifest lists the rows exactly once.
+    * (invisible) staged directory; the replay stages afresh and
+    * publishes — the manifest lists the rows exactly once, and the
+    * orphan is reclaimed by [[expire]] past its grace window.
     * An EMPTY delta is dropped before any manifest change (a zero-row
     * segment would wedge every checkpoint replay on schema inference).
     * A lost publish race (a concurrent delete/compact/append won the
@@ -488,7 +489,8 @@ object AnnIndex {
     * not at all, and the stale vector can never surface again. Same
     * `dedupKey` replay contract and empty-batch short-circuit as
     * [[appendIvfPq]]; a crash between the artifact writes and the
-    * publish re-lands both at the same ids. Rows within one batch must
+    * publish re-lands both (the orphaned staging is expire-reclaimed
+    * past its grace window). Rows within one batch must
     * be unique per id (tombstones separate BATCHES, not rows — reduce
     * to latest-per-key first, [[UpsertSink.upsert]]'s convention).
     * Pair with [[UpsertSink.applyBatch]] in the same foreachBatch to
