@@ -4538,6 +4538,33 @@ object QueriesText {
                    CAST(rn AS INT) AS rank
             FROM r WHERE rn <= 3"""))
 
+  // --------------------------------------------------------------- q163
+  // Filtered search on the CHEAP tier (q159's SQ8 twin): the persisted
+  // SQ index is built on the full corpus (the affine model is fitted
+  // on everything — mask-at-read must score each allowed row exactly
+  // as the unfiltered scan would), then topKWhereSq semi-joins the
+  // allowed-id set (label < 5, half the corpus) into the codes scan
+  // BEFORE the factored-dot ranking. The oracle is the q130 scoring
+  // chain with the candidate restriction on the CODES side — one
+  // disallowed neighbor, one shifted rank, or a model refitted on the
+  // masked subset (the subtle wrong way to build this) flips the hash.
+  private val q163 = Q("q163_sq_filtered_search",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m = graft.operators.Sq.fit(e, "embedding")
+      val idxDir = graft.streaming.StreamHarness.scratch("sq_filter_q163")
+      val d = s"$idxDir/sq8"
+      graft.sources.AnnIndex.buildSq(e, "vec_id", "embedding", d, m)
+      val idx = graft.sources.AnnIndex.loadSq(s, d)
+      graft.sources.AnnIndex.topKWhereSq(idx,
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        allowed = e.filter(col("label") < 5), allowedIdCol = "vec_id",
+        k = 3)
+    },
+    Some("WITH " + sqScoringCtes("vec_id % 50 = 0",
+      "JOIN (SELECT vec_id FROM embeddings WHERE label < 5) cand " +
+        "ON cand.vec_id = e.vec_id")))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
@@ -4545,5 +4572,5 @@ object QueriesText {
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163)
 }

@@ -244,7 +244,13 @@ object ScaleStress {
       // retrain re-encode) with the q142 serving read; q162 = q159
       // with the mask a 5-id LITERAL at every factor, so the filtered
       // read term should be ~flat and growth build-dominated
-      "q160_ann_retention", "q161_ann_retrain", "q162_ann_filtered_tiny")
+      "q160_ann_retention", "q161_ann_retrain", "q162_ann_filtered_tiny",
+      // q163 = q148's flat-SQ build + the masked ADC scan over a
+      // corpus-derived %50 query panel — pair volume grows ~900x/2 by
+      // construction (queries x allowed both track the corpus), the
+      // q155 exactness-gate class; the scale path is the fixed-panel
+      // pruned read (q156's shape) with the mask composed
+      "q163_sq_filtered_search")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",

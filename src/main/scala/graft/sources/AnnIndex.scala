@@ -822,9 +822,14 @@ object AnnIndex {
     }
   }
 
-  /** Open the current SQ8 snapshot (model validated against meta;
-    * coarse centroids loaded when the index has the cell layout). */
-  def loadSq(spark: SparkSession, dir: String): LoadedSq = {
+  /** Open an SQ8 snapshot (model validated against meta; coarse
+    * centroids loaded when the index has the cell layout). `asOf`
+    * time-travels to an older manifest generation exactly as
+    * [[load]]'s does — the manifest machinery is shared across both
+    * index families, so retention ([[expire]]`(keepLast)`) and pinned
+    * reads behave identically on the cheap tier. */
+  def loadSq(spark: SparkSession, dir: String,
+             asOf: Option[Long] = None): LoadedSq = {
     val f = fs(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").collect().head
     require(meta.schema.fieldNames.contains("kind") &&
@@ -844,8 +849,10 @@ object AnnIndex {
         .map(_.getSeq[Double](1).toArray))
     cents.foreach(c => require(c.forall(_.length == dim),
       s"centroids table does not match meta (dim $dim)"))
-    val mid = currentManifestId(f, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest under $dir"))
+    val mid = asOf.getOrElse(currentManifestId(f, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest under $dir")))
+    require(f.exists(path(s"$dir/manifest/m-$mid")),
+      s"manifest m-$mid does not exist under $dir (expired or never published)")
     val md = readManifest(f, dir, mid)
     LoadedSq(m, cents, visibleUnion(spark, dir, md), md.segs.map(_.n).sum,
       md.segs.map(_.id))
@@ -1063,20 +1070,48 @@ object AnnIndex {
     * which is what keeps one oracle valid for both; q161 gates the
     * literal-mask plan, AnnIndexSpec asserts the probe PartitionFilter
     * survives it. */
+  /** The distinct allowed-id mask, re-planted as a broadcast LITERAL
+    * when it fits under `smallMask` rows (the tiny-allowlist hatch
+    * shared by [[topKWhere]] and [[topKWhereSq]]). */
+  private def allowedMask(spark: SparkSession, allowed: DataFrame,
+                          allowedIdCol: String, smallMask: Int): DataFrame = {
+    val mask = allowed.select(col(allowedIdCol).cast("long")
+      .as("neighbor_id")).distinct()
+    val small = mask.limit(smallMask + 1).collect()
+    if (small.length <= smallMask)
+      broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(small: _*), mask.schema))
+    else mask
+  }
+
   def topKWhere(idx: Loaded, queries: DataFrame, idCol: String,
                 vecCol: String, allowed: DataFrame, allowedIdCol: String,
                 k: Int = 10, nprobe: Int = 4,
                 prune: Boolean = true, smallMask: Int = 1024): DataFrame = {
-    val spark = queries.sparkSession
-    val mask = allowed.select(col(allowedIdCol).cast("long")
-      .as("neighbor_id")).distinct()
-    val small = mask.limit(smallMask + 1).collect()
-    val maskFrame =
-      if (small.length <= smallMask)
-        broadcast(spark.createDataFrame(
-          java.util.Arrays.asList(small: _*), mask.schema))
-      else mask
-    topK(idx.copy(codes = idx.codes.join(maskFrame, Seq("neighbor_id"),
+    val mask = allowedMask(queries.sparkSession, allowed, allowedIdCol,
+      smallMask)
+    topK(idx.copy(codes = idx.codes.join(mask, Seq("neighbor_id"),
+        "left_semi")),
+      queries, idCol, vecCol, k, nprobe, prune)
+  }
+
+  /** [[topKWhere]]'s cheap-tier twin: filtered search over an SQ8
+    * snapshot with the same PRE-FILTER semantics (the allowed-id set is
+    * semi-joined into the codes scan BEFORE ranking, so each query
+    * still returns up to k ALLOWED neighbors) and the same
+    * tiny-allowlist literal hatch. The SQ model is fitted on the WHOLE
+    * corpus at build time, so mask-at-read scores each allowed row
+    * exactly as the unfiltered scan would — the restriction changes
+    * which rows are ranked, never how (q163 hash-gates it). Works on
+    * flat and cell-partitioned layouts; `prune = true` composes the
+    * probe PartitionFilter with the mask exactly as [[topKSq]] does. */
+  def topKWhereSq(idx: LoadedSq, queries: DataFrame, idCol: String,
+                  vecCol: String, allowed: DataFrame, allowedIdCol: String,
+                  k: Int = 10, nprobe: Int = 4,
+                  prune: Boolean = false, smallMask: Int = 1024): DataFrame = {
+    val mask = allowedMask(queries.sparkSession, allowed, allowedIdCol,
+      smallMask)
+    topKSq(idx.copy(codes = idx.codes.join(mask, Seq("neighbor_id"),
         "left_semi")),
       queries, idCol, vecCol, k, nprobe, prune)
   }

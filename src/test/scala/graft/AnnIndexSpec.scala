@@ -695,6 +695,47 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ filtered search: pre-filter semantics, literal hatch semantics-neutral, asOf pins") {
+    import spark.implicits._
+    val e = corpus(60).cache()
+    val (cents, _) = model(e)
+    val dir = s"${tmpDir()}/sq"
+    AnnIndex.buildSq(e, "vec_id", "embedding", dir,
+      graft.operators.Sq.fit(e, "embedding"), Some(cents))
+    val idx = AnnIndex.loadSq(spark, dir)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val allowedPred = col("vec_id") % 3 =!= 0
+    val got = AnnIndex.topKWhereSq(idx, q, "vec_id", "embedding",
+        allowed = e.filter(allowedPred), allowedIdCol = "vec_id", k = 3)
+      .collect().map(_.toSeq).toSet
+    // no disallowed neighbor anywhere, and k allowed neighbors returned
+    assert(got.nonEmpty &&
+      got.forall(r => r(1).asInstanceOf[Long] % 3 != 0),
+      "SQ filtered search surfaced a disallowed neighbor")
+    // identical to manually restricting the codes scan (the model was
+    // fitted on the FULL corpus — mask-at-read must not refit)
+    val want = AnnIndex.topKSq(
+        idx.copy(codes = idx.codes.filter(col("neighbor_id") % 3 =!= 0)),
+        q, "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    // the literal hatch (40 allowed ids <= smallMask) ranks identically
+    // to the big-mask plan
+    val big = AnnIndex.topKWhereSq(idx, q, "vec_id", "embedding",
+        allowed = e.filter(allowedPred), allowedIdCol = "vec_id", k = 3,
+        smallMask = 0)
+      .collect().map(_.toSeq).toSet
+    assert(got == big, "SQ tiny-mask hatch changed ranking semantics")
+    // asOf: a generation pinned before an append never sees its rows
+    AnnIndex.appendSq(e.select(col("vec_id") + lit(1000L) as "vec_id",
+      col("embedding")), "vec_id", "embedding", dir)
+    assert(AnnIndex.loadSq(spark, dir).nrows == 120)
+    assert(AnnIndex.loadSq(spark, dir, asOf = Some(0L)).codes.count() == 60)
+    val ex = intercept[IllegalArgumentException](
+      AnnIndex.loadSq(spark, dir, asOf = Some(9L)))
+    assert(ex.getMessage.contains("m-9"))
+  }
+
   test("SQ pruned probe partition filter survives tombstones too") {
     import spark.implicits._
     val e = corpus(60).cache()

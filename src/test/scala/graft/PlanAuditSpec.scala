@@ -101,6 +101,12 @@ class PlanAuditSpec extends AnyFunSuite {
         "PartitionFilter-restricted cell directories — the query side " +
         "is the 8-id literal panel (bounded at every corpus size), the " +
         "scanned side is nprobe/nlist of the codes (PLANS.md q156 row)"),
+    "q163_sq_filtered_search" ->
+      ("q148's filtered twin: the SAME SQ8 ADC scan shape (1/50-sampled " +
+        "query batch broadcast over the codes scan — q130's exemption) " +
+        "with one left-semi mask join on the codes side; the mask is " +
+        "half the corpus's ids at the gate SF and a broadcast literal " +
+        "for review-set-sized filters (PLANS.md q163 row)"),
     "q153_ann_index_serve" ->
       ("embeds q33's brute-force exactness baseline as the serving " +
         "panel's recall GROUND TRUTH — the query side is an 8-id " +
@@ -175,7 +181,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(qs == os,
       s"queries without an oracle: ${(qs -- os).toSeq.sorted.mkString(", ")}; " +
         s"orphan oracles: ${(os -- qs).toSeq.sorted.mkString(", ")}")
-    assert(qs.size >= 162, s"registered query count regressed: ${qs.size}")
+    assert(qs.size >= 163, s"registered query count regressed: ${qs.size}")
   }
 
   test("every registered query satisfies the standing plan rules") {
