@@ -4565,6 +4565,32 @@ object QueriesText {
       "JOIN (SELECT vec_id FROM embeddings WHERE label < 5) cand " +
         "ON cand.vec_id = e.vec_id")))
 
+  // --------------------------------------------------------------- q164
+  // Model-drift migration on the CHEAP tier (q161's SQ8 twin): the
+  // index is first built with an affine model fitted on a 100-row
+  // SUBSET (valid dim, too-narrow ranges — out-of-range dimensions
+  // clamp, so its codes genuinely differ), then retrainSq re-fits on
+  // the full corpus and re-encodes into the same manifest chain. The
+  // migrated search must hash-equal q130's verbatim SQ oracle (whose
+  // mm CTE is exactly the full-corpus min/max fit) — i.e.
+  // retrainSq(corpus) ≡ buildSq(corpus); one stale clamp range flips
+  // the hash.
+  private val q164 = Q("q164_sq_retrain",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val badM = graft.operators.Sq.fit(
+        e.filter(col("vec_id") < 100), "embedding")
+      val m = graft.operators.Sq.fit(e, "embedding")
+      val idxDir = graft.streaming.StreamHarness.scratch("sq_rt_q164")
+      val d = s"$idxDir/sq8"
+      graft.sources.AnnIndex.buildSq(e, "vec_id", "embedding", d, badM)
+      graft.sources.AnnIndex.retrainSq(e, "vec_id", "embedding", d, m)
+      val idx = graft.sources.AnnIndex.loadSq(s, d)
+      graft.sources.AnnIndex.topKSq(idx,
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 3)
+    },
+    Some(sqOracle))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
@@ -4572,5 +4598,5 @@ object QueriesText {
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164)
 }

@@ -250,7 +250,11 @@ object ScaleStress {
       // construction (queries x allowed both track the corpus), the
       // q155 exactness-gate class; the scale path is the fixed-panel
       // pruned read (q156's shape) with the mask composed
-      "q163_sq_filtered_search")
+      "q163_sq_filtered_search",
+      // q164 = two flat-SQ encode passes (subset-fit build + full-fit
+      // retrain) + q148's masked-free ADC read over the re-encoded
+      // segment — q148's write-dominated class at ~2x build volume
+      "q164_sq_retrain")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",

@@ -756,11 +756,30 @@ object AnnIndex {
     * partition column, the centroids persist beside the model, and
     * [[topKSq]] gains the probe-pruned read path — while the default
     * full scan stays hash-identical to the flat layout (q155's gate). */
+  /** Land the parameter-sized SQ model tables (affine model, meta,
+    * optional coarse centroids) under `root` — the build writes them
+    * at the index root (model version 0), [[retrainSq]] under a fresh
+    * `model-<uniq>/` directory. */
+  private def writeSqModelArtifacts(spark: SparkSession, root: String,
+                                    m: graft.operators.Sq.Model,
+                                    centroids: Option[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    (0 until m.dim).map(i => (i, m.mins(i), m.steps(i), m.invSteps(i)))
+      .toDF("i", "mn", "step", "inv")
+      .repartition(1).write.mode("overwrite").parquet(s"$root/model")
+    Seq((m.dim, "sq8")).toDF("dim", "kind")
+      .repartition(1).write.mode("overwrite").parquet(s"$root/meta")
+    centroids.foreach { cents =>
+      cents.zipWithIndex.map { case (v, i) => (i + 1, v.toSeq) }.toSeq
+        .toDF("cell", "vec")
+        .repartition(1).write.mode("overwrite").parquet(s"$root/centroids")
+    }
+  }
+
   def buildSq(corpus: DataFrame, idCol: String, vecCol: String,
               dir: String, m: graft.operators.Sq.Model,
               centroids: Option[Array[Array[Double]]] = None): Unit = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     val f = fs(spark, dir)
     val target = path(dir)
     val parent = Option(target.getParent).getOrElse(path("."))
@@ -768,16 +787,7 @@ object AnnIndex {
     val tmp = path(parent.toString + s"/_tmp.${target.getName}")
     f.delete(tmp, true)
 
-    (0 until m.dim).map(i => (i, m.mins(i), m.steps(i), m.invSteps(i)))
-      .toDF("i", "mn", "step", "inv")
-      .repartition(1).write.parquet(s"$tmp/model")
-    Seq((m.dim, "sq8")).toDF("dim", "kind")
-      .repartition(1).write.parquet(s"$tmp/meta")
-    centroids.foreach { cents =>
-      cents.zipWithIndex.map { case (v, i) => (i + 1, v.toSeq) }.toSeq
-        .toDF("cell", "vec")
-        .repartition(1).write.parquet(s"$tmp/centroids")
-    }
+    writeSqModelArtifacts(spark, tmp.toString, m, centroids)
     val segName = freshName("batch-")
     val n = writeSqSegment(corpus, idCol, vecCol, tmp.toString, segName, m,
       centroids)
@@ -799,7 +809,7 @@ object AnnIndex {
     val f = fs(spark, dir)
     var (mid, md) = refresh(f, dir)
     if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
-    val idx = loadSq(spark, dir)
+    val idx = loadSq(spark, dir, asOf = Some(mid))
     val segName = freshName("batch-")
     val n = writeSqSegment(delta, idCol, vecCol, dir, segName, idx.model,
       idx.centroids)
@@ -818,6 +828,12 @@ object AnnIndex {
       if (dedupKey.exists(_ <= nmd.shw)) { // a replica committed this batch
         f.delete(path(s"$dir/data/$segName"), true); return
       }
+      if (nmd.model != md.model) {
+        f.delete(path(s"$dir/data/$segName"), true)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent retrain of $dir (model ${md.model} -> ${nmd.model}) " +
+            "— this segment was encoded with the old model; re-run the append")
+      }
       mid = nmid; md = nmd
     }
   }
@@ -828,32 +844,76 @@ object AnnIndex {
     * [[load]]'s does — the manifest machinery is shared across both
     * index families, so retention ([[expire]]`(keepLast)`) and pinned
     * reads behave identically on the cheap tier. */
+  /** [[retrain]]'s cheap-tier twin: re-fit the affine model (and
+    * optionally the coarse quantizer) on the current corpus and
+    * re-encode it as the next generation of the SAME manifest chain.
+    * Identical contract: `retrainSq(corpus')` ≡ `buildSq(corpus')`
+    * (q164 gates it), pinned pre-retrain readers keep the old model
+    * through the manifest's model pointer, post-retrain appends
+    * resolve the new one, and a concurrent [[appendSq]] aborts loudly
+    * on the model-version change. An SQ model drifts exactly like an
+    * IVF one — the per-dimension min/max ranges fitted at build time
+    * clip vectors a moved distribution produces. */
+  def retrainSq(corpus: DataFrame, idCol: String, vecCol: String,
+                dir: String, m: graft.operators.Sq.Model,
+                centroids: Option[Array[Array[Double]]] = None): Unit = {
+    val spark = corpus.sparkSession
+    val f = fs(spark, dir)
+    var (mid, md) = refresh(f, dir)
+    val modelDir = freshName("model-")
+    writeSqModelArtifacts(spark, s"$dir/$modelDir", m, centroids)
+    val segName = freshName("batch-")
+    val n = writeSqSegment(corpus, idCol, vecCol, dir, segName, m, centroids)
+    if (n == 0) {
+      f.delete(path(s"$dir/data/$segName"), true)
+      f.delete(path(s"$dir/$modelDir"), true)
+      throw new IllegalArgumentException(
+        s"refusing to retrain $dir onto an empty corpus")
+    }
+    var attempts = 0
+    while (true) {
+      fireTestHook(dir)
+      if (tryPublish(f, dir, mid + 1, ManifestData(
+          Seq(Art(md.nextId, n, segName)), Seq.empty,
+          hw = md.nextId, shw = md.shw,
+          model = md.model + 1, modelDir = modelDir))) return
+      attempts += 1
+      if (attempts >= maxCommitAttempts)
+        throw new java.io.IOException(
+          s"retrain of $dir lost $attempts publish races — giving up")
+      val (nmid, nmd) = refresh(f, dir)
+      mid = nmid; md = nmd
+    }
+  }
+
   def loadSq(spark: SparkSession, dir: String,
              asOf: Option[Long] = None): LoadedSq = {
     val f = fs(spark, dir)
-    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    val mid = asOf.getOrElse(currentManifestId(f, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest under $dir")))
+    require(f.exists(path(s"$dir/manifest/m-$mid")),
+      s"manifest m-$mid does not exist under $dir (expired or never published)")
+    val md = readManifest(f, dir, mid)
+    // model artifacts resolve THROUGH the pinned manifest (see [[load]])
+    val mroot = if (md.modelDir.isEmpty) dir else s"$dir/${md.modelDir}"
+    val meta = spark.read.parquet(s"$mroot/meta").collect().head
     require(meta.schema.fieldNames.contains("kind") &&
         meta.getAs[String]("kind") == "sq8",
       s"$dir is not an sq8 index")
     val dim = meta.getAs[Int]("dim")
-    val rows = spark.read.parquet(s"$dir/model").orderBy("i").collect()
+    val rows = spark.read.parquet(s"$mroot/model").orderBy("i").collect()
     require(rows.length == dim, s"model table does not match meta ($dim dims)")
     val m = graft.operators.Sq.Model(
       rows.map(_.getAs[Double]("mn")),
       rows.map(_.getAs[Double]("step")),
       rows.map(_.getAs[Double]("inv")))
     val cents =
-      if (!f.exists(path(s"$dir/centroids"))) None
-      else Some(spark.read.parquet(s"$dir/centroids")
+      if (!f.exists(path(s"$mroot/centroids"))) None
+      else Some(spark.read.parquet(s"$mroot/centroids")
         .orderBy("cell").collect()
         .map(_.getSeq[Double](1).toArray))
     cents.foreach(c => require(c.forall(_.length == dim),
       s"centroids table does not match meta (dim $dim)"))
-    val mid = asOf.getOrElse(currentManifestId(f, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest under $dir")))
-    require(f.exists(path(s"$dir/manifest/m-$mid")),
-      s"manifest m-$mid does not exist under $dir (expired or never published)")
-    val md = readManifest(f, dir, mid)
     LoadedSq(m, cents, visibleUnion(spark, dir, md), md.segs.map(_.n).sum,
       md.segs.map(_.id))
   }

@@ -269,6 +269,46 @@ class AnnIndexConcurrencySpec extends AnyFunSuite {
     assert(idx.centroids.map(_.toSeq).toSeq == goodC.map(_.toSeq).toSeq)
   }
 
+  test("retrainSq: cheap-tier drift migration — pinned readers keep the old model, appends pick up the new") {
+    val e = corpus(0, 60).cache()
+    val dir = s"${tmpDir()}/sq"
+    val badM = graft.operators.Sq.fit(
+      e.filter(col("vec_id") < 10), "embedding") // too-narrow ranges
+    val goodM = graft.operators.Sq.fit(e, "embedding")
+    AnnIndex.buildSq(e.filter(col("vec_id") < 40), "vec_id", "embedding",
+      dir, badM)
+    val pre = AnnIndex.loadSq(spark, dir)
+    AnnIndex.retrainSq(e.filter(col("vec_id") < 40), "vec_id", "embedding",
+      dir, goodM)
+    // appends after the migration encode against the NEW model
+    AnnIndex.appendSq(e.filter(col("vec_id") >= 40), "vec_id", "embedding",
+      dir)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val seq = s"${tmpDir()}/seq"
+    AnnIndex.buildSq(e, "vec_id", "embedding", seq, goodM)
+    val got = AnnIndex.topKSq(AnnIndex.loadSq(spark, dir), q, "vec_id",
+      "embedding", k = 3).collect().map(_.toSeq).toSet
+    val want = AnnIndex.topKSq(AnnIndex.loadSq(spark, seq), q, "vec_id",
+      "embedding", k = 3).collect().map(_.toSeq).toSet
+    assert(got == want, "SQ retrain+append diverged from a fresh build")
+    // the pinned pre-retrain handle and asOf=0 keep the subset fit
+    assert(pre.model.mins.toSeq == badM.mins.toSeq)
+    assert(AnnIndex.loadSq(spark, dir, asOf = Some(0L))
+      .model.mins.toSeq == badM.mins.toSeq)
+    // a concurrent retrain aborts an in-flight SQ append loudly
+    val dir2 = s"${tmpDir()}/sq2"
+    AnnIndex.buildSq(e.filter(col("vec_id") < 40), "vec_id", "embedding",
+      dir2, badM)
+    AnnIndex.testBeforePublish.put(dir2,
+      () => AnnIndex.retrainSq(e.filter(col("vec_id") < 40), "vec_id",
+        "embedding", dir2, goodM))
+    intercept[java.util.ConcurrentModificationException] {
+      AnnIndex.appendSq(e.filter(col("vec_id") >= 40), "vec_id",
+        "embedding", dir2)
+    }
+    assert(AnnIndex.loadSq(spark, dir2).nrows == 40)
+  }
+
   test("expire reclaims model directories only dropped generations pin") {
     val e = corpus(0, 40).cache()
     val (goodC, goodCb) = model(e)

@@ -736,6 +736,41 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("m-9"))
   }
 
+  test("SQ filtered + pruned compose: mask semi-join under the probe partition filter") {
+    val e = corpus(60).cache()
+    val (cents, _) = model(e)
+    val dir = s"${tmpDir()}/sqc"
+    AnnIndex.buildSq(e, "vec_id", "embedding", dir,
+      graft.operators.Sq.fit(e, "embedding"), Some(cents))
+    val idx = AnnIndex.loadSq(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+    val allowed = e.filter(col("vec_id") % 3 =!= 0)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val res =
+      try {
+        val r = AnnIndex.topKWhereSq(idx, q, "vec_id", "embedding",
+          allowed = allowed, allowedIdCol = "vec_id", k = 3, nprobe = 1,
+          prune = true)
+        val scans = r.queryExecution.executedPlan.collect {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec
+              if sc.relation.location.rootPaths.exists(_.toString.contains("/data/batch-"))
+            => sc
+        }
+        assert(scans.nonEmpty)
+        scans.foreach { scan =>
+          assert(scan.partitionFilters.nonEmpty,
+            "mask semi-join blocked the SQ probe filter from the scan")
+          assert(scan.relation.location.listFiles(
+            scan.partitionFilters, scan.dataFilters).length == 1,
+            "filtered pruned read stopped pruning")
+        }
+        r.collect().map(_.toSeq).toSet
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(res.nonEmpty &&
+      res.forall(r => r(1).asInstanceOf[Long] % 3 != 0))
+  }
+
   test("SQ pruned probe partition filter survives tombstones too") {
     import spark.implicits._
     val e = corpus(60).cache()

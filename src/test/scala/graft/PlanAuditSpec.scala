@@ -107,6 +107,12 @@ class PlanAuditSpec extends AnyFunSuite {
         "with one left-semi mask join on the codes side; the mask is " +
         "half the corpus's ids at the gate SF and a broadcast literal " +
         "for review-set-sized filters (PLANS.md q163 row)"),
+    "q164_sq_retrain" ->
+      ("q148's retrained twin: the SAME SQ8 ADC scan shape (1/50-sampled " +
+        "query batch broadcast over the codes scan — q130's exemption) " +
+        "reading the post-retrain single segment; the migration itself " +
+        "is two map-only encodes + parameter-sized model writes " +
+        "(PLANS.md q164 row)"),
     "q153_ann_index_serve" ->
       ("embeds q33's brute-force exactness baseline as the serving " +
         "panel's recall GROUND TRUTH — the query side is an 8-id " +
@@ -181,7 +187,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(qs == os,
       s"queries without an oracle: ${(qs -- os).toSeq.sorted.mkString(", ")}; " +
         s"orphan oracles: ${(os -- qs).toSeq.sorted.mkString(", ")}")
-    assert(qs.size >= 163, s"registered query count regressed: ${qs.size}")
+    assert(qs.size >= 164, s"registered query count regressed: ${qs.size}")
   }
 
   test("every registered query satisfies the standing plan rules") {
