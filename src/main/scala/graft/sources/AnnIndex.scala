@@ -350,7 +350,12 @@ object AnnIndex {
   /** Build and atomically publish a FRESH index at `dir` (replacing any
     * index already there). The corpus pass is [[Pq.ivfPqEncode]] —
     * assignment + residual + PQ encode fused into one map-only
-    * projection — plus the partitioned segment write. */
+    * projection — plus the partitioned segment write. The replace is a
+    * whole-directory swap: unlike every in-chain verb (append, delete,
+    * compact, [[retrain]] — all safe under concurrent writers), a
+    * rebuild-over-live-index requires writers and readers of the OLD
+    * directory to be stopped first; for an in-place model migration
+    * that keeps them running, use [[retrain]]. */
   /** Land the parameter-sized IVF-PQ model tables (centroids,
     * codebooks, meta) under `root` — the build writes them at the
     * index root (model version 0), [[retrain]] under a fresh
