@@ -4591,6 +4591,36 @@ object QueriesText {
     },
     Some(sqOracle))
 
+  // --------------------------------------------------------------- q165
+  // SHARD-FEDERATION merge gated: the 100 TB build recipe is "train
+  // ONE model, build a shard per partition in parallel, merge the
+  // shards without re-encoding" (Faiss merge_into / Lucene
+  // addIndexes). Two half-corpus shards are built with the SAME q131
+  // model, the second is merged into the first as an already-encoded
+  // segment, and the search on the merged index must hash-equal q131's
+  // verbatim oracle over the whole corpus — i.e. merge(build(A),
+  // build(B)) ≡ build(A ∪ B), which holds exactly because per-row
+  // encode is deterministic under one model and merge moves CODES, not
+  // vectors. One re-encoded row, dropped shard row, or cross-model
+  // code flips the hash.
+  private val q165 = Q("q165_ann_shard_merge",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, cbs) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("ann_merge_q165")
+      val d1 = s"$idxDir/shard1"
+      val d2 = s"$idxDir/shard2"
+      graft.sources.AnnIndex.buildIvfPq(e.filter(col("vec_id") < 250),
+        "vec_id", "embedding", d1, cb, cbs)
+      graft.sources.AnnIndex.buildIvfPq(e.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", d2, cb, cbs)
+      graft.sources.AnnIndex.merge(s, d1, d2)
+      val idx = graft.sources.AnnIndex.load(s, d1)
+      graft.sources.AnnIndex.topK(idx, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3, nprobe = 4)
+    },
+    Some(ivfPqOracle))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
@@ -4598,5 +4628,6 @@ object QueriesText {
     q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164,
+    q165)
 }

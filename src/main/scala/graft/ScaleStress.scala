@@ -254,7 +254,13 @@ object ScaleStress {
       // q164 = two flat-SQ encode passes (subset-fit build + full-fit
       // retrain) + q148's masked-free ADC read over the re-encoded
       // segment — q148's write-dominated class at ~2x build volume
-      "q164_sq_retrain")
+      "q164_sq_retrain",
+      // q165 = two half-corpus q142 builds (one corpus-volume encode
+      // total) + the merge's codes-only cell shuffle (8 B/row payloads,
+      // no vectors, no re-encode) + the q142 serving read — expect the
+      // q142 write-dominated class; the merge term is the cheap one by
+      // construction
+      "q165_ann_shard_merge")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",

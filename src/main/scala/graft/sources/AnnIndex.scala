@@ -651,6 +651,62 @@ object AnnIndex {
     }
   }
 
+  /** SHARD FEDERATION (Faiss `merge_into`, Lucene `addIndexes`): land
+    * `src`'s VISIBLE rows (its tombstones applied) as one new segment
+    * of `dst`, WITHOUT re-encoding — at 100 TB the per-shard build is
+    * the expensive encode pass, and the standard recipe is "train one
+    * model, build a shard per partition in parallel, merge": this is
+    * the merge. Both indexes must carry bit-equal models (the shards
+    * were built from the same trained quantizer — codes are only
+    * comparable under one model); a mismatch fails loudly rather than
+    * corrupt distances. The copy is a cell-partitioned shuffle of
+    * already-compressed codes (8 B/row payloads, not vectors), the
+    * commit is one optimistic-concurrency publish like [[appendIvfPq]]
+    * (re-base on lost races, loud abort if a concurrent [[retrain]]
+    * changes the model underneath). Rows are appended as-is — ids
+    * duplicated across shards stay duplicated, exactly like append;
+    * route overlapping corrections through [[upsertBatchIvfPq]]. `src`
+    * is untouched (drop or [[expire]] it after the merge commits). */
+  def merge(spark: SparkSession, dstDir: String, srcDir: String): Unit = {
+    require(dstDir != srcDir, "cannot merge an index into itself")
+    val f = fs(spark, dstDir)
+    var (mid, md) = refresh(f, dstDir)
+    val dst = load(spark, dstDir, asOf = Some(mid))
+    val src = load(spark, srcDir)
+    require(dst.centroids.map(_.toSeq).toSeq == src.centroids.map(_.toSeq).toSeq &&
+        dst.cbs.map(_.map(_.toSeq).toSeq).toSeq == src.cbs.map(_.map(_.toSeq).toSeq).toSeq,
+      s"model mismatch: $srcDir was not built with $dstDir's " +
+        "centroids/codebooks — codes are not comparable across models")
+    val segName = freshName("batch-")
+    src.codes
+      .select(col("neighbor_id"), col("_cell").as("cell"), col("codes"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dstDir/data/$segName")
+    val n = countSegment(spark, f, s"$dstDir/data/$segName")
+    if (n == 0) { f.delete(path(s"$dstDir/data/$segName"), true); return }
+    var attempts = 0
+    while (true) {
+      fireTestHook(dstDir)
+      if (tryPublish(f, dstDir, mid + 1, md.copy(
+          segs = md.segs :+ Art(md.nextId, n, segName),
+          hw = md.nextId))) return
+      attempts += 1
+      if (attempts >= maxCommitAttempts)
+        throw new java.io.IOException(
+          s"merge into $dstDir lost $attempts publish races — giving up")
+      val (nmid, nmd) = refresh(f, dstDir)
+      if (nmd.model != md.model) {
+        f.delete(path(s"$dstDir/data/$segName"), true)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent retrain of $dstDir (model ${md.model} -> " +
+            s"${nmd.model}) — these codes carry the old model; re-run " +
+            "the merge")
+      }
+      mid = nmid; md = nmd
+    }
+  }
+
   /** MODEL-DRIFT MIGRATION (Faiss's "retrain when the distribution
     * moves", Lucene's full re-index, done in place): re-encode the
     * current corpus against NEW centroids/codebooks and publish the

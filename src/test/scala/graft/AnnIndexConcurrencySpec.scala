@@ -327,6 +327,50 @@ class AnnIndexConcurrencySpec extends AnyFunSuite {
     assert(AnnIndex.load(spark, dir).codes.count() == 40)
   }
 
+  test("merge: shard federation equals a single build; src tombstones respected; model mismatch loud") {
+    val e = corpus(0, 60).cache()
+    val (cents, cbs) = model(e)
+    val root = tmpDir()
+    val d1 = s"$root/shard1"
+    val d2 = s"$root/shard2"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 30), "vec_id", "embedding",
+      d1, cents, cbs)
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") >= 30), "vec_id", "embedding",
+      d2, cents, cbs)
+    // a shard-side takedown must not leak through the merge
+    AnnIndex.delete(Seq(45L).toDF("vec_id"), "vec_id", d2)
+    AnnIndex.merge(spark, d1, d2)
+    val merged = AnnIndex.load(spark, d1)
+    assert(merged.nrows == 59, s"merge lost or resurrected rows: ${merged.nrows}")
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val seq = s"$root/seq"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") =!= 45L), "vec_id",
+      "embedding", seq, cents, cbs)
+    assert(search(merged, q) == search(AnnIndex.load(spark, seq), q),
+      "merged shards diverged from the single build")
+    // src untouched; dst generations advanced by exactly one
+    assert(AnnIndex.load(spark, d2).nrows == 30)
+    assert(AnnIndex.versionsOf(spark, d1) == Seq(0L, 1L))
+    // a shard built with a DIFFERENT model must be rejected
+    val (otherC, otherCb) = model(e.select(col("vec_id"),
+      reverse(col("embedding")).as("embedding")))
+    val d3 = s"$root/shard3"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") >= 30), "vec_id", "embedding",
+      d3, otherC, otherCb)
+    val ex = intercept[IllegalArgumentException](AnnIndex.merge(spark, d1, d3))
+    assert(ex.getMessage.contains("model mismatch"))
+    // a concurrent retrain of dst aborts the merge loudly
+    val d4 = s"$root/shard4"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") >= 30), "vec_id", "embedding",
+      d4, cents, cbs)
+    AnnIndex.testBeforePublish.put(d1,
+      () => AnnIndex.retrain(e.filter(col("vec_id") < 30), "vec_id",
+        "embedding", d1, otherC, otherCb))
+    intercept[java.util.ConcurrentModificationException] {
+      AnnIndex.merge(spark, d1, d4)
+    }
+  }
+
   test("expire leaves fresh orphans alone (grace window) but reaps aged ones") {
     val e = corpus(0, 20).cache()
     val (cents, cbs) = model(e)
