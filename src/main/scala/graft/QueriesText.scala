@@ -4621,6 +4621,31 @@ object QueriesText {
     },
     Some(ivfPqOracle))
 
+  // --------------------------------------------------------------- q166
+  // Shard federation on the CHEAP tier (q165's SQ8 twin): two
+  // half-corpus SQ shards encoded under ONE full-corpus affine fit
+  // (shards must share the model — per-shard fits would make codes
+  // incomparable, which mergeSq rejects loudly), merged without
+  // re-encoding, searched; must hash-equal q130's verbatim whole-corpus
+  // oracle — mergeSq(buildSq(A), buildSq(B)) ≡ buildSq(A ∪ B).
+  private val q166 = Q("q166_sq_shard_merge",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m = graft.operators.Sq.fit(e, "embedding")
+      val idxDir = graft.streaming.StreamHarness.scratch("sq_merge_q166")
+      val d1 = s"$idxDir/shard1"
+      val d2 = s"$idxDir/shard2"
+      graft.sources.AnnIndex.buildSq(e.filter(col("vec_id") < 250),
+        "vec_id", "embedding", d1, m)
+      graft.sources.AnnIndex.buildSq(e.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", d2, m)
+      graft.sources.AnnIndex.mergeSq(s, d1, d2)
+      val idx = graft.sources.AnnIndex.loadSq(s, d1)
+      graft.sources.AnnIndex.topKSq(idx,
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 3)
+    },
+    Some(sqOracle))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
@@ -4629,5 +4654,5 @@ object QueriesText {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164,
-    q165)
+    q165, q166)
 }

@@ -260,7 +260,12 @@ object ScaleStress {
       // no vectors, no re-encode) + the q142 serving read — expect the
       // q142 write-dominated class; the merge term is the cheap one by
       // construction
-      "q165_ann_shard_merge")
+      "q165_ann_shard_merge",
+      // q166 = q165's cheap-tier twin: one corpus-volume flat-SQ
+      // encode split across two shards + the codes-only merge copy +
+      // q148's ADC read over the two-segment union — expect q148's
+      // read-term growth plus a write-dominated merge
+      "q166_sq_shard_merge")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",

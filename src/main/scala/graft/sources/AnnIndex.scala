@@ -905,6 +905,56 @@ object AnnIndex {
     * [[load]]'s does — the manifest machinery is shared across both
     * index families, so retention ([[expire]]`(keepLast)`) and pinned
     * reads behave identically on the cheap tier. */
+  /** [[merge]]'s cheap-tier twin: land `src`'s visible SQ rows
+    * (tombstones applied) as one new segment of `dst` without
+    * re-encoding — the shard-federation verb over the SQ8 tier. Both
+    * indexes must carry bit-equal affine models (and, when
+    * cell-partitioned, bit-equal coarse quantizers); the copied
+    * segment keeps the destination's layout because the rows already
+    * carry their `cell` column when one exists. Same optimistic-
+    * concurrency publish and concurrent-retrain abort as [[merge]]. */
+  def mergeSq(spark: SparkSession, dstDir: String, srcDir: String): Unit = {
+    require(dstDir != srcDir, "cannot merge an index into itself")
+    val f = fs(spark, dstDir)
+    var (mid, md) = refresh(f, dstDir)
+    val dst = loadSq(spark, dstDir, asOf = Some(mid))
+    val src = loadSq(spark, srcDir)
+    require(dst.model.mins.toSeq == src.model.mins.toSeq &&
+        dst.model.steps.toSeq == src.model.steps.toSeq &&
+        dst.centroids.map(_.map(_.toSeq).toSeq) ==
+          src.centroids.map(_.map(_.toSeq).toSeq),
+      s"model mismatch: $srcDir was not built with $dstDir's affine " +
+        "model/quantizer — codes are not comparable across models")
+    val segName = freshName("batch-")
+    val seg = s"$dstDir/data/$segName"
+    if (src.codes.columns.contains("cell"))
+      src.codes.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(seg)
+    else src.codes.write.mode("overwrite").parquet(seg)
+    val n = countSegment(spark, f, seg)
+    if (n == 0) { f.delete(path(seg), true); return }
+    var attempts = 0
+    while (true) {
+      fireTestHook(dstDir)
+      if (tryPublish(f, dstDir, mid + 1, md.copy(
+          segs = md.segs :+ Art(md.nextId, n, segName),
+          hw = md.nextId))) return
+      attempts += 1
+      if (attempts >= maxCommitAttempts)
+        throw new java.io.IOException(
+          s"merge into $dstDir lost $attempts publish races — giving up")
+      val (nmid, nmd) = refresh(f, dstDir)
+      if (nmd.model != md.model) {
+        f.delete(path(seg), true)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent retrain of $dstDir (model ${md.model} -> " +
+            s"${nmd.model}) — these codes carry the old model; re-run " +
+            "the merge")
+      }
+      mid = nmid; md = nmd
+    }
+  }
+
   /** [[retrain]]'s cheap-tier twin: re-fit the affine model (and
     * optionally the coarse quantizer) on the current corpus and
     * re-encode it as the next generation of the SAME manifest chain.

@@ -371,6 +371,49 @@ class AnnIndexConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  test("mergeSq: cheap-tier shard federation — cell layout kept, layout/model mismatches loud") {
+    val e = corpus(0, 60).cache()
+    val (cents, _) = model(e)
+    val m = graft.operators.Sq.fit(e, "embedding")
+    val root = tmpDir()
+    // cell-partitioned shards: the merged segment must keep the layout
+    val d1 = s"$root/s1"
+    val d2 = s"$root/s2"
+    AnnIndex.buildSq(e.filter(col("vec_id") < 30), "vec_id", "embedding",
+      d1, m, Some(cents))
+    AnnIndex.buildSq(e.filter(col("vec_id") >= 30), "vec_id", "embedding",
+      d2, m, Some(cents))
+    AnnIndex.mergeSq(spark, d1, d2)
+    val merged = AnnIndex.loadSq(spark, d1)
+    assert(merged.nrows == 60)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val seq = s"$root/seq"
+    AnnIndex.buildSq(e, "vec_id", "embedding", seq, m, Some(cents))
+    val got = AnnIndex.topKSq(merged, q, "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSet
+    val want = AnnIndex.topKSq(AnnIndex.loadSq(spark, seq), q, "vec_id",
+      "embedding", k = 3).collect().map(_.toSeq).toSet
+    assert(got == want, "merged SQ shards diverged from the single build")
+    // the pruned read still partition-prunes over the merged segment
+    assert(AnnIndex.topKSq(merged, q, "vec_id", "embedding", k = 3,
+      nprobe = 1, prune = true).count() > 0)
+    // a flat shard cannot merge into a cell index (layout = model here)
+    val flat = s"$root/flat"
+    AnnIndex.buildSq(e.filter(col("vec_id") >= 30), "vec_id", "embedding",
+      flat, m)
+    val ex = intercept[IllegalArgumentException](
+      AnnIndex.mergeSq(spark, d1, flat))
+    assert(ex.getMessage.contains("model mismatch"))
+    // a shard under a different affine fit is rejected too
+    val other = s"$root/other"
+    AnnIndex.buildSq(e.filter(col("vec_id") >= 30), "vec_id", "embedding",
+      other, graft.operators.Sq.fit(
+        e.filter(col("vec_id") < 10), "embedding"), Some(cents))
+    val ex2 = intercept[IllegalArgumentException](
+      AnnIndex.mergeSq(spark, d1, other))
+    assert(ex2.getMessage.contains("model mismatch"))
+  }
+
   test("expire leaves fresh orphans alone (grace window) but reaps aged ones") {
     val e = corpus(0, 20).cache()
     val (cents, cbs) = model(e)

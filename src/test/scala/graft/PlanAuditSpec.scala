@@ -107,6 +107,11 @@ class PlanAuditSpec extends AnyFunSuite {
         "with one left-semi mask join on the codes side; the mask is " +
         "half the corpus's ids at the gate SF and a broadcast literal " +
         "for review-set-sized filters (PLANS.md q163 row)"),
+    "q166_sq_shard_merge" ->
+      ("q148's federated twin: the SAME SQ8 ADC scan shape (1/50-sampled " +
+        "query batch broadcast over the codes scan — q130's exemption) " +
+        "reading the two-segment merged union; the merge itself moves " +
+        "already-encoded codes, no re-encode (PLANS.md q166 row)"),
     "q164_sq_retrain" ->
       ("q148's retrained twin: the SAME SQ8 ADC scan shape (1/50-sampled " +
         "query batch broadcast over the codes scan — q130's exemption) " +
@@ -187,7 +192,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(qs == os,
       s"queries without an oracle: ${(qs -- os).toSeq.sorted.mkString(", ")}; " +
         s"orphan oracles: ${(os -- qs).toSeq.sorted.mkString(", ")}")
-    assert(qs.size >= 165, s"registered query count regressed: ${qs.size}")
+    assert(qs.size >= 166, s"registered query count regressed: ${qs.size}")
   }
 
   test("every registered query satisfies the standing plan rules") {
