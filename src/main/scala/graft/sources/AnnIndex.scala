@@ -905,6 +905,89 @@ object AnnIndex {
     * [[load]]'s does — the manifest machinery is shared across both
     * index families, so retention ([[expire]]`(keepLast)`) and pinned
     * reads behave identically on the cheap tier. */
+  /** [[streamAppend]]'s cheap-tier twin: continuous SQ8 index
+    * ingestion, one idempotent [[appendSq]] segment per micro-batch
+    * with the foreachBatch id as the dedup key — the same at-least-once
+    * replay and compaction-survival contract. */
+  def streamAppendSq(updates: DataFrame, idCol: String, vecCol: String,
+                     dir: String, checkpoint: String,
+                     trigger: org.apache.spark.sql.streaming.Trigger)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        appendSq(batch.toDF(), idCol, vecCol, dir, dedupKey = Some(id))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** [[upsertBatchIvfPq]]'s cheap-tier twin: one streamed-CORRECTION
+    * batch on an SQ8 index — the batch's ids are tombstoned at id `t`
+    * (masking every older segment's copy) and the re-encoded batch
+    * lands as segment `t+1`, both published by one atomic manifest
+    * swap. Same `dedupKey` replay contract, empty-batch short-circuit,
+    * re-base on lost races, and loud abort under a concurrent
+    * [[retrainSq]]. */
+  def upsertBatchSq(batch: DataFrame, idCol: String, vecCol: String,
+                    dir: String, dedupKey: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    val f = fs(spark, dir)
+    var (mid, md) = refresh(f, dir)
+    if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
+    val idx = loadSq(spark, dir, asOf = Some(mid))
+    val segName = freshName("batch-")
+    val tombName = freshName("t-")
+    val n = writeSqSegment(batch, idCol, vecCol, dir, segName, idx.model,
+      idx.centroids)
+    if (n == 0) { f.delete(path(s"$dir/data/$segName"), true); return }
+    batch.select(col(idCol).cast("long").as("neighbor_id")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
+    val tn = countSegment(spark, f, s"$dir/tomb/$tombName")
+    var attempts = 0
+    while (true) {
+      fireTestHook(dir)
+      val tid = md.nextId
+      if (tryPublish(f, dir, mid + 1, md.copy(
+          segs = md.segs :+ Art(tid + 1, n, segName),
+          tombs = md.tombs :+ Art(tid, tn, tombName),
+          hw = tid + 1,
+          shw = math.max(md.shw, dedupKey.getOrElse(md.shw))))) return
+      attempts += 1
+      if (attempts >= maxCommitAttempts)
+        throw new java.io.IOException(
+          s"upsert to $dir lost $attempts publish races — giving up")
+      val (nmid, nmd) = refresh(f, dir)
+      if (dedupKey.exists(_ <= nmd.shw)) { // a replica committed this batch
+        f.delete(path(s"$dir/data/$segName"), true)
+        f.delete(path(s"$dir/tomb/$tombName"), true)
+        return
+      }
+      if (nmd.model != md.model) {
+        f.delete(path(s"$dir/data/$segName"), true)
+        f.delete(path(s"$dir/tomb/$tombName"), true)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent retrain of $dir (model ${md.model} -> ${nmd.model}) " +
+            "— this segment was encoded with the old model; re-run the upsert")
+      }
+      mid = nmid; md = nmd
+    }
+  }
+
+  /** [[streamUpsert]]'s cheap-tier twin: continuous CORRECTION ingest
+    * into an SQ8 index, [[upsertBatchSq]] per micro-batch with the
+    * foreachBatch id as the dedup key. */
+  def streamUpsertSq(updates: DataFrame, idCol: String, vecCol: String,
+                     dir: String, checkpoint: String,
+                     trigger: org.apache.spark.sql.streaming.Trigger)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        upsertBatchSq(batch.toDF(), idCol, vecCol, dir, dedupKey = Some(id))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** [[merge]]'s cheap-tier twin: land `src`'s visible SQ rows
     * (tombstones applied) as one new segment of `dst` without
     * re-encoding — the shard-federation verb over the SQ8 tier. Both

@@ -373,6 +373,66 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("SQ streaming: streamAppendSq resumes from its checkpoint; upsertBatchSq corrects atomically") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val e = corpus(60).cache()
+    val m = graft.operators.Sq.fit(e, "embedding")
+    val root = tmpDir()
+    val dir = s"$root/sq"
+    val landing = s"$root/landing"
+    val ckpt = s"$root/ckpt"
+    AnnIndex.buildSq(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, m)
+    def land(lo: Long, hi: Long): Unit =
+      e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("append").parquet(landing)
+    def ingest(): Unit = {
+      val stream = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      AnnIndex.streamAppendSq(stream, "vec_id", "embedding", dir, ckpt,
+        Trigger.AvailableNow()).awaitTermination()
+    }
+    land(20, 40); ingest()
+    assert(AnnIndex.loadSq(spark, dir).nrows == 40)
+    land(40, 60); ingest() // restart from the same checkpoint
+    val idx = AnnIndex.loadSq(spark, dir)
+    assert(idx.nrows == 60,
+      s"resume double-applied or skipped a batch: ${idx.batches}")
+    assert(idx.batches == idx.batches.distinct.sorted)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val full = s"$root/full"
+    AnnIndex.buildSq(e, "vec_id", "embedding", full, m)
+    assert(AnnIndex.topKSq(idx, q, "vec_id", "embedding", k = 3)
+        .collect().map(_.toSeq).toSet ==
+      AnnIndex.topKSq(AnnIndex.loadSq(spark, full), q, "vec_id",
+        "embedding", k = 3).collect().map(_.toSeq).toSet,
+      "streamed SQ ingest diverged from the one-shot build")
+    // correction: vec 7 gets vec 3's embedding — the stale copy must
+    // never surface again, and a replay of the same key is a no-op
+    val v3 = e.filter(col("vec_id") === 3).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val corr = Seq((7L, v3)).toDF("vec_id", "embedding")
+    AnnIndex.upsertBatchSq(corr, "vec_id", "embedding", dir,
+      dedupKey = Some(100L))
+    AnnIndex.upsertBatchSq(corr, "vec_id", "embedding", dir,
+      dedupKey = Some(100L)) // duplicate delivery
+    val fixed = AnnIndex.loadSq(spark, dir)
+    assert(fixed.codes.filter(col("neighbor_id") === 7L).count() == 1,
+      "correction duplicated or dropped the row")
+    // the corrected index scores 7 exactly as an index built with the
+    // corrected corpus does
+    val eFixed = e.filter(col("vec_id") =!= 7L)
+      .unionByName(corr.select(col("vec_id"), col("embedding")))
+    val fullFixed = s"$root/fullFixed"
+    AnnIndex.buildSq(eFixed, "vec_id", "embedding", fullFixed, m)
+    assert(AnnIndex.topKSq(fixed, q, "vec_id", "embedding", k = 3)
+        .collect().map(_.toSeq).toSet ==
+      AnnIndex.topKSq(AnnIndex.loadSq(spark, fullFixed), q, "vec_id",
+        "embedding", k = 3).collect().map(_.toSeq).toSet,
+      "SQ correction diverged from the corrected-corpus build")
+  }
+
   test("an uncommitted segment (no manifest entry) is invisible to readers") {
     val e = corpus(30).cache()
     val (cents, cbs) = model(e)
