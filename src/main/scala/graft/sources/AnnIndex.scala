@@ -240,7 +240,20 @@ object AnnIndex {
     * is the primitive rename-over could not give us: on
     * RawLocalFileSystem and several object-store FS impls a rename
     * onto an existing destination silently REPLACES it, dropping the
-    * winner's commit. */
+    * winner's commit.
+    *
+    * Atomicity caveat, stated honestly: HDFS `create(overwrite=false)`
+    * is atomic at the NameNode; S3 (via conditional PUT / If-None-
+    * Match) and GCS (preconditions) are atomic when the connector
+    * enables them. RawLocalFileSystem's impl is exists-then-open — a
+    * microsecond check-then-act window two same-process threads could
+    * theoretically both pass. The local FS is the TEST substrate, not
+    * the production one; the threaded spec hammers the window and the
+    * protocol's correctness is gated on the semantic (exactly one
+    * winner), which every production FS provides natively. A writer
+    * that dies between `create` and `close` leaves a sentinel-less
+    * manifest that wedges the chain LOUDLY — [[repair]] is the
+    * recovery verb. */
   private def tryPublish(f: org.apache.hadoop.fs.FileSystem, dir: String,
                          id: Long, md: ManifestData): Boolean = {
     f.mkdirs(path(s"$dir/manifest"))
@@ -282,6 +295,51 @@ object AnnIndex {
   }
 
   private val maxCommitAttempts = 64
+
+  /** The ONE optimistic-concurrency commit loop every in-chain verb
+    * shares (append/upsert/delete/merge on both tiers): attempt to
+    * publish `make(md)` as the next generation; on a lost race,
+    * re-read the winner's manifest and RE-BASE (the staged artifacts
+    * have unique names, so only the ids inside `make`'s output move).
+    * `dedupKey` re-checks the stream high-water after every refresh (a
+    * replica may have committed this very batch — then the staged
+    * artifacts are deleted and the call is a no-op); a model-version
+    * change underneath a writer whose artifacts were ENCODED with the
+    * base model aborts loudly rather than commit stale codes
+    * (`abortOnModelChange` — id-only verbs like delete pass false).
+    * Factored to one place because the eight hand-rolled copies of
+    * this loop had already drifted apart once. */
+  private def commitWithRetry(f: org.apache.hadoop.fs.FileSystem,
+                              dir: String, base: (Long, ManifestData),
+                              make: ManifestData => ManifestData,
+                              dedupKey: Option[Long],
+                              staged: Seq[String],
+                              abortOnModelChange: Boolean,
+                              verb: String): Unit = {
+    var (mid, md) = base
+    var attempts = 0
+    while (true) {
+      fireTestHook(dir)
+      if (tryPublish(f, dir, mid + 1, make(md))) return
+      attempts += 1
+      if (attempts >= maxCommitAttempts)
+        throw new java.io.IOException(
+          s"$verb on $dir lost $attempts publish races — giving up")
+      val (nmid, nmd) = refresh(f, dir)
+      if (dedupKey.exists(_ <= nmd.shw)) { // a replica committed this batch
+        staged.foreach(p => f.delete(path(p), true): Unit)
+        return
+      }
+      if (abortOnModelChange && nmd.model != md.model) {
+        staged.foreach(p => f.delete(path(p), true): Unit)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent retrain of $dir (model ${md.model} -> " +
+            s"${nmd.model}) — this commit's codes carry the old model; " +
+            s"re-run the $verb")
+      }
+      mid = nmid; md = nmd
+    }
+  }
 
   /** Row count of a just-written segment WITHOUT reading it when it is
     * empty: a zero-row partitioned write leaves a `_SUCCESS`-only tree,
@@ -434,35 +492,18 @@ object AnnIndex {
                   dir: String, dedupKey: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
     val f = fs(spark, dir)
-    var (mid, md) = refresh(f, dir)
+    val (mid, md) = refresh(f, dir)
     if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
     val idx = load(spark, dir, asOf = Some(mid))
     val segName = freshName("batch-")
     val n = writeSegment(delta, idCol, vecCol, dir, segName,
       idx.centroids, idx.cbs)
     if (n == 0) { f.delete(path(s"$dir/data/$segName"), true); return }
-    var attempts = 0
-    while (true) {
-      fireTestHook(dir)
-      if (tryPublish(f, dir, mid + 1, md.copy(
-          segs = md.segs :+ Art(md.nextId, n, segName), hw = md.nextId,
-          shw = math.max(md.shw, dedupKey.getOrElse(md.shw))))) return
-      attempts += 1
-      if (attempts >= maxCommitAttempts)
-        throw new java.io.IOException(
-          s"append to $dir lost $attempts publish races — giving up")
-      val (nmid, nmd) = refresh(f, dir)
-      if (dedupKey.exists(_ <= nmd.shw)) { // a replica committed this batch
-        f.delete(path(s"$dir/data/$segName"), true); return
-      }
-      if (nmd.model != md.model) {
-        f.delete(path(s"$dir/data/$segName"), true)
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent retrain of $dir (model ${md.model} -> ${nmd.model}) " +
-            "— this segment was encoded with the old model; re-run the append")
-      }
-      mid = nmid; md = nmd
-    }
+    commitWithRetry(f, dir, (mid, md),
+      m => m.copy(segs = m.segs :+ Art(m.nextId, n, segName),
+        hw = m.nextId, shw = math.max(m.shw, dedupKey.getOrElse(m.shw))),
+      dedupKey, Seq(s"$dir/data/$segName"),
+      abortOnModelChange = true, verb = "append")
   }
 
   /** Continuous index ingestion: every micro-batch lands as one
@@ -505,7 +546,7 @@ object AnnIndex {
                        dir: String, dedupKey: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val f = fs(spark, dir)
-    var (mid, md) = refresh(f, dir)
+    val (mid, md) = refresh(f, dir)
     if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
     val idx = load(spark, dir, asOf = Some(mid))
     val segName = freshName("batch-")
@@ -516,34 +557,13 @@ object AnnIndex {
     batch.select(col(idCol).cast("long").as("neighbor_id")).distinct()
       .write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
     val tn = countSegment(spark, f, s"$dir/tomb/$tombName")
-    var attempts = 0
-    while (true) {
-      fireTestHook(dir)
-      val tid = md.nextId
-      if (tryPublish(f, dir, mid + 1, md.copy(
-          segs = md.segs :+ Art(tid + 1, n, segName),
-          tombs = md.tombs :+ Art(tid, tn, tombName),
-          hw = tid + 1,
-          shw = math.max(md.shw, dedupKey.getOrElse(md.shw))))) return
-      attempts += 1
-      if (attempts >= maxCommitAttempts)
-        throw new java.io.IOException(
-          s"upsert to $dir lost $attempts publish races — giving up")
-      val (nmid, nmd) = refresh(f, dir)
-      if (dedupKey.exists(_ <= nmd.shw)) { // a replica committed this batch
-        f.delete(path(s"$dir/data/$segName"), true)
-        f.delete(path(s"$dir/tomb/$tombName"), true)
-        return
-      }
-      if (nmd.model != md.model) {
-        f.delete(path(s"$dir/data/$segName"), true)
-        f.delete(path(s"$dir/tomb/$tombName"), true)
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent retrain of $dir (model ${md.model} -> ${nmd.model}) " +
-            "— this segment was encoded with the old model; re-run the upsert")
-      }
-      mid = nmid; md = nmd
-    }
+    commitWithRetry(f, dir, (mid, md),
+      m => m.copy(segs = m.segs :+ Art(m.nextId + 1, n, segName),
+        tombs = m.tombs :+ Art(m.nextId, tn, tombName),
+        hw = m.nextId + 1,
+        shw = math.max(m.shw, dedupKey.getOrElse(m.shw))),
+      dedupKey, Seq(s"$dir/data/$segName", s"$dir/tomb/$tombName"),
+      abortOnModelChange = true, verb = "upsert")
   }
 
   /** Continuous CORRECTION ingest: [[upsertBatchIvfPq]] per micro-batch
@@ -577,29 +597,22 @@ object AnnIndex {
   def delete(ids: DataFrame, idCol: String, dir: String): Unit = {
     val spark = ids.sparkSession
     val f = fs(spark, dir)
-    var (mid, md) = refresh(f, dir)
+    val (mid, md) = refresh(f, dir)
     val tombName = freshName("t-")
     ids.select(col(idCol).cast("long").as("neighbor_id")).distinct()
       .write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
     val n = countSegment(spark, f, s"$dir/tomb/$tombName")
     if (n == 0) { f.delete(path(s"$dir/tomb/$tombName"), true); return }
-    var attempts = 0
-    while (true) {
-      fireTestHook(dir)
-      if (tryPublish(f, dir, mid + 1, md.copy(
-          tombs = md.tombs :+ Art(md.nextId, n, tombName),
-          hw = md.nextId))) return
-      attempts += 1
-      if (attempts >= maxCommitAttempts)
-        throw new java.io.IOException(
-          s"delete on $dir lost $attempts publish races — giving up")
-      // re-based delete applies AS OF ITS COMMIT: a fresh tombstone id
-      // (> every committed segment) also masks matching rows a
-      // concurrent append just landed — delete-after-append semantics,
-      // exactly what commit ordering says happened.
-      val (nmid, nmd) = refresh(f, dir)
-      mid = nmid; md = nmd
-    }
+    // a re-based delete applies AS OF ITS COMMIT: a fresh tombstone id
+    // (> every committed segment) also masks matching rows a concurrent
+    // append just landed — delete-after-append semantics, exactly what
+    // commit ordering says happened. Tombstones are id-only, so a
+    // concurrent retrain does not invalidate them (no model abort).
+    commitWithRetry(f, dir, (mid, md),
+      m => m.copy(tombs = m.tombs :+ Art(m.nextId, n, tombName),
+        hw = m.nextId),
+      dedupKey = None, staged = Seq(s"$dir/tomb/$tombName"),
+      abortOnModelChange = false, verb = "delete")
   }
 
   /** Compact the current snapshot into one segment (Iceberg
@@ -637,7 +650,11 @@ object AnnIndex {
       fireTestHook(dir)
       if (tryPublish(f, dir, mid + 1, ManifestData(
           Seq(Art(md.nextId, n, segName)), Seq.empty,
-          hw = md.nextId, shw = md.shw, model = md.model))) return
+          hw = md.nextId, shw = md.shw,
+          // carry BOTH model fields: dropping modelDir would silently
+          // repoint post-retrain readers at the version-0 root model
+          // while the compacted codes carry the retrained one
+          model = md.model, modelDir = md.modelDir))) return
       // Lost the race: the compacted segment reflects a base that is no
       // longer current (an append's rows would vanish, a delete's rows
       // would resurrect if the stale rewrite were published anyway) —
@@ -670,7 +687,7 @@ object AnnIndex {
   def merge(spark: SparkSession, dstDir: String, srcDir: String): Unit = {
     require(dstDir != srcDir, "cannot merge an index into itself")
     val f = fs(spark, dstDir)
-    var (mid, md) = refresh(f, dstDir)
+    val (mid, md) = refresh(f, dstDir)
     val dst = load(spark, dstDir, asOf = Some(mid))
     val src = load(spark, srcDir)
     require(dst.centroids.map(_.toSeq).toSeq == src.centroids.map(_.toSeq).toSeq &&
@@ -685,26 +702,11 @@ object AnnIndex {
       .parquet(s"$dstDir/data/$segName")
     val n = countSegment(spark, f, s"$dstDir/data/$segName")
     if (n == 0) { f.delete(path(s"$dstDir/data/$segName"), true); return }
-    var attempts = 0
-    while (true) {
-      fireTestHook(dstDir)
-      if (tryPublish(f, dstDir, mid + 1, md.copy(
-          segs = md.segs :+ Art(md.nextId, n, segName),
-          hw = md.nextId))) return
-      attempts += 1
-      if (attempts >= maxCommitAttempts)
-        throw new java.io.IOException(
-          s"merge into $dstDir lost $attempts publish races — giving up")
-      val (nmid, nmd) = refresh(f, dstDir)
-      if (nmd.model != md.model) {
-        f.delete(path(s"$dstDir/data/$segName"), true)
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent retrain of $dstDir (model ${md.model} -> " +
-            s"${nmd.model}) — these codes carry the old model; re-run " +
-            "the merge")
-      }
-      mid = nmid; md = nmd
-    }
+    commitWithRetry(f, dstDir, (mid, md),
+      m => m.copy(segs = m.segs :+ Art(m.nextId, n, segName),
+        hw = m.nextId),
+      dedupKey = None, staged = Seq(s"$dstDir/data/$segName"),
+      abortOnModelChange = true, verb = "merge")
   }
 
   /** MODEL-DRIFT MIGRATION (Faiss's "retrain when the distribution
@@ -725,41 +727,45 @@ object AnnIndex {
     * hash-equivalent to `buildIvfPq(corpus')` (per-row encode is
     * deterministic — q160 gates it) without invalidating pinned
     * readers or the streaming checkpoint, which a rebuild-and-swap
-    * does. Like [[compact]], the snapshot it replaces is the whole
-    * corpus: the caller owns the raw vectors (the index stores only
-    * codes), so drain or pause writers whose deltas are not in
-    * `corpus` — a concurrent append loses its publish race and aborts
-    * loudly on the model-version change rather than commit stale
-    * codes. */
+    * does. The snapshot it replaces is the whole corpus: the caller
+    * owns the raw vectors (the index stores only codes), so drain or
+    * pause writers whose deltas are not in `corpus` — the race is
+    * LOUD in BOTH orderings: a concurrent append that loses to the
+    * retrain aborts on the model-version change, and a retrain that
+    * loses to ANY concurrent commit aborts itself (its manifest would
+    * list only its own segment, silently erasing the winner's rows —
+    * and carrying the stream high-water forward would suppress their
+    * checkpoint replay forever; re-run retrain with a corpus that
+    * includes them). */
   def retrain(corpus: DataFrame, idCol: String, vecCol: String,
               dir: String, centroids: Array[Array[Double]],
               cbs: Array[Array[Array[Double]]]): Unit = {
     val spark = corpus.sparkSession
     val f = fs(spark, dir)
-    var (mid, md) = refresh(f, dir)
+    val (mid, md) = refresh(f, dir)
     val modelDir = freshName("model-")
     writeModelArtifacts(spark, s"$dir/$modelDir", centroids, cbs)
     val segName = freshName("batch-")
     val n = writeSegment(corpus, idCol, vecCol, dir, segName, centroids, cbs)
-    if (n == 0) {
+    def cleanup(): Unit = {
       f.delete(path(s"$dir/data/$segName"), true)
       f.delete(path(s"$dir/$modelDir"), true)
+    }
+    if (n == 0) {
+      cleanup()
       throw new IllegalArgumentException(
         s"refusing to retrain $dir onto an empty corpus")
     }
-    var attempts = 0
-    while (true) {
-      fireTestHook(dir)
-      if (tryPublish(f, dir, mid + 1, ManifestData(
-          Seq(Art(md.nextId, n, segName)), Seq.empty,
-          hw = md.nextId, shw = md.shw,
-          model = md.model + 1, modelDir = modelDir))) return
-      attempts += 1
-      if (attempts >= maxCommitAttempts)
-        throw new java.io.IOException(
-          s"retrain of $dir lost $attempts publish races — giving up")
-      val (nmid, nmd) = refresh(f, dir)
-      mid = nmid; md = nmd
+    fireTestHook(dir)
+    if (!tryPublish(f, dir, mid + 1, ManifestData(
+        Seq(Art(md.nextId, n, segName)), Seq.empty,
+        hw = md.nextId, shw = md.shw,
+        model = md.model + 1, modelDir = modelDir))) {
+      cleanup()
+      throw new java.util.ConcurrentModificationException(
+        s"another writer committed to $dir during the retrain — its rows " +
+          "are not in this retrain's corpus and must not be erased; " +
+          "re-run retrain against a corpus that includes them")
     }
   }
 
@@ -868,35 +874,18 @@ object AnnIndex {
                dir: String, dedupKey: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
     val f = fs(spark, dir)
-    var (mid, md) = refresh(f, dir)
+    val (mid, md) = refresh(f, dir)
     if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
     val idx = loadSq(spark, dir, asOf = Some(mid))
     val segName = freshName("batch-")
     val n = writeSqSegment(delta, idCol, vecCol, dir, segName, idx.model,
       idx.centroids)
     if (n == 0) { f.delete(path(s"$dir/data/$segName"), true); return }
-    var attempts = 0
-    while (true) {
-      fireTestHook(dir)
-      if (tryPublish(f, dir, mid + 1, md.copy(
-          segs = md.segs :+ Art(md.nextId, n, segName), hw = md.nextId,
-          shw = math.max(md.shw, dedupKey.getOrElse(md.shw))))) return
-      attempts += 1
-      if (attempts >= maxCommitAttempts)
-        throw new java.io.IOException(
-          s"append to $dir lost $attempts publish races — giving up")
-      val (nmid, nmd) = refresh(f, dir)
-      if (dedupKey.exists(_ <= nmd.shw)) { // a replica committed this batch
-        f.delete(path(s"$dir/data/$segName"), true); return
-      }
-      if (nmd.model != md.model) {
-        f.delete(path(s"$dir/data/$segName"), true)
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent retrain of $dir (model ${md.model} -> ${nmd.model}) " +
-            "— this segment was encoded with the old model; re-run the append")
-      }
-      mid = nmid; md = nmd
-    }
+    commitWithRetry(f, dir, (mid, md),
+      m => m.copy(segs = m.segs :+ Art(m.nextId, n, segName),
+        hw = m.nextId, shw = math.max(m.shw, dedupKey.getOrElse(m.shw))),
+      dedupKey, Seq(s"$dir/data/$segName"),
+      abortOnModelChange = true, verb = "append")
   }
 
   /** Open an SQ8 snapshot (model validated against meta; coarse
@@ -932,7 +921,7 @@ object AnnIndex {
                     dir: String, dedupKey: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val f = fs(spark, dir)
-    var (mid, md) = refresh(f, dir)
+    val (mid, md) = refresh(f, dir)
     if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
     val idx = loadSq(spark, dir, asOf = Some(mid))
     val segName = freshName("batch-")
@@ -943,34 +932,13 @@ object AnnIndex {
     batch.select(col(idCol).cast("long").as("neighbor_id")).distinct()
       .write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
     val tn = countSegment(spark, f, s"$dir/tomb/$tombName")
-    var attempts = 0
-    while (true) {
-      fireTestHook(dir)
-      val tid = md.nextId
-      if (tryPublish(f, dir, mid + 1, md.copy(
-          segs = md.segs :+ Art(tid + 1, n, segName),
-          tombs = md.tombs :+ Art(tid, tn, tombName),
-          hw = tid + 1,
-          shw = math.max(md.shw, dedupKey.getOrElse(md.shw))))) return
-      attempts += 1
-      if (attempts >= maxCommitAttempts)
-        throw new java.io.IOException(
-          s"upsert to $dir lost $attempts publish races — giving up")
-      val (nmid, nmd) = refresh(f, dir)
-      if (dedupKey.exists(_ <= nmd.shw)) { // a replica committed this batch
-        f.delete(path(s"$dir/data/$segName"), true)
-        f.delete(path(s"$dir/tomb/$tombName"), true)
-        return
-      }
-      if (nmd.model != md.model) {
-        f.delete(path(s"$dir/data/$segName"), true)
-        f.delete(path(s"$dir/tomb/$tombName"), true)
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent retrain of $dir (model ${md.model} -> ${nmd.model}) " +
-            "— this segment was encoded with the old model; re-run the upsert")
-      }
-      mid = nmid; md = nmd
-    }
+    commitWithRetry(f, dir, (mid, md),
+      m => m.copy(segs = m.segs :+ Art(m.nextId + 1, n, segName),
+        tombs = m.tombs :+ Art(m.nextId, tn, tombName),
+        hw = m.nextId + 1,
+        shw = math.max(m.shw, dedupKey.getOrElse(m.shw))),
+      dedupKey, Seq(s"$dir/data/$segName", s"$dir/tomb/$tombName"),
+      abortOnModelChange = true, verb = "upsert")
   }
 
   /** [[streamUpsert]]'s cheap-tier twin: continuous CORRECTION ingest
@@ -999,7 +967,7 @@ object AnnIndex {
   def mergeSq(spark: SparkSession, dstDir: String, srcDir: String): Unit = {
     require(dstDir != srcDir, "cannot merge an index into itself")
     val f = fs(spark, dstDir)
-    var (mid, md) = refresh(f, dstDir)
+    val (mid, md) = refresh(f, dstDir)
     val dst = loadSq(spark, dstDir, asOf = Some(mid))
     val src = loadSq(spark, srcDir)
     require(dst.model.mins.toSeq == src.model.mins.toSeq &&
@@ -1016,26 +984,11 @@ object AnnIndex {
     else src.codes.write.mode("overwrite").parquet(seg)
     val n = countSegment(spark, f, seg)
     if (n == 0) { f.delete(path(seg), true); return }
-    var attempts = 0
-    while (true) {
-      fireTestHook(dstDir)
-      if (tryPublish(f, dstDir, mid + 1, md.copy(
-          segs = md.segs :+ Art(md.nextId, n, segName),
-          hw = md.nextId))) return
-      attempts += 1
-      if (attempts >= maxCommitAttempts)
-        throw new java.io.IOException(
-          s"merge into $dstDir lost $attempts publish races — giving up")
-      val (nmid, nmd) = refresh(f, dstDir)
-      if (nmd.model != md.model) {
-        f.delete(path(seg), true)
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent retrain of $dstDir (model ${md.model} -> " +
-            s"${nmd.model}) — these codes carry the old model; re-run " +
-            "the merge")
-      }
-      mid = nmid; md = nmd
-    }
+    commitWithRetry(f, dstDir, (mid, md),
+      m => m.copy(segs = m.segs :+ Art(m.nextId, n, segName),
+        hw = m.nextId),
+      dedupKey = None, staged = Seq(seg),
+      abortOnModelChange = true, verb = "merge")
   }
 
   /** [[retrain]]'s cheap-tier twin: re-fit the affine model (and
@@ -1053,30 +1006,32 @@ object AnnIndex {
                 centroids: Option[Array[Array[Double]]] = None): Unit = {
     val spark = corpus.sparkSession
     val f = fs(spark, dir)
-    var (mid, md) = refresh(f, dir)
+    val (mid, md) = refresh(f, dir)
     val modelDir = freshName("model-")
     writeSqModelArtifacts(spark, s"$dir/$modelDir", m, centroids)
     val segName = freshName("batch-")
     val n = writeSqSegment(corpus, idCol, vecCol, dir, segName, m, centroids)
-    if (n == 0) {
+    def cleanup(): Unit = {
       f.delete(path(s"$dir/data/$segName"), true)
       f.delete(path(s"$dir/$modelDir"), true)
+    }
+    if (n == 0) {
+      cleanup()
       throw new IllegalArgumentException(
         s"refusing to retrain $dir onto an empty corpus")
     }
-    var attempts = 0
-    while (true) {
-      fireTestHook(dir)
-      if (tryPublish(f, dir, mid + 1, ManifestData(
-          Seq(Art(md.nextId, n, segName)), Seq.empty,
-          hw = md.nextId, shw = md.shw,
-          model = md.model + 1, modelDir = modelDir))) return
-      attempts += 1
-      if (attempts >= maxCommitAttempts)
-        throw new java.io.IOException(
-          s"retrain of $dir lost $attempts publish races — giving up")
-      val (nmid, nmd) = refresh(f, dir)
-      mid = nmid; md = nmd
+    // like [[retrain]]: a lost race means someone committed rows this
+    // retrain's corpus may not include — abort loudly, never erase
+    fireTestHook(dir)
+    if (!tryPublish(f, dir, mid + 1, ManifestData(
+        Seq(Art(md.nextId, n, segName)), Seq.empty,
+        hw = md.nextId, shw = md.shw,
+        model = md.model + 1, modelDir = modelDir))) {
+      cleanup()
+      throw new java.util.ConcurrentModificationException(
+        s"another writer committed to $dir during the retrain — its rows " +
+          "are not in this retrain's corpus and must not be erased; " +
+          "re-run retrain against a corpus that includes them")
     }
   }
 
@@ -1131,7 +1086,10 @@ object AnnIndex {
     * could be EVICTED and silently recompute a nondeterministic source
     * — and neither leaves anything in the cache manager behind (the
     * round-13 serving-path leak: every pruned search pinned its query
-    * frame forever). */
+    * frame forever). The scratch landings live under the JVM-lifetime
+    * scratch root (reclaimed by its shutdown hook): above-cap batches
+    * are the BATCH-JOB shape, whose JVM exits; serving processes stay
+    * on the zero-disk local-relation path by construction. */
   private val snapshotCollectMax = 8192
 
   private val snapshotCounter = new java.util.concurrent.atomic.AtomicLong
@@ -1225,6 +1183,15 @@ object AnnIndex {
     }
     reapOrphans("data", "batch-", liveData)
     reapOrphans("tomb", "t-", liveTombs)
+    // model dirs staged by a retrain that died (or aborted) before its
+    // publish live at the index root under the "model-" prefix — same
+    // orphan rule (never referenced by any manifest, grace-windowed)
+    f.listStatus(path(dir)).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("model-") &&
+          !liveModelDirs(name) && st.getModificationTime < cutoff)
+        f.delete(st.getPath, true): Unit
+    }
   }
 
   /** Open a snapshot: collect the parameter-sized model tables into
@@ -1265,6 +1232,46 @@ object AnnIndex {
     val codes = visibleUnion(spark, dir, md)
       .select(col("neighbor_id"), col("cell").as("_cell"), col("codes"))
     Loaded(cents, cbs, codes, md.segs.map(_.n).sum, md.segs.map(_.id))
+  }
+
+  /** Recover a chain WEDGED by a publisher that died mid-write: a
+    * writer that crashed between create-exclusive and close leaves a
+    * sentinel-less manifest at the highest generation, which makes
+    * every reader and writer fail loudly (truncated-manifest error) —
+    * correct, but stuck until the file goes away. `repair` deletes
+    * that manifest IF it is stale (older than `staleAfterMs` — a live
+    * publisher finishes its few-hundred-byte body in milliseconds, so
+    * age separates dead from slow), falling the chain back to the last
+    * complete generation; the dead writer's staged artifacts become
+    * orphans that [[expire]] grace-reaps. Returns true when something
+    * was repaired, false when the chain was already healthy. Refuses
+    * (loudly) to touch a FRESH incomplete manifest — that is an
+    * in-flight publish, not a corpse. */
+  def repair(spark: SparkSession, dir: String,
+             staleAfterMs: Long = 10L * 60 * 1000): Boolean = {
+    val f = fs(spark, dir)
+    val gens = versionsOf(spark, dir)
+    if (gens.isEmpty) return false
+    val top = gens.last
+    val complete =
+      try { readManifest(f, dir, top); true }
+      catch {
+        case e: java.io.IOException if e.getMessage != null &&
+            e.getMessage.contains("truncated") => false
+      }
+    if (complete) return false
+    val st = f.getFileStatus(path(s"$dir/manifest/m-$top"))
+    val age = System.currentTimeMillis() - st.getModificationTime
+    if (age < staleAfterMs)
+      throw new IllegalStateException(
+        s"manifest m-$top under $dir is incomplete but only ${age} ms old " +
+          "— likely an IN-FLIGHT publish, not a dead writer; retry repair " +
+          "after the stale window")
+    require(gens.length > 1,
+      s"the only manifest under $dir is truncated — the index never " +
+        "completed a build; rebuild it")
+    f.delete(st.getPath, true)
+    true
   }
 
   /** Ops-side index metadata as a DataFrame — what an operator looks at

@@ -309,6 +309,81 @@ class AnnIndexConcurrencySpec extends AnyFunSuite {
     assert(AnnIndex.loadSq(spark, dir2).nrows == 40)
   }
 
+  test("compact after retrain keeps the migrated model (regression: modelDir dropped)") {
+    val e = corpus(0, 60).cache()
+    val (goodC, goodCb) = model(e)
+    val (badC, badCb) = model(e.select(col("vec_id"),
+      reverse(col("embedding")).as("embedding")))
+    val root = tmpDir()
+    val dir = s"$root/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 40), "vec_id", "embedding",
+      dir, badC, badCb)
+    AnnIndex.retrain(e.filter(col("vec_id") < 40), "vec_id", "embedding",
+      dir, goodC, goodCb)
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 40), "vec_id",
+      "embedding", dir) // two segments -> compact has work to do
+    AnnIndex.compact(spark, dir)
+    val idx = AnnIndex.load(spark, dir)
+    // the compacted manifest must still point at the RETRAINED model —
+    // dropping it silently scores model-1 codes against the root model
+    assert(idx.centroids.map(_.toSeq).toSeq == goodC.map(_.toSeq).toSeq,
+      "compact repointed readers at the pre-retrain model")
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val seq = s"$root/seq"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", seq, goodC, goodCb)
+    assert(search(idx, q) == search(AnnIndex.load(spark, seq), q),
+      "post-retrain compact corrupted search results")
+  }
+
+  test("a retrain that loses the publish race aborts loudly; the winner's rows survive") {
+    val e = corpus(0, 60).cache()
+    val (goodC, goodCb) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, goodC, goodCb)
+    // a streaming append (dedup key 5) commits INSIDE retrain's publish
+    // window: the retrain must NOT republish a manifest that erases it
+    // (and must NOT carry shw forward — the checkpoint replay of batch
+    // 5 would then be suppressed forever, permanent silent data loss)
+    AnnIndex.testBeforePublish.put(dir,
+      () => AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 20), "vec_id",
+        "embedding", dir, dedupKey = Some(5L)))
+    intercept[java.util.ConcurrentModificationException] {
+      AnnIndex.retrain(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        dir, goodC, goodCb)
+    }
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.nrows == 60, s"retrain erased the winner's rows: ${idx.nrows}")
+    // replaying the appended batch is still the no-op dedup path (shw
+    // survived), and a LATER batch still lands
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 20), "vec_id",
+      "embedding", dir, dedupKey = Some(5L))
+    assert(AnnIndex.load(spark, dir).nrows == 60, "dedup high-water lost")
+    // the aborted retrain left no staged artifacts behind
+    assert(!new java.io.File(dir).list().exists(_.startsWith("model-")),
+      "aborted retrain leaked its staged model dir")
+  }
+
+  test("repair unwedges a chain whose publisher died mid-write; refuses fresh in-flight publishes") {
+    val e = corpus(0, 20).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    assert(!AnnIndex.repair(spark, dir), "healthy chain reported repaired")
+    // a publisher SIGKILLed after create-exclusive, before the body:
+    val dead = new java.io.File(s"$dir/manifest/m-1")
+    val w = new java.io.FileWriter(dead); w.write("v2\nmodel 0\nhw 3"); w.close()
+    // fresh: an in-flight publish — repair must refuse
+    intercept[IllegalStateException](AnnIndex.repair(spark, dir))
+    // stale: a corpse — repair deletes it and the chain recovers
+    assert(dead.setLastModified(System.currentTimeMillis() - 3600 * 1000))
+    assert(AnnIndex.repair(spark, dir))
+    assert(AnnIndex.load(spark, dir).nrows == 20)
+    // and a blocked writer can now commit generation 1 again
+    AnnIndex.delete(Seq(1L).toDF("vec_id"), "vec_id", dir)
+    assert(AnnIndex.versionsOf(spark, dir) == Seq(0L, 1L))
+  }
+
   test("expire reclaims model directories only dropped generations pin") {
     val e = corpus(0, 40).cache()
     val (goodC, goodCb) = model(e)
@@ -422,11 +497,15 @@ class AnnIndexConcurrencySpec extends AnyFunSuite {
     // an in-flight (or crashed) writer's staged segment: in NO manifest
     val orphan = new java.io.File(s"$dir/data/batch-inflight0000")
     assert(orphan.mkdirs())
+    // a dead retrain's staged model dir is the same class of orphan
+    val modelOrphan = new java.io.File(s"$dir/model-inflight0000")
+    assert(modelOrphan.mkdirs())
     AnnIndex.expire(spark, dir) // default 24 h grace: must survive
-    assert(orphan.exists(),
+    assert(orphan.exists() && modelOrphan.exists(),
       "expire reaped a fresh orphan — would yank an in-flight commit")
     AnnIndex.expire(spark, dir, keepLast = 1, orphanGraceMs = -1000)
     assert(!orphan.exists(), "aged orphan not reclaimed")
+    assert(!modelOrphan.exists(), "aged model-dir orphan not reclaimed")
     assert(AnnIndex.load(spark, dir).codes.count() == 20)
   }
 }
