@@ -92,12 +92,21 @@ import graft.operators.Pq
   * (nlist, m×ncode rows), so load-time collects are a few KB
   * regardless of corpus size.
   *
-  * MIGRATION NOTE (pre-round-13 manifests): a manifest written before
-  * the high-water format parses with `shw = -1`, so a streaming
-  * checkpoint resumed against such an index would replay its
-  * crash-window micro-batch as a duplicate segment (every dedup key
-  * passes a −1 floor). Run one [[compact]] (which stamps the current
-  * format) before resuming old checkpoints against an old index. */
+  * MIGRATION (pre-high-water manifests): a manifest written before the
+  * `shw` line existed came from the era whose streamed micro-batch `id`
+  * landed as segment id `id + 1` (build owned segment 0, the stream
+  * owned 1…N sequentially) with manifest-membership as the dedup rule —
+  * so the committed stream high-water is RECOVERABLE as
+  * `max segment id − 1`, and [[readManifest]] normalizes a legacy
+  * manifest to exactly that at parse time. Resuming an old streaming
+  * checkpoint against an old-format index therefore deduplicates its
+  * crash-window replay correctly with NO manual migration step, and the
+  * first new-format commit stamps the real `shw` going forward. The one
+  * unrecoverable case is inherited, not introduced: an index COMPACTED
+  * by the pre-high-water code had already entangled segment and batch
+  * ids (the collision its era was known for) — checkpoints that predate
+  * such a compact were unsafe under the old code too and must be
+  * discarded. */
 object AnnIndex {
 
   /** An opened index snapshot: driver-side model literals + the lazy
@@ -168,9 +177,25 @@ object AnnIndex {
     * must end with its `commit` sentinel — a reader racing the
     * few-hundred-byte body write sees a truncated file and RETRIES
     * briefly before failing loudly (never silently parses a partial
-    * snapshot). Legacy manifests (rename-published, hence
-    * content-atomic: no `v2` header) parse as before — pre-high-water
-    * ones default to hw = max listed id and shw = −1. */
+    * snapshot). A non-`v2` file is accepted as a LEGACY manifest
+    * (rename-published, hence content-atomic) only when it contains at
+    * least one recognized manifest line — a torn read whose visible
+    * prefix is shorter than the `v2` header must retry like any other
+    * truncation, never parse as an empty index. Legacy manifests
+    * default hw = max listed id, and their stream high-water is
+    * NORMALIZED to `max segment id − 1` — the committed high-water
+    * their era's sequential `segment id = batch id + 1` scheme implies
+    * (see the MIGRATION doc on the object) — so every downstream dedup
+    * check, carry-forward and publish handles old-format indexes with
+    * no special casing. */
+  /** Reader retry budget for a sentinel-less manifest (25 ms apart —
+    * 3 s at the default): long enough that a LIVE publisher's
+    * few-hundred-byte body write always lands within it, short enough
+    * that a wedged chain fails fast. Tunable so the crash-injection
+    * soak (which deliberately wedges chains hundreds of times) does not
+    * spend its wall-clock sleeping. */
+  @volatile private[graft] var manifestRetryAttempts = 120
+
   private def readManifest(f: org.apache.hadoop.fs.FileSystem, dir: String,
                            id: Long): ManifestData = {
     var attempt = 0
@@ -180,9 +205,13 @@ object AnnIndex {
       finally in.close()
       val lines = txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
       val v2 = lines.headOption.contains("v2")
-      if ((v2 && lines.last == "commit") || (!v2 && lines.nonEmpty)) {
+      val legacyOk = !v2 && lines.exists(l =>
+        l.startsWith("batch-") || l.startsWith("tomb-") ||
+          l.startsWith("hw ") || l.startsWith("shw ") ||
+          l.startsWith("model "))
+      if ((v2 && lines.last == "commit") || legacyOk) {
         var hw = -1L
-        var shw = -1L
+        var shwOpt = Option.empty[Long]
         var model = 0L
         var modelDir = ""
         val segs = Seq.newBuilder[Art]
@@ -190,7 +219,7 @@ object AnnIndex {
         lines.foreach { line =>
           line.split("\\s+") match {
             case Array("hw", v) => hw = v.toLong
-            case Array("shw", v) => shw = v.toLong
+            case Array("shw", v) => shwOpt = Some(v.toLong)
             case Array("model", v) => model = v.toLong
             case Array("model", v, d) => model = v.toLong; modelDir = d
             case Array(k, v) if k.startsWith("batch-") =>
@@ -207,15 +236,20 @@ object AnnIndex {
         val s = segs.result()
         val t = tombs.result()
         val maxListed = (s.map(_.id) ++ t.map(_.id)).maxOption.getOrElse(-1L)
+        // legacy normalization: no shw line ⇒ the old sequential scheme,
+        // whose committed stream high-water is max segment id − 1
+        val shw = shwOpt.getOrElse(
+          s.map(_.id).maxOption.getOrElse(0L) - 1L)
         return ManifestData(s, t, math.max(hw, maxListed), shw, model,
           modelDir)
       }
       attempt += 1
-      if (attempt > 60)
+      if (attempt > manifestRetryAttempts)
         throw new java.io.IOException(
           s"manifest m-$id under $dir is truncated (no commit sentinel) — " +
-            "its writer died mid-publish; delete it to fall back to the " +
-            "previous generation")
+            "its writer is either mid-publish on a slow FS or died; run " +
+            "AnnIndex.repair, which deletes the corpse only once it is " +
+            "older than the stale window (never a live publish)")
       Thread.sleep(25)
     }
     sys.error("unreachable")
@@ -233,37 +267,123 @@ object AnnIndex {
   private def fireTestHook(dir: String): Unit =
     Option(testBeforePublish.remove(dir)).foreach(_())
 
-  /** Attempt to publish manifest `id` via atomic CREATE-EXCLUSIVE
-    * (`create(path, overwrite = false)` — put-if-absent): returns
-    * false when generation `id` already exists, i.e. a concurrent
-    * writer won the race and the caller must re-base and retry. This
-    * is the primitive rename-over could not give us: on
-    * RawLocalFileSystem and several object-store FS impls a rename
-    * onto an existing destination silently REPLACES it, dropping the
-    * winner's commit.
-    *
-    * Atomicity caveat, stated honestly: HDFS `create(overwrite=false)`
-    * is atomic at the NameNode; S3 (via conditional PUT / If-None-
-    * Match) and GCS (preconditions) are atomic when the connector
-    * enables them. RawLocalFileSystem's impl is exists-then-open — a
-    * microsecond check-then-act window two same-process threads could
-    * theoretically both pass. The local FS is the TEST substrate, not
-    * the production one; the threaded spec hammers the window and the
-    * protocol's correctness is gated on the semantic (exactly one
-    * winner), which every production FS provides natively. A writer
-    * that dies between `create` and `close` leaves a sentinel-less
-    * manifest that wedges the chain LOUDLY — [[repair]] is the
-    * recovery verb. */
+  /** Crash-injection seam: arming `testKillPoint(dir) = point` makes
+    * the NEXT time the named point is reached on that index throw
+    * [[InjectedCrash]] — simulating a writer that died exactly there.
+    * Points, in verb order: `stage` (before any artifact is written),
+    * `staged` (artifacts complete, manifest not yet attempted),
+    * `publish-torn` (destination reserved, body NOT written — the only
+    * crash that wedges the chain, loudly, until [[repair]]),
+    * `published` (the commit is durable; the caller just never heard).
+    * One-shot and keyed by index dir (atomic conditional remove), so
+    * parallel suites cannot steal each other's crashes. The soak spec
+    * drives these from a seeded RNG across every verb on both tiers —
+    * the difference between "the interleavings we thought of" and "the
+    * protocol holds under arbitrary death". */
+  private[graft] final class InjectedCrash(val point: String)
+    extends RuntimeException(s"injected crash at $point")
+  private[graft] val testKillPoint =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def maybeKill(dir: String, point: String): Unit =
+    if (testKillPoint.remove(dir, point)) throw new InjectedCrash(point)
+
+  /** The one primitive the whole commit protocol rests on: atomically
+    * create `dest` holding `body` iff nothing exists there
+    * (put-if-absent), returning false when the destination is already
+    * taken (a concurrent writer won that generation). Pluggable because
+    * the atomicity is a PER-STORE property, not a given:
+    *   - HDFS: `create(overwrite = false)` is atomic at the NameNode —
+    *     the default committer is production-correct as-is.
+    *   - S3: plain create-then-write is NOT conditional; route this
+    *     seam through a conditional PUT (`If-None-Match: *`), which is
+    *     atomic WITH the body — such a store has no torn-publish window
+    *     at all and may ignore `beforeBody`.
+    *   - GCS: same via an `ifGenerationMatch(0)` precondition.
+    *   - Local FS (the test substrate): Hadoop's RawLocalFileSystem
+    *     implements the flag as exists-then-open — a microsecond
+    *     check-then-act window; fine for tests, called out for honesty.
+    * The FIRST publish through any FileSystem runs [[probeCommitter]] —
+    * a store whose committer silently overwrites (losing the winner's
+    * commit) fails LOUDLY before it ever carries a real manifest.
+    * `beforeBody` runs between reserving the destination and writing
+    * the body — the crash-injection seam for create-then-write stores
+    * (a writer that dies there leaves the sentinel-less manifest
+    * [[repair]] recovers). */
+  private[graft] trait ManifestCommitter {
+    def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+                    dest: org.apache.hadoop.fs.Path,
+                    body: Array[Byte], beforeBody: () => Unit): Boolean
+  }
+
+  private[graft] object CreateExclusiveCommitter extends ManifestCommitter {
+    def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+                    dest: org.apache.hadoop.fs.Path,
+                    body: Array[Byte], beforeBody: () => Unit): Boolean = {
+      val out =
+        try f.create(dest, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            return false
+          case _: java.io.IOException if f.exists(dest) => return false
+        }
+      try { beforeBody(); out.write(body) }
+      finally out.close()
+      true
+    }
+  }
+
+  @volatile private[graft] var committer: ManifestCommitter =
+    CreateExclusiveCommitter
+
+  /** Once per FileSystem per JVM, before the first real publish:
+    * create a uniquely-named probe file twice through the committer —
+    * the second attempt MUST report the destination taken. A store
+    * that passes both (an overwrite-happy FS behind a naive committer)
+    * would silently lose one of two racing commits, so it fails loudly
+    * here instead. Probe files are unique-named (two processes probing
+    * concurrently never interfere) and deleted afterwards. */
+  private val probedFs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[graft] def probeCommitter(f: org.apache.hadoop.fs.FileSystem,
+                                    dir: String): Unit = {
+    val probe = path(s"$dir/manifest/" + freshName("_probe-"))
+    val body = "probe\n".getBytes("UTF-8")
+    try {
+      if (!committer.putIfAbsent(f, probe, body, () => ()))
+        throw new java.io.IOException(
+          s"committer capability probe could not create $probe")
+      if (committer.putIfAbsent(f, probe, body, () => ()))
+        throw new IllegalStateException(
+          s"the manifest committer on ${f.getUri} is NOT put-if-absent: " +
+            "re-creating an existing path succeeded, so two racing " +
+            "writers would both 'win' a generation and one commit would " +
+            "be silently lost. Configure a conditional-write committer " +
+            "for this store (AnnIndex.committer) — S3: conditional PUT " +
+            "If-None-Match; GCS: ifGenerationMatch(0)")
+    } finally f.delete(probe, true): Unit
+  }
+  private def probeCommitterOnce(f: org.apache.hadoop.fs.FileSystem,
+                                 dir: String): Unit =
+    probedFs.computeIfAbsent(f.getUri.toString, { _ =>
+      probeCommitter(f, dir); java.lang.Boolean.TRUE
+    }): Unit
+
+  /** Attempt to publish manifest `id` through the [[ManifestCommitter]]
+    * seam (put-if-absent — see its doc for the per-store atomicity
+    * mapping and the first-publish capability probe): returns false
+    * when generation `id` already exists, i.e. a concurrent writer won
+    * the race and the caller must re-base and retry. This is the
+    * primitive rename-over could not give us: on RawLocalFileSystem and
+    * several object-store FS impls a rename onto an existing
+    * destination silently REPLACES it, dropping the winner's commit.
+    * A writer that dies between reserving the destination and writing
+    * the body leaves a sentinel-less manifest that wedges the chain
+    * LOUDLY — [[repair]] is the recovery verb. */
   private def tryPublish(f: org.apache.hadoop.fs.FileSystem, dir: String,
                          id: Long, md: ManifestData): Boolean = {
     f.mkdirs(path(s"$dir/manifest"))
+    probeCommitterOnce(f, dir)
     val dest = path(s"$dir/manifest/m-$id")
-    val out =
-      try f.create(dest, false)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
-        case _: java.io.IOException if f.exists(dest) => return false
-      }
     val modelLine =
       if (md.modelDir.isEmpty) s"model ${md.model}"
       else s"model ${md.model} ${md.modelDir}"
@@ -273,9 +393,8 @@ object AnnIndex {
       md.tombs.map(a => s"tomb-${a.id} ${a.n} ${a.dirName}") ++
       Seq("commit"))
       .mkString("", "\n", "\n")
-    try out.write(body.getBytes("UTF-8"))
-    finally out.close()
-    true
+    committer.putIfAbsent(f, dest, body.getBytes("UTF-8"),
+      () => maybeKill(dir, "publish-torn"))
   }
 
   /** Publish manifest `id`, failing loudly on a conflict — for the
@@ -318,9 +437,12 @@ object AnnIndex {
                               verb: String): Unit = {
     var (mid, md) = base
     var attempts = 0
+    maybeKill(dir, "staged")
     while (true) {
       fireTestHook(dir)
-      if (tryPublish(f, dir, mid + 1, make(md))) return
+      if (tryPublish(f, dir, mid + 1, make(md))) {
+        maybeKill(dir, "published"); return
+      }
       attempts += 1
       if (attempts >= maxCommitAttempts)
         throw new java.io.IOException(
@@ -494,6 +616,7 @@ object AnnIndex {
     val f = fs(spark, dir)
     val (mid, md) = refresh(f, dir)
     if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
+    maybeKill(dir, "stage")
     val idx = load(spark, dir, asOf = Some(mid))
     val segName = freshName("batch-")
     val n = writeSegment(delta, idCol, vecCol, dir, segName,
@@ -548,6 +671,7 @@ object AnnIndex {
     val f = fs(spark, dir)
     val (mid, md) = refresh(f, dir)
     if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
+    maybeKill(dir, "stage")
     val idx = load(spark, dir, asOf = Some(mid))
     val segName = freshName("batch-")
     val tombName = freshName("t-")
@@ -598,6 +722,7 @@ object AnnIndex {
     val spark = ids.sparkSession
     val f = fs(spark, dir)
     val (mid, md) = refresh(f, dir)
+    maybeKill(dir, "stage")
     val tombName = freshName("t-")
     ids.select(col(idCol).cast("long").as("neighbor_id")).distinct()
       .write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
@@ -633,6 +758,7 @@ object AnnIndex {
     var attempts = 0
     while (true) {
       val (mid, md) = refresh(f, dir)
+      maybeKill(dir, "stage")
       if (md.segs.length <= 1 && md.tombs.isEmpty) return
       val segName = freshName("batch-")
       val union = visibleUnion(spark, dir, md)
@@ -647,6 +773,7 @@ object AnnIndex {
         throw new IllegalStateException(
           s"refusing to compact $dir: every row is tombstoned — rebuild")
       }
+      maybeKill(dir, "staged")
       fireTestHook(dir)
       if (tryPublish(f, dir, mid + 1, ManifestData(
           Seq(Art(md.nextId, n, segName)), Seq.empty,
@@ -654,7 +781,9 @@ object AnnIndex {
           // carry BOTH model fields: dropping modelDir would silently
           // repoint post-retrain readers at the version-0 root model
           // while the compacted codes carry the retrained one
-          model = md.model, modelDir = md.modelDir))) return
+          model = md.model, modelDir = md.modelDir))) {
+        maybeKill(dir, "published"); return
+      }
       // Lost the race: the compacted segment reflects a base that is no
       // longer current (an append's rows would vanish, a delete's rows
       // would resurrect if the stale rewrite were published anyway) —
@@ -688,6 +817,7 @@ object AnnIndex {
     require(dstDir != srcDir, "cannot merge an index into itself")
     val f = fs(spark, dstDir)
     val (mid, md) = refresh(f, dstDir)
+    maybeKill(dstDir, "stage")
     val dst = load(spark, dstDir, asOf = Some(mid))
     val src = load(spark, srcDir)
     require(dst.centroids.map(_.toSeq).toSeq == src.centroids.map(_.toSeq).toSeq &&
@@ -743,6 +873,7 @@ object AnnIndex {
     val spark = corpus.sparkSession
     val f = fs(spark, dir)
     val (mid, md) = refresh(f, dir)
+    maybeKill(dir, "stage")
     val modelDir = freshName("model-")
     writeModelArtifacts(spark, s"$dir/$modelDir", centroids, cbs)
     val segName = freshName("batch-")
@@ -756,6 +887,7 @@ object AnnIndex {
       throw new IllegalArgumentException(
         s"refusing to retrain $dir onto an empty corpus")
     }
+    maybeKill(dir, "staged")
     fireTestHook(dir)
     if (!tryPublish(f, dir, mid + 1, ManifestData(
         Seq(Art(md.nextId, n, segName)), Seq.empty,
@@ -767,6 +899,7 @@ object AnnIndex {
           "are not in this retrain's corpus and must not be erased; " +
           "re-run retrain against a corpus that includes them")
     }
+    maybeKill(dir, "published")
   }
 
   // ------------------------------------------------------------- SQ8
@@ -876,6 +1009,7 @@ object AnnIndex {
     val f = fs(spark, dir)
     val (mid, md) = refresh(f, dir)
     if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
+    maybeKill(dir, "stage")
     val idx = loadSq(spark, dir, asOf = Some(mid))
     val segName = freshName("batch-")
     val n = writeSqSegment(delta, idCol, vecCol, dir, segName, idx.model,
@@ -923,6 +1057,7 @@ object AnnIndex {
     val f = fs(spark, dir)
     val (mid, md) = refresh(f, dir)
     if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
+    maybeKill(dir, "stage")
     val idx = loadSq(spark, dir, asOf = Some(mid))
     val segName = freshName("batch-")
     val tombName = freshName("t-")
@@ -968,6 +1103,7 @@ object AnnIndex {
     require(dstDir != srcDir, "cannot merge an index into itself")
     val f = fs(spark, dstDir)
     val (mid, md) = refresh(f, dstDir)
+    maybeKill(dstDir, "stage")
     val dst = loadSq(spark, dstDir, asOf = Some(mid))
     val src = loadSq(spark, srcDir)
     require(dst.model.mins.toSeq == src.model.mins.toSeq &&
@@ -1007,6 +1143,7 @@ object AnnIndex {
     val spark = corpus.sparkSession
     val f = fs(spark, dir)
     val (mid, md) = refresh(f, dir)
+    maybeKill(dir, "stage")
     val modelDir = freshName("model-")
     writeSqModelArtifacts(spark, s"$dir/$modelDir", m, centroids)
     val segName = freshName("batch-")
@@ -1022,6 +1159,7 @@ object AnnIndex {
     }
     // like [[retrain]]: a lost race means someone committed rows this
     // retrain's corpus may not include — abort loudly, never erase
+    maybeKill(dir, "staged")
     fireTestHook(dir)
     if (!tryPublish(f, dir, mid + 1, ManifestData(
         Seq(Art(md.nextId, n, segName)), Seq.empty,
@@ -1033,6 +1171,7 @@ object AnnIndex {
           "are not in this retrain's corpus and must not be erased; " +
           "re-run retrain against a corpus that includes them")
     }
+    maybeKill(dir, "published")
   }
 
   def loadSq(spark: SparkSession, dir: String,
@@ -1086,13 +1225,25 @@ object AnnIndex {
     * could be EVICTED and silently recompute a nondeterministic source
     * — and neither leaves anything in the cache manager behind (the
     * round-13 serving-path leak: every pruned search pinned its query
-    * frame forever). The scratch landings live under the JVM-lifetime
-    * scratch root (reclaimed by its shutdown hook): above-cap batches
-    * are the BATCH-JOB shape, whose JVM exits; serving processes stay
-    * on the zero-disk local-relation path by construction. */
+    * frame forever). Scratch landings are ROTATED: only the newest
+    * [[scratchRetain]] survive, the oldest is deleted as each new one
+    * lands, so a long-lived driver issuing many large pruned batches
+    * holds bounded scratch disk instead of accumulating until JVM exit
+    * (the shutdown hook remains the final backstop). The contract that
+    * rotation imposes is mild and stated: a search RESULT built from an
+    * above-cap batch must be consumed before `scratchRetain` further
+    * above-cap searches land — serving batches sit under the collect
+    * cap (zero-disk local relation, no rotation involved) and batch
+    * jobs consume each result as it is produced. */
   private val snapshotCollectMax = 8192
 
+  /** Above-cap query-batch landings retained before the oldest is
+    * reclaimed. */
+  private[graft] val scratchRetain = 32
+
   private val snapshotCounter = new java.util.concurrent.atomic.AtomicLong
+  private val scratchLandings =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   private def snapshotQueries(queries: DataFrame, idCol: String,
                               vecCol: String): DataFrame = {
@@ -1105,8 +1256,19 @@ object AnnIndex {
       val dir = graft.streaming.StreamHarness.scratch(
         s"ann_query_snapshot_${snapshotCounter.incrementAndGet()}")
       proj.write.mode("overwrite").parquet(dir)
+      scratchLandings.add(dir)
+      while (scratchLandings.size > scratchRetain) {
+        val old = scratchLandings.poll()
+        if (old != null) deleteLocalRecursively(new java.io.File(old))
+      }
       spark.read.parquet(dir)
     }
+  }
+
+  private def deleteLocalRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(deleteLocalRecursively))
+    f.delete(): Unit
   }
 
   def topKSq(idx: LoadedSq, queries: DataFrame, idCol: String,
@@ -1138,8 +1300,16 @@ object AnnIndex {
     * sets no retained generation lists, and [[retrain]] model
     * directories no retained generation pins. A handle pinned on a
     * dropped generation can no longer scan — run expiry only once
-    * those readers have drained. Default `keepLast = 1` is the
-    * aggressive reclaim (only the current snapshot survives).
+    * those readers have drained.
+    *
+    * WARNING — the default `keepLast = 1` is the AGGRESSIVE reclaim
+    * (Iceberg's `retain_last` default): one argument-less maintenance
+    * call destroys every [[load]]`(asOf)` time-travel target except
+    * the current snapshot, and there is no undo — the dropped
+    * manifests and the segments only they referenced are deleted.
+    * Pass `keepLast` explicitly from any scheduled maintenance job
+    * whose operators may rely on time travel (`keepLast = 7` for a
+    * week of daily generations is the common production shape).
     *
     * ORPHANS — artifact directories in NO manifest at all (a writer
     * that died between staging and publish) — are reclaimed only when

@@ -489,6 +489,113 @@ class AnnIndexConcurrencySpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("model mismatch"))
   }
 
+  /** Rewrite the current manifest in the PRE-HIGH-WATER format (no
+    * `v2`, no `hw`/`shw` lines — the era whose streamed batch id `b`
+    * landed as segment id `b + 1`), pointing at the index's real
+    * artifact dirs. What an old index looks like to new code. */
+  private def makeLegacy(dir: String): Unit = {
+    val mdir = new java.io.File(s"$dir/manifest")
+    val top = mdir.list().filter(_.startsWith("m-"))
+      .map(_.drop(2).toLong).max
+    val lines = scala.io.Source.fromFile(s"$dir/manifest/m-$top")
+      .getLines().filter(l => l.startsWith("batch-") || l.startsWith("tomb-"))
+      .toSeq
+    mdir.list().foreach(f => new java.io.File(mdir, f).delete())
+    val w = new java.io.FileWriter(s"$dir/manifest/m-$top")
+    w.write(lines.mkString("", "\n", "\n")); w.close()
+  }
+
+  test("legacy manifest (no shw line): a resumed checkpoint's crash-window replay does NOT duplicate") {
+    val e = corpus(0, 60).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, cents, cbs)
+    // two streamed micro-batches (keys 0 and 1) committed, THEN the
+    // manifest is rewritten in the pre-high-water format — the exact
+    // state of an index built and streamed by the old code
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 20 && col("vec_id") < 40),
+      "vec_id", "embedding", dir, dedupKey = Some(0L))
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 40 && col("vec_id") < 50),
+      "vec_id", "embedding", dir, dedupKey = Some(1L))
+    makeLegacy(dir)
+    // resuming the checkpoint replays the crash-window batch (key 1):
+    // the recovered high-water (max segment id − 1 = 1) must skip it —
+    // no compact, no migration step, no duplicate segment
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 40 && col("vec_id") < 50),
+      "vec_id", "embedding", dir, dedupKey = Some(1L))
+    assert(AnnIndex.load(spark, dir).nrows == 50,
+      "legacy crash-window replay landed as a duplicate segment")
+    // and the stream's NEXT batch still lands
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 50), "vec_id",
+      "embedding", dir, dedupKey = Some(2L))
+    assert(AnnIndex.load(spark, dir).nrows == 60, "fresh batch was dropped")
+  }
+
+  test("compact/delete on a legacy manifest carry the RECOVERED high-water, not −1") {
+    val e = corpus(0, 60).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, cents, cbs)
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 20 && col("vec_id") < 40),
+      "vec_id", "embedding", dir, dedupKey = Some(0L))
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 40 && col("vec_id") < 50),
+      "vec_id", "embedding", dir, dedupKey = Some(1L))
+    makeLegacy(dir)
+    // the ADVICE hazard: compact used to stamp shw = −1 forward, so a
+    // checkpoint resumed AFTER maintenance re-duplicated its window
+    AnnIndex.compact(spark, dir)
+    AnnIndex.delete(Seq(0L).toDF("vec_id"), "vec_id", dir)
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 40 && col("vec_id") < 50),
+      "vec_id", "embedding", dir, dedupKey = Some(1L))
+    assert(AnnIndex.load(spark, dir).codes.count() == 49,
+      "post-maintenance legacy replay duplicated its batch")
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 50), "vec_id",
+      "embedding", dir, dedupKey = Some(2L))
+    assert(AnnIndex.load(spark, dir).codes.count() == 59)
+  }
+
+  test("a torn read shorter than the v2 header is truncated, never an empty legacy manifest") {
+    val e = corpus(0, 20).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    // a racing reader's visible prefix of an in-flight v2 body: one
+    // byte. Parsing this as a LEGACY manifest would report an empty
+    // index (hw = −1, zero segments) — a writer re-basing onto that
+    // would erase every committed row. It must read as truncated.
+    val w = new java.io.FileWriter(s"$dir/manifest/m-1"); w.write("v"); w.close()
+    val saved = AnnIndex.manifestRetryAttempts
+    AnnIndex.manifestRetryAttempts = 2
+    try {
+      val ex = intercept[java.io.IOException](AnnIndex.load(spark, dir))
+      assert(ex.getMessage.contains("truncated"), ex.getMessage)
+    } finally AnnIndex.manifestRetryAttempts = saved
+  }
+
+  test("committer capability probe: an overwrite-happy store fails loudly before carrying a manifest") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    // a store whose create(overwrite = false) silently replaces — the
+    // failure mode that would let two racing writers both 'win' a
+    // generation and drop one commit
+    val overwriteHappy = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def create(p: org.apache.hadoop.fs.Path, overwrite: Boolean)
+          : org.apache.hadoop.fs.FSDataOutputStream =
+        super.create(p, true)
+    }
+    overwriteHappy.initialize(new java.net.URI("file:///"), conf)
+    val dir = s"${tmpDir()}/probe"
+    new java.io.File(s"$dir/manifest").mkdirs()
+    val ex = intercept[IllegalStateException](
+      AnnIndex.probeCommitter(overwriteHappy, dir))
+    assert(ex.getMessage.contains("NOT put-if-absent"), ex.getMessage)
+    // the honest store passes the same probe
+    val honest = new org.apache.hadoop.fs.RawLocalFileSystem()
+    honest.initialize(new java.net.URI("file:///"), conf)
+    AnnIndex.probeCommitter(honest, dir)
+  }
+
   test("expire leaves fresh orphans alone (grace window) but reaps aged ones") {
     val e = corpus(0, 20).cache()
     val (cents, cbs) = model(e)

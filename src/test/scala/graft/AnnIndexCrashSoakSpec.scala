@@ -1,0 +1,272 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Pq, Sq}
+import graft.sources.AnnIndex
+
+/** Randomized crash-injection soak of the optimistic commit protocol
+  * ([[graft.sources.AnnIndex]]): a seeded RNG drives a long random walk
+  * of every in-chain verb (append / upsert / delete / compact / retrain
+  * / merge) on BOTH tiers, killing the writer at seeded points —
+  * `stage` (nothing written yet), `staged` (artifacts complete,
+  * manifest not attempted), `publish-torn` (destination reserved, body
+  * unwritten — the only crash that wedges the chain), `published` (the
+  * commit is durable, the caller just never heard). After every crash
+  * the walk applies the documented operator runbook — a torn chain must
+  * fail LOUDLY until [[AnnIndex.repair]], keyed verbs replay with the
+  * same dedup key (the at-least-once contract), non-keyed verbs retry
+  * unless the commit was already durable — and the index must end every
+  * step either fully committed or invisible-and-recoverable, with the
+  * visible id multiset equal to the driver-side ground truth and the
+  * final search hash-equal to a crash-free fresh build of the same
+  * corpus. This generalizes AnnIndexConcurrencySpec's hand-picked
+  * interleavings into protocol-holds-under-arbitrary-death: at 100 TB
+  * writers die constantly, and the interesting failures are the ones
+  * nobody thought to enumerate. */
+class AnnIndexCrashSoakSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** Deterministic per-(id, generation) vector — the walk records in
+    * `truth` exactly what it sent, so the reference build is exact. */
+  private def vec(id: Long, gen: Int): Seq[Float] = {
+    val rng = new scala.util.Random(id * 7919L + gen * 104729L)
+    val base = Array.tabulate(dim)(j =>
+      if (j == (id % 4).toInt * 2) 10.0f else 0.0f)
+    base.map(x => x + rng.nextGaussian().toFloat * 0.2f).toSeq
+  }
+
+  private def df(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  private def ivfModel(e: org.apache.spark.sql.DataFrame) = {
+    val cents = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    import graft.plans.SketchExpressions.nearestCentroids
+    val samples = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(Pq.residualExpr(col("embedding"),
+        element_at(nearestCentroids(col("embedding"), cents, 1), 1), cents).as("r"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    (cents, Pq.codebooks(samples, m = 4))
+  }
+
+  test("crash soak: IVF-PQ tier — 100 seeded kill-steps across all verbs, end state always committed or recoverable") {
+    runWalk("ivf", steps = 100, seed = 20251L)
+  }
+
+  test("crash soak: SQ8 tier — 100 seeded kill-steps across all verbs, end state always committed or recoverable") {
+    runWalk("sq", steps = 100, seed = 20252L)
+  }
+
+  private def runWalk(tier: String, steps: Int, seed: Long): Unit = {
+    // torn chains are read (loudly) hundreds of times here — don't
+    // spend the suite's wall-clock inside the reader's retry sleep
+    val savedRetry = AnnIndex.manifestRetryAttempts
+    AnnIndex.manifestRetryAttempts = 2
+    try walkImpl(tier, steps, seed)
+    finally AnnIndex.manifestRetryAttempts = savedRetry
+  }
+
+  private def walkImpl(tier: String, steps: Int, seed: Long): Unit = {
+    val rng = new scala.util.Random(seed)
+    val root = java.nio.file.Files
+      .createTempDirectory(s"ann_crash_$tier").toString
+    val dir = s"$root/idx"
+    var nextId = 0L
+    def freshIds(n: Int): Seq[Long] = {
+      val ids = (nextId until nextId + n).toSeq; nextId += n; ids
+    }
+    // driver-side ground truth: id -> the exact vector last committed
+    val truth = scala.collection.mutable.LinkedHashMap[Long, Seq[Float]]()
+
+    val initRows = freshIds(40).map(i => (i, vec(i, 0)))
+    initRows.foreach { case (i, v) => truth(i) = v }
+    val e0 = df(initRows)
+    val (cents, cbs) = ivfModel(e0)
+    val sqM = Sq.fit(e0, "embedding")
+    if (tier == "ivf")
+      AnnIndex.buildIvfPq(e0, "vec_id", "embedding", dir, cents, cbs)
+    else
+      AnnIndex.buildSq(e0, "vec_id", "embedding", dir, sqM, Some(cents))
+
+    var dedupKey = 0L
+    var mergeCount = 0
+    val fired = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+
+    def loadIds(): Seq[Long] = {
+      val codes =
+        if (tier == "ivf") AnnIndex.load(spark, dir).codes
+        else AnnIndex.loadSq(spark, dir).codes
+      codes.select("neighbor_id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    def checkVisible(at: String): Unit = {
+      val got = loadIds()
+      val want = truth.keys.toSeq.sorted
+      assert(got == want,
+        s"[$tier/$at] visible ids diverged from ground truth: " +
+          s"extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
+    }
+
+    for (step <- 1 to steps) {
+      // pick the verb (fall back to append when the corpus is too
+      // small to upsert/delete without emptying it)
+      val v = rng.nextDouble()
+      var verb =
+        if (v < 0.22) "append" else if (v < 0.40) "upsert"
+        else if (v < 0.55) "delete" else if (v < 0.70) "compact"
+        else if (v < 0.85) "retrain" else "merge"
+      if ((verb == "upsert" || verb == "delete") && truth.size < 13)
+        verb = "append"
+
+      // pre-stage the step's inputs (and, for merge, a crash-free src
+      // shard built with the SAME model — the federation contract)
+      val liveIds = truth.keys.toVector
+      val rows: Seq[(Long, Seq[Float])] = verb match {
+        case "append" => freshIds(4).map(i => (i, vec(i, step)))
+        case "upsert" =>
+          rng.shuffle(liveIds).take(3).map(i => (i, vec(i, step)))
+        case "merge" => freshIds(3).map(i => (i, vec(i, step)))
+        case _ => Seq.empty
+      }
+      val delIds: Seq[Long] =
+        if (verb == "delete") rng.shuffle(liveIds).take(2) else Seq.empty
+      val srcDir: String = if (verb == "merge") {
+        mergeCount += 1
+        val d = s"$root/shard$mergeCount"
+        if (tier == "ivf")
+          AnnIndex.buildIvfPq(df(rows), "vec_id", "embedding", d, cents, cbs)
+        else
+          AnnIndex.buildSq(df(rows), "vec_id", "embedding", d, sqM, Some(cents))
+        d
+      } else ""
+      val key = if (verb == "append" || verb == "upsert") {
+        dedupKey += 1; dedupKey
+      } else -1L
+
+      def runVerb(): Unit = (tier, verb) match {
+        case ("ivf", "append") =>
+          AnnIndex.appendIvfPq(df(rows), "vec_id", "embedding", dir, Some(key))
+        case ("ivf", "upsert") =>
+          AnnIndex.upsertBatchIvfPq(df(rows), "vec_id", "embedding", dir, Some(key))
+        case ("ivf", "merge") => AnnIndex.merge(spark, dir, srcDir)
+        case ("ivf", "retrain") =>
+          AnnIndex.retrain(df(truth.toSeq), "vec_id", "embedding", dir, cents, cbs)
+        case ("sq", "append") =>
+          AnnIndex.appendSq(df(rows), "vec_id", "embedding", dir, Some(key))
+        case ("sq", "upsert") =>
+          AnnIndex.upsertBatchSq(df(rows), "vec_id", "embedding", dir, Some(key))
+        case ("sq", "merge") => AnnIndex.mergeSq(spark, dir, srcDir)
+        case ("sq", "retrain") =>
+          AnnIndex.retrainSq(df(truth.toSeq), "vec_id", "embedding", dir, sqM, Some(cents))
+        case (_, "delete") =>
+          AnnIndex.delete(delIds.toDF("vec_id"), "vec_id", dir)
+        case (_, "compact") => AnnIndex.compact(spark, dir)
+        case other => fail(s"unknown verb $other")
+      }
+
+      // arm the seeded kill point (maybe none)
+      val k = rng.nextDouble()
+      val kill =
+        if (k < 0.40) "" else if (k < 0.55) "stage"
+        else if (k < 0.70) "staged" else if (k < 0.85) "publish-torn"
+        else "published"
+      if (kill.nonEmpty) AnnIndex.testKillPoint.put(dir, kill)
+
+      // execute with the documented operator runbook as recovery
+      var done = false
+      var attempts = 0
+      while (!done) {
+        attempts += 1
+        assert(attempts <= 4, s"[$tier/$step] $verb did not converge")
+        try { runVerb(); done = true }
+        catch {
+          case c: AnnIndex.InjectedCrash =>
+            fired(c.point) += 1
+            if (c.point == "publish-torn") {
+              // the wedge must be LOUD — a reader can never silently
+              // parse past a sentinel-less top manifest ...
+              val ex = intercept[java.io.IOException] {
+                if (tier == "ivf") AnnIndex.load(spark, dir)
+                else AnnIndex.loadSq(spark, dir)
+              }
+              assert(ex.getMessage.contains("truncated"), ex.getMessage)
+              // ... and repair (stale window elapsed) must unwedge it
+              assert(AnnIndex.repair(spark, dir, staleAfterMs = -1),
+                "repair found nothing to fix on a wedged chain")
+            }
+            val keyed = verb == "append" || verb == "upsert"
+            // a keyed verb ALWAYS replays (its dedup key makes the
+            // replay of an already-durable commit a no-op — that path
+            // is exactly what this exercises); a non-keyed verb whose
+            // commit was already durable must NOT be re-run blindly
+            if (c.point == "published" && !keyed) done = true
+        }
+      }
+      // a verb that legitimately short-circuited (e.g. a no-op
+      // compact) may leave its arm unfired — clear it so it cannot
+      // leak into the next step
+      AnnIndex.testKillPoint.remove(dir)
+
+      // the verb is now committed exactly once — fold it into truth
+      verb match {
+        case "append" | "upsert" | "merge" =>
+          rows.foreach { case (i, vv) => truth(i) = vv }
+        case "delete" => delIds.foreach(truth.remove)
+        case _ => // compact/retrain never change the visible set
+      }
+
+      if (step % 25 == 0) checkVisible(s"step $step")
+    }
+
+    // the seed must actually have exercised every kill point
+    Seq("stage", "staged", "publish-torn", "published").foreach { p =>
+      assert(fired(p) >= 3, s"[$tier] kill point '$p' fired only ${fired(p)} " +
+        "times — reweight the seed, the soak is not covering it")
+    }
+
+    checkVisible("end")
+
+    // the survivor must be indistinguishable from a crash-free fresh
+    // build of the ground-truth corpus under the same model
+    val q = df(truth.toSeq.take(8))
+    val seqDir = s"$root/seq"
+    if (tier == "ivf") {
+      AnnIndex.buildIvfPq(df(truth.toSeq), "vec_id", "embedding", seqDir,
+        cents, cbs)
+      val got = AnnIndex.topK(AnnIndex.load(spark, dir), q, "vec_id",
+        "embedding", k = 3, nprobe = 2).collect().map(_.toSeq).toSet
+      val want = AnnIndex.topK(AnnIndex.load(spark, seqDir), q, "vec_id",
+        "embedding", k = 3, nprobe = 2).collect().map(_.toSeq).toSet
+      assert(got == want, s"[$tier] post-soak search diverged from a " +
+        "crash-free build")
+    } else {
+      AnnIndex.buildSq(df(truth.toSeq), "vec_id", "embedding", seqDir,
+        sqM, Some(cents))
+      val got = AnnIndex.topKSq(AnnIndex.loadSq(spark, dir), q, "vec_id",
+        "embedding", k = 3).collect().map(_.toSeq).toSet
+      val want = AnnIndex.topKSq(AnnIndex.loadSq(spark, seqDir), q, "vec_id",
+        "embedding", k = 3).collect().map(_.toSeq).toSet
+      assert(got == want, s"[$tier] post-soak search diverged from a " +
+        "crash-free build")
+    }
+
+    // maintenance after the storm: expire reclaims every orphan the
+    // crashes strewed about (staged segments, tombs, model dirs), and
+    // the index still serves
+    AnnIndex.expire(spark, dir, keepLast = 1, orphanGraceMs = -1000)
+    checkVisible("post-expire")
+    val liveSegs =
+      if (tier == "ivf") AnnIndex.load(spark, dir).batches.length
+      else AnnIndex.loadSq(spark, dir).batches.length
+    val dataDirs = new java.io.File(s"$dir/data").list().length
+    assert(dataDirs == liveSegs,
+      s"[$tier] expire left ${dataDirs - liveSegs} crash orphans in data/")
+    val modelDirs = new java.io.File(dir).list().count(_.startsWith("model-"))
+    assert(modelDirs <= 1,
+      s"[$tier] expire left $modelDirs model dirs (≤1 may be pinned)")
+  }
+}
