@@ -4646,6 +4646,50 @@ object QueriesText {
     },
     Some(sqOracle))
 
+  // --------------------------------------------------------------- q167
+  // SQ-tier PRODUCTION FILTERED SERVING — the scale path q163's gate
+  // narrative names but (until now) never measured: a FIXED 8-id
+  // literal query panel (the q153/q156 endpoint shape — bounded at
+  // every corpus size), a FIXED 10-id literal allowlist (a takedown
+  // review set / one tenant — trips topKWhereSq's broadcast-literal
+  // hatch at every factor, so the allowed-side subplan never re-executes
+  // inside the search join), and prune=true over the CELL layout, which
+  // composes the mask semi-join UNDER the probe PartitionFilter (6-ish
+  // of 16 cell dirs scanned). Candidates = (probed-cell union) ∩
+  // allowed, scored by the exact q130 factored dot; the oracle is
+  // q156's probe chain with the allowed predicate added to the
+  // candidate CTE — one unprobed cell leaking in, one disallowed
+  // neighbor, or a hatch that changed ranking flips the hash. The 30×
+  // BASELINE row for this is the cheap tier's production serving
+  // price: build-dominated, with a probed-cells-sized read term.
+  private val annAllowIds =
+    Seq(0L, 50L, 100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L)
+
+  private val q167 = Q("q167_sq_filtered_serve",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m = graft.operators.Sq.fit(e, "embedding")
+      val (cb, _) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("sq_fserve_q167")
+      val d = s"$idxDir/sq8c"
+      graft.sources.AnnIndex.buildSq(e, "vec_id", "embedding", d, m, Some(cb))
+      val idx = graft.sources.AnnIndex.loadSq(s, d)
+      graft.sources.AnnIndex.topKWhereSq(idx,
+        e.filter(col("vec_id").isin(annPanelIds: _*)), "vec_id", "embedding",
+        allowed = e.filter(col("vec_id").isin(annAllowIds: _*)),
+        allowedIdCol = "vec_id", k = 3, nprobe = 2, prune = true)
+    },
+    Some(ivfPqAssignCtes + s""",
+            probe AS (SELECT DISTINCT ci FROM ranked
+                      WHERE vec_id IN (${annPanelIds.mkString(", ")}) AND rn <= 2),
+            acell AS (SELECT vec_id, ci FROM ranked WHERE rn = 1),
+            cand AS (SELECT vec_id FROM acell
+                     WHERE ci IN (SELECT ci FROM probe)
+                       AND vec_id IN (${annAllowIds.mkString(", ")})),
+            ${sqScoringCtes(
+              s"vec_id IN (${annPanelIds.mkString(", ")})",
+              "JOIN cand ON cand.vec_id = e.vec_id")}"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
@@ -4654,5 +4698,5 @@ object QueriesText {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164,
-    q165, q166)
+    q165, q166, q167)
 }

@@ -265,7 +265,12 @@ object ScaleStress {
       // encode split across two shards + the codes-only merge copy +
       // q148's ADC read over the two-segment union — expect q148's
       // read-term growth plus a write-dominated merge
-      "q166_sq_shard_merge")
+      "q166_sq_shard_merge",
+      // q167 = q156's build + the doubly-bounded filtered serve (8-id
+      // literal panel, 10-id literal allowlist under the probe
+      // PartitionFilter) — the SQ tier's production filtered-serving
+      // price: expect build-dominated growth with a ~flat serve term
+      "q167_sq_filtered_serve")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",

@@ -118,6 +118,12 @@ class PlanAuditSpec extends AnyFunSuite {
         "reading the post-retrain single segment; the migration itself " +
         "is two map-only encodes + parameter-sized model writes " +
         "(PLANS.md q164 row)"),
+    "q167_sq_filtered_serve" ->
+      ("the production filtered SQ serve: q156's broadcast-query " +
+        "PartitionFilter scan shape (8-id literal panel, nprobe/nlist " +
+        "of the codes scanned) with a 10-id broadcast-LITERAL allowlist " +
+        "composed under the probe filter — every side is bounded at " +
+        "every corpus size (PLANS.md q167 row)"),
     "q153_ann_index_serve" ->
       ("embeds q33's brute-force exactness baseline as the serving " +
         "panel's recall GROUND TRUTH — the query side is an 8-id " +
@@ -192,7 +198,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(qs == os,
       s"queries without an oracle: ${(qs -- os).toSeq.sorted.mkString(", ")}; " +
         s"orphan oracles: ${(os -- qs).toSeq.sorted.mkString(", ")}")
-    assert(qs.size >= 166, s"registered query count regressed: ${qs.size}")
+    assert(qs.size >= 167, s"registered query count regressed: ${qs.size}")
   }
 
   test("every registered query satisfies the standing plan rules") {
