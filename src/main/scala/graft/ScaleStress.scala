@@ -275,7 +275,7 @@ object ScaleStress {
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",
       "skew_stress", "stream_sinks", "bpe_train_512", "checkpoint_cost",
-      "blocklist_400")
+      "blocklist_400", "serving_soak")
     def wantExhibit(n: String): Boolean = only.forall(_.contains(n))
     // a typo'd subset must FAIL, not complete green measuring nothing
     only.foreach { o =>
@@ -453,6 +453,67 @@ object ScaleStress {
       }.mkString(""","streams":{""", ",", "}")
     }
 
+    // LONG-LIVED SERVING SOAK: thousands of mixed index serves (topK
+    // pruned / topKWhere literal-mask / topKSq pruned / topKWhereSq
+    // masked — both tiers, fixed 8-id panel) against PINNED snapshot
+    // handles in ONE session, the shape a production query endpoint
+    // runs for days. Claims under test: (1) zero cache-manager growth —
+    // the round-14 snapshot-instead-of-persist fix holds over thousands
+    // of serves, not just four bench runs (getPersistentRDDs stays
+    // empty); (2) flat latency — the median of the last 100 serves over
+    // the median of the first 100 (post-warmup) stays ~1; a leak in
+    // either the block manager or the driver (accumulating listeners,
+    // scratch landings, plan caches) shows up as drift long before it
+    // OOMs. Serving batches sit under the snapshot collect cap, so the
+    // zero-disk local-relation path is also what's soaked.
+    var servingJson = ""
+    if (wantExhibit("serving_soak")) {
+      import graft.sources.AnnIndex
+      val e = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      val (cbS, cbsS) = QueriesText.ivfPqModel(e)
+      val sqM = graft.operators.Sq.fit(e, "embedding")
+      val soakRoot = graft.streaming.StreamHarness.scratch("serving_soak")
+      AnnIndex.buildIvfPq(e, "vec_id", "embedding", s"$soakRoot/ivf", cbS, cbsS)
+      AnnIndex.buildSq(e, "vec_id", "embedding", s"$soakRoot/sq", sqM, Some(cbS))
+      val ivf = AnnIndex.load(spark, s"$soakRoot/ivf")
+      val sq = AnnIndex.loadSq(spark, s"$soakRoot/sq")
+      val panel = e.filter(col("vec_id").isin(
+        Seq(0L, 63L, 150L, 221L, 305L, 350L, 441L, 499L).map(Long.box): _*))
+        .cache()
+      noop(panel) // materialize the panel once, outside the soak timing
+      val mask = e.filter(col("vec_id") % 50 === 0).select(col("vec_id"))
+      val iters = 2000
+      val warmup = 40
+      val lat = new Array[Double](iters)
+      for (i <- 0 until iters) {
+        val t0 = System.nanoTime()
+        (i % 4) match {
+          case 0 => AnnIndex.topK(ivf, panel, "vec_id", "embedding",
+            k = 3, nprobe = 4).count()
+          case 1 => AnnIndex.topKWhere(ivf, panel, "vec_id", "embedding",
+            mask, "vec_id", k = 3, nprobe = 4).count()
+          case 2 => AnnIndex.topKSq(sq, panel, "vec_id", "embedding",
+            k = 3, nprobe = 2, prune = true).count()
+          case _ => AnnIndex.topKWhereSq(sq, panel, "vec_id", "embedding",
+            mask, "vec_id", k = 3, nprobe = 2, prune = true).count()
+        }
+        lat(i) = (System.nanoTime() - t0) / 1e6
+      }
+      def med(xs: Array[Double]): Double = {
+        val s = xs.sorted; s(s.length / 2)
+      }
+      val head = med(lat.slice(warmup, warmup + 100))
+      val tail = med(lat.takeRight(100))
+      val cached = spark.sparkContext.getPersistentRDDs.size - 1 // the panel
+      panel.unpersist()
+      System.err.println(f"[scale] serving_soak: $iters serves, median " +
+        f"head $head%.1f ms tail $tail%.1f ms (tail/head ${tail / head}%.2f), " +
+        f"leaked cache entries $cached")
+      servingJson = f""","serving_soak":{"iters":$iters,""" +
+        f""""head_med_ms":$head%.1f,"tail_med_ms":$tail%.1f,""" +
+        f""""tail_over_head":${tail / head}%.2f,"leaked_cache_entries":$cached}"""
+    }
+
     // INCREMENTAL BPE TRAINER at production merge depth: 512 merges on
     // the factor× corpus, per-round wall observed via the trainer's
     // onRoundNanos hook. The claim under test is BpeTrain's cost model —
@@ -540,7 +601,7 @@ object ScaleStress {
     val json = s"""{"factor":$factor,"docs":$nDocs,"vectors":$nVecs,""" +
       s""""rounds_base":$rBase,"rounds_${factor}x":$rScaled,""" +
       s""""pairs_base":$pBase,"pairs_${factor}x":$pScaled$skewJson""" +
-      s"""$streamJson$bpeJson$ckptJson,"queries":$rows}"""
+      s"""$streamJson$servingJson$bpeJson$ckptJson,"queries":$rows}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/scale_stress.json"), json)
     catch { case e: Throwable => System.err.println(s"[scale] write failed: $e") }

@@ -1245,8 +1245,8 @@ object AnnIndex {
   private val scratchLandings =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  private def snapshotQueries(queries: DataFrame, idCol: String,
-                              vecCol: String): DataFrame = {
+  private[graft] def snapshotQueries(queries: DataFrame, idCol: String,
+                                     vecCol: String): DataFrame = {
     val spark = queries.sparkSession
     val proj = queries.select(col(idCol), col(vecCol))
     val rows = proj.limit(snapshotCollectMax + 1).collect()
