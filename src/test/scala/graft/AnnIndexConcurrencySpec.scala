@@ -596,6 +596,26 @@ class AnnIndexConcurrencySpec extends AnyFunSuite {
     AnnIndex.probeCommitter(honest, dir)
   }
 
+  test("expire's argument-less default keeps ONLY the current generation (the documented destructive default)") {
+    val e = corpus(0, 40).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, cents, cbs)
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 20), "vec_id",
+      "embedding", dir)
+    // pinning the scaladoc's WARNING: keepLast defaults to 1, so one
+    // argument-less maintenance call destroys every time-travel target
+    // except the current snapshot — schedule maintenance with an
+    // explicit keepLast when operators rely on asOf reads
+    AnnIndex.expire(spark, dir)
+    assert(AnnIndex.versionsOf(spark, dir) == Seq(1L),
+      "the documented aggressive default changed silently")
+    intercept[IllegalArgumentException](
+      AnnIndex.load(spark, dir, asOf = Some(0L)))
+    assert(AnnIndex.load(spark, dir).nrows == 40)
+  }
+
   test("expire leaves fresh orphans alone (grace window) but reaps aged ones") {
     val e = corpus(0, 20).cache()
     val (cents, cbs) = model(e)
