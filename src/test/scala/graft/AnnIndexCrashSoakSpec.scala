@@ -62,6 +62,85 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
     runWalk("sq", steps = 100, seed = 20252L)
   }
 
+  test("streaming ingester dies at every kill point: checkpoint replay stays exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val savedRetry = AnnIndex.manifestRetryAttempts
+    AnnIndex.manifestRetryAttempts = 2
+    try {
+      val e = df((0L until 80L).map(i => (i, vec(i, 0))))
+      val (cents, cbs) = ivfModel(e)
+      val root = java.nio.file.Files
+        .createTempDirectory("ann_stream_crash").toString
+      val dir = s"$root/idx"
+      val landing = s"$root/landing"
+      val ckpt = s"$root/ckpt"
+      AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id",
+        "embedding", dir, cents, cbs)
+      def land(lo: Long, hi: Long): Unit =
+        e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("append").parquet(landing)
+      def ingest(): Unit = {
+        val stream = spark.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        AnnIndex.streamAppend(stream, "vec_id", "embedding", dir, ckpt,
+          Trigger.AvailableNow()).awaitTermination()
+      }
+      def ingestCrashes(point: String): Unit = {
+        AnnIndex.testKillPoint.put(dir, point)
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+          ingest())
+        def injected(t: Throwable): Boolean = t != null &&
+          (t.isInstanceOf[AnnIndex.InjectedCrash] || injected(t.getCause))
+        assert(injected(ex), s"stream failed for another reason: $ex")
+      }
+
+      // phase 1: the publisher dies AFTER reserving the manifest slot
+      // but before the body — the chain wedges LOUDLY, repair unwedges,
+      // and the checkpoint restart replays the batch exactly once
+      land(20, 40)
+      ingestCrashes("publish-torn")
+      intercept[java.io.IOException](AnnIndex.load(spark, dir))
+      assert(AnnIndex.repair(spark, dir, staleAfterMs = -1))
+      ingest()
+      assert(AnnIndex.load(spark, dir).nrows == 40,
+        "torn-publish replay duplicated or dropped the micro-batch")
+
+      // phase 2: the ingester dies AFTER the commit is durable but
+      // before the checkpoint records the batch — the restart
+      // re-delivers the same foreachBatch id and the dedup key makes
+      // the replay a no-op (the at-least-once -> exactly-once core)
+      land(40, 60)
+      ingestCrashes("published")
+      assert(AnnIndex.load(spark, dir).nrows == 60,
+        "the published commit should already be visible")
+      ingest()
+      val afterReplay = AnnIndex.load(spark, dir)
+      assert(afterReplay.nrows == 60,
+        s"post-publish crash replay double-applied: ${afterReplay.batches}")
+
+      // phase 3: the ingester dies with the segment staged but no
+      // manifest attempt — nothing is visible, the restart re-stages
+      land(60, 80)
+      ingestCrashes("staged")
+      assert(AnnIndex.load(spark, dir).nrows == 60)
+      ingest()
+      val idx = AnnIndex.load(spark, dir)
+      assert(idx.nrows == 80, s"staged-crash replay lost rows: ${idx.batches}")
+      assert(idx.batches == idx.batches.distinct.sorted)
+
+      // the crash-ridden ingest equals the one-shot build
+      val full = s"$root/full"
+      AnnIndex.buildIvfPq(e, "vec_id", "embedding", full, cents, cbs)
+      val q = e.filter(col("vec_id") % 10 === 0)
+      val got = AnnIndex.topK(idx, q, "vec_id", "embedding", k = 3,
+        nprobe = 2).collect().map(_.toSeq).toSet
+      val want = AnnIndex.topK(AnnIndex.load(spark, full), q, "vec_id",
+        "embedding", k = 3, nprobe = 2).collect().map(_.toSeq).toSet
+      assert(got == want, "crash-ridden stream ingest diverged from the " +
+        "one-shot build")
+    } finally AnnIndex.manifestRetryAttempts = savedRetry
+  }
+
   private def runWalk(tier: String, steps: Int, seed: Long): Unit = {
     // torn chains are read (loudly) hundreds of times here — don't
     // spend the suite's wall-clock inside the reader's retry sleep
