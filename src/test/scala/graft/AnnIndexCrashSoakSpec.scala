@@ -141,6 +141,43 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
     } finally AnnIndex.manifestRetryAttempts = savedRetry
   }
 
+  test("a wedged chain stops concurrent writers LOUDLY; repair restores liveness for all of them") {
+    val savedRetry = AnnIndex.manifestRetryAttempts
+    AnnIndex.manifestRetryAttempts = 2
+    try {
+      val e = df((0L until 60L).map(i => (i, vec(i, 0))))
+      val (cents, cbs) = ivfModel(e)
+      val dir = java.nio.file.Files
+        .createTempDirectory("ann_wedge_ccy").toString + "/idx"
+      AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id",
+        "embedding", dir, cents, cbs)
+      // writer A dies mid-publish (torn manifest at the top generation)
+      AnnIndex.testKillPoint.put(dir, "publish-torn")
+      intercept[AnnIndex.InjectedCrash] {
+        AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 20 && col("vec_id") < 40),
+          "vec_id", "embedding", dir)
+      }
+      // every OTHER writer and reader now fails loudly — none can
+      // silently base a commit on (or read past) the torn snapshot
+      val exW = intercept[java.io.IOException] {
+        AnnIndex.delete(Seq(1L).toDF("vec_id"), "vec_id", dir)
+      }
+      assert(exW.getMessage.contains("truncated"), exW.getMessage)
+      intercept[java.io.IOException](AnnIndex.compact(spark, dir))
+      intercept[java.io.IOException](AnnIndex.load(spark, dir))
+      // repair restores liveness; the dead writer's batch was never
+      // visible, so the blocked writers commit against the last
+      // COMPLETE generation and nothing is lost or resurrected
+      assert(AnnIndex.repair(spark, dir, staleAfterMs = -1))
+      AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 20 && col("vec_id") < 40),
+        "vec_id", "embedding", dir)
+      AnnIndex.delete(Seq(1L).toDF("vec_id"), "vec_id", dir)
+      val idx = AnnIndex.load(spark, dir)
+      assert(idx.codes.count() == 39,
+        "post-repair commits lost rows or resurrected the dead publish")
+    } finally AnnIndex.manifestRetryAttempts = savedRetry
+  }
+
   private def runWalk(tier: String, steps: Int, seed: Long): Unit = {
     // torn chains are read (loudly) hundreds of times here — don't
     // spend the suite's wall-clock inside the reader's retry sleep
