@@ -1331,15 +1331,25 @@ object AnnIndex {
     val liveTombs = keptMds.flatMap(_.tombs.map(_.dirName)).toSet
     val liveModelDirs = keptMds.map(_.modelDir).filter(_.nonEmpty).toSet
     val droppedMds = dropped.map(readManifest(f, dir, _))
+    // MANIFESTS GO FIRST (crash-ordering invariant): once a dropped
+    // generation's manifest is gone, a late time-travel reader fails
+    // loudly with "does not exist" — never opens a manifest whose
+    // segments this expire already deleted (a scan failure that looks
+    // like corruption). An expire that dies between the two phases
+    // leaves the dropped generations' artifacts referenced by NOTHING,
+    // which is exactly the orphan class the grace-windowed reap below
+    // (or the next expire) reclaims — re-running expire completes the
+    // job, nothing is ever half-readable.
+    dropped.foreach(g => f.delete(path(s"$dir/manifest/m-$g"), true): Unit)
+    maybeKill(dir, "expire-torn")
     // committed-but-dropped artifacts: no writer can be mid-commit on
-    // them (they are published), reclaim immediately
+    // them (they were published), reclaim immediately
     (droppedMds.flatMap(_.segs.map(_.dirName)).toSet -- liveData)
       .foreach(d => f.delete(path(s"$dir/data/$d"), true): Unit)
     (droppedMds.flatMap(_.tombs.map(_.dirName)).toSet -- liveTombs)
       .foreach(d => f.delete(path(s"$dir/tomb/$d"), true): Unit)
     (droppedMds.map(_.modelDir).filter(_.nonEmpty).toSet -- liveModelDirs)
       .foreach(d => f.delete(path(s"$dir/$d"), true): Unit)
-    dropped.foreach(g => f.delete(path(s"$dir/manifest/m-$g"), true): Unit)
     // true orphans: referenced by NOTHING — grace-windowed reap
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     def reapOrphans(sub: String, prefix: String, live: Set[String]): Unit = {

@@ -178,6 +178,41 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
     } finally AnnIndex.manifestRetryAttempts = savedRetry
   }
 
+  test("a torn expire never leaves a half-readable generation; the re-run completes the reclaim") {
+    val e = df((0L until 60L).map(i => (i, vec(i, 0))))
+    val (cents, cbs) = ivfModel(e)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ann_expire_crash").toString + "/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, cents, cbs)
+    AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 20), "vec_id",
+      "embedding", dir)
+    // compact so the dropped generations reference segments the kept
+    // one does NOT — the artifacts a torn expire actually strands
+    AnnIndex.compact(spark, dir)
+    // expire dies AFTER deleting the dropped manifests, BEFORE deleting
+    // their artifacts (the crash-ordering invariant: manifests first)
+    AnnIndex.testKillPoint.put(dir, "expire-torn")
+    intercept[AnnIndex.InjectedCrash] {
+      AnnIndex.expire(spark, dir, keepLast = 1, orphanGraceMs = -1000)
+    }
+    // the dropped generations are GONE loudly (never a manifest whose
+    // segments were already deleted scanning into a corruption-shaped
+    // error), the current one reads perfectly
+    assert(AnnIndex.versionsOf(spark, dir) == Seq(2L))
+    intercept[IllegalArgumentException](
+      AnnIndex.load(spark, dir, asOf = Some(0L)))
+    assert(AnnIndex.load(spark, dir).nrows == 60)
+    // the crash stranded the dropped generations' exclusive segments as
+    // unreferenced orphans; the RE-RUN reclaims them past the grace
+    // window and the index still serves
+    AnnIndex.expire(spark, dir, keepLast = 1, orphanGraceMs = -1000)
+    val dataDirs = new java.io.File(s"$dir/data").list().length
+    assert(dataDirs == AnnIndex.load(spark, dir).batches.length,
+      s"re-run expire left torn-expire debris: $dataDirs data dirs")
+    assert(AnnIndex.load(spark, dir).nrows == 60)
+  }
+
   private def runWalk(tier: String, steps: Int, seed: Long): Unit = {
     // torn chains are read (loudly) hundreds of times here — don't
     // spend the suite's wall-clock inside the reader's retry sleep
