@@ -8,7 +8,7 @@ import graft.sources.AnnIndex
 /** Randomized crash-injection soak of the optimistic commit protocol
   * ([[graft.sources.AnnIndex]]): a seeded RNG drives a long random walk
   * of every in-chain verb (append / upsert / delete / compact / retrain
-  * / merge) on BOTH tiers, killing the writer at seeded points —
+  * / merge / expire) on BOTH tiers, killing the writer at seeded points —
   * `stage` (nothing written yet), `staged` (artifacts complete,
   * manifest not attempted), `publish-torn` (destination reserved, body
   * unwritten — the only crash that wedges the chain), `published` (the
@@ -268,8 +268,9 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
       val v = rng.nextDouble()
       var verb =
         if (v < 0.22) "append" else if (v < 0.40) "upsert"
-        else if (v < 0.55) "delete" else if (v < 0.70) "compact"
-        else if (v < 0.85) "retrain" else "merge"
+        else if (v < 0.54) "delete" else if (v < 0.66) "compact"
+        else if (v < 0.78) "retrain" else if (v < 0.91) "merge"
+        else "expire"
       if ((verb == "upsert" || verb == "delete") && truth.size < 13)
         verb = "append"
 
@@ -316,13 +317,20 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
         case (_, "delete") =>
           AnnIndex.delete(delIds.toDF("vec_id"), "vec_id", dir)
         case (_, "compact") => AnnIndex.compact(spark, dir)
+        case (_, "expire") =>
+          // keepLast = 2 keeps one time-travel target; default grace
+          // models production (mid-walk crash debris is NOT reaped —
+          // the final expire with a negative grace reclaims it all)
+          AnnIndex.expire(spark, dir, keepLast = 2)
         case other => fail(s"unknown verb $other")
       }
 
-      // arm the seeded kill point (maybe none)
+      // arm the seeded kill point (maybe none); expire has its own
+      // single kill point (between manifest and artifact deletion)
       val k = rng.nextDouble()
       val kill =
-        if (k < 0.40) "" else if (k < 0.55) "stage"
+        if (verb == "expire") { if (k < 0.5) "" else "expire-torn" }
+        else if (k < 0.40) "" else if (k < 0.55) "stage"
         else if (k < 0.70) "staged" else if (k < 0.85) "publish-torn"
         else "published"
       if (kill.nonEmpty) AnnIndex.testKillPoint.put(dir, kill)
@@ -378,6 +386,8 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
       assert(fired(p) >= 3, s"[$tier] kill point '$p' fired only ${fired(p)} " +
         "times — reweight the seed, the soak is not covering it")
     }
+    assert(fired("expire-torn") >= 1,
+      s"[$tier] the torn-expire point never fired")
 
     checkVisible("end")
 
