@@ -481,6 +481,12 @@ object ScaleStress {
         Seq(0L, 63L, 150L, 221L, 305L, 350L, 441L, 499L).map(Long.box): _*))
         .cache()
       noop(panel) // materialize the panel once, outside the soak timing
+      // leaks are a DIFF against the pre-soak state: earlier-measured
+      // queries may legitimately leave lazy pins behind (q110/q112's
+      // Pin.data local checkpoints are swept on the NEXT Pin call, not
+      // eagerly) — counting those as serving leaks would cry wolf, and
+      // an absolute count could equally mask a real serving leak
+      val baselineCached = spark.sparkContext.getPersistentRDDs.size
       val mask = e.filter(col("vec_id") % 50 === 0).select(col("vec_id"))
       val iters = 2000
       val warmup = 40
@@ -504,7 +510,7 @@ object ScaleStress {
       }
       val head = med(lat.slice(warmup, warmup + 100))
       val tail = med(lat.takeRight(100))
-      val cached = spark.sparkContext.getPersistentRDDs.size - 1 // the panel
+      val cached = spark.sparkContext.getPersistentRDDs.size - baselineCached
       panel.unpersist()
       System.err.println(f"[scale] serving_soak: $iters serves, median " +
         f"head $head%.1f ms tail $tail%.1f ms (tail/head ${tail / head}%.2f), " +

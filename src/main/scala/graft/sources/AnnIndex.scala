@@ -1237,9 +1237,18 @@ object AnnIndex {
     * jobs consume each result as it is produced. */
   private val snapshotCollectMax = 8192
 
-  /** Above-cap query-batch landings retained before the oldest is
-    * reclaimed. */
+  /** Above-cap query-batch landings retained before the oldest becomes
+    * reclaim-ELIGIBLE. Eligibility also requires the landing be older
+    * than [[scratchMinAgeMs]] — so a burst of large batches can exceed
+    * the retain count briefly, but a landing is never yanked from
+    * under a result the caller is actively consuming: steady-state
+    * disk is bounded by the newest `scratchRetain`, burst disk by what
+    * lands within one grace window. */
   private[graft] val scratchRetain = 32
+
+  /** Minimum age before a rotated-out landing is deleted (15 min — far
+    * beyond any active consumption; test-tunable). */
+  @volatile private[graft] var scratchMinAgeMs: Long = 15L * 60 * 1000
 
   private val snapshotCounter = new java.util.concurrent.atomic.AtomicLong
   private val scratchLandings =
@@ -1257,18 +1266,16 @@ object AnnIndex {
         s"ann_query_snapshot_${snapshotCounter.incrementAndGet()}")
       proj.write.mode("overwrite").parquet(dir)
       scratchLandings.add(dir)
-      while (scratchLandings.size > scratchRetain) {
+      val cutoff = System.currentTimeMillis() - scratchMinAgeMs
+      while (scratchLandings.size > scratchRetain &&
+          Option(scratchLandings.peek()).exists(
+            new java.io.File(_).lastModified() < cutoff)) {
         val old = scratchLandings.poll()
-        if (old != null) deleteLocalRecursively(new java.io.File(old))
+        if (old != null)
+          graft.streaming.StreamHarness.deleteRecursively(new java.io.File(old))
       }
       spark.read.parquet(dir)
     }
-  }
-
-  private def deleteLocalRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).foreach(_.foreach(deleteLocalRecursively))
-    f.delete(): Unit
   }
 
   def topKSq(idx: LoadedSq, queries: DataFrame, idCol: String,
@@ -1363,6 +1370,9 @@ object AnnIndex {
     }
     reapOrphans("data", "batch-", liveData)
     reapOrphans("tomb", "t-", liveTombs)
+    // capability-probe files stranded by a JVM that died mid-probe
+    // (no manifest ever lists them; m- readers already skip them)
+    reapOrphans("manifest", "_probe-", Set.empty)
     // model dirs staged by a retrain that died (or aborted) before its
     // publish live at the index root under the "model-" prefix — same
     // orphan rule (never referenced by any manifest, grace-windowed)

@@ -39,7 +39,7 @@ object StreamHarness {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       deleteRecursively(scratchRoot)))
   }
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }

@@ -627,12 +627,16 @@ class AnnIndexConcurrencySpec extends AnyFunSuite {
     // a dead retrain's staged model dir is the same class of orphan
     val modelOrphan = new java.io.File(s"$dir/model-inflight0000")
     assert(modelOrphan.mkdirs())
+    // a capability-probe file stranded by a JVM that died mid-probe
+    val probeOrphan = new java.io.File(s"$dir/manifest/_probe-dead0000")
+    assert(probeOrphan.createNewFile())
     AnnIndex.expire(spark, dir) // default 24 h grace: must survive
-    assert(orphan.exists() && modelOrphan.exists(),
+    assert(orphan.exists() && modelOrphan.exists() && probeOrphan.exists(),
       "expire reaped a fresh orphan — would yank an in-flight commit")
     AnnIndex.expire(spark, dir, keepLast = 1, orphanGraceMs = -1000)
     assert(!orphan.exists(), "aged orphan not reclaimed")
     assert(!modelOrphan.exists(), "aged model-dir orphan not reclaimed")
+    assert(!probeOrphan.exists(), "aged probe file not reclaimed")
     assert(AnnIndex.load(spark, dir).codes.count() == 20)
   }
 }

@@ -101,13 +101,29 @@ class AnnServingSoakSpec extends AnyFunSuite {
     def landings(): Int =
       Option(scratchRoot.list()).map(
         _.count(_.startsWith("ann_query_snapshot_"))).getOrElse(0)
+    // a BURST younger than the grace window is never reclaimed — the
+    // rotation must not yank a landing from under an actively-consumed
+    // result (the default grace is 15 min)
+    var first: org.apache.spark.sql.DataFrame = null
     var newest: org.apache.spark.sql.DataFrame = null
-    for (_ <- 1 to AnnIndex.scratchRetain + 8)
+    for (i <- 1 to AnnIndex.scratchRetain + 8) {
       newest = AnnIndex.snapshotQueries(big, "vec_id", "embedding")
-    assert(landings() <= AnnIndex.scratchRetain,
-      s"scratch landings not rotated: ${landings()} dirs on disk")
-    // the newest landing (the one a caller would still be consuming)
-    // survives the rotation
-    assert(newest.count() == 8193)
+      if (i == 1) first = newest
+    }
+    assert(landings() >= AnnIndex.scratchRetain + 8,
+      "rotation reclaimed a landing younger than the grace window")
+    assert(first.count() == 8193, "a within-grace result lost its backing")
+    // once past the grace window, the cap applies: only the newest
+    // scratchRetain survive
+    val savedAge = AnnIndex.scratchMinAgeMs
+    AnnIndex.scratchMinAgeMs = -1000
+    try {
+      newest = AnnIndex.snapshotQueries(big, "vec_id", "embedding")
+      assert(landings() <= AnnIndex.scratchRetain,
+        s"scratch landings not rotated: ${landings()} dirs on disk")
+      // the newest landing (the one a caller would still be consuming)
+      // survives the rotation
+      assert(newest.count() == 8193)
+    } finally AnnIndex.scratchMinAgeMs = savedAge
   }
 }
