@@ -4690,6 +4690,161 @@ object QueriesText {
               s"vec_id IN (${annPanelIds.mkString(", ")})",
               "JOIN cand ON cand.vec_id = e.vec_id")}"""))
 
+  // --------------------------------------------------------------- q168
+  // Cell-skew remediation: the corpus's HOTTEST coarse cell (cellStats'
+  // max-population row — real embeddings cluster, so one posting list
+  // grows until every probe routed to it scans a data-sized partition)
+  // is split in place: its rows re-assign against two deterministic
+  // sub-centroids (the cell's first two member vectors, normalized —
+  // the same derivation convention as the build model), the centroid
+  // table is rewritten with sub-0 in the old slot and sub-1 appended
+  // as a NEW cell (no other cell id shifts, no other segment's codes
+  // re-encode), and one manifest swap publishes tombstone + re-keyed
+  // segment + bumped model version. The post-split search must match
+  // the oracle's full replay: assignment under the ORIGINAL model,
+  // hot-membership, the sub-centroid re-rank over the post-split
+  // centroid list, codebooks still derived from the ORIGINAL residuals
+  // (the split never refits codebooks), per-cell re-encode, probe
+  // routing over 17 cells, and the ADC sum — a row left under the
+  // retired centroid, a shifted cell id, or a refit codebook flips
+  // the hash.
+  private val q168 = Q("q168_ann_split_cell",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, cbs) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("ann_split_q168")
+      val d = s"$idxDir/ivfpq"
+      graft.sources.AnnIndex.buildIvfPq(e, "vec_id", "embedding", d, cb, cbs)
+      val idx0 = graft.sources.AnnIndex.load(s, d)
+      // hottest cell, tie-broken by id — parameter-sized collect
+      val hot = graft.sources.AnnIndex.cellStats(idx0)
+        .orderBy(col("n_vectors").desc, col("cell")).select(col("cell"))
+        .first().getInt(0)
+      // deterministic sub-centroids: the cell's first two member
+      // vectors (by id), normalized — replayable by the oracle; a
+      // production caller would k-means the cell's members instead
+      val subIds = idx0.codes.filter(col("_cell") === hot)
+        .select(col("neighbor_id")).orderBy("neighbor_id").limit(2)
+        .collect().map(_.getLong(0))
+      val subs = e.filter(col("vec_id").isin(subIds.map(Long.box): _*))
+        .orderBy("vec_id")
+        .select(graft.functions.VectorFunctions.normalize(col("embedding"))
+          .as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      graft.sources.AnnIndex.splitCell(e, "vec_id", "embedding", d, hot, subs)
+      val idx = graft.sources.AnnIndex.load(s, d)
+      graft.sources.AnnIndex.topK(idx, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3, nprobe = 4)
+    },
+    Some(ivfPqAssignCtes + """,
+            hot AS (SELECT ci AS hc FROM (
+                      SELECT ci, count(*) AS c FROM ranked WHERE rn = 1
+                      GROUP BY ci)
+                    ORDER BY c DESC, ci LIMIT 1),
+            subsrc AS (SELECT r.vec_id,
+                              row_number() OVER (ORDER BY r.vec_id) AS rs
+                       FROM ranked r, hot
+                       WHERE r.rn = 1 AND r.ci = hot.hc
+                       ORDER BY r.vec_id LIMIT 2),
+            subcv AS (
+              SELECT s.rs,
+                     CASE WHEN sqrt(list_sum(list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+                          THEN list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE))
+                          ELSE list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE) /
+                              sqrt(list_sum(list_transform(e.embedding,
+                                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+                     END AS cv
+              FROM subsrc s JOIN embeddings e ON e.vec_id = s.vec_id),
+            cb2 AS (SELECT ci, cv FROM cb, hot WHERE ci <> hot.hc
+                    UNION ALL
+                    SELECT hot.hc AS ci, s.cv FROM subcv s, hot WHERE s.rs = 1
+                    UNION ALL
+                    SELECT 17 AS ci, s.cv FROM subcv s WHERE s.rs = 2),
+            dots2 AS (
+              SELECT ev.vec_id, nc.ci,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(ev.embedding[i] AS DOUBLE) * nc.cv[i])) *
+                     (CASE WHEN ev.nv = 0 THEN 0.0 ELSE 1.0 / sqrt(ev.nv) END) AS dp
+              FROM ev CROSS JOIN cb2 nc),
+            ranked2 AS (
+              SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dp DESC, ci) AS rn
+              FROM dots2),
+            assign AS (
+              SELECT o.vec_id,
+                     CASE WHEN o.ci = hot.hc THEN n.ci ELSE o.ci END AS cell
+              FROM (SELECT vec_id, ci FROM ranked WHERE rn = 1) o
+              JOIN (SELECT vec_id, ci FROM ranked2 WHERE rn = 1) n
+                USING (vec_id)
+              CROSS JOIN hot),
+            resid AS (
+              SELECT r.vec_id, r.ci AS cell,
+                     list_transform(range(1, 65),
+                       i -> CAST(e.embedding[i] AS DOUBLE) - cb.cv[i]) AS rv
+              FROM ranked r
+              JOIN embeddings e ON e.vec_id = r.vec_id
+              JOIN cb ON cb.ci = r.ci
+              WHERE r.rn = 1),
+            pcb AS (
+              SELECT s, t.vec_id + 1 AS c2,
+                     list_transform(range(1, 9), i -> t.rv[s * 8 + i]) AS cw
+              FROM resid t, (SELECT unnest(range(8)) AS s)
+              WHERE t.vec_id < 64),
+            resid2 AS (
+              SELECT a.vec_id, a.cell,
+                     list_transform(range(1, 65),
+                       i -> CAST(e.embedding[i] AS DOUBLE) - nc.cv[i]) AS rv
+              FROM assign a
+              JOIN embeddings e ON e.vec_id = a.vec_id
+              JOIN cb2 nc ON nc.ci = a.cell),
+            ndist2 AS (
+              SELECT t.vec_id, p.s, p.c2,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (t.rv[p.s * 8 + i] - p.cw[i]) *
+                            (t.rv[p.s * 8 + i] - p.cw[i]))) AS d
+              FROM resid2 t CROSS JOIN pcb p),
+            enc2 AS (SELECT vec_id, s, c2 AS code FROM (
+                       SELECT vec_id, s, c2, row_number() OVER (
+                                PARTITION BY vec_id, s ORDER BY d ASC, c2) AS rn
+                       FROM ndist2) WHERE rn = 1),
+            qcell2 AS (SELECT vec_id AS query_id, ci AS cell FROM ranked2
+                       WHERE (vec_id % 50 = 0) AND rn <= 4),
+            qresid2 AS (
+              SELECT qc.query_id, qc.cell,
+                     list_transform(range(1, 65),
+                       i -> CAST(e.embedding[i] AS DOUBLE) - nc.cv[i]) AS rv
+              FROM qcell2 qc
+              JOIN embeddings e ON e.vec_id = qc.query_id
+              JOIN cb2 nc ON nc.ci = qc.cell),
+            qdist2 AS (
+              SELECT qr.query_id, qr.cell, p.s, p.c2,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (qr.rv[p.s * 8 + i] - p.cw[i]) *
+                            (qr.rv[p.s * 8 + i] - p.cw[i]))) AS d
+              FROM qresid2 qr CROSS JOIN pcb p),
+            cand2 AS (
+              SELECT q.query_id, t.vec_id AS neighbor_id, q.cell
+              FROM qcell2 q JOIN assign t USING (cell)
+              WHERE q.query_id <> t.vec_id),
+            adc2 AS (
+              SELECT c.query_id, c.neighbor_id,
+                     list_sum(list(qd.d ORDER BY qd.s)) AS adist
+              FROM cand2 c
+              JOIN enc2 n ON n.vec_id = c.neighbor_id
+              JOIN qdist2 qd ON qd.query_id = c.query_id AND qd.cell = c.cell
+                            AND qd.s = n.s AND qd.c2 = n.code
+              GROUP BY c.query_id, c.neighbor_id),
+            r AS (SELECT query_id, neighbor_id, adist,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY adist ASC, neighbor_id) AS rn
+                  FROM adc2)
+            SELECT query_id, neighbor_id, round_even(adist, 6) AS adist,
+                   CAST(rn AS INT) AS rank
+            FROM r WHERE rn <= 3"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
@@ -4698,5 +4853,5 @@ object QueriesText {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164,
-    q165, q166, q167)
+    q165, q166, q167, q168)
 }

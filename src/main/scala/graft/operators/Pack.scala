@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Global ordering operators for training pipelines: contiguous row
   * indexing and GPT-style sequence packing (concatenate all documents in
@@ -14,9 +14,9 @@ import org.apache.spark.sql.types.LongType
   * partition) collapses Spark into ONE task holding the whole dataset.
   * Like [[FfillRepair]], this uses the distributed prefix-scan instead:
   * range-partition on the order column, aggregate one partial sum per
-  * partition, prefix-scan that ≤ numShufflePartitions-row summary (a
-  * single-task window over a CONFIG-bounded frame, not a data-bounded
-  * one), and broadcast the carry-in offsets back. No driver collect.
+  * partition, prefix-scan that ≤ numShufflePartitions-row summary on the
+  * driver (a CONFIG-bounded collect — one long per shuffle partition,
+  * never data-sized), and broadcast the carry-in offsets back.
   *
   * The range-partitioned frame is pinned with an eager
   * `localCheckpoint()` — NOT `persist()`: `spark_partition_id()` is only
@@ -49,16 +49,29 @@ object Pack {
       // ^ pin pids (see scaladoc); GC-cleaned, not leaked
 
     // one partial sum per range partition, prefix-scanned into each
-    // partition's exclusive carry-in. The unpartitioned window is safe:
-    // it runs over at most `n` rows (the shuffle-partition count — a
-    // config constant, not a function of data volume). Missing pids
-    // (empty partitions) contribute 0 and have no rows to join anyway.
-    val wOff = Window.orderBy(col(Pid))
-      .rowsBetween(Window.unboundedPreceding, -1L)
-    val offDf = parted.groupBy(col(Pid))
+    // partition's exclusive carry-in. The scan itself runs DRIVER-SIDE
+    // over the collected summary — ≤ `n` rows (the shuffle-partition
+    // count, a config constant, not a function of data volume) — the
+    // same parameter-sized carry collect as [[FfillRepair.prefixLast]].
+    // (Previously an unpartitioned WindowExec: correct and equally
+    // bounded, but its "No Partition Defined" warning was noise that
+    // masked real unbounded-window regressions.) Missing pids (empty
+    // partitions) contribute 0 and have no rows to join anyway.
+    val sums = parted.groupBy(col(Pid))
       .agg(sum(col("_pack_v")).as("_s"))
-      .select(col(Pid),
-        coalesce(sum(col("_s")).over(wOff), lit(0L)).as(Off))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    var running = 0L
+    val carries = (0 until n).map { p =>
+      val c = running
+      running += sums.getOrElse(p, 0L)
+      Row(p, c)
+    }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(carries, 1),
+      StructType(Seq(StructField(Pid, IntegerType, nullable = false),
+                     StructField(Off, LongType, nullable = false))))
 
     // local exclusive cumsum within each partition + the partition's
     // broadcast carry-in, both reading the pinned checkpoint

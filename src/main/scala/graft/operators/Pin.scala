@@ -38,7 +38,9 @@ import org.apache.spark.sql.DataFrame
   *  - PARAMETER-SIZED (≤ f(config) rows, never data-proportional →
   *    [[param]], executor-local accepted — re-running the producing job
   *    is cheap and the frames are tiny): `Dsir` count table
-  *    (≤ nBuckets rows).
+  *    (≤ nBuckets rows), `Profile` histogram/quantile bin tables
+  *    (≤ bins rows — pinned so the share/cum branches read one
+  *    materialized aggregate instead of re-scanning the data).
   */
 object Pin {
 

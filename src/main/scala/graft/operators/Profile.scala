@@ -63,23 +63,27 @@ object Profile {
     val width = (hi - lo) / bins
     val bin = least(lit(bins - 1),
       greatest(lit(0), floor((value - lit(lo)) / lit(width)).cast("int")))
-    // total from the aggregated bins themselves — ONE scan of the data;
-    // the unpartitioned window is safe: it runs over <= `bins` rows (a
-    // parameter, not a function of data volume)
-    val w = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
     // NaN would survive isNotNull, ride (NaN-lo)/width to a non-ANSI int
     // cast, and silently land in bin 0 — exclude it like NULL (the cast
-    // to double makes the guard a no-op for integral inputs)
-    df.filter(value.isNotNull && !isnan(value.cast("double")))
-      .groupBy(bin.as("bin"))
-      .agg(count(lit(1)).as("n"))
+    // to double makes the guard a no-op for integral inputs).
+    // The bin table is pinned (<= `bins` rows — a parameter, not data)
+    // so the share denominator reads the SAME materialized aggregate
+    // instead of re-scanning the data, and the total rides back as a
+    // broadcast one-row frame rather than an unpartitioned WindowExec
+    // (whose "No Partition Defined" warning was noise masking real
+    // unbounded-window regressions).
+    val binsDf = Pin.param(
+      df.filter(value.isNotNull && !isnan(value.cast("double")))
+        .groupBy(bin.as("bin"))
+        .agg(count(lit(1)).as("n")))
+    val total = binsDf.agg(sum(col("n")).as("_total"))
+    binsDf.crossJoin(broadcast(total))
       .select(col("bin"),
         bround(lit(lo) + col("bin") * lit(width), 6).as("bin_lo"),
         bround(lit(lo) + (col("bin") + 1) * lit(width), 6).as("bin_hi"),
         col("n"),
         bround(col("n").cast("double")
-          / sum(col("n")).over(w).cast("double"), 6).as("share"))
+          / col("_total").cast("double"), 6).as("share"))
   }
 
   /** Approximate quantiles AT READ TIME from an equi-width bin table —
@@ -90,21 +94,35 @@ object Profile {
     * bin whose cumulative count reaches it is selected, and the
     * estimate interpolates linearly inside that bin — error bounded by
     * one bin width, deterministically. Every frame here is <= bins x
-    * |qs| rows (parameters, not data), so the unpartitioned windows are
-    * config-bounded exactly like histogram's share denominator. */
+    * |qs| rows (parameters, not data), so the triangular self-join and
+    * broadcast total below are config-bounded work. */
   def histogramQuantiles(binTable: DataFrame, lo: Double, hi: Double,
                          bins: Int, qs: Seq[Double]): DataFrame = {
     require(bins > 0 && hi > lo, s"bad bin spec [$lo, $hi) / $bins")
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must lie in [0, 1], got $qs")
     val width = (hi - lo) / bins
-    val wCum = Window.orderBy(col("bin"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val cum = binTable.select(col("bin"), col("n"))
-      .withColumn("cum", sum(col("n")).over(wCum))
-      .withColumn("total", sum(col("n")).over(wAll))
+    // pin the (bin, n) table once (<= bins rows — parameters, not data),
+    // then build the inclusive cumulative count by exploding each row's
+    // count onto every bin index at or above it (<= bins² rows of a
+    // config-bounded table, all equi-joins — no non-equi join for the
+    // audit to squint at) and the total via a broadcast one-row
+    // aggregate — no unpartitioned WindowExec, so the "No Partition
+    // Defined" warning keeps its signal value for real unbounded-window
+    // regressions. The pre-group also makes duplicate bin rows (shards
+    // merged by union without the documented groupBy) well-defined
+    // instead of physical-order-dependent.
+    val binsDf = Pin.param(binTable.groupBy(col("bin"))
+      .agg(sum(col("n")).as("n")))
+    val total = binsDf.agg(sum(col("n")).as("total"))
+    val cum = binsDf
+      .select(explode(sequence(col("bin").cast("int"), lit(bins - 1)))
+        .as("_tb"), col("n").as("_pn"))
+      .groupBy(col("_tb")).agg(sum(col("_pn")).as("cum"))
+      .join(binsDf.select(col("bin"), col("n")),
+        col("_tb") === col("bin"))
+      .drop("_tb")
+      .crossJoin(broadcast(total))
     val probes = cum
       .select(col("*"), explode(typedLit(qs)).as("q"))
       .withColumn("target", col("q") * col("total").cast("double"))

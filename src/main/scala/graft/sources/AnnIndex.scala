@@ -191,13 +191,27 @@ object AnnIndex {
   /** Reader retry budget for a sentinel-less manifest (25 ms apart —
     * 3 s at the default): long enough that a LIVE publisher's
     * few-hundred-byte body write always lands within it, short enough
-    * that a wedged chain fails fast. Tunable so the crash-injection
-    * soak (which deliberately wedges chains hundreds of times) does not
-    * spend its wall-clock sleeping. */
-  @volatile private[graft] var manifestRetryAttempts = 120
+    * that a wedged chain fails fast. */
+  private[graft] val manifestRetryAttempts = 120
+
+  /** Per-index-dir override of the reader retry budget (keyed like
+    * [[testKillPoint]]). The crash/concurrency specs wedge THEIR
+    * index's chain hundreds of times and must not sleep 3 s per read —
+    * but a process-wide knob (the previous design) would make an
+    * unrelated suite's reader, racing a live publish on a slow FS
+    * under parallel execution, fail spuriously as truncated, and a
+    * spec that crashed before restoring it would poison the rest of
+    * the run. Scoped per dir, neither can happen. */
+  private[graft] val manifestRetryOverride =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+
+  private val legacyShwWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def readManifest(f: org.apache.hadoop.fs.FileSystem, dir: String,
                            id: Long): ManifestData = {
+    val retryBudget = Option(manifestRetryOverride.get(dir))
+      .fold(manifestRetryAttempts)(_.intValue)
     var attempt = 0
     while (true) {
       val in = f.open(path(s"$dir/manifest/m-$id"))
@@ -237,14 +251,30 @@ object AnnIndex {
         val t = tombs.result()
         val maxListed = (s.map(_.id) ++ t.map(_.id)).maxOption.getOrElse(-1L)
         // legacy normalization: no shw line ⇒ the old sequential scheme,
-        // whose committed stream high-water is max segment id − 1
-        val shw = shwOpt.getOrElse(
-          s.map(_.id).maxOption.getOrElse(0L) - 1L)
+        // whose committed stream high-water is max segment id − 1.
+        // Warned once per dir: on a legacy index that ALSO took keyless
+        // appends or an old-code compact, that floor can OVER-estimate
+        // the committed stream batch, and a resumed checkpoint would
+        // silently skip batches ≤ the floor — an operator must be able
+        // to SEE the recovered value before trusting a resume.
+        val shw = shwOpt.getOrElse {
+          val floor = s.map(_.id).maxOption.getOrElse(0L) - 1L
+          if (legacyShwWarned.add(dir))
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"legacy (pre-shw) manifest at $dir: stream high-water " +
+                s"recovered as $floor (max segment id - 1). If this index " +
+                "ever took keyless appends or an old-code compact, that " +
+                "floor can over-estimate the committed stream batch and a " +
+                "resumed checkpoint would silently skip batches <= it — " +
+                "verify the checkpoint's last committed batch against the " +
+                "index before resuming")
+          floor
+        }
         return ManifestData(s, t, math.max(hw, maxListed), shw, model,
           modelDir)
       }
       attempt += 1
-      if (attempt > manifestRetryAttempts)
+      if (attempt > retryBudget)
         throw new java.io.IOException(
           s"manifest m-$id under $dir is truncated (no commit sentinel) — " +
             "its writer is either mid-publish on a slow FS or died; run " +
@@ -902,6 +932,111 @@ object AnnIndex {
     maybeKill(dir, "published")
   }
 
+  /** CELL-SKEW REMEDIATION (Faiss re-clusters, SPANN splits postings):
+    * a real corpus CLUSTERS, so one coarse cell can grow until every
+    * probe that routes to it scans a data-sized posting list —
+    * [[cellStats]] reports the imbalance, `splitCell` acts on it.
+    * The oversized cell's rows are re-assigned against `subCentroids`
+    * (k ≥ 2, caller-derived — k-means over the cell's members in
+    * production; any deterministic rule for replayable builds) and
+    * re-encoded, the centroid table is REWRITTEN with the first
+    * sub-centroid in the hot cell's slot and the rest appended as new
+    * cells (existing cell ids never shift, so every other segment's
+    * partition keys — and codes, whose residuals reference unchanged
+    * centroids — stay bit-valid), and ONE manifest swap publishes:
+    * a tombstone over the cell's old rows, the re-keyed segment, and
+    * the bumped model version. Readers see the split entire or not at
+    * all; pinned pre-split readers keep the old centroid table.
+    *
+    * Cost is CELL-sized, not corpus-sized: one encode pass over the
+    * hot cell's rows (corpus/nlist at balance, the skewed fraction by
+    * definition here) vs [[retrain]]'s full-corpus re-encode — the
+    * remediation stays affordable exactly when the skew is worst.
+    * Hot-cell rows re-assign against the FULL post-split centroid
+    * list (nearest-at-encode, the same rule every build/append uses).
+    *
+    * Like [[retrain]], a concurrent commit aborts the split LOUDLY
+    * (its member set and model were computed against this snapshot; a
+    * racing append could land rows into the old cell encoded against
+    * the retiring centroid) — re-run on the fresh snapshot. `corpus`
+    * must contain the raw vectors of every row the index holds in
+    * `cell` (the caller owns raw vectors — the index stores only
+    * codes); a member id missing from `corpus`, or duplicated in it,
+    * aborts before any manifest change. */
+  def splitCell(corpus: DataFrame, idCol: String, vecCol: String,
+                dir: String, cell: Int,
+                subCentroids: Array[Array[Double]]): Unit = {
+    val spark = corpus.sparkSession
+    val f = fs(spark, dir)
+    val (mid, md) = refresh(f, dir)
+    maybeKill(dir, "stage")
+    val idx = load(spark, dir, asOf = Some(mid))
+    require(cell >= 1 && cell <= idx.nlist,
+      s"cell $cell out of range 1..${idx.nlist}")
+    require(subCentroids.length >= 2,
+      s"a split needs >= 2 sub-centroids, got ${subCentroids.length}")
+    val dim = idx.centroids.head.length
+    require(subCentroids.forall(_.length == dim),
+      s"sub-centroid dim != index dim $dim")
+
+    // the INDEX's encode-time assignment is authoritative for
+    // membership — never re-derived from the corpus, whose nearest
+    // centroid can drift from what was frozen at encode. Distinct:
+    // append allows duplicate ids, and the split collapses a
+    // duplicated member to its single corpus row (the tombstone masks
+    // every old copy; the same id cannot land twice in one segment)
+    val memberIds = idx.codes.filter(col("_cell") === cell)
+      .select(col("neighbor_id")).distinct()
+    val hot = corpus
+      .select(col(idCol), col(vecCol))
+      .join(memberIds.withColumnRenamed("neighbor_id", "_split_mid"),
+        col(idCol).cast("long") === col("_split_mid"))
+      .drop("_split_mid")
+
+    val newCents =
+      idx.centroids.updated(cell - 1, subCentroids.head) ++ subCentroids.tail
+    val modelDir = freshName("model-")
+    writeModelArtifacts(spark, s"$dir/$modelDir", newCents, idx.cbs)
+    val segName = freshName("batch-")
+    val tombName = freshName("t-")
+    val n = writeSegment(hot, idCol, vecCol, dir, segName, newCents, idx.cbs)
+    memberIds.write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
+    val tn = countSegment(spark, f, s"$dir/tomb/$tombName")
+    def cleanup(): Unit = {
+      f.delete(path(s"$dir/data/$segName"), true)
+      f.delete(path(s"$dir/tomb/$tombName"), true)
+      f.delete(path(s"$dir/$modelDir"), true)
+    }
+    if (tn == 0) {
+      cleanup()
+      throw new IllegalArgumentException(
+        s"cell $cell of $dir is empty — nothing to split (re-read " +
+          "cellStats; the imbalance may have been compacted away)")
+    }
+    if (n != tn) {
+      cleanup()
+      throw new IllegalArgumentException(
+        s"corpus does not cover cell $cell exactly: the index holds $tn " +
+          s"rows, the re-encode landed $n — a member id is missing from " +
+          "(or duplicated in) the corpus; splitting would drop or " +
+          "duplicate those rows")
+    }
+    maybeKill(dir, "staged")
+    fireTestHook(dir)
+    if (!tryPublish(f, dir, mid + 1, md.copy(
+        segs = md.segs :+ Art(md.nextId + 1, n, segName),
+        tombs = md.tombs :+ Art(md.nextId, tn, tombName),
+        hw = md.nextId + 1,
+        model = md.model + 1, modelDir = modelDir))) {
+      cleanup()
+      throw new java.util.ConcurrentModificationException(
+        s"another writer committed to $dir during the split — its rows " +
+          "may sit in the cell being split and would be stranded under a " +
+          "retired centroid; re-run splitCell against the fresh snapshot")
+    }
+    maybeKill(dir, "published")
+  }
+
   // ------------------------------------------------------------- SQ8
 
   /** An opened SQ8 snapshot: the 2×dim affine model + the lazy segment
@@ -1247,15 +1382,18 @@ object AnnIndex {
   private[graft] val scratchRetain = 32
 
   /** Minimum age before a rotated-out landing is deleted (15 min — far
-    * beyond any active consumption; test-tunable). */
-  @volatile private[graft] var scratchMinAgeMs: Long = 15L * 60 * 1000
+    * beyond any active consumption). Specs pass an explicit `minAgeMs`
+    * to [[snapshotQueries]] instead of mutating process-wide state. */
+  private[graft] val scratchMinAgeMs: Long = 15L * 60 * 1000
 
   private val snapshotCounter = new java.util.concurrent.atomic.AtomicLong
   private val scratchLandings =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   private[graft] def snapshotQueries(queries: DataFrame, idCol: String,
-                                     vecCol: String): DataFrame = {
+                                     vecCol: String,
+                                     minAgeMs: Long = scratchMinAgeMs)
+      : DataFrame = {
     val spark = queries.sparkSession
     val proj = queries.select(col(idCol), col(vecCol))
     val rows = proj.limit(snapshotCollectMax + 1).collect()
@@ -1265,14 +1403,22 @@ object AnnIndex {
       val dir = graft.streaming.StreamHarness.scratch(
         s"ann_query_snapshot_${snapshotCounter.incrementAndGet()}")
       proj.write.mode("overwrite").parquet(dir)
-      scratchLandings.add(dir)
-      val cutoff = System.currentTimeMillis() - scratchMinAgeMs
-      while (scratchLandings.size > scratchRetain &&
-          Option(scratchLandings.peek()).exists(
-            new java.io.File(_).lastModified() < cutoff)) {
-        val old = scratchLandings.poll()
-        if (old != null)
-          graft.streaming.StreamHarness.deleteRecursively(new java.io.File(old))
+      // check-and-remove must be ATOMIC: with a bare peek→poll, a
+      // concurrent above-cap snapshot can poll between the two and the
+      // age check then authorizes deleting a DIFFERENT (younger)
+      // landing — yanking it from under a caller mid-query. The lock
+      // is cheap and rare (above-cap landings only).
+      scratchLandings.synchronized {
+        scratchLandings.add(dir)
+        val cutoff = System.currentTimeMillis() - minAgeMs
+        while (scratchLandings.size > scratchRetain &&
+            Option(scratchLandings.peek()).exists(
+              new java.io.File(_).lastModified() < cutoff)) {
+          val old = scratchLandings.poll()
+          if (old != null)
+            graft.streaming.StreamHarness.deleteRecursively(
+              new java.io.File(old))
+        }
       }
       spark.read.parquet(dir)
     }

@@ -566,12 +566,11 @@ class AnnIndexConcurrencySpec extends AnyFunSuite {
     // index (hw = −1, zero segments) — a writer re-basing onto that
     // would erase every committed row. It must read as truncated.
     val w = new java.io.FileWriter(s"$dir/manifest/m-1"); w.write("v"); w.close()
-    val saved = AnnIndex.manifestRetryAttempts
-    AnnIndex.manifestRetryAttempts = 2
+    AnnIndex.manifestRetryOverride.put(dir, 2)
     try {
       val ex = intercept[java.io.IOException](AnnIndex.load(spark, dir))
       assert(ex.getMessage.contains("truncated"), ex.getMessage)
-    } finally AnnIndex.manifestRetryAttempts = saved
+    } finally AnnIndex.manifestRetryOverride.remove(dir)
   }
 
   test("committer capability probe: an overwrite-happy store fails loudly before carrying a manifest") {

@@ -64,14 +64,16 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
 
   test("streaming ingester dies at every kill point: checkpoint replay stays exactly-once") {
     import org.apache.spark.sql.streaming.Trigger
-    val savedRetry = AnnIndex.manifestRetryAttempts
-    AnnIndex.manifestRetryAttempts = 2
+    val root = java.nio.file.Files
+      .createTempDirectory("ann_stream_crash").toString
+    val dir = s"$root/idx"
+    // per-DIR retry override: this test wedges ITS index repeatedly and
+    // must not sleep the full reader budget — other suites' readers
+    // keep the production budget
+    AnnIndex.manifestRetryOverride.put(dir, 2)
     try {
       val e = df((0L until 80L).map(i => (i, vec(i, 0))))
       val (cents, cbs) = ivfModel(e)
-      val root = java.nio.file.Files
-        .createTempDirectory("ann_stream_crash").toString
-      val dir = s"$root/idx"
       val landing = s"$root/landing"
       val ckpt = s"$root/ckpt"
       AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id",
@@ -138,17 +140,16 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
         "embedding", k = 3, nprobe = 2).collect().map(_.toSeq).toSet
       assert(got == want, "crash-ridden stream ingest diverged from the " +
         "one-shot build")
-    } finally AnnIndex.manifestRetryAttempts = savedRetry
+    } finally AnnIndex.manifestRetryOverride.remove(dir)
   }
 
   test("a wedged chain stops concurrent writers LOUDLY; repair restores liveness for all of them") {
-    val savedRetry = AnnIndex.manifestRetryAttempts
-    AnnIndex.manifestRetryAttempts = 2
+    val dir = java.nio.file.Files
+      .createTempDirectory("ann_wedge_ccy").toString + "/idx"
+    AnnIndex.manifestRetryOverride.put(dir, 2)
     try {
       val e = df((0L until 60L).map(i => (i, vec(i, 0))))
       val (cents, cbs) = ivfModel(e)
-      val dir = java.nio.file.Files
-        .createTempDirectory("ann_wedge_ccy").toString + "/idx"
       AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id",
         "embedding", dir, cents, cbs)
       // writer A dies mid-publish (torn manifest at the top generation)
@@ -175,7 +176,7 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
       val idx = AnnIndex.load(spark, dir)
       assert(idx.codes.count() == 39,
         "post-repair commits lost rows or resurrected the dead publish")
-    } finally AnnIndex.manifestRetryAttempts = savedRetry
+    } finally AnnIndex.manifestRetryOverride.remove(dir)
   }
 
   test("a torn expire never leaves a half-readable generation; the re-run completes the reclaim") {
@@ -214,18 +215,20 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
   }
 
   private def runWalk(tier: String, steps: Int, seed: Long): Unit = {
-    // torn chains are read (loudly) hundreds of times here — don't
-    // spend the suite's wall-clock inside the reader's retry sleep
-    val savedRetry = AnnIndex.manifestRetryAttempts
-    AnnIndex.manifestRetryAttempts = 2
-    try walkImpl(tier, steps, seed)
-    finally AnnIndex.manifestRetryAttempts = savedRetry
-  }
-
-  private def walkImpl(tier: String, steps: Int, seed: Long): Unit = {
-    val rng = new scala.util.Random(seed)
     val root = java.nio.file.Files
       .createTempDirectory(s"ann_crash_$tier").toString
+    // torn chains are read (loudly) hundreds of times here — don't
+    // spend the suite's wall-clock inside the reader's retry sleep.
+    // Scoped to THIS walk's index dir: other suites' readers keep the
+    // production budget even under parallel execution
+    AnnIndex.manifestRetryOverride.put(s"$root/idx", 2)
+    try walkImpl(tier, steps, seed, root)
+    finally AnnIndex.manifestRetryOverride.remove(s"$root/idx")
+  }
+
+  private def walkImpl(tier: String, steps: Int, seed: Long,
+                       root: String): Unit = {
+    val rng = new scala.util.Random(seed)
     val dir = s"$root/idx"
     var nextId = 0L
     def freshIds(n: Int): Seq[Long] = {

@@ -956,4 +956,113 @@ class AnnIndexSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](AnnIndex.load(spark, dir))
     assert(ex.getMessage.contains("codebooks"))
   }
+
+  test("splitCell: the hot cell re-keys under its sub-centroids; everything else is untouched") {
+    val e = corpus(60).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    val idx0 = AnnIndex.load(spark, dir)
+    val pre = idx0.codes.select(col("neighbor_id"), col("_cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hot = pre.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (c, n) => (-n, c) }.head._1
+    val members = pre.collect { case (id, c) if c == hot => id }.toSet
+    // sub-centroids: two member vectors, normalized (any deterministic
+    // derivation works — the verb takes them as parameters)
+    val subIds = members.toSeq.sorted.take(2)
+    val subs = e.filter(col("vec_id").isin(subIds.map(Long.box): _*))
+      .orderBy("vec_id")
+      .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    AnnIndex.splitCell(e, "vec_id", "embedding", dir, hot, subs)
+
+    val idx1 = AnnIndex.load(spark, dir)
+    val post = idx1.codes.select(col("neighbor_id"), col("_cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // content preserved exactly: same ids, one row each
+    assert(post.keySet == pre.keySet, "split changed the id set")
+    // nlist grew by k-1; the new cell id is the appended slot
+    assert(idx1.nlist == idx0.nlist + 1)
+    val newCell = idx0.nlist + 1
+    // hot members live ONLY in {hot, newCell}; the split is effective
+    // (both sub-cells non-empty for a cell seeded by two of its own
+    // members); nobody else moved
+    assert(members.forall(id => post(id) == hot || post(id) == newCell))
+    assert(members.exists(id => post(id) == hot) &&
+      members.exists(id => post(id) == newCell),
+      "split left the cell whole — sub-centroids did not divide it")
+    assert(pre.forall { case (id, c) => members.contains(id) || post(id) == c },
+      "a row outside the split cell changed assignment")
+    // the hot cell's population strictly shrank — the remediation claim
+    assert(post.count(_._2 == hot) < members.size)
+    // pinned pre-split reader: old model, old assignment, old nlist
+    val pinned = AnnIndex.load(spark, dir, asOf = Some(0L))
+    assert(pinned.nlist == idx0.nlist)
+    assert(pinned.codes.select(col("neighbor_id"), col("_cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == pre)
+    // the post-split snapshot serves
+    assert(AnnIndex.topK(idx1, e.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", k = 3, nprobe = 2).count() > 0)
+  }
+
+  test("splitCell aborts loudly and cleanly: empty cell, non-covering corpus, concurrent commit") {
+    val e = corpus(40).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, cents, cbs)
+    val idx0 = AnnIndex.load(spark, dir)
+    val pre = idx0.codes.select(col("neighbor_id"), col("_cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hot = pre.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (c, n) => (-n, c) }.head._1
+    val members = pre.collect { case (id, c) if c == hot => id }.toSet
+    val subs = Array(Array.fill(dim)(0.5), Array.fill(dim)(-0.5))
+
+    // an emptied cell has nothing to split — loud, no manifest change
+    AnnIndex.delete(members.toSeq.toDF("vec_id"), "vec_id", dir)
+    val gens0 = AnnIndex.versionsOf(spark, dir)
+    val exEmpty = intercept[IllegalArgumentException](
+      AnnIndex.splitCell(e, "vec_id", "embedding", dir, hot, subs))
+    assert(exEmpty.getMessage.contains("empty"), exEmpty.getMessage)
+    assert(AnnIndex.versionsOf(spark, dir) == gens0)
+
+    // a corpus missing a member row must abort BEFORE any manifest
+    // change (splitting would silently drop that row)
+    val dir2 = s"${tmpDir()}/idx2"
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir2, cents, cbs)
+    val missing = members.head
+    val exCover = intercept[IllegalArgumentException](
+      AnnIndex.splitCell(e.filter(col("vec_id") =!= missing),
+        "vec_id", "embedding", dir2, hot, subs))
+    assert(exCover.getMessage.contains("does not cover"), exCover.getMessage)
+    assert(AnnIndex.versionsOf(spark, dir2) == Seq(0L))
+    assert(AnnIndex.load(spark, dir2).codes.count() == 40)
+
+    // a concurrent commit in the split's snapshot window aborts the
+    // split (retrain's rule: the racer's rows may sit in the retiring
+    // cell); the racer's commit survives untouched
+    val subs2 = e.filter(col("vec_id").isin(members.toSeq.sorted.take(2)
+        .map(Long.box): _*))
+      .orderBy("vec_id")
+      .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    AnnIndex.testBeforePublish.put(dir2, () =>
+      AnnIndex.appendIvfPq(
+        Seq((1000L, Array.fill(dim)(9.0f).toSeq)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir2))
+    intercept[java.util.ConcurrentModificationException](
+      AnnIndex.splitCell(e, "vec_id", "embedding", dir2, hot, subs2))
+    val after = AnnIndex.load(spark, dir2)
+    assert(after.codes.count() == 41, "the racing append's row was lost")
+    assert(after.nlist == cents.length, "an aborted split left a new model")
+    // the re-run against the fresh snapshot (now covering the racer's
+    // row) succeeds
+    AnnIndex.splitCell(
+      e.unionByName(Seq((1000L, Array.fill(dim)(9.0f).toSeq))
+        .toDF("vec_id", "embedding")),
+      "vec_id", "embedding", dir2, hot, subs2)
+    assert(AnnIndex.load(spark, dir2).nlist == cents.length + 1)
+    assert(AnnIndex.load(spark, dir2).codes.count() == 41)
+  }
 }

@@ -115,15 +115,15 @@ class AnnServingSoakSpec extends AnyFunSuite {
     assert(first.count() == 8193, "a within-grace result lost its backing")
     // once past the grace window, the cap applies: only the newest
     // scratchRetain survive
-    val savedAge = AnnIndex.scratchMinAgeMs
-    AnnIndex.scratchMinAgeMs = -1000
-    try {
-      newest = AnnIndex.snapshotQueries(big, "vec_id", "embedding")
-      assert(landings() <= AnnIndex.scratchRetain,
-        s"scratch landings not rotated: ${landings()} dirs on disk")
-      // the newest landing (the one a caller would still be consuming)
-      // survives the rotation
-      assert(newest.count() == 8193)
-    } finally AnnIndex.scratchMinAgeMs = savedAge
+    // the spec passes an explicit minAgeMs instead of mutating a
+    // process-wide knob — a parallel suite's landings keep the
+    // production grace window
+    newest = AnnIndex.snapshotQueries(big, "vec_id", "embedding",
+      minAgeMs = -1000)
+    assert(landings() <= AnnIndex.scratchRetain,
+      s"scratch landings not rotated: ${landings()} dirs on disk")
+    // the newest landing (the one a caller would still be consuming)
+    // survives the rotation
+    assert(newest.count() == 8193)
   }
 }
