@@ -625,7 +625,14 @@ object AnnIndex {
     * increasing across the caller's successful appends (the foreachBatch
     * batch-id contract), and a key ≤ the manifest's committed
     * stream-high-water is a duplicate delivery — the append is skipped
-    * entirely. The dedup key is deliberately NOT the segment id: a
+    * entirely. The key namespace is ONE LOGICAL STREAM's (replicas of
+    * the same stream share it — that is the replica-dedup feature): two
+    * INDEPENDENT keyed streams must not feed one index, because each
+    * would advance the shared high-water past the other's in-flight
+    * keys and silently suppress its commits. Concurrent independent
+    * batch writers pass `dedupKey = None` (the multi-writer soak's
+    * discipline) — optimistic re-base makes their racing commits safe;
+    * only replay-idempotence needs keys. The dedup key is deliberately NOT the segment id: a
     * compaction consumes ids from the shared namespace, so any scheme
     * that derives segment ids from replayable batch ids collides with
     * the compacted segment and silently drops the batch. A crash
