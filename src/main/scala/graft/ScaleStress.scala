@@ -58,7 +58,11 @@ object ScaleStress {
       col("lang"), col("source"))
 
     import spark.implicits._
-    val chainLens = Seq(10, 25, 40, 64)
+    // the 100x-class leg plants a diameter-128 chain: the O(log n)
+    // components bound must hold (≤ 8 alternating rounds) where the
+    // old min-label propagation would have needed 128
+    val chainLens =
+      if (factor >= 100) Seq(10, 25, 40, 64, 128) else Seq(10, 25, 40, 64)
     val chains = (0 until 4 * factor).flatMap { c =>
       val len = chainLens(c % chainLens.length)
       val pool = (0 until (92 + 7 * len)).map(j => s"c${c}w$j")
@@ -102,16 +106,23 @@ object ScaleStress {
         col("o_orderdate"))
   }
 
-  private def time2(label: String)(run: => Unit): Double = {
-    val times = (1 to 2).map { _ =>
+  /** Passes per timed measurement (min is reported). Default 2; the
+    * isolated-JVM re-measure child runs 3 for a steadier min. */
+  private def nPasses: Int =
+    sys.env.get("SPARK_GRAFT_SCALE_PASSES").map(_.toInt).getOrElse(2)
+
+  private def timeAll(label: String)(run: => Unit): Seq[Double] = {
+    val times = (1 to nPasses).map { _ =>
       val t0 = System.nanoTime()
       run
       (System.nanoTime() - t0) / 1e9
     }
-    val best = times.min
-    System.err.println(f"[scale] $label%-28s ${best}%.2f s (passes: ${times.map(t => f"$t%.2f").mkString(", ")})")
-    best
+    System.err.println(f"[scale] $label%-28s ${times.min}%.2f s (passes: ${times.map(t => f"$t%.2f").mkString(", ")})")
+    times
   }
+
+  private def time2(label: String)(run: => Unit): Double =
+    timeAll(label)(run).min
 
   private def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -274,8 +285,8 @@ object ScaleStress {
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",
-      "skew_stress", "stream_sinks", "bpe_train_512", "checkpoint_cost",
-      "blocklist_400", "serving_soak")
+      "skew_stress", "stream_sinks", "bpe_train_512", "bpe_train_deep",
+      "checkpoint_cost", "blocklist_400", "serving_soak", "pair_rounds")
     def wantExhibit(n: String): Boolean = only.forall(_.contains(n))
     // a typo'd subset must FAIL, not complete green measuring nothing
     only.foreach { o =>
@@ -287,11 +298,61 @@ object ScaleStress {
     }
     val queryNames = allScaleQueries.filter(n => only.forall(_.contains(n)))
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // per-query spread of the SCALED passes (max/min): > 2x means the
+    // slot was contended and the row gets the isolated-JVM re-measure
+    val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (name <- queryNames) {
       val fn = SparkEntry.queries(name)
       val base = time2(s"$name @base") { noop(fn(spark, baseDir)) }
-      val scaled = time2(s"$name @${factor}x") { noop(fn(spark, outDir)) }
-      results(name) = (base, scaled)
+      val scaledPasses = timeAll(s"$name @${factor}x") { noop(fn(spark, outDir)) }
+      results(name) = (base, scaledPasses.min)
+      spreads(name) = scaledPasses.max / scaledPasses.min
+    }
+
+    // ISOLATED-JVM RE-MEASURE: a row whose scaled passes spread > 2x
+    // was measured in a contended window (this host shows real
+    // background-VM variance) — the honest number is a dedicated idle
+    // JVM's min-of-three, and it belongs IN the recorded artifact, not
+    // in prose reconciliation. The child is this same main with
+    // SPARK_GRAFT_SCALE_ONLY=<suspects>, 3 passes, and its own output
+    // path; the guard env stops a contended child from recursing.
+    var isolatedJson = ""
+    val isolatedChild = sys.env.contains("SPARK_GRAFT_SCALE_ISOLATED")
+    val spreadGate = sys.env.get("SPARK_GRAFT_SCALE_SPREAD")
+      .map(_.toDouble).getOrElse(2.0)
+    val suspects = spreads.collect { case (n, s) if s > spreadGate => n }.toSeq
+    if (suspects.nonEmpty && !isolatedChild) {
+      System.err.println(s"[scale] contended rows (pass spread > 2x): " +
+        s"${suspects.mkString(",")} — re-measuring in a dedicated JVM")
+      val isoOut = "target/scale_isolated.json"
+      new java.io.File(isoOut).delete()
+      val jvm = System.getProperty("java.home") + "/bin/java"
+      val jvmArgs = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toSeq
+      }
+      val cmd = Seq(jvm) ++ jvmArgs ++ Seq("-cp",
+        System.getProperty("java.class.path"), "graft.ScaleStress",
+        baseDir, outDir, factor.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_SCALE_ONLY", suspects.mkString(","))
+      pb.environment().put("SPARK_GRAFT_SCALE_ISOLATED", "1")
+      pb.environment().put("SPARK_GRAFT_SCALE_PASSES", "3")
+      pb.environment().put("SPARK_GRAFT_SCALE_OUT", isoOut)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      val exit = pb.start().waitFor()
+      val isoFile = new java.io.File(isoOut)
+      if (exit == 0 && isoFile.exists()) {
+        val txt = java.nio.file.Files.readString(isoFile.toPath)
+        val i = txt.lastIndexOf("\"queries\":")
+        if (i >= 0)
+          isolatedJson = "," + "\"isolated\":" +
+            txt.substring(i + 10, txt.lastIndexOf("]") + 1)
+      } else System.err.println(
+        s"[scale] isolated re-measure failed (exit $exit) — artifact " +
+          "carries the in-run slots only")
     }
 
     // SemDeDup the way the paper scales it (nlist ∝ corpus, constant
@@ -559,6 +620,50 @@ object ScaleStress {
         f""""tail_over_head":${tailMean / headMean}%.2f}"""
     }
 
+    // BPE at PRODUCTION merge depth (default 2048, env-overridable to
+    // 4k): the flat-per-round claim extended an order of magnitude past
+    // the 512-merge exhibit, with the per-round wall tracked block by
+    // block and the 32k-vocabulary cost PROJECTED from the measured
+    // mean — the number a tokenizer-training deployment actually plans
+    // around. If the projection is dominated by fixed scheduling (the
+    // expectation: the state SHRINKS as words fully merge, so rounds
+    // get cheaper while the driver loop's ~fixed cost stays), that is
+    // the recorded honest price of the sequential-merge dependency —
+    // batching non-conflicting merges would change the learned table's
+    // semantics (a batched adoption can pick pairs a sequential
+    // trainer would have re-counted) and is deliberately not done.
+    var bpeDeepJson = ""
+    if (wantExhibit("bpe_train_deep")) {
+      val merges = sys.env.get("SPARK_GRAFT_BPE_MERGES")
+        .map(_.toInt).getOrElse(2048)
+      val roundS = scala.collection.mutable.ArrayBuffer[Double]()
+      val docsScaled = spark.read.parquet(s"$outDir/documents.parquet")
+      val t0 = System.nanoTime()
+      val learned = graft.operators.BpeTrain.learnMerges(
+        docsScaled, "text", merges,
+        onRoundNanos = Some((_, ns) => roundS += ns / 1e9))
+      val total = (System.nanoTime() - t0) / 1e9
+      def mean(xs: Seq[Double]): Double = xs.sum / math.max(1, xs.size)
+      val blocks = roundS.grouped(512).map(b => mean(b.toSeq)).toSeq
+      val headMean = mean(roundS.take(64).toSeq)
+      val tailMean = mean(roundS.takeRight(64).toSeq)
+      val meanAll = mean(roundS.toSeq)
+      val proj32kMin = meanAll * 32768 / 60.0
+      System.err.println(f"[scale] bpe_train_deep @${factor}x: " +
+        f"${learned.size} merges in $total%.1f s; round mean $meanAll%.3f s " +
+        f"(head64 $headMean%.3f, tail64 $tailMean%.3f, " +
+        f"tail/head ${tailMean / headMean}%.2f); per-512-block means " +
+        blocks.map(b => f"$b%.3f").mkString(", ") +
+        f"; projected 32k-merge vocabulary $proj32kMin%.0f min")
+      bpeDeepJson = f""","bpe_deep":{"merges":${learned.size},""" +
+        f""""total_s":$total%.1f,"head64_mean_s":$headMean%.3f,""" +
+        f""""tail64_mean_s":$tailMean%.3f,""" +
+        f""""tail_over_head":${tailMean / headMean}%.2f,""" +
+        f""""mean_round_s":$meanAll%.3f,""" +
+        s""""block512_means_s":[${blocks.map(b => f"$b%.3f").mkString(",")}],""" +
+        f""""projected_32k_merge_min":$proj32kMin%.0f}"""
+    }
+
     // components round counts on the REAL pair graphs (incl. the planted
     // diameter-64 chains at 10x): the O(log n) observable
     def rounds(dir: String): (Int, Long) = {
@@ -572,9 +677,12 @@ object ScaleStress {
       val (_, r) = Components.labelPropagateWithRounds(pairs, "id_a", "id_b")
       (r, nPairs)
     }
-    val (rBase, pBase) = if (only.isEmpty) rounds(baseDir) else (0, 0L)
-    val (rScaled, pScaled) = if (only.isEmpty) rounds(outDir) else (0, 0L)
-    if (only.isEmpty)
+    // full runs always probe the pair graph; a subset can request it by
+    // name ("pair_rounds" — the 100x leg's diameter-128 chain check)
+    val doRounds = wantExhibit("pair_rounds")
+    val (rBase, pBase) = if (doRounds) rounds(baseDir) else (0, 0L)
+    val (rScaled, pScaled) = if (doRounds) rounds(outDir) else (0, 0L)
+    if (doRounds)
       System.err.println(s"[scale] pair graph: base $pBase edges/$rBase rounds, " +
         s"${factor}x $pScaled edges/$rScaled rounds")
 
@@ -612,14 +720,19 @@ object ScaleStress {
     }
 
     val rows = results.map { case (name, (b, sc)) =>
-      f"""{"query":"$name","base_s":$b%.2f,"x${factor}_s":$sc%.2f,"ratio":${sc / b}%.2f}"""
+      val spread = spreads.get(name)
+        .map(s => f""","spread":$s%.2f""").getOrElse("")
+      f"""{"query":"$name","base_s":$b%.2f,"x${factor}_s":$sc%.2f,"ratio":${sc / b}%.2f$spread}"""
     }.mkString("[", ",", "]")
     val json = s"""{"factor":$factor,"docs":$nDocs,"vectors":$nVecs,""" +
       s""""rounds_base":$rBase,"rounds_${factor}x":$rScaled,""" +
       s""""pairs_base":$pBase,"pairs_${factor}x":$pScaled$skewJson""" +
-      s"""$streamJson$servingJson$bpeJson$ckptJson,"queries":$rows}"""
+      s"""$streamJson$servingJson$bpeJson$bpeDeepJson$ckptJson""" +
+      s"""$isolatedJson,"queries":$rows}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "target/scale_stress.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/scale_stress.json"), json)
+      java.nio.file.Paths.get(outPath), json)
     catch { case e: Throwable => System.err.println(s"[scale] write failed: $e") }
     println(json)
     spark.stop()
