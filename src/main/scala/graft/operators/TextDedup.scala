@@ -199,17 +199,29 @@ object TextDedup {
   private def verifiedNearDups(sig: DataFrame, cands: DataFrame,
                                numHashes: Int, threshold: Double,
                                estimateMargin: Double): DataFrame = {
-    val aSide = sig.select(col("_id").as("id_a"), col("_sh").as("_sh_a"),
-      col("_sig").as("_sig_a"))
-    val bSide = sig.select(col("_id").as("id_b"), col("_sh").as("_sh_b"),
-      col("_sig").as("_sig_b"))
-    val estimated = cands.join(aSide, "id_a").join(bSide, "id_b")
+    // TWO-PHASE verify, and the phases must stay separate JOINS, not
+    // one join with a deferred filter: the estimate pass rides ONLY the
+    // fixed-width signatures (numHashes longs per side), because at a
+    // 100x-class corpus the post-cap candidate volume is tens of
+    // millions of pairs and the shingle SETS are 10-100x wider than
+    // the signatures — joining them onto every candidate moved
+    // ~6 KB/pair through the sort-merge spill (measured: >80 GB of
+    // spill at 520k docs, where the signature-only estimate join moves
+    // ~0.5 KB/pair and the exact pass joins shingles onto the few
+    // estimate-survivors only). Same pairs, same jaccard — the oracle
+    // replays the identical math; only the plan shape changes.
+    val sigA = sig.select(col("_id").as("id_a"), col("_sig").as("_sig_a"))
+    val sigB = sig.select(col("_id").as("id_b"), col("_sig").as("_sig_b"))
+    val plausible = cands.join(sigA, "id_a").join(sigB, "id_b")
       .withColumn("_est",
         size(filter(zip_with(col("_sig_a"), col("_sig_b"), (x, y) => x === y),
           b => b)).cast(DoubleType) / numHashes)
       .filter(col("_est") >= threshold - estimateMargin)
+      .select(col("id_a"), col("id_b"))
 
-    estimated
+    val shA = sig.select(col("_id").as("id_a"), col("_sh").as("_sh_a"))
+    val shB = sig.select(col("_id").as("id_b"), col("_sh").as("_sh_b"))
+    plausible.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("_sh_a"), col("_sh_b"))).cast(DoubleType) /
           size(array_union(col("_sh_a"), col("_sh_b"))).cast(DoubleType))

@@ -8,7 +8,9 @@ import graft.sources.AnnIndex
 /** Randomized crash-injection soak of the optimistic commit protocol
   * ([[graft.sources.AnnIndex]]): a seeded RNG drives a long random walk
   * of every in-chain verb (append / upsert / delete / compact / retrain
-  * / merge / expire) on BOTH tiers, killing the writer at seeded points —
+  * / merge / expire, plus splitCell on the IVF tier — the walk adopts
+  * each new verb as it is added, so the soak's coverage tracks the
+  * API's) on BOTH tiers, killing the writer at seeded points —
   * `stage` (nothing written yet), `staged` (artifacts complete,
   * manifest not attempted), `publish-torn` (destination reserved, body
   * unwritten — the only crash that wedges the chain), `published` (the
@@ -250,6 +252,11 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
     var dedupKey = 0L
     var mergeCount = 0
     val fired = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    // the model the index CURRENTLY encodes with: a committed splitCell
+    // grows the centroid table (and a later retrain resets it), and
+    // merge shards must be built with the dst's model-of-the-moment or
+    // the federation contract rejects them
+    var curCents = cents
 
     def loadIds(): Seq[Long] = {
       val codes =
@@ -267,13 +274,15 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
 
     for (step <- 1 to steps) {
       // pick the verb (fall back to append when the corpus is too
-      // small to upsert/delete without emptying it)
+      // small to upsert/delete without emptying it; splitCell exists
+      // only on the IVF tier)
       val v = rng.nextDouble()
       var verb =
-        if (v < 0.22) "append" else if (v < 0.40) "upsert"
-        else if (v < 0.54) "delete" else if (v < 0.66) "compact"
-        else if (v < 0.78) "retrain" else if (v < 0.91) "merge"
-        else "expire"
+        if (v < 0.20) "append" else if (v < 0.38) "upsert"
+        else if (v < 0.52) "delete" else if (v < 0.63) "compact"
+        else if (v < 0.74) "retrain" else if (v < 0.86) "merge"
+        else if (v < 0.94) "expire" else "split"
+      if (verb == "split" && tier != "ivf") verb = "append"
       if ((verb == "upsert" || verb == "delete") && truth.size < 13)
         verb = "append"
 
@@ -293,7 +302,7 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
         mergeCount += 1
         val d = s"$root/shard$mergeCount"
         if (tier == "ivf")
-          AnnIndex.buildIvfPq(df(rows), "vec_id", "embedding", d, cents, cbs)
+          AnnIndex.buildIvfPq(df(rows), "vec_id", "embedding", d, curCents, cbs)
         else
           AnnIndex.buildSq(df(rows), "vec_id", "embedding", d, sqM, Some(cents))
         d
@@ -310,6 +319,18 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
         case ("ivf", "merge") => AnnIndex.merge(spark, dir, srcDir)
         case ("ivf", "retrain") =>
           AnnIndex.retrain(df(truth.toSeq), "vec_id", "embedding", dir, cents, cbs)
+        case ("ivf", "split") =>
+          // hottest cell by the index's own encode-time assignment;
+          // sub-centroids derive deterministically from a member vector
+          // (k-means in production — any deterministic rule here)
+          val idx = AnnIndex.load(spark, dir)
+          val byCell = idx.codes
+            .select(col("_cell").cast("int"), col("neighbor_id"))
+            .collect().groupBy(_.getInt(0))
+          val (cell, members) = byCell.maxBy(_._2.length)
+          val m0 = truth(members.head.getLong(1)).map(_.toDouble).toArray
+          AnnIndex.splitCell(df(truth.toSeq), "vec_id", "embedding", dir,
+            cell, Array(m0, m0.map(_ + 0.5)))
         case ("sq", "append") =>
           AnnIndex.appendSq(df(rows), "vec_id", "embedding", dir, Some(key))
         case ("sq", "upsert") =>
@@ -378,7 +399,11 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
         case "append" | "upsert" | "merge" =>
           rows.foreach { case (i, vv) => truth(i) = vv }
         case "delete" => delIds.foreach(truth.remove)
-        case _ => // compact/retrain never change the visible set
+        case "split" | "retrain" =>
+          // visible set unchanged; the MODEL may have — re-read it so
+          // later shard builds and the final replay use the real one
+          curCents = AnnIndex.load(spark, dir).centroids
+        case _ => // compact/expire never change the visible set
       }
 
       if (step % 25 == 0) checkVisible(s"step $step")
@@ -399,8 +424,11 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
     val q = df(truth.toSeq.take(8))
     val seqDir = s"$root/seq"
     if (tier == "ivf") {
+      // replay under the index's FINAL model (splitCell grows the
+      // centroid table; retrain resets it) — per-row encode is
+      // deterministic under ONE model, which is what the equality pins
       AnnIndex.buildIvfPq(df(truth.toSeq), "vec_id", "embedding", seqDir,
-        cents, cbs)
+        AnnIndex.load(spark, dir).centroids, cbs)
       val got = AnnIndex.topK(AnnIndex.load(spark, dir), q, "vec_id",
         "embedding", k = 3, nprobe = 2).collect().map(_.toSeq).toSet
       val want = AnnIndex.topK(AnnIndex.load(spark, seqDir), q, "vec_id",
