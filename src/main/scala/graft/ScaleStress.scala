@@ -340,8 +340,16 @@ object ScaleStress {
         import scala.jdk.CollectionConverters._
         java.lang.management.ManagementFactory.getRuntimeMXBean
           .getInputArguments.asScala.toSeq
+          // the child must NOT inherit the parent's heap ceiling: the
+          // parent's RSS stays resident while it waits (a JVM does not
+          // return a post-shuffle heap), so parent-Xmx + child-Xmx
+          // over-commits RAM and the OOM killer takes the PARENT
+          // (measured: the 100x leg died exactly this way). The child
+          // re-measures one query at a time — a bounded heap is right.
+          .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
       }
-      val cmd = Seq(jvm) ++ jvmArgs ++ Seq("-cp",
+      val childHeap = sys.env.getOrElse("SPARK_GRAFT_SCALE_ISO_MEM", "32g")
+      val cmd = Seq(jvm) ++ jvmArgs ++ Seq(s"-Xmx$childHeap", "-cp",
         System.getProperty("java.class.path"), "graft.ScaleStress",
         baseDir, outDir, factor.toString)
       val pb = new ProcessBuilder(cmd: _*)
