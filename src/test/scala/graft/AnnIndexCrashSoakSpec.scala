@@ -400,9 +400,13 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
           rows.foreach { case (i, vv) => truth(i) = vv }
         case "delete" => delIds.foreach(truth.remove)
         case "split" | "retrain" =>
-          // visible set unchanged; the MODEL may have — re-read it so
-          // later shard builds and the final replay use the real one
-          curCents = AnnIndex.load(spark, dir).centroids
+          // visible set unchanged; the IVF MODEL may have (splitCell
+          // grows the centroid table) — re-read it so later shard
+          // builds and the final replay use the real one. The SQ
+          // walk's quantizer never changes (retrainSq re-fits onto the
+          // same centroids), so only the IVF tier re-reads.
+          if (tier == "ivf")
+            curCents = AnnIndex.load(spark, dir).centroids
         case _ => // compact/expire never change the visible set
       }
 
