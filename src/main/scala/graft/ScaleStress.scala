@@ -281,7 +281,13 @@ object ScaleStress {
       // literal panel, 10-id literal allowlist under the probe
       // PartitionFilter) — the SQ tier's production filtered-serving
       // price: expect build-dominated growth with a ~flat serve term
-      "q167_sq_filtered_serve")
+      "q167_sq_filtered_serve",
+      // q168 = q142's corpus-linear build + the SPLIT of the hottest
+      // cell (cell-sized re-encode: ~corpus/nlist rows — the remediation
+      // must stay affordable exactly when skew is worst) + the
+      // corpus-derived %50 panel read — expect the q142 write-dominated
+      // class with the split term the cheap part
+      "q168_ann_split_cell")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",
