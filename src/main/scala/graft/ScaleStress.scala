@@ -107,9 +107,28 @@ object ScaleStress {
   }
 
   /** Passes per timed measurement (min is reported). Default 2; the
-    * isolated-JVM re-measure child runs 3 for a steadier min. */
-  private def nPasses: Int =
-    sys.env.get("SPARK_GRAFT_SCALE_PASSES").map(_.toInt).getOrElse(2)
+    * isolated-JVM re-measure child runs 3 for a steadier min. Clamped
+    * to >= 1 and validated loudly: a zero/garbage value would
+    * otherwise surface as an empty-times `min` crash DEEP into a
+    * multi-hour run instead of at startup. */
+  private lazy val nPasses: Int =
+    sys.env.get("SPARK_GRAFT_SCALE_PASSES").map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => sys.error(
+          s"SPARK_GRAFT_SCALE_PASSES must be an integer, got '$v'")
+      }
+      math.max(1, n)
+    }.getOrElse(2)
+
+  /** Pass-spread gate for the isolated-JVM re-measure — validated
+    * loudly at startup like [[nPasses]]. */
+  private lazy val spreadGate: Double =
+    sys.env.get("SPARK_GRAFT_SCALE_SPREAD").map { v =>
+      try v.toDouble catch {
+        case _: NumberFormatException => sys.error(
+          s"SPARK_GRAFT_SCALE_SPREAD must be a number, got '$v'")
+      }
+    }.getOrElse(2.0)
 
   private def timeAll(label: String)(run: => Unit): Seq[Double] = {
     val times = (1 to nPasses).map { _ =>
@@ -145,20 +164,39 @@ object ScaleStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail fast on malformed measurement knobs — before any synth/run
+    val (_, _) = (nPasses, spreadGate)
 
-    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
-      System.err.println(s"[scale] synthesizing ${factor}x corpus -> $outDir")
+    // SYNTH-SCHEMA STAMP: regeneration is keyed on this version, not on
+    // directory existence alone — a pre-change outDir reused silently
+    // (e.g. 64-diameter chains under a probe asserting the 128-chain
+    // bound) would record claims against the wrong data. Bump the
+    // version whenever the synthesized corpus changes shape.
+    val synthVersion = {
+      val maxChain = if (factor >= 100) 128 else 64
+      s"synth-v3;chains=10,25,40,$maxChain;replica=qrz;orders=10M-shift"
+    }
+    val stampFile = new java.io.File(outDir, "SYNTH_VERSION")
+    val stampOk = stampFile.exists() && {
+      val have = java.nio.file.Files.readString(stampFile.toPath).trim
+      if (have != synthVersion)
+        System.err.println(s"[scale] synth stamp mismatch under $outDir " +
+          s"('$have' != '$synthVersion') — regenerating the corpus")
+      have == synthVersion
+    }
+    if (!stampOk) {
+      System.err.println(
+        s"[scale] synthesizing ${factor}x corpus -> $outDir ($synthVersion)")
       synthDocuments(spark, baseDir, factor)
         .repartition(cpus.toInt).write.mode("overwrite")
         .parquet(s"$outDir/documents.parquet")
       synthEmbeddings(spark, baseDir, factor)
         .repartition(cpus.toInt).write.mode("overwrite")
         .parquet(s"$outDir/embeddings.parquet")
-    }
-    if (!new java.io.File(s"$outDir/orders.parquet").exists()) {
       synthOrders(spark, baseDir, factor)
         .repartition(cpus.toInt).write.mode("overwrite")
         .parquet(s"$outDir/orders.parquet")
+      java.nio.file.Files.writeString(stampFile.toPath, synthVersion + "\n")
     }
     val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$outDir/embeddings.parquet").count()
@@ -292,7 +330,8 @@ object ScaleStress {
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",
       "skew_stress", "stream_sinks", "bpe_train_512", "bpe_train_deep",
-      "checkpoint_cost", "blocklist_400", "serving_soak", "pair_rounds")
+      "checkpoint_cost", "blocklist_400", "serving_soak", "pair_rounds",
+      "split_policy")
     def wantExhibit(n: String): Boolean = only.forall(_.contains(n))
     // a typo'd subset must FAIL, not complete green measuring nothing
     only.foreach { o =>
@@ -324,8 +363,6 @@ object ScaleStress {
     // path; the guard env stops a contended child from recursing.
     var isolatedJson = ""
     val isolatedChild = sys.env.contains("SPARK_GRAFT_SCALE_ISOLATED")
-    val spreadGate = sys.env.get("SPARK_GRAFT_SCALE_SPREAD")
-      .map(_.toDouble).getOrElse(2.0)
     // rows whose cross-ROUND history is window-sensitive can be forced
     // into the isolated slot by name even when this run's passes were
     // quiet — the artifact then always carries the dedicated-JVM min
@@ -368,11 +405,23 @@ object ScaleStress {
       val exit = pb.start().waitFor()
       val isoFile = new java.io.File(isoOut)
       if (exit == 0 && isoFile.exists()) {
-        val txt = java.nio.file.Files.readString(isoFile.toPath)
-        val i = txt.lastIndexOf("\"queries\":")
-        if (i >= 0)
-          isolatedJson = "," + "\"isolated\":" +
-            txt.substring(i + 10, txt.lastIndexOf("]") + 1)
+        // parse the child's artifact PROPERLY (Jackson rides Spark's
+        // classpath) and re-serialize just its queries array — string
+        // surgery on the raw text would silently embed garbage if a
+        // child exhibit ever emitted a trailing array, or if a stale /
+        // partial file survived the delete above
+        try {
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val tree = mapper.readTree(isoFile)
+          val q = tree.get("queries")
+          require(q != null && q.isArray,
+            "child artifact carries no queries array")
+          isolatedJson = ",\"isolated\":" + mapper.writeValueAsString(q)
+        } catch {
+          case e: Exception => System.err.println(
+            s"[scale] isolated artifact unparseable ($e) — artifact " +
+              "carries the in-run slots only")
+        }
       } else System.err.println(
         s"[scale] isolated re-measure failed (exit $exit) — artifact " +
           "carries the in-run slots only")
@@ -614,6 +663,64 @@ object ScaleStress {
         f""""tail_over_head":$ratio%.2f,"leaked_cache_entries":$cached}"""
     }
 
+    // IMBALANCE-GATED SPLIT POLICY at scale: a skew-PLANTED corpus —
+    // every scaled vector gets a hot twin in one tight cone, while the
+    // 16-centroid codebook is derived from the non-hot half only, so
+    // the whole cone (~50% of the corpus) routes into ONE coarse cell —
+    // then AnnIndex.rebalance runs with a 4x imbalance bar. Claims
+    // measured: the policy bounds the max-cell scan fraction (the
+    // latency/recall hazard cellStats reports), its cost is
+    // splits × cell-sized re-encode (affordable exactly when skew is
+    // worst — the hot cell IS the skewed fraction), and the verb chain
+    // stays oracle-exact (q168 gates that; this row prices the policy).
+    // Default-on at <= 30x; name it explicitly at larger factors.
+    var splitPolicyJson = ""
+    if (wantExhibit("split_policy") &&
+        (only.exists(_.contains("split_policy")) || factor <= 30)) {
+      import graft.sources.AnnIndex
+      val e = spark.read.parquet(s"$outDir/embeddings.parquet")
+      val hot = e.select(
+        (col("vec_id") + 50000000L).as("vec_id"),
+        transform(col("embedding"), (_, i) =>
+          when(i === 0, lit(10.0f)).otherwise(
+            (pmod(xxhash64(col("vec_id"), i), lit(100)).cast("float")
+              / lit(1000.0f)))).as("embedding"),
+        col("label"))
+      val corpus = e.unionByName(hot)
+      val (cents, cbs) = QueriesText.ivfPqModel(e) // non-hot half only
+      val polRoot = graft.streaming.StreamHarness.scratch("split_policy")
+      val polDir = s"$polRoot/idx"
+      val tBuild = time2("split_policy build") {
+        AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", polDir, cents, cbs)
+      }
+      def maxFrac(): (Double, Int, Long) = {
+        val idx = AnnIndex.load(spark, polDir)
+        val st = AnnIndex.cellStats(idx).collect()
+        (st.map(_.getAs[Double]("frac")).max, idx.nlist,
+          st.map(_.getAs[Long]("n_vectors")).sum)
+      }
+      val (fracBefore, nlistBefore, rows) = maxFrac()
+      var splits = -1
+      val tPolicy = time2("split_policy rebalance") {
+        splits = AnnIndex.rebalance(corpus, "vec_id", "embedding", polDir,
+          maxImbalance = 4.0, maxSplits = 8)
+      }
+      val (fracAfter, nlistAfter, rowsAfter) = maxFrac()
+      require(rowsAfter == rows, "rebalance changed the corpus size")
+      require(fracAfter < fracBefore,
+        f"policy did not shrink the hot cell: $fracBefore%.3f -> $fracAfter%.3f")
+      System.err.println(f"[scale] split_policy @${factor}x: $rows rows, " +
+        f"max cell $fracBefore%.3f -> $fracAfter%.3f " +
+        f"($nlistBefore -> $nlistAfter cells, $splits splits), " +
+        f"build $tBuild%.1f s, policy $tPolicy%.1f s")
+      splitPolicyJson = f""","split_policy":{"rows":$rows,""" +
+        f""""max_frac_before":$fracBefore%.4f,""" +
+        f""""max_frac_after":$fracAfter%.4f,""" +
+        f""""nlist_before":$nlistBefore,"nlist_after":$nlistAfter,""" +
+        f""""splits":$splits,"build_s":$tBuild%.2f,""" +
+        f""""policy_s":$tPolicy%.2f}"""
+    }
+
     // INCREMENTAL BPE TRAINER at production merge depth: 512 merges on
     // the factor× corpus, per-round wall observed via the trainer's
     // onRoundNanos hook. The claim under test is BpeTrain's cost model —
@@ -656,7 +763,11 @@ object ScaleStress {
     // semantics (a batched adoption can pick pairs a sequential
     // trainer would have re-counted) and is deliberately not done.
     var bpeDeepJson = ""
-    if (wantExhibit("bpe_train_deep")) {
+    // EXPLICIT-ONLY: 2048 sequential merges are ~4x the 512 exhibit's
+    // wall (434 s at 30x) — a default-on deep run would tax every full
+    // invocation at every factor (the serving_soak-trim lesson). Run it
+    // by naming it: SPARK_GRAFT_SCALE_ONLY=bpe_train_deep.
+    if (only.exists(_.contains("bpe_train_deep"))) {
       val merges = sys.env.get("SPARK_GRAFT_BPE_MERGES")
         .map(_.toInt).getOrElse(2048)
       val roundS = scala.collection.mutable.ArrayBuffer[Double]()
@@ -688,8 +799,28 @@ object ScaleStress {
     }
 
     // components round counts on the REAL pair graphs (incl. the planted
-    // diameter-64 chains at 10x): the O(log n) observable
-    def rounds(dir: String): (Int, Long) = {
+    // diameter-64/128 chains): the O(log n) observable — PLUS, on the
+    // scaled corpus, the PRICE OF THE BUCKET CAP on the planted
+    // structure. The 100x leg drops ~96% of raw band-pair volume in
+    // degenerate buckets; round counts alone cannot distinguish "the
+    // cap cost nothing planted" from "the chains fragmented and the
+    // fragments converged fast". So the scaled probe measures:
+    //   - chain EDGE recall: consecutive chain pairs recovered /
+    //     planted (LSH theory without the cap: band catch ~0.547 at
+    //     J~0.86, miss ~0.45^8 => ~99.8% — a cap that swallowed chain
+    //     buckets would crater this);
+    //   - chain component integrity: chains resolving to ONE component
+    //     containing all members and no outsiders (beyond their own
+    //     +10M exact-dup copies) — fragmentation from the ~0.2% edge
+    //     misses is expected and recorded, cap damage is not;
+    //   - replica near-dup recall: planted (d, d+100000) J~0.87 pairs
+    //     landing in one component.
+    // Values are RECORDED in the artifact and ASSERTED against bars at
+    // the end of the run (after the artifact is written, so a failing
+    // leg still leaves the evidence on disk).
+    val plantedFailures = scala.collection.mutable.Buffer[String]()
+    var plantedJson = ""
+    def rounds(dir: String, probePlanted: Boolean): (Int, Long) = {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val withDups = docs.unionByName(
         docs.filter(col("doc_id") % 5 === 0)
@@ -697,14 +828,105 @@ object ScaleStress {
       val pairs = TextDedup.minHashNearDups31(withDups, "text", "doc_id",
         threshold = 0.8, shingleSize = 9, bands = 8, rowsPerBand = 4)
       val nPairs = pairs.count()
-      val (_, r) = Components.labelPropagateWithRounds(pairs, "id_a", "id_b")
+      val (labels, r) = Components.labelPropagateWithRounds(pairs, "id_a", "id_b")
+      if (probePlanted) {
+        import spark.implicits._
+        val chainLens =
+          if (factor >= 100) Seq(10, 25, 40, 64, 128) else Seq(10, 25, 40, 64)
+        val nChains = 4 * factor
+        val chainMembers = (0 until nChains).flatMap { c =>
+          val len = chainLens(c % chainLens.length)
+          (0 until len).map(i => (8000000L + c * 1000L + i, c))
+        }.toDF("id", "chain")
+        // --- chain edge recall (consecutive pairs, canonical order) ---
+        val expectedEdges = (0 until nChains).flatMap { c =>
+          val len = chainLens(c % chainLens.length)
+          (0 until len - 1).map(i =>
+            (8000000L + c * 1000L + i, 8000000L + c * 1000L + i + 1))
+        }.toDF("ea", "eb")
+        val canon = pairs.select(
+          least(col("id_a"), col("id_b")).as("ea"),
+          greatest(col("id_a"), col("id_b")).as("eb"))
+        val edgesPlanted = expectedEdges.count()
+        val edgesFound = broadcast(expectedEdges)
+          .join(canon, Seq("ea", "eb"), "left_semi").count()
+        val edgeRecall = edgesFound.toDouble / edgesPlanted
+        // --- chain component integrity ---
+        val cm = broadcast(chainMembers).join(labels, Seq("id"), "left")
+        val perChain = cm.groupBy("chain").agg(
+          count(lit(1)).as("members"), count(col("comp")).as("labeled"),
+          countDistinct(col("comp")).as("ncomp"),
+          min(col("comp")).as("comp0"))
+        val candidate = perChain
+          .filter(col("ncomp") === 1 && col("labeled") === col("members"))
+          .select(col("chain"), col("comp0").as("comp"))
+        // outsiders: anything in a candidate chain's component beyond
+        // the chain's members and their +10M exact-dup copies
+        val allowed = chainMembers
+          .union(chainMembers.select((col("id") + 10000000L).as("id"),
+            col("chain")))
+        val outsiderChains = labels
+          .join(broadcast(candidate), Seq("comp"))
+          .join(broadcast(allowed).withColumnRenamed("chain", "chain2"),
+            Seq("id"), "left")
+          .filter(col("chain2").isNull || col("chain2") =!= col("chain"))
+          .select("chain").distinct()
+        val intact = candidate
+          .join(outsiderChains, Seq("chain"), "left_anti").count()
+        // --- replica near-dup recall (component-level credit) ---
+        val eligible = docs
+          .filter(col("doc_id") < 100000L &&
+            size(split(col("text"), " ")) >= 9)
+          .select(col("doc_id").as("d"))
+        val rec = eligible
+          .join(labels.select(col("id").as("d"), col("comp").as("c0")),
+            Seq("d"), "left")
+          .join(labels.select((col("id") - 100000L).as("d"),
+            col("comp").as("c1")), Seq("d"), "left")
+        val replicaPlanted = rec.count()
+        val replicaRecovered = rec
+          .filter(col("c0").isNotNull && col("c0") === col("c1")).count()
+        val replicaRecall = replicaRecovered.toDouble / replicaPlanted
+        val intactFrac = intact.toDouble / nChains
+        System.err.println(
+          f"[scale] planted recall @${factor}x: chain edges " +
+            f"$edgesFound/$edgesPlanted ($edgeRecall%.4f), chains intact " +
+            f"$intact/$nChains ($intactFrac%.3f), replica pairs " +
+            f"$replicaRecovered/$replicaPlanted ($replicaRecall%.4f)")
+        plantedJson = f""","planted":{"chains":$nChains,""" +
+          f""""chains_single_comp":$intact,""" +
+          f""""chain_edges":$edgesPlanted,""" +
+          f""""chain_edges_found":$edgesFound,""" +
+          f""""chain_edge_recall":$edgeRecall%.4f,""" +
+          f""""replica_planted":$replicaPlanted,""" +
+          f""""replica_recovered":$replicaRecovered,""" +
+          f""""replica_recall":$replicaRecall%.4f}"""
+        // bars: ~99.8% is LSH theory without cap damage; 0.98 leaves
+        // room for banding variance, none for a cap that ate planted
+        // structure. Chains fragment at the theory rate (~0.2% of
+        // edges), so the single-component bar is softer.
+        val edgeBar = sys.env.get("SPARK_GRAFT_EDGE_RECALL_BAR")
+          .map(_.toDouble).getOrElse(0.98)
+        val replicaBar = sys.env.get("SPARK_GRAFT_REPLICA_RECALL_BAR")
+          .map(_.toDouble).getOrElse(0.98)
+        val intactBar = sys.env.get("SPARK_GRAFT_CHAIN_INTACT_BAR")
+          .map(_.toDouble).getOrElse(0.80)
+        if (edgeRecall < edgeBar) plantedFailures +=
+          f"chain edge recall $edgeRecall%.4f < bar $edgeBar (bucket cap ate planted chain buckets?)"
+        if (replicaRecall < replicaBar) plantedFailures +=
+          f"replica pair recall $replicaRecall%.4f < bar $replicaBar"
+        if (intactFrac < intactBar) plantedFailures +=
+          f"chains single-component $intactFrac%.3f < bar $intactBar"
+      }
       (r, nPairs)
     }
     // full runs always probe the pair graph; a subset can request it by
     // name ("pair_rounds" — the 100x leg's diameter-128 chain check)
     val doRounds = wantExhibit("pair_rounds")
-    val (rBase, pBase) = if (doRounds) rounds(baseDir) else (0, 0L)
-    val (rScaled, pScaled) = if (doRounds) rounds(outDir) else (0, 0L)
+    val (rBase, pBase) = if (doRounds) rounds(baseDir, probePlanted = false)
+      else (0, 0L)
+    val (rScaled, pScaled) = if (doRounds) rounds(outDir, probePlanted = true)
+      else (0, 0L)
     if (doRounds)
       System.err.println(s"[scale] pair graph: base $pBase edges/$rBase rounds, " +
         s"${factor}x $pScaled edges/$rScaled rounds")
@@ -749,8 +971,8 @@ object ScaleStress {
     }.mkString("[", ",", "]")
     val json = s"""{"factor":$factor,"docs":$nDocs,"vectors":$nVecs,""" +
       s""""rounds_base":$rBase,"rounds_${factor}x":$rScaled,""" +
-      s""""pairs_base":$pBase,"pairs_${factor}x":$pScaled$skewJson""" +
-      s"""$streamJson$servingJson$bpeJson$bpeDeepJson$ckptJson""" +
+      s""""pairs_base":$pBase,"pairs_${factor}x":$pScaled$plantedJson""" +
+      s"""$skewJson$streamJson$servingJson$splitPolicyJson$bpeJson$bpeDeepJson$ckptJson""" +
       s"""$isolatedJson,"queries":$rows}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
       "target/scale_stress.json")
@@ -758,6 +980,12 @@ object ScaleStress {
       java.nio.file.Paths.get(outPath), json)
     catch { case e: Throwable => System.err.println(s"[scale] write failed: $e") }
     println(json)
+    // the artifact is on disk either way; a below-bar planted recall
+    // still fails the leg LOUDLY
+    if (plantedFailures.nonEmpty)
+      throw new IllegalStateException(
+        "planted-structure recall below bar: " +
+          plantedFailures.mkString("; "))
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Pq
@@ -213,10 +213,43 @@ object AnnIndex {
     val retryBudget = Option(manifestRetryOverride.get(dir))
       .fold(manifestRetryAttempts)(_.intValue)
     var attempt = 0
+    var lastIncomplete = "no commit sentinel"
     while (true) {
-      val in = f.open(path(s"$dir/manifest/m-$id"))
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+      // On a checksummed store (ChecksumFileSystem wraps every local
+      // dir) a publish torn between the data flush and the CRC flush —
+      // or a repair-delete racing a re-publish, which can leave a stale
+      // .crc against fresh bytes (delete/create of the data+crc pair is
+      // not atomic on ChecksumFileSystem) — surfaces as a CRC or EOF
+      // error, NOT as a short sentinel-less read. Protocol-wise these
+      // are the SAME state as a missing commit sentinel: an incomplete
+      // publish. They consume the same retry budget (a live publisher's
+      // few-hundred-byte body + checksum land within it) and then fail
+      // with the SAME loud truncated-manifest error [[repair]]
+      // classifies — never escape as a raw ChecksumException.
+      val txtOpt: Option[String] =
+        try {
+          val in = f.open(path(s"$dir/manifest/m-$id"))
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+          finally in.close()
+        } catch {
+          case _: org.apache.hadoop.fs.ChecksumException =>
+            lastIncomplete = "checksum mismatch on a checksummed store"
+            None
+          case _: java.io.EOFException =>
+            lastIncomplete = "short read past the checksum frame"
+            None
+        }
+      if (txtOpt.isEmpty) {
+        attempt += 1
+        if (attempt > retryBudget)
+          throw new java.io.IOException(
+            s"manifest m-$id under $dir is truncated ($lastIncomplete) — " +
+              "its writer is either mid-publish on a slow FS or died; run " +
+              "AnnIndex.repair, which supersedes the corpse only once it is " +
+              "older than the stale window (never a live publish)")
+        Thread.sleep(25)
+      } else {
+      val txt = txtOpt.get
       val lines = txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
       val v2 = lines.headOption.contains("v2")
       val legacyOk = !v2 && lines.exists(l =>
@@ -273,17 +306,36 @@ object AnnIndex {
         return ManifestData(s, t, math.max(hw, maxListed), shw, model,
           modelDir)
       }
+      lastIncomplete = "no commit sentinel"
       attempt += 1
       if (attempt > retryBudget)
         throw new java.io.IOException(
-          s"manifest m-$id under $dir is truncated (no commit sentinel) — " +
+          s"manifest m-$id under $dir is truncated ($lastIncomplete) — " +
             "its writer is either mid-publish on a slow FS or died; run " +
-            "AnnIndex.repair, which deletes the corpse only once it is " +
+            "AnnIndex.repair, which supersedes the corpse only once it is " +
             "older than the stale window (never a live publish)")
       Thread.sleep(25)
+      }
     }
     sys.error("unreachable")
   }
+
+  /** Resolve the generation a reader pins: the caller's `asOf`
+    * verbatim (failing loudly on an expired or unknown id — the caller
+    * asked for a SPECIFIC snapshot), else the latest listed generation
+    * via [[refresh]], which already tolerates a peer [[repair]]
+    * reclaiming the listed top between list and read. */
+  private def resolveReadManifest(f: org.apache.hadoop.fs.FileSystem,
+                                  dir: String,
+                                  asOf: Option[Long]): (Long, ManifestData) =
+    asOf match {
+      case Some(mid) =>
+        require(f.exists(path(s"$dir/manifest/m-$mid")),
+          s"manifest m-$mid does not exist under $dir (expired or never " +
+            "published)")
+        (mid, readManifest(f, dir, mid))
+      case None => refresh(f, dir)
+    }
 
   /** One-shot, per-index test hook fired immediately before a publish
     * attempt — lets a spec inject a COMPETING commit deterministically
@@ -435,12 +487,25 @@ object AnnIndex {
       throw new java.io.IOException(s"manifest m-$id publish failed")
 
   /** The freshest committed (generation id, manifest) — what a loser
-    * of a publish race re-bases onto. */
+    * of a publish race re-bases onto. A listed top that VANISHES
+    * between the list and the read is a peer [[repair]] reclaiming a
+    * torn corpse (the only legal deleter of a top manifest) — the
+    * chain fell back to the last complete generation, so re-list
+    * rather than leak a raw FileNotFoundException to the caller. */
   private def refresh(f: org.apache.hadoop.fs.FileSystem,
                       dir: String): (Long, ManifestData) = {
-    val mid = currentManifestId(f, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest under $dir"))
-    (mid, readManifest(f, dir, mid))
+    var attempt = 0
+    while (true) {
+      val mid = currentManifestId(f, dir).getOrElse(
+        throw new IllegalArgumentException(s"no committed manifest under $dir"))
+      try return (mid, readManifest(f, dir, mid))
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt > 16) throw e
+      }
+    }
+    sys.error("unreachable")
   }
 
   private val maxCommitAttempts = 64
@@ -1044,6 +1109,108 @@ object AnnIndex {
     maybeKill(dir, "published")
   }
 
+  /** IMBALANCE-GATED SPLIT POLICY — decides WHEN [[splitCell]] runs
+    * (the verb gates HOW; this is the maintenance brain Faiss calls
+    * imbalance remediation and SPANN runs as posting-list splitting):
+    * read [[cellStats]], find cells holding more than `maxImbalance` ×
+    * the balanced share (corpus / nlist — recomputed each pass, since
+    * every split grows nlist), split the worst offender with
+    * DETERMINISTICALLY derived sub-centroids, and iterate until every
+    * cell is bounded or `maxSplits` is spent. Returns the number of
+    * splits committed.
+    *
+    * Sub-centroid derivation is a seeded 2-means over the hot cell's
+    * NORMALIZED member vectors (the index's assignment metric is
+    * cosine — see NearestCentroids), fully deterministic for
+    * replayable builds: seed A = the minimum-id member, seed B = the
+    * member least cosine-similar to A (min-id tiebreak), one
+    * assignment pass, group means re-normalized. Every driver-side
+    * collect is parameter-sized (nlist rows of stats, two seed rows,
+    * 2 × dim mean cells); the heavy work — the member join and the
+    * cell re-encode — stays in [[splitCell]]'s cell-sized plan.
+    *
+    * A cell whose members cannot be separated (all-identical vectors:
+    * seed B equals seed A, a group lands empty, or the two means
+    * coincide) is marked unsplittable and skipped — splitting cannot
+    * help a cell of exact duplicates, and the mark keeps the loop from
+    * spinning on it. Like the verb itself, a concurrent commit aborts
+    * the run loudly — re-invoke on the fresh snapshot. */
+  def rebalance(corpus: DataFrame, idCol: String, vecCol: String,
+                dir: String, maxImbalance: Double = 4.0,
+                maxSplits: Int = 8): Int = {
+    require(maxImbalance > 1.0,
+      s"maxImbalance must exceed 1 (the balanced share), got $maxImbalance")
+    require(maxSplits >= 1, s"maxSplits must be >= 1, got $maxSplits")
+    val spark = corpus.sparkSession
+    import graft.functions.{VectorFunctions => VF}
+    def dot(v: Column, c: Array[Double]): Column =
+      aggregate(zip_with(v, typedLit(c.toSeq), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    var splits = 0
+    val unsplittable = scala.collection.mutable.Set[Int]()
+    var done = false
+    while (!done && splits < maxSplits) {
+      val idx = load(spark, dir)
+      val stats = cellStats(idx).collect()
+      val total = stats.map(_.getAs[Long]("n_vectors")).sum
+      val bar = maxImbalance * total.toDouble / idx.nlist
+      val hot = stats
+        .filter(r => r.getAs[Long]("n_vectors") > bar &&
+          !unsplittable(r.getAs[Int]("cell")))
+        .sortBy(r => (-r.getAs[Long]("n_vectors"), r.getAs[Int]("cell")))
+        .headOption
+      hot match {
+        case None => done = true
+        case Some(row) =>
+          val cell = row.getAs[Int]("cell")
+          val memberIds = idx.codes.filter(col("_cell") === cell)
+            .select(col("neighbor_id")).distinct()
+          val members = corpus
+            .select(col(idCol).cast("long").as("_rid"),
+              VF.normalize(col(vecCol)).as("_v"))
+            .join(memberIds.withColumnRenamed("neighbor_id", "_rid"),
+              Seq("_rid"))
+          val a = members.orderBy(col("_rid"))
+            .limit(1).collect()(0).getSeq[Double](1).toArray
+          val b = members
+            .orderBy(dot(col("_v"), a).asc, col("_rid").asc)
+            .limit(1).collect()(0).getSeq[Double](1).toArray
+          if (java.util.Arrays.equals(a, b)) unsplittable += cell
+          else {
+            val dim = a.length
+            val sums = Array.fill(2)(new Array[Double](dim))
+            val cnts = new Array[Long](2)
+            members
+              .withColumn("_grp",
+                when(dot(col("_v"), a) >= dot(col("_v"), b), 0).otherwise(1))
+              .select(col("_grp"), posexplode(col("_v")))
+              .groupBy("_grp", "pos")
+              .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+              .collect().foreach { r =>
+                val g = r.getAs[Int]("_grp")
+                sums(g)(r.getAs[Int]("pos")) = r.getAs[Double]("s")
+                cnts(g) = r.getAs[Long]("n")
+              }
+            def meanNorm(g: Int): Array[Double] = {
+              val m = sums(g).map(_ / cnts(g))
+              val n = math.sqrt(m.map(x => x * x).sum)
+              if (n == 0.0) m else m.map(_ / n)
+            }
+            if (cnts.exists(_ == 0L)) unsplittable += cell
+            else {
+              val (cA, cB) = (meanNorm(0), meanNorm(1))
+              if (java.util.Arrays.equals(cA, cB)) unsplittable += cell
+              else {
+                splitCell(corpus, idCol, vecCol, dir, cell, Array(cA, cB))
+                splits += 1
+              }
+            }
+          }
+      }
+    }
+    splits
+  }
+
   // ------------------------------------------------------------- SQ8
 
   /** An opened SQ8 snapshot: the 2×dim affine model + the lazy segment
@@ -1319,11 +1486,7 @@ object AnnIndex {
   def loadSq(spark: SparkSession, dir: String,
              asOf: Option[Long] = None): LoadedSq = {
     val f = fs(spark, dir)
-    val mid = asOf.getOrElse(currentManifestId(f, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest under $dir")))
-    require(f.exists(path(s"$dir/manifest/m-$mid")),
-      s"manifest m-$mid does not exist under $dir (expired or never published)")
-    val md = readManifest(f, dir, mid)
+    val (mid, md) = resolveReadManifest(f, dir, asOf)
     // model artifacts resolve THROUGH the pinned manifest (see [[load]])
     val mroot = if (md.modelDir.isEmpty) dir else s"$dir/${md.modelDir}"
     val meta = spark.read.parquet(s"$mroot/meta").collect().head
@@ -1482,15 +1645,49 @@ object AnnIndex {
              orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val f = fs(spark, dir)
-    val gens = versionsOf(spark, dir)
-    if (gens.isEmpty)
-      throw new IllegalArgumentException(s"no committed manifest under $dir")
-    val (dropped, kept) = gens.splitAt(math.max(0, gens.length - keepLast))
-    val keptMds = kept.map(readManifest(f, dir, _))
+    // Three read outcomes per listed generation, each handled:
+    //  - a generation that VANISHES between list and read (a peer
+    //    expire's delete) → re-list and re-split, never a raw FNFE;
+    //  - a BURIED corpse (a [[repair]]-superseded torn publish — left
+    //    in place by design, see repair's doc) → contributes no live
+    //    artifacts (it committed nothing; its creator's staged files
+    //    are orphans under the grace reap) and is DELETED with the
+    //    dropped range once it ages out of retention — this expiry is
+    //    how buried corpses leave the chain. Freeing such an ancient
+    //    slot is safe: writers target `top + 1` off a refresh taken
+    //    microseconds earlier, never a slot `keepLast` generations
+    //    deep. A corpse AT THE TOP still aborts loudly (the truncated
+    //    error): the chain is wedged — repair first.
+    var relist = 0
+    var snapshot: (Seq[Long], Seq[Long], Seq[Option[ManifestData]],
+      Seq[Option[ManifestData]]) = null
+    def readOrCorpse(gens: Seq[Long], g: Long): Option[ManifestData] =
+      try Some(readManifest(f, dir, g))
+      catch {
+        case e: java.io.IOException if e.getMessage != null &&
+            e.getMessage.contains("truncated") =>
+          if (g == gens.last) throw e // wedged top: repair first
+          None // buried corpse: no content, reclaimed with its range
+      }
+    while (snapshot == null) {
+      val gens = versionsOf(spark, dir)
+      if (gens.isEmpty)
+        throw new IllegalArgumentException(s"no committed manifest under $dir")
+      val (dropped, kept) = gens.splitAt(math.max(0, gens.length - keepLast))
+      try snapshot = (dropped, kept,
+        dropped.map(readOrCorpse(gens, _)), kept.map(readOrCorpse(gens, _)))
+      catch {
+        case e: java.io.FileNotFoundException =>
+          relist += 1
+          if (relist > 16) throw e
+      }
+    }
+    val (dropped, kept, droppedOpts, keptOpts) = snapshot
+    val droppedMds = droppedOpts.flatten
+    val keptMds = keptOpts.flatten
     val liveData = keptMds.flatMap(_.segs.map(_.dirName)).toSet
     val liveTombs = keptMds.flatMap(_.tombs.map(_.dirName)).toSet
     val liveModelDirs = keptMds.map(_.modelDir).filter(_.nonEmpty).toSet
-    val droppedMds = dropped.map(readManifest(f, dir, _))
     // MANIFESTS GO FIRST (crash-ordering invariant): once a dropped
     // generation's manifest is gone, a late time-travel reader fails
     // loudly with "does not exist" — never opens a manifest whose
@@ -1548,11 +1745,7 @@ object AnnIndex {
     * Fails loudly on an expired or unknown id. */
   def load(spark: SparkSession, dir: String, asOf: Option[Long] = None): Loaded = {
     val f = fs(spark, dir)
-    val mid = asOf.getOrElse(currentManifestId(f, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest under $dir")))
-    require(f.exists(path(s"$dir/manifest/m-$mid")),
-      s"manifest m-$mid does not exist under $dir (expired or never published)")
-    val md = readManifest(f, dir, mid)
+    val (mid, md) = resolveReadManifest(f, dir, asOf)
     // model artifacts resolve THROUGH the pinned manifest: a reader
     // pinned before a [[retrain]] keeps scoring with the model its
     // segments were encoded with (version 0 = the build's root dirs)
@@ -1589,21 +1782,76 @@ object AnnIndex {
     * orphans that [[expire]] grace-reaps. Returns true when something
     * was repaired, false when the chain was already healthy. Refuses
     * (loudly) to touch a FRESH incomplete manifest — that is an
-    * in-flight publish, not a corpse. */
+    * in-flight publish, not a corpse.
+    *
+    * SAFE UNDER CONCURRENT REPAIRERS — BY SUPERSEDE, NEVER DELETE:
+    * takedown job, compactor and ingester are separate processes and
+    * may all call repair on the same wedge with no shared lock. Any
+    * delete-based recovery is unfixably racy there, in two ways the
+    * multi-writer soak caught live: (1) between one repairer's stale
+    * verdict and its delete, a peer can reclaim the corpse and a
+    * wedged writer re-publish the SAME slot healthy — an arbitrarily
+    * suspended repairer then wakes and deletes a live commit;
+    * (2) deleting the corpse at all FREES its slot, and a writer
+    * suspended between its refresh (which read `corpse − 1`) and its
+    * put-if-absent at `corpse` can then WIN the freed slot — its
+    * "successful" commit lands in a buried, never-read generation.
+    * So repair touches no contended slot. It SUPERSEDES: publish
+    * `m-(corpse+1)` carrying the last complete generation's manifest
+    * through the same put-if-absent [[ManifestCommitter]] every real
+    * commit uses — atomic arbitration, one winner; a loser (or a
+    * repairer finding peer progress) just re-evaluates the chain. The
+    * corpse file stays in place, buried and inert — every reader
+    * resolves past it, no writer can ever target its slot again — and
+    * [[expire]] reclaims it once it ages out of the retention window.
+    * "Torn" includes CRC-mismatch and EOF corpses on checksummed
+    * stores (see [[readManifest]]'s classification). */
   def repair(spark: SparkSession, dir: String,
              staleAfterMs: Long = 10L * 60 * 1000): Boolean = {
     val f = fs(spark, dir)
     val gens = versionsOf(spark, dir)
     if (gens.isEmpty) return false
     val top = gens.last
+    def reEvaluate(): Boolean = repair(spark, dir, staleAfterMs)
+    // one UNRETRIED read, classified three ways: complete / incomplete
+    // (sentinel-less, CRC-mismatched, or short) / vanished (a peer
+    // repairer got there first)
+    def completeNow(id: Long): Option[Boolean] =
+      try {
+        val in = f.open(path(s"$dir/manifest/m-$id"))
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val lines = txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+        val v2 = lines.headOption.contains("v2")
+        val legacyOk = !v2 && lines.exists(l =>
+          l.startsWith("batch-") || l.startsWith("tomb-") ||
+            l.startsWith("hw ") || l.startsWith("shw ") ||
+            l.startsWith("model "))
+        Some((v2 && lines.lastOption.contains("commit")) || legacyOk)
+      } catch {
+        case _: org.apache.hadoop.fs.ChecksumException => Some(false)
+        case _: java.io.EOFException => Some(false)
+        case _: java.io.FileNotFoundException => None
+      }
     val complete =
       try { readManifest(f, dir, top); true }
       catch {
+        // the torn-publish classification: a sentinel-less body, a CRC
+        // mismatch and a short read past the checksum frame all exit
+        // readManifest's retry budget as this one loud error
         case e: java.io.IOException if e.getMessage != null &&
             e.getMessage.contains("truncated") => false
+        // defensive: these cannot escape readManifest's own
+        // classification, but if a future read path leaks one it IS an
+        // incomplete publish, not a reader bug
+        case _: org.apache.hadoop.fs.ChecksumException => false
+        case _: java.io.EOFException => false
+        case _: java.io.FileNotFoundException => return reEvaluate()
       }
     if (complete) return false
-    val st = f.getFileStatus(path(s"$dir/manifest/m-$top"))
+    val st =
+      try f.getFileStatus(path(s"$dir/manifest/m-$top"))
+      catch { case _: java.io.FileNotFoundException => return reEvaluate() }
     val age = System.currentTimeMillis() - st.getModificationTime
     if (age < staleAfterMs)
       throw new IllegalStateException(
@@ -1613,7 +1861,31 @@ object AnnIndex {
     require(gens.length > 1,
       s"the only manifest under $dir is truncated — the index never " +
         "completed a build; rebuild it")
-    f.delete(st.getPath, true)
+    // SUPERSEDE, NEVER DELETE (see the method doc): republish the last
+    // complete generation's manifest at `top + 1` through the
+    // put-if-absent committer. Writers cannot contend for that slot (a
+    // writer only publishes at `g + 1` after READING a complete `g`,
+    // and m-top was never complete), so the only contenders are peer
+    // repairers — and put-if-absent picks exactly one winner. An
+    // arbitrarily suspended repairer that wakes after a peer's
+    // supersede simply loses the publish and re-evaluates.
+    //
+    // The corpse file is LEFT IN PLACE, buried: deleting it would FREE
+    // its slot, and a writer suspended between its refresh (which read
+    // m-(top-1)) and its put-if-absent at `top` could then WIN the
+    // freed slot below the supersede — a commit that "succeeds" into a
+    // non-top generation is silently invisible (the multi-writer soak
+    // caught exactly this as whole-batch losses). A buried corpse is
+    // inert — every reader resolves past it — and [[expire]] reclaims
+    // its file once it ages out of the retention window, when no
+    // staged writer can still be targeting its slot.
+    val donor = gens.init.reverse
+      .find(g => completeNow(g).contains(true))
+      .getOrElse(throw new IllegalStateException(
+        s"no complete manifest below corpse m-$top under $dir — the " +
+          "index has no recoverable generation; rebuild it"))
+    val donorMd = readManifest(f, dir, donor)
+    if (!tryPublish(f, dir, top + 1, donorMd)) return reEvaluate()
     true
   }
 
@@ -1627,12 +1899,26 @@ object AnnIndex {
   def describe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val f = fs(spark, dir)
-    versionsOf(spark, dir).flatMap { gen =>
-      val md = readManifest(f, dir, gen)
-      md.segs.map(a =>
-        (gen, "segment", a.id, a.n, md.hw, md.shw, md.model)) ++
-        md.tombs.map(a =>
-          (gen, "tombstone", a.id, a.n, md.hw, md.shw, md.model))
+    val gens = versionsOf(spark, dir)
+    gens.flatMap { gen =>
+      // a buried corpse (repair-superseded torn publish, non-top) is
+      // REPORTED, not fatal — ops should see it awaiting its expiry;
+      // a corpse at the top still fails loudly: repair first
+      val mdOpt =
+        try Some(readManifest(f, dir, gen))
+        catch {
+          case e: java.io.IOException if e.getMessage != null &&
+              e.getMessage.contains("truncated") && gen != gens.last => None
+        }
+      mdOpt match {
+        case Some(md) =>
+          md.segs.map(a =>
+            (gen, "segment", a.id, a.n, md.hw, md.shw, md.model)) ++
+            md.tombs.map(a =>
+              (gen, "tombstone", a.id, a.n, md.hw, md.shw, md.model))
+        case None =>
+          Seq((gen, "torn-corpse", -1L, -1L, -1L, -1L, -1L))
+      }
     }.toDF("generation", "kind", "artifact_id", "n_rows",
       "id_high_water", "stream_high_water", "model_version")
   }

@@ -375,13 +375,22 @@ class AnnIndexConcurrencySpec extends AnyFunSuite {
     val w = new java.io.FileWriter(dead); w.write("v2\nmodel 0\nhw 3"); w.close()
     // fresh: an in-flight publish — repair must refuse
     intercept[IllegalStateException](AnnIndex.repair(spark, dir))
-    // stale: a corpse — repair deletes it and the chain recovers
+    // stale: a corpse — repair SUPERSEDES it (re-publishes the last
+    // complete generation at m-2 through the put-if-absent committer)
+    // and leaves the corpse file BURIED in place: deleting it would
+    // free slot 1 for a suspended writer's late put-if-absent, whose
+    // "successful" commit would land invisible (see repair's doc)
     assert(dead.setLastModified(System.currentTimeMillis() - 3600 * 1000))
     assert(AnnIndex.repair(spark, dir))
+    assert(dead.exists(), "buried corpse must stay in place")
     assert(AnnIndex.load(spark, dir).nrows == 20)
-    // and a blocked writer can now commit generation 1 again
+    // a blocked writer can now commit on top of the supersede
     AnnIndex.delete(Seq(1L).toDF("vec_id"), "vec_id", dir)
-    assert(AnnIndex.versionsOf(spark, dir) == Seq(0L, 1L))
+    assert(AnnIndex.versionsOf(spark, dir) == Seq(0L, 1L, 2L, 3L))
+    // expire is how the buried corpse leaves the chain
+    AnnIndex.expire(spark, dir, keepLast = 1)
+    assert(!dead.exists(), "expire did not reclaim the buried corpse")
+    assert(AnnIndex.versionsOf(spark, dir) == Seq(3L))
   }
 
   test("expire reclaims model directories only dropped generations pin") {

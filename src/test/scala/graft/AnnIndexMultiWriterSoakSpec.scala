@@ -45,8 +45,10 @@ import graft.sources.AnnIndex
   *    deterministic interleavings instead.
   *  - WEDGE RECOVERY UNDER CONTENTION: a publish-torn death wedges the
   *    chain for EVERY writer (all fail loudly on the truncated top
-  *    manifest); recovery routes through one repair gate that respects
-  *    the STALE WINDOW — `repair(staleAfterMs = 1200)` retried past
+  *    manifest); every wedged writer calls repair itself, CONCURRENTLY
+  *    and un-serialized (repair is contractually concurrent-safe — see
+  *    its doc and AnnIndexRepairRaceSpec), respecting the STALE
+  *    WINDOW — `repair(staleAfterMs = 1200)` retried past
   *    IllegalStateException — because with concurrent writers a
   *    `staleAfterMs = -1` repair (what the single-walker soak can
   *    safely use) could catch ANOTHER writer's microseconds-old
@@ -92,14 +94,19 @@ class AnnIndexMultiWriterSoakSpec extends AnyFunSuite {
   private def causeChain(t: Throwable): Iterator[Throwable] =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
 
-  /** The one repair gate every wedged writer routes through. Serialized
-    * (two concurrent repairs could race getFileStatus against each
-    * other's delete) and stale-window-respecting (see class doc): an
+  /** Wedge recovery — deliberately UN-serialized: every wedged writer
+    * calls repair directly, concurrently, exactly as production's
+    * separate processes would (no shared JVM mutex exists there). The
+    * round-16 spec serialized these through a test-side gate because
+    * repair raced getFileStatus against a peer's delete; repair is now
+    * contractually concurrent-safe (peer deletes read as
+    * already-repaired, the destructive delete re-verifies the corpse
+    * first — see its doc), and this soak plus AnnIndexRepairRaceSpec
+    * hold it to that. Stale-window-respecting (see class doc): an
     * incomplete top manifest younger than the window is an IN-FLIGHT
     * publish — wait for it to either complete (repair then reports
     * healthy) or age into a corpse (repair then deletes it). */
-  private val repairGate = new Object
-  private def unwedge(dir: String): Unit = repairGate.synchronized {
+  private def unwedge(dir: String): Unit = {
     var attempts = 0
     var done = false
     while (!done) {
@@ -112,24 +119,43 @@ class AnnIndexMultiWriterSoakSpec extends AnyFunSuite {
     }
   }
 
-  test("multi-writer crash soak: IVF-PQ tier — 3 writers x seeded verbs x seeded kill points on one index") {
-    runStorm("ivf", nWriters = 3, phases = 4, roundsPerPhase = 10,
-      seed = 16161L)
-  }
+  // SEED MATRIX: one passing storm on one seed proves little — the
+  // round-16 SQ8 catch (an unclassified ChecksumException wedge) was
+  // scheduler-luck on a single seed. Each tier runs THREE seeds: the
+  // original at full depth, plus two trimmed-but-kill-boosted seeds
+  // (fewer rounds, higher kill probability — different interleaving
+  // families at bounded wall, with the per-seed kill-point-coverage
+  // assertion still satisfiable).
+  for ((seed, i) <- Seq(16161L, 16171L, 16181L).zipWithIndex)
+    test(s"multi-writer crash soak: IVF-PQ tier — 3 writers x seeded verbs x seeded kill points, seed $seed") {
+      if (i == 0)
+        runStorm("ivf", nWriters = 3, phases = 4, roundsPerPhase = 10,
+          seed = seed)
+      else
+        runStorm("ivf", nWriters = 3, phases = 2, roundsPerPhase = 8,
+          seed = seed, boostKills = true)
+    }
 
-  test("multi-writer crash soak: SQ8 tier — 3 writers x seeded verbs x seeded kill points on one index") {
-    runStorm("sq", nWriters = 3, phases = 4, roundsPerPhase = 10,
-      seed = 16162L)
-  }
+  for ((seed, i) <- Seq(16162L, 16172L, 16182L).zipWithIndex)
+    test(s"multi-writer crash soak: SQ8 tier — 3 writers x seeded verbs x seeded kill points, seed $seed") {
+      if (i == 0)
+        runStorm("sq", nWriters = 3, phases = 4, roundsPerPhase = 10,
+          seed = seed)
+      else
+        runStorm("sq", nWriters = 3, phases = 2, roundsPerPhase = 8,
+          seed = seed, boostKills = true)
+    }
 
   private def runStorm(tier: String, nWriters: Int, phases: Int,
-                       roundsPerPhase: Int, seed: Long): Unit = {
+                       roundsPerPhase: Int, seed: Long,
+                       boostKills: Boolean = false): Unit = {
     val root = java.nio.file.Files
       .createTempDirectory(s"ann_mw_$tier").toString
     val dir = s"$root/idx"
     // wedged chains are read (loudly) many times; scoped to THIS dir
     AnnIndex.manifestRetryOverride.put(dir, 2)
-    try stormImpl(tier, nWriters, phases, roundsPerPhase, seed, root, dir)
+    try stormImpl(tier, nWriters, phases, roundsPerPhase, seed, root, dir,
+      boostKills)
     finally {
       AnnIndex.manifestRetryOverride.remove(dir)
       AnnIndex.testKillPoint.remove(dir)
@@ -138,7 +164,7 @@ class AnnIndexMultiWriterSoakSpec extends AnyFunSuite {
 
   private def stormImpl(tier: String, nWriters: Int, phases: Int,
                         roundsPerPhase: Int, seed: Long, root: String,
-                        dir: String): Unit = {
+                        dir: String, boostKills: Boolean): Unit = {
     // base corpus (ids 0..39 — nobody's id space; never mutated) seeds
     // the index and the frozen model both tiers encode against
     val baseRows = (0L until 40L).map(i => (i, vec(i, 0)))
@@ -243,6 +269,14 @@ class AnnIndexMultiWriterSoakSpec extends AnyFunSuite {
       val k = rng.nextDouble()
       val kill =
         if (verb == "expire") { if (k < 0.6) "" else "expire-torn" }
+        else if (boostKills) {
+          // trimmed matrix seeds: fewer rounds, so kill more often —
+          // keeps every point's expected fire count well above the
+          // per-seed coverage bar at a fraction of the full-depth wall
+          if (k < 0.30) "" else if (k < 0.475) "stage"
+          else if (k < 0.65) "staged" else if (k < 0.825) "publish-torn"
+          else "published"
+        }
         else if (k < 0.50) "" else if (k < 0.62) "stage"
         else if (k < 0.74) "staged" else if (k < 0.87) "publish-torn"
         else "published"
@@ -284,8 +318,18 @@ class AnnIndexMultiWriterSoakSpec extends AnyFunSuite {
             // a concurrent expire dropped the generation this verb had
             // pinned between refresh and load — re-run on the fresh one
           case e: Throwable
-              if causeChain(e).exists(
-                _.isInstanceOf[java.io.FileNotFoundException]) =>
+              if causeChain(e).exists {
+                case fnf: java.io.FileNotFoundException =>
+                  // NARROW guard (a blanket FNFE retry would mask
+                  // genuine write-path bugs as benign raced expires):
+                  // only the known raced-expire surface — a reclaimed
+                  // data/tomb segment or model artifact under THIS
+                  // index — re-runs; any other FNFE fails the soak
+                  val m = Option(fnf.getMessage).getOrElse("")
+                  m.contains(dir) && (m.contains("/data/") ||
+                    m.contains("/tomb/") || m.contains("/model-"))
+                case _ => false
+              } =>
             // a concurrent expire reclaimed a dropped generation's
             // artifact out from under this verb's pinned scan — re-run
         }

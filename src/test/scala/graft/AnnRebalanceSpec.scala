@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pq
+import graft.sources.AnnIndex
+
+/** [[AnnIndex.rebalance]] — the imbalance-gated split POLICY on top of
+  * the q168-gated splitCell VERB: given a skew-planted index (most of
+  * the corpus routed into one coarse cell), the policy must (a) find
+  * the hot cells from cellStats, (b) derive deterministic
+  * sub-centroids, (c) iterate splitCell until every cell is within the
+  * imbalance bar or the split budget is spent, and (d) leave the
+  * index's visible id set bit-identical and serving. Determinism is
+  * asserted by running the same policy on a twin index and comparing
+  * the resulting centroid tables exactly. */
+class AnnRebalanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** Clustered corpus with a PLANTED hot cell: nearly all vectors sit
+    * in one cone; the initial centroid table wastes its other cells on
+    * far-away directions, so the build routes ~everything into cell 1. */
+  private def skewedCorpus(n: Int) = {
+    (0L until n.toLong).map { i =>
+      val rng = new scala.util.Random(i * 2711L)
+      val v =
+        if (i % 50 == 0) // 2%: scattered far cluster
+          Array.tabulate(dim)(j => if (j == 7) 10.0f else
+            rng.nextGaussian().toFloat * 0.3f)
+        else // 98%: one broad cone around axis 0, spread over axes 1-3
+          Array.tabulate(dim)(j =>
+            if (j == 0) 10.0f
+            else if (j <= 3) rng.nextGaussian().toFloat * 3.0f
+            else rng.nextGaussian().toFloat * 0.1f)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def skewedCentroids: Array[Array[Double]] = Array(
+    Array(1.0, 0, 0, 0, 0, 0, 0, 0), // the hot cone
+    Array(0.0, 0, 0, 0, 0, 0, 0, 1), // the 2% cluster
+    Array(0.0, 0, 0, 0, 0, 1, 0, 0), // dead directions
+    Array(0.0, 0, 0, 0, 1, 0, 0, 0))
+
+  private def build(dir: String, e: org.apache.spark.sql.DataFrame): Unit = {
+    val samples = e.filter(col("vec_id") < 32).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val cbs = Pq.codebooks(samples, m = 4)
+    AnnIndex.buildIvfPq(e, "vec_id", "embedding", dir, skewedCentroids, cbs)
+  }
+
+  private def maxFrac(dir: String): (Double, Int) = {
+    val idx = AnnIndex.load(spark, dir)
+    val stats = AnnIndex.cellStats(idx).collect()
+    (stats.map(_.getAs[Double]("frac")).max, idx.nlist)
+  }
+
+  test("rebalance splits skew-planted hot cells until bounded, preserves the visible set, and is deterministic") {
+    val root = java.nio.file.Files.createTempDirectory("ann_rebal").toString
+    val e = skewedCorpus(600).cache()
+    val dir = s"$root/idx"
+    build(dir, e)
+
+    val (fracBefore, nlistBefore) = maxFrac(dir)
+    assert(fracBefore > 0.9, s"skew plant failed: max frac $fracBefore")
+
+    val splits = AnnIndex.rebalance(e, "vec_id", "embedding", dir,
+      maxImbalance = 3.0, maxSplits = 6)
+    assert(splits >= 1, "policy found nothing to split on a planted skew")
+
+    // post-policy: every cell within the bar the policy enforces (or
+    // the budget spent — then the worst cell must still have shrunk)
+    val idx = AnnIndex.load(spark, dir)
+    val stats = AnnIndex.cellStats(idx).collect()
+    val total = stats.map(_.getAs[Long]("n_vectors")).sum
+    val maxCell = stats.map(_.getAs[Long]("n_vectors")).max
+    assert(total == 600, "rebalance changed the corpus size")
+    if (splits < 6)
+      assert(maxCell <= 3.0 * total.toDouble / idx.nlist,
+        s"policy stopped early with max cell $maxCell of $total over " +
+          s"${idx.nlist} cells")
+    assert(idx.nlist == nlistBefore + splits)
+    val (fracAfter, _) = maxFrac(dir)
+    assert(fracAfter <= fracBefore * 0.6,
+      s"max-cell scan not bounded: $fracBefore -> $fracAfter")
+
+    // the visible id set is untouched (splits move rows, never rows' ids)
+    val visible = idx.codes.select("neighbor_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(visible.toSeq == (0L until 600L))
+
+    // the split index still serves: every corpus row finds itself
+    val panel = e.filter(col("vec_id").isin(3L, 77L, 150L, 423L))
+    val got = AnnIndex.topK(idx, panel, "vec_id", "embedding",
+      k = 1, nprobe = idx.nlist)
+    assert(got.count() == 4)
+
+    // idempotence: a second policy run finds nothing hot
+    assert(AnnIndex.rebalance(e, "vec_id", "embedding", dir,
+      maxImbalance = 3.0, maxSplits = 6) == 0)
+
+    // determinism: the same policy on a twin build yields bit-equal
+    // centroid tables (replayable maintenance — the q168 oracle's
+    // pinned-derivation requirement, held by the policy too)
+    val dir2 = s"$root/idx2"
+    build(dir2, e)
+    val splits2 = AnnIndex.rebalance(e, "vec_id", "embedding", dir2,
+      maxImbalance = 3.0, maxSplits = 6)
+    assert(splits2 == splits)
+    val c1 = AnnIndex.load(spark, dir).centroids.map(_.toSeq).toSeq
+    val c2 = AnnIndex.load(spark, dir2).centroids.map(_.toSeq).toSeq
+    assert(c1 == c2, "rebalance is not deterministic across twin builds")
+    e.unpersist(): Unit
+  }
+
+  test("rebalance skips an unsplittable all-duplicate hot cell instead of spinning") {
+    val root = java.nio.file.Files.createTempDirectory("ann_rebal_dup").toString
+    // every vector identical => one hot cell that CANNOT be separated
+    val e = (0L until 200L)
+      .map(i => (i, Seq.fill(dim)(1.0f))).toDF("vec_id", "embedding")
+    val dir = s"$root/idx"
+    build(dir, e)
+    val splits = AnnIndex.rebalance(e, "vec_id", "embedding", dir,
+      maxImbalance = 2.0, maxSplits = 4)
+    assert(splits == 0, "an all-duplicate cell cannot be split")
+    assert(AnnIndex.load(spark, dir).codes.count() == 200)
+  }
+}
