@@ -700,11 +700,14 @@ object ScaleStress {
           st.map(_.getAs[Long]("n_vectors")).sum)
       }
       val (fracBefore, nlistBefore, rows) = maxFrac()
-      var splits = -1
-      val tPolicy = time2("split_policy rebalance") {
-        splits = AnnIndex.rebalance(corpus, "vec_id", "embedding", polDir,
-          maxImbalance = 4.0, maxSplits = 8)
-      }
+      // ONE timed pass, budget sized to converge: the policy MUTATES
+      // the index (re-timing it would measure a different, already-
+      // balanced index and keep splitting against the bar that
+      // tightens as nlist grows), so min-of-two is wrong here
+      val t0 = System.nanoTime()
+      val splits = AnnIndex.rebalance(corpus, "vec_id", "embedding",
+        polDir, maxImbalance = 4.0, maxSplits = 24)
+      val tPolicy = (System.nanoTime() - t0) / 1e9
       val (fracAfter, nlistAfter, rowsAfter) = maxFrac()
       require(rowsAfter == rows, "rebalance changed the corpus size")
       require(fracAfter < fracBefore,
@@ -874,11 +877,30 @@ object ScaleStress {
         val intact = candidate
           .join(outsiderChains, Seq("chain"), "left_anti").count()
         // --- replica near-dup recall (component-level credit) ---
-        val eligible = docs
-          .filter(col("doc_id") < 100000L &&
-            size(split(col("text"), " ")) >= 9)
-          .select(col("doc_id").as("d"))
-        val rec = eligible
+        // The denominator is THRESHOLD-CONDITIONED: the synth's ~3%
+        // token perturbation scatters true char-9 Jaccard widely
+        // (measured at 30×: median 0.91 but ~11% of planted pairs fall
+        // below the 0.8 pipeline threshold) — a sub-threshold pair is
+        // correctly NOT a near-dup by the pipeline's own definition,
+        // not a recall miss. So the probe computes each planted pair's
+        // exact shingle Jaccard (5k–17k pairs, one cheap join) and
+        // scores recall over the pairs the pipeline is CONTRACTED to
+        // find.
+        val repl = docs.filter(col("doc_id") < 100000L)
+          .select(col("doc_id").as("d"),
+            graft.functions.TextFunctions.charShingles(col("text"), 9)
+              .as("_sh0"))
+          .join(docs
+            .filter(col("doc_id") >= 100000L && col("doc_id") < 200000L)
+            .select((col("doc_id") - 100000L).as("d"),
+              graft.functions.TextFunctions.charShingles(col("text"), 9)
+                .as("_sh1")), Seq("d"))
+          .select(col("d"),
+            (size(array_intersect(col("_sh0"), col("_sh1"))).cast("double") /
+              size(array_union(col("_sh0"), col("_sh1")))).as("_j"))
+          .filter(col("_j") >= 0.8)
+          .select(col("d"))
+        val rec = repl
           .join(labels.select(col("id").as("d"), col("comp").as("c0")),
             Seq("d"), "left")
           .join(labels.select((col("id") - 100000L).as("d"),
