@@ -4845,6 +4845,173 @@ object QueriesText {
                    CAST(rn AS INT) AS rank
             FROM r WHERE rn <= 3"""))
 
+  // --------------------------------------------------------------- q169
+  // Imbalance-gated split POLICY (AnnIndex.rebalance — the maintenance
+  // brain over q168's splitCell verb): read cellStats, pick the worst
+  // over-bar cell (hottest-first, id-tiebroken — the same rule the
+  // oracle replays), derive sub-centroids by a DETERMINISTIC seeded
+  // 2-means over the cell's normalized members (seed A = the min-id
+  // member; seed B = the member least cosine-similar to A, min-id
+  // tiebreak; one assignment pass by nearer seed; group means rounded
+  // to 1e-6 half-even then re-normalized — the rounding is what makes
+  // a distributed double sum bit-replayable in SQL), then run the
+  // splitCell verb. maxSplits = 1 pins the oracle to ONE policy
+  // iteration; bar 1.01 makes the hottest cell always qualify (a
+  // perfectly uniform corpus would no-op — and fail the require
+  // loudly, never silently diverge). The post-policy search must match
+  // the oracle's full replay: policy cell choice, seed selection,
+  // rounded group means, per-cell re-encode under the grown centroid
+  // table, 17-cell probe routing, and the ADC sum.
+  private val q169 = Q("q169_ann_rebalance",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, cbs) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("ann_rebal_q169")
+      val d = s"$idxDir/ivfpq"
+      graft.sources.AnnIndex.buildIvfPq(e, "vec_id", "embedding", d, cb, cbs)
+      val splits = graft.sources.AnnIndex.rebalance(e, "vec_id", "embedding",
+        d, maxImbalance = 1.01, maxSplits = 1)
+      require(splits == 1,
+        s"rebalance found nothing to split (splits=$splits) — the corpus " +
+          "is perfectly uniform and this query's oracle cannot apply")
+      val idx = graft.sources.AnnIndex.load(s, d)
+      graft.sources.AnnIndex.topK(idx, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3, nprobe = 4)
+    },
+    Some(ivfPqAssignCtes + """,
+            hot AS (SELECT ci AS hc FROM (
+                      SELECT ci, count(*) AS c FROM ranked WHERE rn = 1
+                      GROUP BY ci)
+                    ORDER BY c DESC, ci LIMIT 1),
+            memv AS (
+              SELECT r.vec_id,
+                     CASE WHEN sqrt(list_sum(list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+                          THEN list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE))
+                          ELSE list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE) /
+                              sqrt(list_sum(list_transform(e.embedding,
+                                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+                     END AS v
+              FROM ranked r
+              JOIN embeddings e ON e.vec_id = r.vec_id
+              CROSS JOIN hot
+              WHERE r.rn = 1 AND r.ci = hot.hc),
+            seeda AS (SELECT v FROM memv ORDER BY vec_id LIMIT 1),
+            seedb AS (SELECT m.v FROM memv m, seeda a
+                      ORDER BY list_sum(list_transform(range(1, 65),
+                        i -> m.v[i] * a.v[i])) ASC, m.vec_id ASC
+                      LIMIT 1),
+            grp AS (
+              SELECT m.vec_id, m.v,
+                     CASE WHEN list_sum(list_transform(range(1, 65),
+                            i -> m.v[i] * a.v[i])) >=
+                          list_sum(list_transform(range(1, 65),
+                            i -> m.v[i] * b.v[i]))
+                          THEN 0 ELSE 1 END AS g
+              FROM memv m, seeda a, seedb b),
+            gmean AS (
+              SELECT g, p.pos, round_even(avg(v[p.pos]), 6) AS mv
+              FROM grp CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+              GROUP BY g, p.pos),
+            gvec AS (SELECT g, list(mv ORDER BY pos) AS m
+                     FROM gmean GROUP BY g),
+            subcv AS (
+              SELECT g AS rs,
+                     CASE WHEN sqrt(list_sum(list_transform(m,
+                            x -> x * x))) = 0 THEN m
+                          ELSE list_transform(m, x -> x /
+                            sqrt(list_sum(list_transform(m, y -> y * y))))
+                     END AS cv
+              FROM gvec),
+            cb2 AS (SELECT ci, cv FROM cb, hot WHERE ci <> hot.hc
+                    UNION ALL
+                    SELECT hot.hc AS ci, s.cv FROM subcv s, hot WHERE s.rs = 0
+                    UNION ALL
+                    SELECT 17 AS ci, s.cv FROM subcv s WHERE s.rs = 1),
+            dots2 AS (
+              SELECT ev.vec_id, nc.ci,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(ev.embedding[i] AS DOUBLE) * nc.cv[i])) *
+                     (CASE WHEN ev.nv = 0 THEN 0.0 ELSE 1.0 / sqrt(ev.nv) END) AS dp
+              FROM ev CROSS JOIN cb2 nc),
+            ranked2 AS (
+              SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dp DESC, ci) AS rn
+              FROM dots2),
+            assign AS (
+              SELECT o.vec_id,
+                     CASE WHEN o.ci = hot.hc THEN n.ci ELSE o.ci END AS cell
+              FROM (SELECT vec_id, ci FROM ranked WHERE rn = 1) o
+              JOIN (SELECT vec_id, ci FROM ranked2 WHERE rn = 1) n
+                USING (vec_id)
+              CROSS JOIN hot),
+            resid AS (
+              SELECT r.vec_id, r.ci AS cell,
+                     list_transform(range(1, 65),
+                       i -> CAST(e.embedding[i] AS DOUBLE) - cb.cv[i]) AS rv
+              FROM ranked r
+              JOIN embeddings e ON e.vec_id = r.vec_id
+              JOIN cb ON cb.ci = r.ci
+              WHERE r.rn = 1),
+            pcb AS (
+              SELECT s, t.vec_id + 1 AS c2,
+                     list_transform(range(1, 9), i -> t.rv[s * 8 + i]) AS cw
+              FROM resid t, (SELECT unnest(range(8)) AS s)
+              WHERE t.vec_id < 64),
+            resid2 AS (
+              SELECT a.vec_id, a.cell,
+                     list_transform(range(1, 65),
+                       i -> CAST(e.embedding[i] AS DOUBLE) - nc.cv[i]) AS rv
+              FROM assign a
+              JOIN embeddings e ON e.vec_id = a.vec_id
+              JOIN cb2 nc ON nc.ci = a.cell),
+            ndist2 AS (
+              SELECT t.vec_id, p.s, p.c2,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (t.rv[p.s * 8 + i] - p.cw[i]) *
+                            (t.rv[p.s * 8 + i] - p.cw[i]))) AS d
+              FROM resid2 t CROSS JOIN pcb p),
+            enc2 AS (SELECT vec_id, s, c2 AS code FROM (
+                       SELECT vec_id, s, c2, row_number() OVER (
+                                PARTITION BY vec_id, s ORDER BY d ASC, c2) AS rn
+                       FROM ndist2) WHERE rn = 1),
+            qcell2 AS (SELECT vec_id AS query_id, ci AS cell FROM ranked2
+                       WHERE (vec_id % 50 = 0) AND rn <= 4),
+            qresid2 AS (
+              SELECT qc.query_id, qc.cell,
+                     list_transform(range(1, 65),
+                       i -> CAST(e.embedding[i] AS DOUBLE) - nc.cv[i]) AS rv
+              FROM qcell2 qc
+              JOIN embeddings e ON e.vec_id = qc.query_id
+              JOIN cb2 nc ON nc.ci = qc.cell),
+            qdist2 AS (
+              SELECT qr.query_id, qr.cell, p.s, p.c2,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (qr.rv[p.s * 8 + i] - p.cw[i]) *
+                            (qr.rv[p.s * 8 + i] - p.cw[i]))) AS d
+              FROM qresid2 qr CROSS JOIN pcb p),
+            cand2 AS (
+              SELECT q.query_id, t.vec_id AS neighbor_id, q.cell
+              FROM qcell2 q JOIN assign t USING (cell)
+              WHERE q.query_id <> t.vec_id),
+            adc2 AS (
+              SELECT c.query_id, c.neighbor_id,
+                     list_sum(list(qd.d ORDER BY qd.s)) AS adist
+              FROM cand2 c
+              JOIN enc2 n ON n.vec_id = c.neighbor_id
+              JOIN qdist2 qd ON qd.query_id = c.query_id AND qd.cell = c.cell
+                            AND qd.s = n.s AND qd.c2 = n.code
+              GROUP BY c.query_id, c.neighbor_id),
+            r AS (SELECT query_id, neighbor_id, adist,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY adist ASC, neighbor_id) AS rn
+                  FROM adc2)
+            SELECT query_id, neighbor_id, round_even(adist, 6) AS adist,
+                   CAST(rn AS INT) AS rank
+            FROM r WHERE rn <= 3"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
@@ -4853,5 +5020,5 @@ object QueriesText {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164,
-    q165, q166, q167, q168)
+    q165, q166, q167, q168, q169)
 }

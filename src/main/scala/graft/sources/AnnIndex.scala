@@ -1191,8 +1191,15 @@ object AnnIndex {
                 sums(g)(r.getAs[Int]("pos")) = r.getAs[Double]("s")
                 cnts(g) = r.getAs[Long]("n")
               }
+            // group means round to 1e-6 (half-even) BEFORE normalizing:
+            // a distributed double sum is order-nondeterministic in its
+            // last ulps, and the policy must derive BIT-REPLAYABLE
+            // sub-centroids (the q169 oracle replays this derivation in
+            // SQL; a last-ulp drift could flip a re-encode assignment).
+            // 1e-6 is far above summation noise and far below any
+            // clustering-quality scale.
             def meanNorm(g: Int): Array[Double] = {
-              val m = sums(g).map(_ / cnts(g))
+              val m = sums(g).map(x => math.rint(x / cnts(g) * 1e6) / 1e6)
               val n = math.sqrt(m.map(x => x * x).sum)
               if (n == 0.0) m else m.map(_ / n)
             }
