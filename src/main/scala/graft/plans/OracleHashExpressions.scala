@@ -50,10 +50,18 @@ object OracleHashes {
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
+  private val maxRows = 256
+  private val aArr: Array[Long] = Array.tabulate(maxRows)(i =>
+    math.floorMod(splitmix64(0x5EED_A001L + i), P31 - 1) + 1)
+  private val bArr: Array[Long] = Array.tabulate(maxRows)(i =>
+    math.floorMod(splitmix64(0x5EED_B001L + i), P31))
+  // table-backed: the minhash kernel reads these per (shingle x row)
   def aConst(i: Int): Long =
-    math.floorMod(splitmix64(0x5EED_A001L + i), P31 - 1) + 1
+    if (i < maxRows) aArr(i)
+    else math.floorMod(splitmix64(0x5EED_A001L + i), P31 - 1) + 1
   def bConst(i: Int): Long =
-    math.floorMod(splitmix64(0x5EED_B001L + i), P31)
+    if (i < maxRows) bArr(i)
+    else math.floorMod(splitmix64(0x5EED_B001L + i), P31)
 
   /** The A/B constant vectors as DuckDB list literals, so the generated
     * oracle SQL uses bit-identical constants. */
