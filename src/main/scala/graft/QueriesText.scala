@@ -4845,41 +4845,14 @@ object QueriesText {
                    CAST(rn AS INT) AS rank
             FROM r WHERE rn <= 3"""))
 
-  // --------------------------------------------------------------- q169
-  // Imbalance-gated split POLICY (AnnIndex.rebalance — the maintenance
-  // brain over q168's splitCell verb): read cellStats, pick the worst
-  // over-bar cell (hottest-first, id-tiebroken — the same rule the
-  // oracle replays), derive sub-centroids by a DETERMINISTIC seeded
-  // 2-means over the cell's normalized members (seed A = the min-id
-  // member; seed B = the member least cosine-similar to A, min-id
-  // tiebreak; one assignment pass by nearer seed; group means rounded
-  // to 1e-6 half-even then re-normalized — the rounding is what makes
-  // a distributed double sum bit-replayable in SQL), then run the
-  // splitCell verb. maxSplits = 1 pins the oracle to ONE policy
-  // iteration; bar 1.01 makes the hottest cell always qualify (a
-  // perfectly uniform corpus would no-op — and fail the require
-  // loudly, never silently diverge). The post-policy search must match
-  // the oracle's full replay: policy cell choice, seed selection,
-  // rounded group means, per-cell re-encode under the grown centroid
-  // table, 17-cell probe routing, and the ADC sum.
-  private val q169 = Q("q169_ann_rebalance",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val (cb, cbs) = ivfPqModel(e)
-      val idxDir = graft.streaming.StreamHarness.scratch("ann_rebal_q169")
-      val d = s"$idxDir/ivfpq"
-      graft.sources.AnnIndex.buildIvfPq(e, "vec_id", "embedding", d, cb, cbs)
-      val splits = graft.sources.AnnIndex.rebalance(e, "vec_id", "embedding",
-        d, maxImbalance = 1.01, maxSplits = 1)
-      require(splits == 1,
-        s"rebalance found nothing to split (splits=$splits) — the corpus " +
-          "is perfectly uniform and this query's oracle cannot apply")
-      val idx = graft.sources.AnnIndex.load(s, d)
-      graft.sources.AnnIndex.topK(idx, e.filter(col("vec_id") % 50 === 0),
-        "vec_id", "embedding", k = 3, nprobe = 4)
-    },
-    Some(ivfPqAssignCtes + """,
-            hot AS (SELECT ci AS hc FROM (
+  /** The split-POLICY derivation replayed in SQL — shared by q169
+    * (IVF-PQ tier) and q170 (SQ tier): hottest-cell pick off the
+    * `ranked` original assignment, min-id seed A, least-cosine seed B,
+    * one assignment pass, 1e-6-rounded re-normalized group means, and
+    * the grown 17-entry centroid table `cb2` (sub-0 in the hot slot,
+    * sub-1 appended). Matches [[graft.sources.AnnIndex.rebalance]]'s
+    * derivation bit for bit (see its rounding note). */
+  private lazy val splitPolicyCtes: String = """hot AS (SELECT ci AS hc FROM (
                       SELECT ci, count(*) AS c FROM ranked WHERE rn = 1
                       GROUP BY ci)
                     ORDER BY c DESC, ci LIMIT 1),
@@ -4929,7 +4902,42 @@ object QueriesText {
                     UNION ALL
                     SELECT hot.hc AS ci, s.cv FROM subcv s, hot WHERE s.rs = 0
                     UNION ALL
-                    SELECT 17 AS ci, s.cv FROM subcv s WHERE s.rs = 1),
+                    SELECT 17 AS ci, s.cv FROM subcv s WHERE s.rs = 1),"""
+
+  // --------------------------------------------------------------- q169
+  // Imbalance-gated split POLICY (AnnIndex.rebalance — the maintenance
+  // brain over q168's splitCell verb): read cellStats, pick the worst
+  // over-bar cell (hottest-first, id-tiebroken — the same rule the
+  // oracle replays), derive sub-centroids by a DETERMINISTIC seeded
+  // 2-means over the cell's normalized members (seed A = the min-id
+  // member; seed B = the member least cosine-similar to A, min-id
+  // tiebreak; one assignment pass by nearer seed; group means rounded
+  // to 1e-6 half-even then re-normalized — the rounding is what makes
+  // a distributed double sum bit-replayable in SQL), then run the
+  // splitCell verb. maxSplits = 1 pins the oracle to ONE policy
+  // iteration; bar 1.01 makes the hottest cell always qualify (a
+  // perfectly uniform corpus would no-op — and fail the require
+  // loudly, never silently diverge). The post-policy search must match
+  // the oracle's full replay: policy cell choice, seed selection,
+  // rounded group means, per-cell re-encode under the grown centroid
+  // table, 17-cell probe routing, and the ADC sum.
+  private val q169 = Q("q169_ann_rebalance",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cb, cbs) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("ann_rebal_q169")
+      val d = s"$idxDir/ivfpq"
+      graft.sources.AnnIndex.buildIvfPq(e, "vec_id", "embedding", d, cb, cbs)
+      val splits = graft.sources.AnnIndex.rebalance(e, "vec_id", "embedding",
+        d, maxImbalance = 1.01, maxSplits = 1)
+      require(splits == 1,
+        s"rebalance found nothing to split (splits=$splits) — the corpus " +
+          "is perfectly uniform and this query's oracle cannot apply")
+      val idx = graft.sources.AnnIndex.load(s, d)
+      graft.sources.AnnIndex.topK(idx, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3, nprobe = 4)
+    },
+    Some(ivfPqAssignCtes + ",\n" + splitPolicyCtes + """
             dots2 AS (
               SELECT ev.vec_id, nc.ci,
                      list_sum(list_transform(range(1, 65),
@@ -5012,6 +5020,59 @@ object QueriesText {
                    CAST(rn AS INT) AS rank
             FROM r WHERE rn <= 3"""))
 
+  // --------------------------------------------------------------- q170
+  // The SQ tier's policy twin (AnnIndex.rebalanceSq over splitCellSq):
+  // same hottest-cell pick and seeded 2-means derivation as q169 —
+  // splitPolicyCtes replays both tiers, because assignment is the SAME
+  // coarse quantizer — but the SQ split only RE-KEYS rows (SQ codes
+  // are a per-dim affine of the raw vector, cell-independent; the spec
+  // asserts bit-identical codes), and the gated read is the PRUNED
+  // serving path under the grown 17-cell table: nprobe=1 probes off
+  // the post-split assignment (ranked2), the candidate set is the
+  // probed cells' members under their post-split keys (assign), and
+  // the factored-dot SQ scoring runs over exactly those candidates. A
+  // row left under the retired key, a mis-derived sub-centroid, or a
+  // probe routed by the old table flips the hash.
+  private val q170 = Q("q170_sq_rebalance",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m = graft.operators.Sq.fit(e, "embedding")
+      val (cb, _) = ivfPqModel(e)
+      val idxDir = graft.streaming.StreamHarness.scratch("sq_rebal_q170")
+      val d = s"$idxDir/sq8c"
+      graft.sources.AnnIndex.buildSq(e, "vec_id", "embedding", d, m, Some(cb))
+      val splits = graft.sources.AnnIndex.rebalanceSq(e, "vec_id",
+        "embedding", d, maxImbalance = 1.01, maxSplits = 1)
+      require(splits == 1,
+        s"rebalanceSq found nothing to split (splits=$splits) — the " +
+          "corpus is perfectly uniform and this query's oracle cannot apply")
+      val idx = graft.sources.AnnIndex.loadSq(s, d)
+      graft.sources.AnnIndex.topKSq(idx, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3, nprobe = 1, prune = true)
+    },
+    Some(ivfPqAssignCtes + ",\n" + splitPolicyCtes + s"""
+            ranked2 AS (
+              SELECT ev.vec_id, nc.ci,
+                     row_number() OVER (PARTITION BY ev.vec_id ORDER BY
+                       list_sum(list_transform(range(1, 65),
+                         i -> CAST(ev.embedding[i] AS DOUBLE) * nc.cv[i])) *
+                       (CASE WHEN ev.nv = 0 THEN 0.0
+                             ELSE 1.0 / sqrt(ev.nv) END) DESC, nc.ci) AS rn
+              FROM ev CROSS JOIN cb2 nc),
+            assign AS (
+              SELECT o.vec_id,
+                     CASE WHEN o.ci = hot.hc THEN n.ci ELSE o.ci END AS cell
+              FROM (SELECT vec_id, ci FROM ranked WHERE rn = 1) o
+              JOIN (SELECT vec_id, ci FROM ranked2 WHERE rn = 1) n
+                USING (vec_id)
+              CROSS JOIN hot),
+            probe AS (SELECT DISTINCT ci FROM ranked2
+                      WHERE (vec_id % 50 = 0) AND rn <= 1),
+            cand AS (SELECT vec_id FROM assign
+                     WHERE cell IN (SELECT ci FROM probe)),
+            ${sqScoringCtes("vec_id % 50 = 0",
+              "JOIN cand ON cand.vec_id = e.vec_id")}"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
@@ -5020,5 +5081,5 @@ object QueriesText {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164,
-    q165, q166, q167, q168, q169)
+    q165, q166, q167, q168, q169, q170)
 }

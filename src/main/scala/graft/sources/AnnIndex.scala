@@ -1137,85 +1137,125 @@ object AnnIndex {
     * the run loudly — re-invoke on the fresh snapshot. */
   def rebalance(corpus: DataFrame, idCol: String, vecCol: String,
                 dir: String, maxImbalance: Double = 4.0,
-                maxSplits: Int = 8): Int = {
+                maxSplits: Int = 8): Int =
+    policyLoop(corpus, idCol, vecCol, maxImbalance, maxSplits,
+      stats = () => {
+        val idx = load(corpus.sparkSession, dir)
+        (cellStats(idx).collect()
+          .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n_vectors"))),
+          idx.nlist, idx.codes, "_cell")
+      },
+      split = (cell, subs) =>
+        splitCell(corpus, idCol, vecCol, dir, cell, subs))
+
+  /** [[rebalance]] for the SQ8 tier — same policy, same deterministic
+    * derivation, over [[cellStatsSq]] and [[splitCellSq]]. Requires a
+    * cell-partitioned SQ index (buildSq with centroids). */
+  def rebalanceSq(corpus: DataFrame, idCol: String, vecCol: String,
+                  dir: String, maxImbalance: Double = 4.0,
+                  maxSplits: Int = 8): Int =
+    policyLoop(corpus, idCol, vecCol, maxImbalance, maxSplits,
+      stats = () => {
+        val idx = loadSq(corpus.sparkSession, dir)
+        require(idx.centroids.nonEmpty,
+          "rebalanceSq needs a cell-partitioned SQ index (buildSq with " +
+            "centroids)")
+        (cellStatsSq(idx).collect()
+          .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n_vectors"))),
+          idx.nlist, idx.codes, "cell")
+      },
+      split = (cell, subs) =>
+        splitCellSq(corpus, idCol, vecCol, dir, cell, subs))
+
+  /** The tier-shared policy loop (see [[rebalance]]'s doc): `stats`
+    * re-reads (per-cell counts, nlist, the codes frame, its cell
+    * column) from the CURRENT snapshot each pass — every split grows
+    * nlist, which tightens the bar. */
+  private def policyLoop(corpus: DataFrame, idCol: String, vecCol: String,
+                         maxImbalance: Double, maxSplits: Int,
+                         stats: () => (Array[(Int, Long)], Int, DataFrame,
+                           String),
+                         split: (Int, Array[Array[Double]]) => Unit): Int = {
     require(maxImbalance > 1.0,
       s"maxImbalance must exceed 1 (the balanced share), got $maxImbalance")
     require(maxSplits >= 1, s"maxSplits must be >= 1, got $maxSplits")
-    val spark = corpus.sparkSession
     import graft.functions.{VectorFunctions => VF}
-    def dot(v: Column, c: Array[Double]): Column =
-      aggregate(zip_with(v, typedLit(c.toSeq), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
     var splits = 0
     val unsplittable = scala.collection.mutable.Set[Int]()
     var done = false
     while (!done && splits < maxSplits) {
-      val idx = load(spark, dir)
-      val stats = cellStats(idx).collect()
-      val total = stats.map(_.getAs[Long]("n_vectors")).sum
-      val bar = maxImbalance * total.toDouble / idx.nlist
-      val hot = stats
-        .filter(r => r.getAs[Long]("n_vectors") > bar &&
-          !unsplittable(r.getAs[Int]("cell")))
-        .sortBy(r => (-r.getAs[Long]("n_vectors"), r.getAs[Int]("cell")))
+      val (counts, nlist, codes, cellCol) = stats()
+      val total = counts.map(_._2).sum
+      val bar = maxImbalance * total.toDouble / nlist
+      val hot = counts
+        .filter { case (c, n) => n > bar && !unsplittable(c) }
+        .sortBy { case (c, n) => (-n, c) }
         .headOption
       hot match {
         case None => done = true
-        case Some(row) =>
-          val cell = row.getAs[Int]("cell")
-          val memberIds = idx.codes.filter(col("_cell") === cell)
+        case Some((cell, _)) =>
+          val memberIds = codes.filter(col(cellCol) === cell)
             .select(col("neighbor_id")).distinct()
           val members = corpus
             .select(col(idCol).cast("long").as("_rid"),
               VF.normalize(col(vecCol)).as("_v"))
             .join(memberIds.withColumnRenamed("neighbor_id", "_rid"),
               Seq("_rid"))
-          val a = members.orderBy(col("_rid"))
-            .limit(1).collect()(0).getSeq[Double](1).toArray
-          val b = members
-            .orderBy(dot(col("_v"), a).asc, col("_rid").asc)
-            .limit(1).collect()(0).getSeq[Double](1).toArray
-          if (java.util.Arrays.equals(a, b)) unsplittable += cell
-          else {
-            val dim = a.length
-            val sums = Array.fill(2)(new Array[Double](dim))
-            val cnts = new Array[Long](2)
-            members
-              .withColumn("_grp",
-                when(dot(col("_v"), a) >= dot(col("_v"), b), 0).otherwise(1))
-              .select(col("_grp"), posexplode(col("_v")))
-              .groupBy("_grp", "pos")
-              .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-              .collect().foreach { r =>
-                val g = r.getAs[Int]("_grp")
-                sums(g)(r.getAs[Int]("pos")) = r.getAs[Double]("s")
-                cnts(g) = r.getAs[Long]("n")
-              }
-            // group means round to 1e-6 (half-even) BEFORE normalizing:
-            // a distributed double sum is order-nondeterministic in its
-            // last ulps, and the policy must derive BIT-REPLAYABLE
-            // sub-centroids (the q169 oracle replays this derivation in
-            // SQL; a last-ulp drift could flip a re-encode assignment).
-            // 1e-6 is far above summation noise and far below any
-            // clustering-quality scale.
-            def meanNorm(g: Int): Array[Double] = {
-              val m = sums(g).map(x => math.rint(x / cnts(g) * 1e6) / 1e6)
-              val n = math.sqrt(m.map(x => x * x).sum)
-              if (n == 0.0) m else m.map(_ / n)
-            }
-            if (cnts.exists(_ == 0L)) unsplittable += cell
-            else {
-              val (cA, cB) = (meanNorm(0), meanNorm(1))
-              if (java.util.Arrays.equals(cA, cB)) unsplittable += cell
-              else {
-                splitCell(corpus, idCol, vecCol, dir, cell, Array(cA, cB))
-                splits += 1
-              }
-            }
+          deriveSubCentroids(members) match {
+            case None => unsplittable += cell
+            case Some(subs) => split(cell, subs); splits += 1
           }
       }
     }
     splits
+  }
+
+  /** The deterministic seeded 2-means of [[rebalance]]'s doc, over a
+    * hot cell's members (`_rid: long`, `_v: array<double>` normalized):
+    * seed A = the min-id member; seed B = the member least
+    * cosine-similar to A (min-id tiebreak); one assignment pass by
+    * nearer seed; group means rounded to 1e-6 HALF-EVEN before
+    * re-normalizing — a distributed double sum is order-
+    * nondeterministic in its last ulps, and the policy must derive
+    * BIT-REPLAYABLE sub-centroids (the q169 oracle replays this
+    * derivation in SQL; a last-ulp drift could flip a re-encode
+    * assignment). 1e-6 sits far above summation noise and far below
+    * any clustering-quality scale. Returns None when the cell cannot
+    * be separated (identical seeds, an empty side, coinciding means —
+    * an all-duplicate cell: splitting cannot help it). */
+  private def deriveSubCentroids(members: DataFrame)
+      : Option[Array[Array[Double]]] = {
+    def dot(v: Column, c: Array[Double]): Column =
+      aggregate(zip_with(v, typedLit(c.toSeq), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    val a = members.orderBy(col("_rid"))
+      .limit(1).collect()(0).getSeq[Double](1).toArray
+    val b = members
+      .orderBy(dot(col("_v"), a).asc, col("_rid").asc)
+      .limit(1).collect()(0).getSeq[Double](1).toArray
+    if (java.util.Arrays.equals(a, b)) return None
+    val dim = a.length
+    val sums = Array.fill(2)(new Array[Double](dim))
+    val cnts = new Array[Long](2)
+    members
+      .withColumn("_grp",
+        when(dot(col("_v"), a) >= dot(col("_v"), b), 0).otherwise(1))
+      .select(col("_grp"), posexplode(col("_v")))
+      .groupBy("_grp", "pos")
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .collect().foreach { r =>
+        val g = r.getAs[Int]("_grp")
+        sums(g)(r.getAs[Int]("pos")) = r.getAs[Double]("s")
+        cnts(g) = r.getAs[Long]("n")
+      }
+    if (cnts.exists(_ == 0L)) return None
+    def meanNorm(g: Int): Array[Double] = {
+      val m = sums(g).map(x => math.rint(x / cnts(g) * 1e6) / 1e6)
+      val n = math.sqrt(m.map(x => x * x).sum)
+      if (n == 0.0) m else m.map(_ / n)
+    }
+    val (cA, cB) = (meanNorm(0), meanNorm(1))
+    if (java.util.Arrays.equals(cA, cB)) None else Some(Array(cA, cB))
   }
 
   // ------------------------------------------------------------- SQ8
@@ -1599,6 +1639,99 @@ object AnnIndex {
       }
       spark.read.parquet(dir)
     }
+  }
+
+  /** [[cellStats]] for the SQ8 tier's cell-partitioned layout — the
+    * same per-cell balance audit over the `cell` partition column. */
+  def cellStatsSq(idx: LoadedSq): DataFrame = {
+    require(idx.centroids.nonEmpty,
+      "cellStatsSq needs a cell-partitioned SQ index (buildSq with centroids)")
+    val counts = idx.codes.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val total = counts.agg(sum(col("n_vectors")).as("_t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cell").cast("int").as("cell"),
+        col("n_vectors"),
+        bround(col("n_vectors") / col("_t"), 6).as("frac"))
+  }
+
+  /** [[splitCell]] for the SQ8 tier — same semantics (index membership
+    * authoritative, centroid ids never shift, one manifest swap of
+    * tombstone + re-keyed segment + bumped model) with one structural
+    * simplification the cheap tier earns: SQ codes are a per-dimension
+    * affine of the RAW vector, independent of the cell, so the
+    * "re-encode" reproduces bit-identical codes — the split only moves
+    * rows to new partition keys under the grown centroid table. The
+    * corpus is still required: the index stores codes, and the NEW
+    * assignment needs the raw vectors. */
+  def splitCellSq(corpus: DataFrame, idCol: String, vecCol: String,
+                  dir: String, cell: Int,
+                  subCentroids: Array[Array[Double]]): Unit = {
+    val spark = corpus.sparkSession
+    val f = fs(spark, dir)
+    val (mid, md) = refresh(f, dir)
+    maybeKill(dir, "stage")
+    val idx = loadSq(spark, dir, asOf = Some(mid))
+    val cents = idx.centroids.getOrElse(throw new IllegalArgumentException(
+      "splitCellSq needs a cell-partitioned SQ index (buildSq with " +
+        "centroids)"))
+    require(cell >= 1 && cell <= cents.length,
+      s"cell $cell out of range 1..${cents.length}")
+    require(subCentroids.length >= 2,
+      s"a split needs >= 2 sub-centroids, got ${subCentroids.length}")
+    val dim = idx.dim
+    require(subCentroids.forall(_.length == dim),
+      s"sub-centroid dim != index dim $dim")
+    val memberIds = idx.codes.filter(col("cell") === cell)
+      .select(col("neighbor_id")).distinct()
+    val hot = corpus
+      .select(col(idCol), col(vecCol))
+      .join(memberIds.withColumnRenamed("neighbor_id", "_split_mid"),
+        col(idCol).cast("long") === col("_split_mid"))
+      .drop("_split_mid")
+    val newCents =
+      cents.updated(cell - 1, subCentroids.head) ++ subCentroids.tail
+    val modelDir = freshName("model-")
+    writeSqModelArtifacts(spark, s"$dir/$modelDir", idx.model, Some(newCents))
+    val segName = freshName("batch-")
+    val tombName = freshName("t-")
+    val n = writeSqSegment(hot, idCol, vecCol, dir, segName, idx.model,
+      Some(newCents))
+    memberIds.write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
+    val tn = countSegment(spark, f, s"$dir/tomb/$tombName")
+    def cleanup(): Unit = {
+      f.delete(path(s"$dir/data/$segName"), true)
+      f.delete(path(s"$dir/tomb/$tombName"), true)
+      f.delete(path(s"$dir/$modelDir"), true)
+    }
+    if (tn == 0) {
+      cleanup()
+      throw new IllegalArgumentException(
+        s"cell $cell of $dir is empty — nothing to split (re-read " +
+          "cellStatsSq; the imbalance may have been compacted away)")
+    }
+    if (n != tn) {
+      cleanup()
+      throw new IllegalArgumentException(
+        s"corpus does not cover cell $cell exactly: the index holds $tn " +
+          s"rows, the re-key landed $n — a member id is missing from " +
+          "(or duplicated in) the corpus; splitting would drop or " +
+          "duplicate those rows")
+    }
+    maybeKill(dir, "staged")
+    fireTestHook(dir)
+    if (!tryPublish(f, dir, mid + 1, md.copy(
+        segs = md.segs :+ Art(md.nextId + 1, n, segName),
+        tombs = md.tombs :+ Art(md.nextId, tn, tombName),
+        hw = md.nextId + 1,
+        model = md.model + 1, modelDir = modelDir))) {
+      cleanup()
+      throw new java.util.ConcurrentModificationException(
+        s"another writer committed to $dir during the split — its rows " +
+          "may sit in the cell being split and would be stranded under a " +
+          "retired centroid; re-run splitCellSq against the fresh snapshot")
+    }
+    maybeKill(dir, "published")
   }
 
   def topKSq(idx: LoadedSq, queries: DataFrame, idCol: String,

@@ -118,6 +118,59 @@ class AnnRebalanceSpec extends AnyFunSuite {
     e.unpersist(): Unit
   }
 
+  test("rebalanceSq: the SQ tier's policy twin — bounded cells, and the split re-keys rows with BIT-IDENTICAL codes") {
+    val root = java.nio.file.Files.createTempDirectory("ann_rebal_sq").toString
+    val e = skewedCorpus(600).cache()
+    val dir = s"$root/idx"
+    AnnIndex.buildSq(e, "vec_id", "embedding", dir,
+      graft.operators.Sq.fit(e, "embedding"), Some(skewedCentroids))
+
+    def codesById() = AnnIndex.loadSq(spark, dir).codes
+      .select("neighbor_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Any](1)).sortBy(_._1).toSeq
+    val before = codesById()
+    val statsBefore = AnnIndex.cellStatsSq(AnnIndex.loadSq(spark, dir))
+      .collect()
+    assert(statsBefore.map(_.getAs[Double]("frac")).max > 0.9,
+      "skew plant failed")
+
+    val splits = AnnIndex.rebalanceSq(e, "vec_id", "embedding", dir,
+      maxImbalance = 3.0, maxSplits = 6)
+    assert(splits >= 1)
+
+    val idx = AnnIndex.loadSq(spark, dir)
+    val stats = AnnIndex.cellStatsSq(idx).collect()
+    val total = stats.map(_.getAs[Long]("n_vectors")).sum
+    assert(total == 600)
+    if (splits < 6)
+      assert(stats.map(_.getAs[Long]("n_vectors")).max <=
+        3.0 * total.toDouble / idx.nlist)
+    assert(idx.nlist == skewedCentroids.length + splits)
+
+    // the SQ split is a RE-KEY: every id's codes are bit-identical
+    // (SQ encoding is cell-independent — only the partition key moved)
+    assert(codesById() == before,
+      "SQ split changed codes — it must only re-key")
+
+    // pruned serving works against the grown centroid table
+    val panel = e.filter(col("vec_id").isin(3L, 77L, 150L, 423L))
+    assert(AnnIndex.topKSq(idx, panel, "vec_id", "embedding",
+      k = 1, nprobe = idx.nlist, prune = true).count() == 4)
+
+    // idempotence
+    assert(AnnIndex.rebalanceSq(e, "vec_id", "embedding", dir,
+      maxImbalance = 3.0, maxSplits = 6) == 0)
+
+    // a flat (no-centroids) SQ index refuses the policy loudly
+    val flat = s"$root/flat"
+    AnnIndex.buildSq(e, "vec_id", "embedding", flat,
+      graft.operators.Sq.fit(e, "embedding"))
+    intercept[IllegalArgumentException] {
+      AnnIndex.rebalanceSq(e, "vec_id", "embedding", flat)
+    }
+    e.unpersist(): Unit
+  }
+
   test("rebalance skips an unsplittable all-duplicate hot cell instead of spinning") {
     val root = java.nio.file.Files.createTempDirectory("ann_rebal_dup").toString
     // every vector identical => one hot cell that CANNOT be separated
