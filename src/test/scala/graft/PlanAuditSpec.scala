@@ -107,6 +107,12 @@ class PlanAuditSpec extends AnyFunSuite {
         "with one left-semi mask join on the codes side; the mask is " +
         "half the corpus's ids at the gate SF and a broadcast literal " +
         "for review-set-sized filters (PLANS.md q163 row)"),
+    "q170_sq_rebalance" ->
+      ("q156's post-split pruned read: the SAME SQ8 ADC scan shape " +
+        "(1/50-sampled query batch broadcast over the PartitionFilter-" +
+        "restricted codes scan — q130's exemption); the policy pass " +
+        "itself is cellStats + parameter-sized seed collects + one " +
+        "cell-sized re-key (PLANS.md q170 row)"),
     "q166_sq_shard_merge" ->
       ("q148's federated twin: the SAME SQ8 ADC scan shape (1/50-sampled " +
         "query batch broadcast over the codes scan — q130's exemption) " +
