@@ -705,8 +705,9 @@ object ScaleStress {
       // balanced index and keep splitting against the bar that
       // tightens as nlist grows), so min-of-two is wrong here
       val t0 = System.nanoTime()
-      val splits = AnnIndex.rebalance(corpus, "vec_id", "embedding",
+      val report = AnnIndex.rebalanceReport(corpus, "vec_id", "embedding",
         polDir, maxImbalance = 4.0, maxSplits = 24)
+      val splits = report.splits
       val tPolicy = (System.nanoTime() - t0) / 1e9
       val (fracAfter, nlistAfter, rowsAfter) = maxFrac()
       require(rowsAfter == rows, "rebalance changed the corpus size")
@@ -714,14 +715,57 @@ object ScaleStress {
         f"policy did not shrink the hot cell: $fracBefore%.3f -> $fracAfter%.3f")
       System.err.println(f"[scale] split_policy @${factor}x: $rows rows, " +
         f"max cell $fracBefore%.3f -> $fracAfter%.3f " +
-        f"($nlistBefore -> $nlistAfter cells, $splits splits), " +
-        f"build $tBuild%.1f s, policy $tPolicy%.1f s")
+        f"($nlistBefore -> $nlistAfter cells, $splits splits in " +
+        f"${report.passes} passes), build $tBuild%.1f s, " +
+        f"policy $tPolicy%.1f s")
       splitPolicyJson = f""","split_policy":{"rows":$rows,""" +
         f""""max_frac_before":$fracBefore%.4f,""" +
         f""""max_frac_after":$fracAfter%.4f,""" +
         f""""nlist_before":$nlistBefore,"nlist_after":$nlistAfter,""" +
-        f""""splits":$splits,"build_s":$tBuild%.2f,""" +
+        f""""splits":$splits,"passes":${report.passes},""" +
+        f""""build_s":$tBuild%.2f,""" +
         f""""policy_s":$tPolicy%.2f}"""
+
+      // SQ-TIER POLICY TWIN, same skew plant: rebalanceSq's split is a
+      // pure RE-KEY (SQ codes are cell-independent — no re-encode
+      // arithmetic, just new partition keys under the grown table), so
+      // it should price materially cheaper per split than the IVF row
+      // above. Measured here to back that structural claim with a
+      // number instead of a spec assertion.
+      val sqDir = s"$polRoot/sq"
+      val sqModel = graft.operators.Sq.fit(corpus, "embedding")
+      val tBuildSq = time2("split_policy_sq build") {
+        AnnIndex.buildSq(corpus, "vec_id", "embedding", sqDir, sqModel,
+          Some(cents))
+      }
+      def maxFracSq(): (Double, Int, Long) = {
+        val idx = AnnIndex.loadSq(spark, sqDir)
+        val st = AnnIndex.cellStatsSq(idx).collect()
+        (st.map(_.getAs[Double]("frac")).max, idx.nlist,
+          st.map(_.getAs[Long]("n_vectors")).sum)
+      }
+      val (sqFracBefore, sqNlistBefore, sqRows) = maxFracSq()
+      val tSq0 = System.nanoTime()
+      val sqReport = AnnIndex.rebalanceSqReport(corpus, "vec_id",
+        "embedding", sqDir, maxImbalance = 4.0, maxSplits = 24)
+      val tPolicySq = (System.nanoTime() - tSq0) / 1e9
+      val (sqFracAfter, sqNlistAfter, sqRowsAfter) = maxFracSq()
+      require(sqRowsAfter == sqRows, "rebalanceSq changed the corpus size")
+      require(sqFracAfter < sqFracBefore,
+        f"SQ policy did not shrink the hot cell: " +
+          f"$sqFracBefore%.3f -> $sqFracAfter%.3f")
+      System.err.println(f"[scale] split_policy_sq @${factor}x: $sqRows " +
+        f"rows, max cell $sqFracBefore%.3f -> $sqFracAfter%.3f " +
+        f"($sqNlistBefore -> $sqNlistAfter cells, ${sqReport.splits} " +
+        f"splits in ${sqReport.passes} passes), build $tBuildSq%.1f s, " +
+        f"policy $tPolicySq%.1f s")
+      splitPolicyJson += f""","split_policy_sq":{"rows":$sqRows,""" +
+        f""""max_frac_before":$sqFracBefore%.4f,""" +
+        f""""max_frac_after":$sqFracAfter%.4f,""" +
+        f""""nlist_before":$sqNlistBefore,"nlist_after":$sqNlistAfter,""" +
+        f""""splits":${sqReport.splits},"passes":${sqReport.passes},""" +
+        f""""build_s":$tBuildSq%.2f,""" +
+        f""""policy_s":$tPolicySq%.2f}"""
     }
 
     // INCREMENTAL BPE TRAINER at production merge depth: 512 merges on
@@ -908,13 +952,24 @@ object ScaleStress {
         val replicaPlanted = rec.count()
         val replicaRecovered = rec
           .filter(col("c0").isNotNull && col("c0") === col("c1")).count()
-        val replicaRecall = replicaRecovered.toDouble / replicaPlanted
+        // replicaPlanted == 0 (factor 1: no r=1 replicas synthesized,
+        // or every planted pair fell sub-threshold) would make the
+        // ratio NaN — which silently PASSES the bar (NaN < bar is
+        // false) and corrupts the JSON. Emit null and skip the bar
+        // with a logged reason instead.
+        val replicaRecall = if (replicaPlanted == 0) None
+          else Some(replicaRecovered.toDouble / replicaPlanted)
+        val replicaRecallJson =
+          replicaRecall.map(r => f"$r%.4f").getOrElse("null")
+        val replicaRecallMsg =
+          replicaRecall.map(r => f"$r%.4f")
+            .getOrElse("n/a — no above-threshold replica pairs")
         val intactFrac = intact.toDouble / nChains
         System.err.println(
           f"[scale] planted recall @${factor}x: chain edges " +
             f"$edgesFound/$edgesPlanted ($edgeRecall%.4f), chains intact " +
             f"$intact/$nChains ($intactFrac%.3f), replica pairs " +
-            f"$replicaRecovered/$replicaPlanted ($replicaRecall%.4f)")
+            f"$replicaRecovered/$replicaPlanted ($replicaRecallMsg)")
         plantedJson = f""","planted":{"chains":$nChains,""" +
           f""""chains_single_comp":$intact,""" +
           f""""chain_edges":$edgesPlanted,""" +
@@ -922,7 +977,7 @@ object ScaleStress {
           f""""chain_edge_recall":$edgeRecall%.4f,""" +
           f""""replica_planted":$replicaPlanted,""" +
           f""""replica_recovered":$replicaRecovered,""" +
-          f""""replica_recall":$replicaRecall%.4f}"""
+          s""""replica_recall":$replicaRecallJson}"""
         // bars: ~99.8% is LSH theory without cap damage; 0.98 leaves
         // room for banding variance, none for a cap that ate planted
         // structure. Chains fragment at the theory rate (~0.2% of
@@ -935,8 +990,14 @@ object ScaleStress {
           .map(_.toDouble).getOrElse(0.80)
         if (edgeRecall < edgeBar) plantedFailures +=
           f"chain edge recall $edgeRecall%.4f < bar $edgeBar (bucket cap ate planted chain buckets?)"
-        if (replicaRecall < replicaBar) plantedFailures +=
-          f"replica pair recall $replicaRecall%.4f < bar $replicaBar"
+        replicaRecall match {
+          case Some(r) if r < replicaBar => plantedFailures +=
+            f"replica pair recall $r%.4f < bar $replicaBar"
+          case None => System.err.println(
+            "[scale] replica recall bar SKIPPED: zero above-threshold " +
+              "planted replica pairs at this factor")
+          case _ =>
+        }
         if (intactFrac < intactBar) plantedFailures +=
           f"chains single-component $intactFrac%.3f < bar $intactBar"
       }

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Order-insensitive table checksum — cross-system reconciliation for
-  * warehouse loads (the reference reconciles sales totals per airline in
-  * analysis.py; a migration additionally wants "is the WHOLE table
-  * byte-identical on both sides" without ordering either copy).
+  * warehouse loads (the reference reconciles money amounts row-by-row in
+  * cleaning.py:574-576 and functions.py's amount checks; a migration
+  * additionally wants "is the WHOLE table byte-identical on both sides"
+  * without ordering either copy).
   *
   * Each row is rendered to a canonical '|'-joined string, hashed to a
   * 60-bit integer (first 15 hex digits of md5 — md5 so any SQL engine can

@@ -382,8 +382,11 @@ object AnnIndex {
     *     at all and may ignore `beforeBody`.
     *   - GCS: same via an `ifGenerationMatch(0)` precondition.
     *   - Local FS (the test substrate): Hadoop's RawLocalFileSystem
-    *     implements the flag as exists-then-open — a microsecond
-    *     check-then-act window; fine for tests, called out for honesty.
+    *     implements the flag as exists-then-open — a check-then-act
+    *     window the multi-writer storm caught LIVE losing whole
+    *     batches (~1/3 of runs), so the default committer reserves
+    *     local slots through O_CREAT|O_EXCL (atomic at the kernel)
+    *     and only then writes the body through the checksummed FS.
     * The FIRST publish through any FileSystem runs [[probeCommitter]] —
     * a store whose committer silently overwrites (losing the winner's
     * commit) fails LOUDLY before it ever carries a real manifest.
@@ -401,16 +404,49 @@ object AnnIndex {
     def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
                     dest: org.apache.hadoop.fs.Path,
                     body: Array[Byte], beforeBody: () => Unit): Boolean = {
-      val out =
-        try f.create(dest, false)
+      val scheme = Option(dest.toUri.getScheme)
+        .getOrElse(f.getUri.getScheme)
+      if (scheme == "file") {
+        // Hadoop's RawLocalFileSystem implements create(overwrite =
+        // false) as exists-then-open — a check-then-act window in
+        // which two RACING writers both pass the exists check, both
+        // get streams, and one body silently overwrites the other:
+        // both callers report "won generation N" and the loser's-
+        // overwritten commit vanishes wholesale. Not theoretical: the
+        // multi-writer storm reproduced it at ~1/3 per run (two
+        // writers logging `won m-1`, one batch missing at the
+        // barrier). Reserve the slot through O_CREAT|O_EXCL instead —
+        // atomic at the kernel — then write the body through the
+        // checksummed FS so the .crc sidecar machinery stays live.
+        // The torn window (reserved, body unwritten) remains, by
+        // design: that is [[repair]]'s substrate.
+        val p = java.nio.file.Paths.get(dest.toUri.getPath)
+        Option(p.getParent)
+          .foreach(java.nio.file.Files.createDirectories(_))
+        try java.nio.file.Files
+          .newByteChannel(p, java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          .close()
         catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            return false
-          case _: java.io.IOException if f.exists(dest) => return false
+          case _: java.nio.file.FileAlreadyExistsException => return false
         }
-      try { beforeBody(); out.write(body) }
-      finally out.close()
-      true
+        val out = f.create(dest, true) // the slot is ours (O_EXCL won)
+        try { beforeBody(); out.write(body) }
+        finally out.close()
+        true
+      } else {
+        // HDFS: create(overwrite = false) is atomic at the NameNode
+        val out =
+          try f.create(dest, false)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              return false
+            case _: java.io.IOException if f.exists(dest) => return false
+          }
+        try { beforeBody(); out.write(body) }
+        finally out.close()
+        true
+      }
     }
   }
 
@@ -487,11 +523,12 @@ object AnnIndex {
       throw new java.io.IOException(s"manifest m-$id publish failed")
 
   /** The freshest committed (generation id, manifest) — what a loser
-    * of a publish race re-bases onto. A listed top that VANISHES
-    * between the list and the read is a peer [[repair]] reclaiming a
-    * torn corpse (the only legal deleter of a top manifest) — the
-    * chain fell back to the last complete generation, so re-list
-    * rather than leak a raw FileNotFoundException to the caller. */
+    * of a publish race re-bases onto. Under the current protocol no
+    * verb deletes a top manifest ([[repair]] SUPERSEDES a torn corpse
+    * rather than deleting it, and [[expire]] never drops the top), so
+    * the FileNotFoundException retry below is DEFENSIVE legacy
+    * tolerance: an operator-deleted file, or a pre-supersede peer,
+    * should re-list rather than leak a raw FNFE to the caller. */
   private def refresh(f: org.apache.hadoop.fs.FileSystem,
                       dir: String): (Long, ManifestData) = {
     var attempt = 0
@@ -1037,19 +1074,53 @@ object AnnIndex {
     * aborts before any manifest change. */
   def splitCell(corpus: DataFrame, idCol: String, vecCol: String,
                 dir: String, cell: Int,
-                subCentroids: Array[Array[Double]]): Unit = {
+                subCentroids: Array[Array[Double]]): Unit =
+    splitCellsImpl(corpus, idCol, vecCol, dir, Seq(cell -> subCentroids),
+      expectMid = None, hotOverride = None)
+
+  /** [[splitCell]] generalized to MANY cells under ONE manifest swap —
+    * [[rebalance]]'s batched pass. Hot cells are disjoint (a row sits
+    * in one cell), so their member unions never interact: one
+    * tombstone over the union, one re-encoded segment (every member
+    * re-assigns against the FULL grown centroid table — nearest-at-
+    * encode, the same rule every build/append uses), one model bump.
+    * `expectMid` pins the snapshot the caller derived its
+    * sub-centroids from: a commit that landed since aborts loudly
+    * BEFORE staging (the derivation is stale). `hotOverride` feeds the
+    * policy's cached members frame (columns `idCol, vecCol`, exactly
+    * the splitting cells' corpus rows) so the pass scans the corpus
+    * once, not once per consumer — only valid with `expectMid`, which
+    * guarantees it was derived from THIS snapshot's member set. */
+  private[graft] def splitCellsImpl(corpus: DataFrame, idCol: String,
+                             vecCol: String, dir: String,
+                             splits: Seq[(Int, Array[Array[Double]])],
+                             expectMid: Option[Long],
+                             hotOverride: Option[DataFrame]): Unit = {
     val spark = corpus.sparkSession
     val f = fs(spark, dir)
     val (mid, md) = refresh(f, dir)
+    expectMid.foreach { e =>
+      if (mid != e) throw new java.util.ConcurrentModificationException(
+        s"another writer committed to $dir after the policy derived its " +
+          s"sub-centroids (snapshot $e -> $mid) — the derivation is " +
+          "stale; re-run rebalance against the fresh snapshot")
+    }
     maybeKill(dir, "stage")
     val idx = load(spark, dir, asOf = Some(mid))
-    require(cell >= 1 && cell <= idx.nlist,
-      s"cell $cell out of range 1..${idx.nlist}")
-    require(subCentroids.length >= 2,
-      s"a split needs >= 2 sub-centroids, got ${subCentroids.length}")
+    require(splits.nonEmpty, "no cells to split")
+    val cells = splits.map(_._1)
+    require(cells.distinct.length == cells.length,
+      s"duplicate cells in one split pass: ${cells.mkString(",")}")
     val dim = idx.centroids.head.length
-    require(subCentroids.forall(_.length == dim),
-      s"sub-centroid dim != index dim $dim")
+    splits.foreach { case (cell, subs) =>
+      require(cell >= 1 && cell <= idx.nlist,
+        s"cell $cell out of range 1..${idx.nlist}")
+      require(subs.length >= 2,
+        s"a split needs >= 2 sub-centroids, got ${subs.length} (cell $cell)")
+      require(subs.forall(_.length == dim),
+        s"sub-centroid dim != index dim $dim (cell $cell)")
+    }
+    val cellsMsg = cells.mkString(",")
 
     // the INDEX's encode-time assignment is authoritative for
     // membership — never re-derived from the corpus, whose nearest
@@ -1057,16 +1128,21 @@ object AnnIndex {
     // append allows duplicate ids, and the split collapses a
     // duplicated member to its single corpus row (the tombstone masks
     // every old copy; the same id cannot land twice in one segment)
-    val memberIds = idx.codes.filter(col("_cell") === cell)
+    val memberIds = idx.codes
+      .filter(col("_cell").isin(cells.map(Int.box): _*))
       .select(col("neighbor_id")).distinct()
-    val hot = corpus
+    val hot = hotOverride.getOrElse(corpus
       .select(col(idCol), col(vecCol))
       .join(memberIds.withColumnRenamed("neighbor_id", "_split_mid"),
         col(idCol).cast("long") === col("_split_mid"))
-      .drop("_split_mid")
+      .drop("_split_mid"))
 
-    val newCents =
-      idx.centroids.updated(cell - 1, subCentroids.head) ++ subCentroids.tail
+    // hottest-first fold: each split replaces its cell's slot with
+    // sub-0 and appends the rest — existing cell ids never shift, and
+    // the appended ids are pinned by the caller's split order
+    val newCents = splits.foldLeft(idx.centroids) {
+      case (cs, (cell, subs)) => cs.updated(cell - 1, subs.head) ++ subs.tail
+    }
     val modelDir = freshName("model-")
     writeModelArtifacts(spark, s"$dir/$modelDir", newCents, idx.cbs)
     val segName = freshName("batch-")
@@ -1082,16 +1158,16 @@ object AnnIndex {
     if (tn == 0) {
       cleanup()
       throw new IllegalArgumentException(
-        s"cell $cell of $dir is empty — nothing to split (re-read " +
+        s"cell(s) $cellsMsg of $dir are empty — nothing to split (re-read " +
           "cellStats; the imbalance may have been compacted away)")
     }
     if (n != tn) {
       cleanup()
       throw new IllegalArgumentException(
-        s"corpus does not cover cell $cell exactly: the index holds $tn " +
-          s"rows, the re-encode landed $n — a member id is missing from " +
-          "(or duplicated in) the corpus; splitting would drop or " +
-          "duplicate those rows")
+        s"corpus does not cover cell(s) $cellsMsg exactly: the index " +
+          s"holds $tn rows, the re-encode landed $n — a member id is " +
+          "missing from (or duplicated in) the corpus; splitting would " +
+          "drop or duplicate those rows")
     }
     maybeKill(dir, "staged")
     fireTestHook(dir)
@@ -1109,44 +1185,70 @@ object AnnIndex {
     maybeKill(dir, "published")
   }
 
+  /** What a policy run did: splits committed, stats→split passes paid
+    * (a pass = one stats read + one members materialization + at most
+    * one manifest swap), and the cells split in commit order. */
+  final case class PolicyReport(splits: Int, passes: Int,
+                                cellsSplit: Seq[Int])
+
   /** IMBALANCE-GATED SPLIT POLICY — decides WHEN [[splitCell]] runs
     * (the verb gates HOW; this is the maintenance brain Faiss calls
     * imbalance remediation and SPANN runs as posting-list splitting):
     * read [[cellStats]], find cells holding more than `maxImbalance` ×
     * the balanced share (corpus / nlist — recomputed each pass, since
-    * every split grows nlist), split the worst offender with
-    * DETERMINISTICALLY derived sub-centroids, and iterate until every
-    * cell is bounded or `maxSplits` is spent. Returns the number of
-    * splits committed.
+    * every split grows nlist), split EVERY over-bar cell in that
+    * snapshot (hottest-first, id-tiebroken, trimmed to the remaining
+    * `maxSplits` budget) under ONE manifest swap, and iterate until
+    * every cell is bounded or the budget is spent. Over-bar cells are
+    * disjoint by construction (a row sits in exactly one cell), so a
+    * corpus with k hot cells pays one stats/members pass instead of k.
+    * Returns the number of splits committed.
     *
-    * Sub-centroid derivation is a seeded 2-means over the hot cell's
+    * Sub-centroid derivation is a seeded 2-means over each hot cell's
     * NORMALIZED member vectors (the index's assignment metric is
     * cosine — see NearestCentroids), fully deterministic for
     * replayable builds: seed A = the minimum-id member, seed B = the
     * member least cosine-similar to A (min-id tiebreak), one
     * assignment pass, group means re-normalized. Every driver-side
-    * collect is parameter-sized (nlist rows of stats, two seed rows,
-    * 2 × dim mean cells); the heavy work — the member join and the
-    * cell re-encode — stays in [[splitCell]]'s cell-sized plan.
+    * collect is parameter-sized (nlist rows of stats, two seed rows
+    * per hot cell, 2 × dim mean cells); the heavy work — the member
+    * join and the cell re-encodes — runs over ONE cached cell-sized
+    * members frame per pass (seed derivation, assignment sums and the
+    * split re-encode all read it; the corpus is scanned once per
+    * pass, not once per consumer).
     *
     * A cell whose members cannot be separated (all-identical vectors:
     * seed B equals seed A, a group lands empty, or the two means
     * coincide) is marked unsplittable and skipped — splitting cannot
     * help a cell of exact duplicates, and the mark keeps the loop from
-    * spinning on it. Like the verb itself, a concurrent commit aborts
-    * the run loudly — re-invoke on the fresh snapshot. */
+    * spinning on it. A concurrent commit aborts the run loudly — and
+    * the abort is ENFORCED, not best-effort: the pass's snapshot
+    * generation is pinned into the split, which re-checks it before
+    * staging (a commit landing after the stats read would otherwise be
+    * silently absorbed with sub-centroids derived from a stale member
+    * set); re-invoke on the fresh snapshot. */
   def rebalance(corpus: DataFrame, idCol: String, vecCol: String,
                 dir: String, maxImbalance: Double = 4.0,
                 maxSplits: Int = 8): Int =
+    rebalanceReport(corpus, idCol, vecCol, dir, maxImbalance,
+      maxSplits).splits
+
+  /** [[rebalance]] returning the full [[PolicyReport]] (pass count and
+    * split cells, for operability dashboards and the scale probes). */
+  def rebalanceReport(corpus: DataFrame, idCol: String, vecCol: String,
+                      dir: String, maxImbalance: Double = 4.0,
+                      maxSplits: Int = 8): PolicyReport =
     policyLoop(corpus, idCol, vecCol, maxImbalance, maxSplits,
       stats = () => {
-        val idx = load(corpus.sparkSession, dir)
+        val (mid, _) = refresh(fs(corpus.sparkSession, dir), dir)
+        val idx = load(corpus.sparkSession, dir, asOf = Some(mid))
         (cellStats(idx).collect()
           .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n_vectors"))),
-          idx.nlist, idx.codes, "_cell")
+          idx.nlist, idx.codes, "_cell", mid)
       },
-      split = (cell, subs) =>
-        splitCell(corpus, idCol, vecCol, dir, cell, subs))
+      split = (planned, hot, mid) =>
+        splitCellsImpl(corpus, idCol, vecCol, dir, planned,
+          expectMid = Some(mid), hotOverride = Some(hot)))
 
   /** [[rebalance]] for the SQ8 tier — same policy, same deterministic
     * derivation, over [[cellStatsSq]] and [[splitCellSq]]. Requires a
@@ -1154,60 +1256,106 @@ object AnnIndex {
   def rebalanceSq(corpus: DataFrame, idCol: String, vecCol: String,
                   dir: String, maxImbalance: Double = 4.0,
                   maxSplits: Int = 8): Int =
+    rebalanceSqReport(corpus, idCol, vecCol, dir, maxImbalance,
+      maxSplits).splits
+
+  /** [[rebalanceSq]] returning the full [[PolicyReport]]. */
+  def rebalanceSqReport(corpus: DataFrame, idCol: String, vecCol: String,
+                        dir: String, maxImbalance: Double = 4.0,
+                        maxSplits: Int = 8): PolicyReport =
     policyLoop(corpus, idCol, vecCol, maxImbalance, maxSplits,
       stats = () => {
-        val idx = loadSq(corpus.sparkSession, dir)
+        val (mid, _) = refresh(fs(corpus.sparkSession, dir), dir)
+        val idx = loadSq(corpus.sparkSession, dir, asOf = Some(mid))
         require(idx.centroids.nonEmpty,
           "rebalanceSq needs a cell-partitioned SQ index (buildSq with " +
             "centroids)")
         (cellStatsSq(idx).collect()
           .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n_vectors"))),
-          idx.nlist, idx.codes, "cell")
+          idx.nlist, idx.codes, "cell", mid)
       },
-      split = (cell, subs) =>
-        splitCellSq(corpus, idCol, vecCol, dir, cell, subs))
+      split = (planned, hot, mid) =>
+        splitCellsSqImpl(corpus, idCol, vecCol, dir, planned,
+          expectMid = Some(mid), hotOverride = Some(hot)))
 
   /** The tier-shared policy loop (see [[rebalance]]'s doc): `stats`
     * re-reads (per-cell counts, nlist, the codes frame, its cell
-    * column) from the CURRENT snapshot each pass — every split grows
-    * nlist, which tightens the bar. */
+    * column, the snapshot generation) from the CURRENT snapshot each
+    * pass — every split grows nlist, which tightens the bar. Each pass
+    * materializes ONE members frame covering all of the pass's hot
+    * cells (id, raw vector, normalized vector, owning cell) and caches
+    * it for the pass's lifetime: seed A / seed B / the assignment sums
+    * of every hot cell AND the split re-encode read the cache instead
+    * of re-scanning the corpus (~3 scans per cell + 1 per split
+    * before; 1 per pass now — the fix that matters at 100 TB, where a
+    * corpus scan is the whole cost). Unpersisted per pass, like
+    * Components' round frames. */
   private def policyLoop(corpus: DataFrame, idCol: String, vecCol: String,
                          maxImbalance: Double, maxSplits: Int,
                          stats: () => (Array[(Int, Long)], Int, DataFrame,
-                           String),
-                         split: (Int, Array[Array[Double]]) => Unit): Int = {
+                           String, Long),
+                         split: (Seq[(Int, Array[Array[Double]])],
+                           DataFrame, Long) => Unit): PolicyReport = {
     require(maxImbalance > 1.0,
       s"maxImbalance must exceed 1 (the balanced share), got $maxImbalance")
     require(maxSplits >= 1, s"maxSplits must be >= 1, got $maxSplits")
     import graft.functions.{VectorFunctions => VF}
     var splits = 0
+    var passes = 0
+    val cellsSplit = scala.collection.mutable.ArrayBuffer[Int]()
     val unsplittable = scala.collection.mutable.Set[Int]()
     var done = false
     while (!done && splits < maxSplits) {
-      val (counts, nlist, codes, cellCol) = stats()
+      val (counts, nlist, codes, cellCol, mid) = stats()
       val total = counts.map(_._2).sum
       val bar = maxImbalance * total.toDouble / nlist
-      val hot = counts
+      val hotCells = counts
         .filter { case (c, n) => n > bar && !unsplittable(c) }
         .sortBy { case (c, n) => (-n, c) }
-        .headOption
-      hot match {
-        case None => done = true
-        case Some((cell, _)) =>
-          val memberIds = codes.filter(col(cellCol) === cell)
-            .select(col("neighbor_id")).distinct()
-          val members = corpus
-            .select(col(idCol).cast("long").as("_rid"),
-              VF.normalize(col(vecCol)).as("_v"))
-            .join(memberIds.withColumnRenamed("neighbor_id", "_rid"),
-              Seq("_rid"))
-          deriveSubCentroids(members) match {
-            case None => unsplittable += cell
-            case Some(subs) => split(cell, subs); splits += 1
+        .take(maxSplits - splits)
+        .map(_._1)
+      if (hotCells.isEmpty) done = true
+      else {
+        passes += 1
+        val memberIds = codes
+          .filter(col(cellCol).isin(hotCells.map(Int.box): _*))
+          .select(col("neighbor_id").as("_rid"),
+            col(cellCol).cast("int").as("_mcell"))
+          .distinct()
+        val members = corpus
+          .select(col(idCol), col(vecCol),
+            col(idCol).cast("long").as("_rid"),
+            VF.normalize(col(vecCol)).as("_v"))
+          .join(memberIds, Seq("_rid"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          members.count(): Unit // materialize: the pass's ONE corpus scan
+          val planned = hotCells.flatMap { cell =>
+            deriveSubCentroids(
+              members.filter(col("_mcell") === cell).select("_rid", "_v"),
+              cell) match {
+              case None => unsplittable += cell; None
+              case Some(subs) => Some(cell -> subs)
+            }
           }
+          if (planned.nonEmpty) {
+            // dropDuplicates collapses an id appended into two hot
+            // cells to its single corpus row (content-identical copies
+            // — the pick is value-deterministic), matching the
+            // tombstone's distinct-id count
+            val hot = members
+              .filter(col("_mcell")
+                .isin(planned.map(t => Int.box(t._1)): _*))
+              .dropDuplicates("_rid")
+              .select(col(idCol), col(vecCol))
+            split(planned.toSeq, hot, mid)
+            splits += planned.size
+            cellsSplit ++= planned.map(_._1)
+          }
+        } finally members.unpersist(): Unit
       }
     }
-    splits
+    PolicyReport(splits, passes, cellsSplit.toSeq)
   }
 
   /** The deterministic seeded 2-means of [[rebalance]]'s doc, over a
@@ -1222,14 +1370,23 @@ object AnnIndex {
     * assignment). 1e-6 sits far above summation noise and far below
     * any clustering-quality scale. Returns None when the cell cannot
     * be separated (identical seeds, an empty side, coinciding means —
-    * an all-duplicate cell: splitting cannot help it). */
-  private def deriveSubCentroids(members: DataFrame)
+    * an all-duplicate cell: splitting cannot help it). An EMPTY
+    * members frame is not "unsplittable" — the index reports the cell
+    * holds rows, so the corpus is missing them: fail with the same
+    * loud corpus-coverage contract [[splitCell]] enforces, never an
+    * ArrayIndexOutOfBounds. */
+  private def deriveSubCentroids(members: DataFrame, cell: Int)
       : Option[Array[Array[Double]]] = {
     def dot(v: Column, c: Array[Double]): Column =
       aggregate(zip_with(v, typedLit(c.toSeq), (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)
     val a = members.orderBy(col("_rid"))
-      .limit(1).collect()(0).getSeq[Double](1).toArray
+      .limit(1).collect().headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"corpus does not cover cell $cell: the index holds its member " +
+            "rows but the corpus join found none — a member id is missing " +
+            "from the corpus; rebalance cannot derive sub-centroids"))
+      .getSeq[Double](1).toArray
     val b = members
       .orderBy(dot(col("_v"), a).asc, col("_rid").asc)
       .limit(1).collect()(0).getSeq[Double](1).toArray
@@ -1666,31 +1823,57 @@ object AnnIndex {
     * assignment needs the raw vectors. */
   def splitCellSq(corpus: DataFrame, idCol: String, vecCol: String,
                   dir: String, cell: Int,
-                  subCentroids: Array[Array[Double]]): Unit = {
+                  subCentroids: Array[Array[Double]]): Unit =
+    splitCellsSqImpl(corpus, idCol, vecCol, dir, Seq(cell -> subCentroids),
+      expectMid = None, hotOverride = None)
+
+  /** [[splitCellsImpl]] for the SQ8 tier — the same batched,
+    * snapshot-pinned, one-swap split over [[cellStatsSq]]'s layout
+    * (see the IVF twin's doc for `expectMid` / `hotOverride`). */
+  private[graft] def splitCellsSqImpl(corpus: DataFrame, idCol: String,
+                               vecCol: String, dir: String,
+                               splits: Seq[(Int, Array[Array[Double]])],
+                               expectMid: Option[Long],
+                               hotOverride: Option[DataFrame]): Unit = {
     val spark = corpus.sparkSession
     val f = fs(spark, dir)
     val (mid, md) = refresh(f, dir)
+    expectMid.foreach { e =>
+      if (mid != e) throw new java.util.ConcurrentModificationException(
+        s"another writer committed to $dir after the policy derived its " +
+          s"sub-centroids (snapshot $e -> $mid) — the derivation is " +
+          "stale; re-run rebalanceSq against the fresh snapshot")
+    }
     maybeKill(dir, "stage")
     val idx = loadSq(spark, dir, asOf = Some(mid))
     val cents = idx.centroids.getOrElse(throw new IllegalArgumentException(
       "splitCellSq needs a cell-partitioned SQ index (buildSq with " +
         "centroids)"))
-    require(cell >= 1 && cell <= cents.length,
-      s"cell $cell out of range 1..${cents.length}")
-    require(subCentroids.length >= 2,
-      s"a split needs >= 2 sub-centroids, got ${subCentroids.length}")
+    require(splits.nonEmpty, "no cells to split")
+    val cells = splits.map(_._1)
+    require(cells.distinct.length == cells.length,
+      s"duplicate cells in one split pass: ${cells.mkString(",")}")
     val dim = idx.dim
-    require(subCentroids.forall(_.length == dim),
-      s"sub-centroid dim != index dim $dim")
-    val memberIds = idx.codes.filter(col("cell") === cell)
+    splits.foreach { case (cell, subs) =>
+      require(cell >= 1 && cell <= cents.length,
+        s"cell $cell out of range 1..${cents.length}")
+      require(subs.length >= 2,
+        s"a split needs >= 2 sub-centroids, got ${subs.length} (cell $cell)")
+      require(subs.forall(_.length == dim),
+        s"sub-centroid dim != index dim $dim (cell $cell)")
+    }
+    val cellsMsg = cells.mkString(",")
+    val memberIds = idx.codes
+      .filter(col("cell").isin(cells.map(Int.box): _*))
       .select(col("neighbor_id")).distinct()
-    val hot = corpus
+    val hot = hotOverride.getOrElse(corpus
       .select(col(idCol), col(vecCol))
       .join(memberIds.withColumnRenamed("neighbor_id", "_split_mid"),
         col(idCol).cast("long") === col("_split_mid"))
-      .drop("_split_mid")
-    val newCents =
-      cents.updated(cell - 1, subCentroids.head) ++ subCentroids.tail
+      .drop("_split_mid"))
+    val newCents = splits.foldLeft(cents) {
+      case (cs, (cell, subs)) => cs.updated(cell - 1, subs.head) ++ subs.tail
+    }
     val modelDir = freshName("model-")
     writeSqModelArtifacts(spark, s"$dir/$modelDir", idx.model, Some(newCents))
     val segName = freshName("batch-")
@@ -1707,16 +1890,16 @@ object AnnIndex {
     if (tn == 0) {
       cleanup()
       throw new IllegalArgumentException(
-        s"cell $cell of $dir is empty — nothing to split (re-read " +
+        s"cell(s) $cellsMsg of $dir are empty — nothing to split (re-read " +
           "cellStatsSq; the imbalance may have been compacted away)")
     }
     if (n != tn) {
       cleanup()
       throw new IllegalArgumentException(
-        s"corpus does not cover cell $cell exactly: the index holds $tn " +
-          s"rows, the re-key landed $n — a member id is missing from " +
-          "(or duplicated in) the corpus; splitting would drop or " +
-          "duplicate those rows")
+        s"corpus does not cover cell(s) $cellsMsg exactly: the index " +
+          s"holds $tn rows, the re-key landed $n — a member id is " +
+          "missing from (or duplicated in) the corpus; splitting would " +
+          "drop or duplicate those rows")
     }
     maybeKill(dir, "staged")
     fireTestHook(dir)

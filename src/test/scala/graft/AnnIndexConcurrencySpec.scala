@@ -584,15 +584,20 @@ class AnnIndexConcurrencySpec extends AnyFunSuite {
 
   test("committer capability probe: an overwrite-happy store fails loudly before carrying a manifest") {
     val conf = spark.sparkContext.hadoopConfiguration
-    // a store whose create(overwrite = false) silently replaces — the
-    // failure mode that would let two racing writers both 'win' a
-    // generation and drop one commit
+    // a NON-LOCAL store whose create(overwrite = false) silently
+    // replaces — the failure mode that would let two racing writers
+    // both 'win' a generation and drop one commit. (The local scheme
+    // no longer depends on the FS's create-exclusive at all: the
+    // committer reserves file: slots through O_CREAT|O_EXCL — the
+    // racing-writers test below pins that directly — so the probe's
+    // overwrite-happy stand-in must present a remote scheme.)
     val overwriteHappy = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def getUri: java.net.URI = new java.net.URI("mock:///")
       override def create(p: org.apache.hadoop.fs.Path, overwrite: Boolean)
           : org.apache.hadoop.fs.FSDataOutputStream =
         super.create(p, true)
     }
-    overwriteHappy.initialize(new java.net.URI("file:///"), conf)
+    overwriteHappy.initialize(new java.net.URI("mock:///"), conf)
     val dir = s"${tmpDir()}/probe"
     new java.io.File(s"$dir/manifest").mkdirs()
     val ex = intercept[IllegalStateException](
@@ -602,6 +607,40 @@ class AnnIndexConcurrencySpec extends AnyFunSuite {
     val honest = new org.apache.hadoop.fs.RawLocalFileSystem()
     honest.initialize(new java.net.URI("file:///"), conf)
     AnnIndex.probeCommitter(honest, dir)
+  }
+
+  test("local manifest reserve is atomic under racing writers: exactly one wins each slot, and the winner's body survives") {
+    // THE STORM-CAUGHT BUG (round 18): Hadoop RawLocalFileSystem's
+    // create(overwrite = false) is exists-then-open — two putIfAbsent
+    // calls racing into the same slot could BOTH return true, and one
+    // body silently overwrote the other (a committed batch vanished
+    // wholesale at the storm's barrier, ~1/3 of runs). The committer
+    // now reserves local slots via O_CREAT|O_EXCL; this pins exactly-
+    // one-winner and body integrity across repeated latched races.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    val dir = tmpDir()
+    for (slot <- 1 to 32) {
+      val dest = new org.apache.hadoop.fs.Path(s"$dir/m-$slot")
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val winner = new java.util.concurrent.atomic.AtomicReference[String]()
+      val wins = new java.util.concurrent.atomic.AtomicInteger
+      val ths = Seq("writer-A\n", "writer-B\n").map { b =>
+        new Thread(() => {
+          latch.await()
+          if (AnnIndex.committer.putIfAbsent(f, dest,
+              b.getBytes("UTF-8"), () => ())) {
+            wins.incrementAndGet(); winner.set(b); ()
+          }
+        })
+      }
+      ths.foreach(_.start()); latch.countDown(); ths.foreach(_.join())
+      assert(wins.get == 1, s"slot $slot: ${wins.get} racing writers won")
+      val got = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/m-$slot")), "UTF-8")
+      assert(got == winner.get,
+        s"slot $slot: surviving body is not the winner's")
+    }
   }
 
   test("expire's argument-less default keeps ONLY the current generation (the documented destructive default)") {

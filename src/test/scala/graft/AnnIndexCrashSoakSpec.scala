@@ -8,7 +8,7 @@ import graft.sources.AnnIndex
 /** Randomized crash-injection soak of the optimistic commit protocol
   * ([[graft.sources.AnnIndex]]): a seeded RNG drives a long random walk
   * of every in-chain verb (append / upsert / delete / compact / retrain
-  * / merge / expire, plus splitCell on the IVF tier — the walk adopts
+  * / merge / expire / splitCell(Sq) / rebalance(Sq) — the walk adopts
   * each new verb as it is added, so the soak's coverage tracks the
   * API's) on BOTH tiers, killing the writer at seeded points —
   * `stage` (nothing written yet), `staged` (artifacts complete,
@@ -255,8 +255,11 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
     // the model the index CURRENTLY encodes with: a committed splitCell
     // grows the centroid table (and a later retrain resets it), and
     // merge shards must be built with the dst's model-of-the-moment or
-    // the federation contract rejects them
+    // the federation contract rejects them. The SQ tier tracks its
+    // coarse quantizer the same way — splitCellSq/rebalanceSq grow it,
+    // and mergeSq rejects shards built with a stale table.
     var curCents = cents
+    var curSqCents = cents
 
     def loadIds(): Seq[Long] = {
       val codes =
@@ -274,15 +277,19 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
 
     for (step <- 1 to steps) {
       // pick the verb (fall back to append when the corpus is too
-      // small to upsert/delete without emptying it; splitCell exists
-      // only on the IVF tier)
+      // small to upsert/delete without emptying it). The split slot
+      // alternates verb (split) and policy (rebalance) by step parity
+      // rather than an extra rng draw, keeping the kill schedule
+      // bit-identical to the pre-rebalance walks; both run on BOTH
+      // tiers — splitCellSq/rebalanceSq get the same arbitrary-death
+      // exposure as their IVF twins.
       val v = rng.nextDouble()
       var verb =
         if (v < 0.20) "append" else if (v < 0.38) "upsert"
         else if (v < 0.52) "delete" else if (v < 0.63) "compact"
         else if (v < 0.74) "retrain" else if (v < 0.86) "merge"
-        else if (v < 0.94) "expire" else "split"
-      if (verb == "split" && tier != "ivf") verb = "append"
+        else if (v < 0.94) "expire"
+        else if (step % 2 == 0) "rebalance" else "split"
       if ((verb == "upsert" || verb == "delete") && truth.size < 13)
         verb = "append"
 
@@ -304,7 +311,8 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
         if (tier == "ivf")
           AnnIndex.buildIvfPq(df(rows), "vec_id", "embedding", d, curCents, cbs)
         else
-          AnnIndex.buildSq(df(rows), "vec_id", "embedding", d, sqM, Some(cents))
+          AnnIndex.buildSq(df(rows), "vec_id", "embedding", d, sqM,
+            Some(curSqCents))
         d
       } else ""
       val key = if (verb == "append" || verb == "upsert") {
@@ -331,6 +339,26 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
           val m0 = truth(members.head.getLong(1)).map(_.toDouble).toArray
           AnnIndex.splitCell(df(truth.toSeq), "vec_id", "embedding", dir,
             cell, Array(m0, m0.map(_ + 0.5)))
+        case ("sq", "split") =>
+          // the SQ twin: same hottest-cell pick over the `cell` layout
+          val idx = AnnIndex.loadSq(spark, dir)
+          val byCell = idx.codes
+            .select(col("cell").cast("int"), col("neighbor_id"))
+            .collect().groupBy(_.getInt(0))
+          val (cell, members) = byCell.maxBy(_._2.length)
+          val m0 = truth(members.head.getLong(1)).map(_.toDouble).toArray
+          AnnIndex.splitCellSq(df(truth.toSeq), "vec_id", "embedding", dir,
+            cell, Array(m0, m0.map(_ + 0.5)))
+        case ("ivf", "rebalance") =>
+          // the POLICY under arbitrary death: stats read + seeded
+          // 2-means + batched split, same kill seams as the verb. A
+          // quiet index (nothing over the bar) is a legal no-op — the
+          // armed kill then just stays for the next step's clear.
+          AnnIndex.rebalance(df(truth.toSeq), "vec_id", "embedding", dir,
+            maxImbalance = 2.0, maxSplits = 2): Unit
+        case ("sq", "rebalance") =>
+          AnnIndex.rebalanceSq(df(truth.toSeq), "vec_id", "embedding", dir,
+            maxImbalance = 2.0, maxSplits = 2): Unit
         case ("sq", "append") =>
           AnnIndex.appendSq(df(rows), "vec_id", "embedding", dir, Some(key))
         case ("sq", "upsert") =>
@@ -399,14 +427,15 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
         case "append" | "upsert" | "merge" =>
           rows.foreach { case (i, vv) => truth(i) = vv }
         case "delete" => delIds.foreach(truth.remove)
-        case "split" | "retrain" =>
-          // visible set unchanged; the IVF MODEL may have (splitCell
-          // grows the centroid table) — re-read it so later shard
-          // builds and the final replay use the real one. The SQ
-          // walk's quantizer never changes (retrainSq re-fits onto the
-          // same centroids), so only the IVF tier re-reads.
+        case "split" | "rebalance" | "retrain" =>
+          // visible set unchanged; the MODEL may have (split/rebalance
+          // grow the centroid table, retrain resets it) — re-read it so
+          // later shard builds and the final replay use the real one
           if (tier == "ivf")
             curCents = AnnIndex.load(spark, dir).centroids
+          else
+            curSqCents = AnnIndex.loadSq(spark, dir).centroids
+              .getOrElse(curSqCents)
         case _ => // compact/expire never change the visible set
       }
 
@@ -440,8 +469,11 @@ class AnnIndexCrashSoakSpec extends AnyFunSuite {
       assert(got == want, s"[$tier] post-soak search diverged from a " +
         "crash-free build")
     } else {
+      // replay under the index's FINAL quantizer (splitCellSq /
+      // rebalanceSq grow it) — SQ codes are cell-independent, but the
+      // layouts should match like the IVF replay's model does
       AnnIndex.buildSq(df(truth.toSeq), "vec_id", "embedding", seqDir,
-        sqM, Some(cents))
+        sqM, Some(curSqCents))
       val got = AnnIndex.topKSq(AnnIndex.loadSq(spark, dir), q, "vec_id",
         "embedding", k = 3).collect().map(_.toSeq).toSet
       val want = AnnIndex.topKSq(AnnIndex.loadSq(spark, seqDir), q, "vec_id",

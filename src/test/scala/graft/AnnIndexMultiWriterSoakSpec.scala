@@ -99,13 +99,14 @@ class AnnIndexMultiWriterSoakSpec extends AnyFunSuite {
     * separate processes would (no shared JVM mutex exists there). The
     * round-16 spec serialized these through a test-side gate because
     * repair raced getFileStatus against a peer's delete; repair is now
-    * contractually concurrent-safe (peer deletes read as
-    * already-repaired, the destructive delete re-verifies the corpse
-    * first — see its doc), and this soak plus AnnIndexRepairRaceSpec
-    * hold it to that. Stale-window-respecting (see class doc): an
+    * contractually concurrent-safe by SUPERSEDE-NEVER-DELETE: it
+    * republishes the last complete generation over the corpse through
+    * the put-if-absent committer (one winner; losers re-evaluate) and
+    * never frees a contended slot — see its doc; this soak plus
+    * AnnIndexRepairRaceSpec hold it to that. Stale-window-respecting (see class doc): an
     * incomplete top manifest younger than the window is an IN-FLIGHT
     * publish — wait for it to either complete (repair then reports
-    * healthy) or age into a corpse (repair then deletes it). */
+    * healthy) or age into a corpse (repair then supersedes it). */
   private def unwedge(dir: String): Unit = {
     var attempts = 0
     var done = false
@@ -179,6 +180,12 @@ class AnnIndexMultiWriterSoakSpec extends AnyFunSuite {
     // per-writer state: disjoint id space, private committed ledger,
     // private seeded RNG (deterministic verb/kill sequences; only the
     // INTERLEAVING is nondeterministic — the assertions don't need it)
+    // curSqCents: the SQ coarse quantizer of the moment — the barrier
+    // interludes below grow it (rebalanceSq/splitCellSq), and merge
+    // shards must be built against the grown table or mergeSq's
+    // model-mismatch require rejects them. Updated ONLY at barriers
+    // (writers quiesced), read freely by writer rounds.
+    @volatile var curSqCents = cents
     val ledgers = Array.fill(nWriters)(
       scala.collection.mutable.LinkedHashMap[Long, Seq[Float]]())
     val rngs = Array.tabulate(nWriters)(w => new scala.util.Random(seed + w))
@@ -238,7 +245,8 @@ class AnnIndexMultiWriterSoakSpec extends AnyFunSuite {
         if (tier == "ivf")
           AnnIndex.buildIvfPq(df(rows), "vec_id", "embedding", d, cents, cbs)
         else
-          AnnIndex.buildSq(df(rows), "vec_id", "embedding", d, sqM, Some(cents))
+          AnnIndex.buildSq(df(rows), "vec_id", "embedding", d, sqM,
+            Some(curSqCents))
         d
       } else ""
 
@@ -344,6 +352,68 @@ class AnnIndexMultiWriterSoakSpec extends AnyFunSuite {
       }
     }
 
+    // SQ MAINTENANCE INTERLUDE — splitCellSq / rebalanceSq inside the
+    // storm, run at the phase BARRIER (writers quiesced): the verbs'
+    // corpus contract needs a consistent snapshot of the raw vectors
+    // (a free-running pass could read a ledger mid-upsert and re-key a
+    // row from a stale vector — a caller contract violation, not a
+    // protocol property), and the storm's value here is arbitrary
+    // death on the crash-debris-laden contended index: seeded kills,
+    // the repair runbook, and the grown table feeding the NEXT phase's
+    // contention (appends/merges/upserts all run against it). The
+    // in-flight-race abort (a writer committing mid-policy) is pinned
+    // deterministically by AnnRebalanceSpec's competing-commit test.
+    // SQ-only by the same reasoning that keeps retrain out of the
+    // storm: an IVF split re-encodes rows, which would break END GAME
+    // 1's frozen-model code equality; the SQ split is a pure re-key
+    // (codes bit-identical), so every end-game assertion survives it.
+    val maintRng = new scala.util.Random(seed ^ 0x5DEECE66DL)
+    def sqInterlude(phase: Int): Unit = {
+      val corpus = df(groundTruth) // barrier: ledgers quiesced
+      val k = maintRng.nextDouble()
+      val kill =
+        if (k < 0.25) "" else if (k < 0.45) "stage"
+        else if (k < 0.65) "staged" else if (k < 0.85) "publish-torn"
+        else "published"
+      if (kill.nonEmpty) AnnIndex.testKillPoint.put(dir, kill)
+      var done = false
+      var attempts = 0
+      while (!done) {
+        attempts += 1
+        assert(attempts <= 10, "[sq] maintenance interlude did not converge")
+        try {
+          if (phase % 2 == 1)
+            AnnIndex.rebalanceSq(corpus, "vec_id", "embedding", dir,
+              maxImbalance = 2.0, maxSplits = 2): Unit
+          else {
+            val idx = AnnIndex.loadSq(spark, dir)
+            val byCell = idx.codes
+              .select(col("cell").cast("int"), col("neighbor_id"))
+              .collect().groupBy(_.getInt(0))
+            val (cell, members) = byCell.maxBy(_._2.length)
+            val truthMap = groundTruth.toMap
+            val m0 = truthMap(members.head.getLong(1))
+              .map(_.toDouble).toArray
+            AnnIndex.splitCellSq(corpus, "vec_id", "embedding", dir,
+              cell, Array(m0, m0.map(_ + 0.5)))
+          }
+          done = true
+        } catch {
+          case c: AnnIndex.InjectedCrash =>
+            firedInc(c.point)
+            c.point match {
+              case "published" => done = true
+              case "publish-torn" => unwedge(dir)
+              case _ => // stage/staged: nothing visible — re-run
+            }
+        }
+      }
+      AnnIndex.testKillPoint.remove(dir)
+      curSqCents = AnnIndex.loadSq(spark, dir).centroids
+        .getOrElse(curSqCents)
+      checkVisible(s"phase $phase post-maintenance")
+    }
+
     // phases of free-running contention with a serializability barrier
     // between them (writers quiesce; the visible set must equal the
     // union of the committed ledgers — true of every serial order)
@@ -359,6 +429,7 @@ class AnnIndexMultiWriterSoakSpec extends AnyFunSuite {
         futures.foreach(_.get(300, TimeUnit.SECONDS))
         AnnIndex.testKillPoint.remove(dir) // a lingering unconsumed arm
         checkVisible(s"phase $phase barrier")
+        if (tier == "sq") sqInterlude(phase)
       }
     } finally pool.shutdownNow()
 
@@ -411,8 +482,10 @@ class AnnIndexMultiWriterSoakSpec extends AnyFunSuite {
       assert(got == want,
         s"[$tier] post-storm search diverged from a sequential replay")
     } else {
+      // replay under the FINAL quantizer (the interludes grew it); SQ
+      // scoring is cell-independent, so this only aligns the layouts
       AnnIndex.buildSq(df(truth), "vec_id", "embedding", seqDir, sqM,
-        Some(cents))
+        Some(curSqCents))
       val got = AnnIndex.topKSq(AnnIndex.loadSq(spark, dir), q, "vec_id",
         "embedding", k = 3).collect().map(_.toSeq).toSet
       val want = AnnIndex.topKSq(AnnIndex.loadSq(spark, seqDir), q, "vec_id",

@@ -171,6 +171,61 @@ class AnnRebalanceSpec extends AnyFunSuite {
     e.unpersist(): Unit
   }
 
+  test("a concurrent commit aborts the policy loudly: stale snapshot pin, and a lost publish race mid-policy") {
+    val root = java.nio.file.Files.createTempDirectory("ann_rebal_race").toString
+    val e = skewedCorpus(300).cache()
+    val dir = s"$root/idx"
+    build(dir, e)
+    val hot = {
+      val idx = AnnIndex.load(spark, dir)
+      AnnIndex.cellStats(idx).collect()
+        .maxBy(_.getAs[Long]("n_vectors")).getAs[Int]("cell")
+    }
+    val subs = Array(
+      Array(1.0, 0.1, 0, 0, 0, 0, 0, 0), Array(1.0, -0.1, 0, 0, 0, 0, 0, 0))
+
+    // (a) the snapshot PIN: sub-centroids derived at generation 0, a
+    // commit moved the chain to generation 1 — the split must refuse
+    // BEFORE staging (the derivation's member set is stale), on both
+    // tiers. This is rebalance's enforced abort, not the publish race.
+    val extra = Seq((100000L, Seq.fill(dim)(0.25f))).toDF("vec_id", "embedding")
+    AnnIndex.appendIvfPq(extra, "vec_id", "embedding", dir)
+    val exPin = intercept[java.util.ConcurrentModificationException](
+      AnnIndex.splitCellsImpl(e, "vec_id", "embedding", dir,
+        Seq(hot -> subs), expectMid = Some(0L), hotOverride = None))
+    assert(exPin.getMessage.contains("stale"), exPin.getMessage)
+    assert(AnnIndex.load(spark, dir).nlist == skewedCentroids.length,
+      "a refused split left a new model behind")
+
+    val sqDir = s"$root/sq"
+    AnnIndex.buildSq(e, "vec_id", "embedding", sqDir,
+      graft.operators.Sq.fit(e, "embedding"), Some(skewedCentroids))
+    AnnIndex.appendSq(extra, "vec_id", "embedding", sqDir)
+    val exPinSq = intercept[java.util.ConcurrentModificationException](
+      AnnIndex.splitCellsSqImpl(e, "vec_id", "embedding", sqDir,
+        Seq(hot -> subs), expectMid = Some(0L), hotOverride = None))
+    assert(exPinSq.getMessage.contains("stale"), exPinSq.getMessage)
+
+    // (b) END-TO-END through the policy: a competing append lands in
+    // the split's publish window — rebalance aborts loudly, the
+    // racer's commit survives, no model bump leaks
+    val dir2 = s"$root/idx2"
+    build(dir2, e)
+    val nBefore = AnnIndex.load(spark, dir2).nrows
+    AnnIndex.testBeforePublish.put(dir2, () =>
+      AnnIndex.appendIvfPq(
+        Seq((200000L, Seq.fill(dim)(0.5f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir2))
+    intercept[java.util.ConcurrentModificationException](
+      AnnIndex.rebalance(e, "vec_id", "embedding", dir2,
+        maxImbalance = 3.0, maxSplits = 6))
+    val after = AnnIndex.load(spark, dir2)
+    assert(after.nrows == nBefore + 1, "the racing append's row was lost")
+    assert(after.nlist == skewedCentroids.length,
+      "an aborted policy run left a grown centroid table")
+    e.unpersist(): Unit
+  }
+
   test("rebalance skips an unsplittable all-duplicate hot cell instead of spinning") {
     val root = java.nio.file.Files.createTempDirectory("ann_rebal_dup").toString
     // every vector identical => one hot cell that CANNOT be separated
