@@ -2128,7 +2128,21 @@ object AnnIndex {
     * resolves past it, no writer can ever target its slot again — and
     * [[expire]] reclaims it once it ages out of the retention window.
     * "Torn" includes CRC-mismatch and EOF corpses on checksummed
-    * stores (see [[readManifest]]'s classification). */
+    * stores (see [[readManifest]]'s classification).
+    *
+    * `staleAfterMs` IS A FENCING LEASE, and the one assumption this
+    * protocol shares with every lease-based recovery scheme: it must
+    * exceed the maximum reserve→close stall of any LIVE publisher on
+    * this store. A publisher suspended longer than the window between
+    * reserving its slot and writing the body looks exactly like a
+    * corpse; a repair running in that gap supersedes it, and the
+    * writer's late body lands in a buried generation it believes
+    * committed. The production default (10 min) dwarfs any real
+    * publish of a few-hundred-byte body; soaks that shrink the window
+    * for wall-clock reasons must keep it above the test host's worst
+    * scheduling stall. Stores whose reserve is atomic WITH the body
+    * (S3 conditional PUT, GCS generation-match) have no such window
+    * at all — plug them in via [[ManifestCommitter]]. */
   def repair(spark: SparkSession, dir: String,
              staleAfterMs: Long = 10L * 60 * 1000): Boolean = {
     val f = fs(spark, dir)
