@@ -277,7 +277,10 @@ object AnnIndex {
               tombs += Art(k.drop(5).toLong, v.toLong, "t-" + k.drop(5))
             case Array(k, v, d) if k.startsWith("tomb-") =>
               tombs += Art(k.drop(5).toLong, v.toLong, d)
-            case _ => // v2 / commit sentinels
+            case _ => // v2 / commit sentinels / `supersedes N` (repair's
+                      // burial marker — deliberately NOT parsed into
+                      // ManifestData, so a verb re-basing on a supersede
+                      // can never carry the marker forward)
           }
         }
         val s = segs.result()
@@ -486,6 +489,83 @@ object AnnIndex {
       probeCommitter(f, dir); java.lang.Boolean.TRUE
     }): Unit
 
+  /** One unretried look at manifest slot `id` — the [[burialCheck]]
+    * and [[repair]] classification primitive. `SlotComplete` carries
+    * the slot's `supersedes` marker when it is a [[repair]] supersede
+    * (the marker a buried writer detects itself by). */
+  private sealed trait SlotProbe
+  private case object SlotAbsent extends SlotProbe
+  private case object SlotTorn extends SlotProbe
+  private final case class SlotComplete(supersedes: Option[Long])
+    extends SlotProbe
+
+  private def probeSlot(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                        id: Long): SlotProbe =
+    try {
+      val in = f.open(path(s"$dir/manifest/m-$id"))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val lines = txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      val v2 = lines.headOption.contains("v2")
+      val legacyOk = !v2 && lines.exists(l =>
+        l.startsWith("batch-") || l.startsWith("tomb-") ||
+          l.startsWith("hw ") || l.startsWith("shw ") ||
+          l.startsWith("model "))
+      if ((v2 && lines.lastOption.contains("commit")) || legacyOk)
+        SlotComplete(lines.collectFirst {
+          case l if l.startsWith("supersedes ") =>
+            l.drop("supersedes ".length).trim.toLong
+        })
+      else SlotTorn
+    } catch {
+      case _: java.io.FileNotFoundException => SlotAbsent
+      case _: org.apache.hadoop.fs.ChecksumException => SlotTorn
+      case _: java.io.EOFException => SlotTorn
+    }
+
+  /** WRITER-SIDE BURIAL DETECTION — run after every successful
+    * put-if-absent, it closes (to a vanishing corner) the fencing-
+    * lease hole documented on [[repair]]: a publisher stalled between
+    * reserving slot `id` and writing the body looks like a corpse, and
+    * a repair running in that gap supersedes it at `id + 1`; without
+    * this check the late writer's body lands in a buried generation it
+    * reports as committed (silent whole-batch loss). Supersede
+    * manifests DECLARE their corpse (`supersedes N`), so the writer
+    * checks slot `id + 1` once its body is durable:
+    *   - absent → sealed: any future repair re-reads slot `id`
+    *     complete and never supersedes it;
+    *   - complete successor → built on us (it read `id` complete);
+    *   - complete supersede OF US → buried: report the publish LOST —
+    *     the caller re-bases exactly like a lost race and the batch
+    *     lands exactly once in a live generation;
+    *   - torn → a mid-write publisher: wait within the reader budget.
+    *     If it completes, classify as above. If it STAYS torn it is
+    *     itself a corpse, and its future repair picks the HIGHEST
+    *     complete generation below it — us — as the donor, so
+    *     reporting committed is consistent either way.
+    * The remaining corner — a repair that pauses between its staleness
+    * verdict and its supersede publish for longer than our body write
+    * plus this check's budget — is the irreducible lease assumption on
+    * [[repair]]; this check removes every timing in which the
+    * supersede lands before or during our publish. */
+  private def burialCheck(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                          id: Long): Boolean = {
+    val retryBudget = Option(manifestRetryOverride.get(dir))
+      .fold(manifestRetryAttempts)(_.intValue)
+    var attempt = 0
+    while (true) {
+      probeSlot(f, dir, id + 1) match {
+        case SlotAbsent => return true
+        case SlotComplete(sup) => return !sup.contains(id)
+        case SlotTorn =>
+          attempt += 1
+          if (attempt > retryBudget) return true
+          Thread.sleep(25)
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Attempt to publish manifest `id` through the [[ManifestCommitter]]
     * seam (put-if-absent — see its doc for the per-store atomicity
     * mapping and the first-publish capability probe): returns false
@@ -498,21 +578,30 @@ object AnnIndex {
     * the body leaves a sentinel-less manifest that wedges the chain
     * LOUDLY — [[repair]] is the recovery verb. */
   private def tryPublish(f: org.apache.hadoop.fs.FileSystem, dir: String,
-                         id: Long, md: ManifestData): Boolean = {
+                         id: Long, md: ManifestData,
+                         supersedes: Option[Long] = None): Boolean = {
     f.mkdirs(path(s"$dir/manifest"))
     probeCommitterOnce(f, dir)
     val dest = path(s"$dir/manifest/m-$id")
     val modelLine =
       if (md.modelDir.isEmpty) s"model ${md.model}"
       else s"model ${md.model} ${md.modelDir}"
+    // `supersedes N` marks a [[repair]] supersede and is written ONLY
+    // from repair's own publish (readManifest skips it; it never
+    // propagates into ManifestData, so a later verb re-basing on the
+    // supersede cannot accidentally carry the marker forward) — it is
+    // what [[burialCheck]] reads to tell "successor built on me" from
+    // "my slot was judged a corpse"
     val body = (Seq("v2", modelLine, s"hw ${md.hw}",
         s"shw ${md.shw}") ++
+      supersedes.map(s => s"supersedes $s").toSeq ++
       md.segs.map(a => s"batch-${a.id} ${a.n} ${a.dirName}") ++
       md.tombs.map(a => s"tomb-${a.id} ${a.n} ${a.dirName}") ++
       Seq("commit"))
       .mkString("", "\n", "\n")
     committer.putIfAbsent(f, dest, body.getBytes("UTF-8"),
-      () => maybeKill(dir, "publish-torn"))
+      () => maybeKill(dir, "publish-torn")) &&
+      burialCheck(f, dir, id)
   }
 
   /** Publish manifest `id`, failing loudly on a conflict — for the
@@ -2135,14 +2224,22 @@ object AnnIndex {
     * exceed the maximum reserve→close stall of any LIVE publisher on
     * this store. A publisher suspended longer than the window between
     * reserving its slot and writing the body looks exactly like a
-    * corpse; a repair running in that gap supersedes it, and the
-    * writer's late body lands in a buried generation it believes
-    * committed. The production default (10 min) dwarfs any real
-    * publish of a few-hundred-byte body; soaks that shrink the window
-    * for wall-clock reasons must keep it above the test host's worst
-    * scheduling stall. Stores whose reserve is atomic WITH the body
-    * (S3 conditional PUT, GCS generation-match) have no such window
-    * at all — plug them in via [[ManifestCommitter]]. */
+    * corpse, and a repair running in that gap supersedes it. The late
+    * writer is NOT silently lost: supersede manifests declare their
+    * corpse (`supersedes N`), and every publish runs a writer-side
+    * [[burialCheck]] once its body is durable — a buried writer reads
+    * the marker at slot+1 and reports its commit LOST (re-base and
+    * retry, exactly like a lost race), so the loss becomes loud in
+    * every timing where the supersede lands before or during the
+    * writer's publish. The irreducible corner is a repair pausing
+    * between its staleness verdict and its supersede publish for
+    * longer than the writer's body write plus its check budget — that
+    * is what the lease bounds. The production default (10 min) dwarfs
+    * any real publish of a few-hundred-byte body; soaks that shrink
+    * the window for wall-clock reasons must keep it above the test
+    * host's worst scheduling stall. Stores whose reserve is atomic
+    * WITH the body (S3 conditional PUT, GCS generation-match) have no
+    * such window at all — plug them in via [[ManifestCommitter]]. */
   def repair(spark: SparkSession, dir: String,
              staleAfterMs: Long = 10L * 60 * 1000): Boolean = {
     val f = fs(spark, dir)
@@ -2152,23 +2249,13 @@ object AnnIndex {
     def reEvaluate(): Boolean = repair(spark, dir, staleAfterMs)
     // one UNRETRIED read, classified three ways: complete / incomplete
     // (sentinel-less, CRC-mismatched, or short) / vanished (a peer
-    // repairer got there first)
+    // repairer got there first) — [[probeSlot]], the same primitive
+    // the writer-side burial check uses
     def completeNow(id: Long): Option[Boolean] =
-      try {
-        val in = f.open(path(s"$dir/manifest/m-$id"))
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        val lines = txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-        val v2 = lines.headOption.contains("v2")
-        val legacyOk = !v2 && lines.exists(l =>
-          l.startsWith("batch-") || l.startsWith("tomb-") ||
-            l.startsWith("hw ") || l.startsWith("shw ") ||
-            l.startsWith("model "))
-        Some((v2 && lines.lastOption.contains("commit")) || legacyOk)
-      } catch {
-        case _: org.apache.hadoop.fs.ChecksumException => Some(false)
-        case _: java.io.EOFException => Some(false)
-        case _: java.io.FileNotFoundException => None
+      probeSlot(f, dir, id) match {
+        case SlotAbsent => None
+        case SlotTorn => Some(false)
+        case SlotComplete(_) => Some(true)
       }
     val complete =
       try { readManifest(f, dir, top); true }
@@ -2222,7 +2309,15 @@ object AnnIndex {
         s"no complete manifest below corpse m-$top under $dir — the " +
           "index has no recoverable generation; rebuild it"))
     val donorMd = readManifest(f, dir, donor)
-    if (!tryPublish(f, dir, top + 1, donorMd)) return reEvaluate()
+    // the `supersedes` marker is the burial check's signal: a writer
+    // whose slot this supersede buries (its body landed AFTER our
+    // staleness sample) reads it at publish time and reports its own
+    // commit LOST instead of phantom-succeeding into a buried
+    // generation. A lost supersede race (false here) includes the case
+    // where a peer superseded OUR mid-write supersede — reEvaluate
+    // re-reads the chain and converges either way.
+    if (!tryPublish(f, dir, top + 1, donorMd, supersedes = Some(top)))
+      return reEvaluate()
     true
   }
 

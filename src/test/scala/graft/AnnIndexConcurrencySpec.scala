@@ -609,6 +609,53 @@ class AnnIndexConcurrencySpec extends AnyFunSuite {
     AnnIndex.probeCommitter(honest, dir)
   }
 
+  test("a publisher stalled past the stale window detects its burial: the superseded commit reports LOST and re-lands exactly once") {
+    // THE FENCING-LEASE CORNER, reproduced deterministically: a writer
+    // reserves its manifest slot, then stalls; a repairer samples the
+    // body-less slot, judges it a stale corpse (forced window) and
+    // supersedes it; the writer then finishes its body. Before the
+    // burial check, the writer reported a commit that no reader would
+    // ever see (silent whole-batch loss). Now: the supersede declares
+    // its corpse, the writer reads the marker at slot+1, reports the
+    // publish lost, re-bases past the supersede, and the batch lands
+    // exactly once in a LIVE generation.
+    val e = corpus(0, 40).cache()
+    val (cents, cbs) = model(e)
+    val dir = s"${tmpDir()}/idx"
+    AnnIndex.buildIvfPq(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, cents, cbs)
+    val real = AnnIndex.committer
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    AnnIndex.committer = new AnnIndex.ManifestCommitter {
+      def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+                      dest: org.apache.hadoop.fs.Path,
+                      body: Array[Byte], beforeBody: () => Unit): Boolean =
+        real.putIfAbsent(f, dest, body, () => {
+          beforeBody()
+          // the stall: our slot m-1 is reserved, body unwritten — the
+          // repairer runs HERE and supersedes us at m-2 (the armed flag
+          // keeps the repairer's own publish from recursing)
+          if (dest.getName == "m-1" && armed.getAndSet(false))
+            assert(AnnIndex.repair(spark, dir, staleAfterMs = -1),
+              "repair found nothing to supersede in the stall window")
+        })
+    }
+    try
+      AnnIndex.appendIvfPq(e.filter(col("vec_id") >= 20), "vec_id",
+        "embedding", dir)
+    finally AnnIndex.committer = real
+    // exactly once, in a live generation — not zero (silent burial),
+    // not twice (blind re-run of a live commit)
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.codes.count() == 40,
+      "the buried append was lost (or double-landed) instead of re-basing")
+    // chain shape: m-0 build, m-1 the buried append (complete but
+    // void), m-2 the supersede (copy of m-0), m-3 the re-landed append
+    assert(AnnIndex.versionsOf(spark, dir) == Seq(0L, 1L, 2L, 3L))
+    assert(AnnIndex.load(spark, dir, asOf = Some(2L)).codes.count() == 20,
+      "the supersede generation must be the donor's (build-only) content")
+  }
+
   test("local manifest reserve is atomic under racing writers: exactly one wins each slot, and the winner's body survives") {
     // THE STORM-CAUGHT BUG (round 18): Hadoop RawLocalFileSystem's
     // create(overwrite = false) is exists-then-open — two putIfAbsent
