@@ -2332,6 +2332,17 @@ object AnnIndex {
     import spark.implicits._
     val f = fs(spark, dir)
     val gens = versionsOf(spark, dir)
+    // a generation named by a later supersede marker is VOID history
+    // even when its manifest is complete (a writer stalled past the
+    // fencing lease, finished its body after the supersede, detected
+    // the burial and re-based — see burialCheck): without the label an
+    // operator would read it as a live snapshot. Markers are in the
+    // parameter-sized manifests, so this stays a directory-listing-
+    // cost report.
+    val buried = gens.flatMap(g => probeSlot(f, dir, g) match {
+      case SlotComplete(sup) => sup
+      case _ => None
+    }).toSet
     gens.flatMap { gen =>
       // a buried corpse (repair-superseded torn publish, non-top) is
       // REPORTED, not fatal — ops should see it awaiting its expiry;
@@ -2342,12 +2353,13 @@ object AnnIndex {
           case e: java.io.IOException if e.getMessage != null &&
               e.getMessage.contains("truncated") && gen != gens.last => None
         }
+      val pre = if (buried(gen)) "buried-" else ""
       mdOpt match {
         case Some(md) =>
           md.segs.map(a =>
-            (gen, "segment", a.id, a.n, md.hw, md.shw, md.model)) ++
+            (gen, pre + "segment", a.id, a.n, md.hw, md.shw, md.model)) ++
             md.tombs.map(a =>
-              (gen, "tombstone", a.id, a.n, md.hw, md.shw, md.model))
+              (gen, pre + "tombstone", a.id, a.n, md.hw, md.shw, md.model))
         case None =>
           Seq((gen, "torn-corpse", -1L, -1L, -1L, -1L, -1L))
       }

@@ -654,6 +654,16 @@ class AnnIndexConcurrencySpec extends AnyFunSuite {
     assert(AnnIndex.versionsOf(spark, dir) == Seq(0L, 1L, 2L, 3L))
     assert(AnnIndex.load(spark, dir, asOf = Some(2L)).codes.count() == 20,
       "the supersede generation must be the donor's (build-only) content")
+    // ops visibility: describe labels the buried-but-complete
+    // generation's rows — an operator must not read void history as a
+    // live snapshot
+    val desc = AnnIndex.describe(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(desc.filter(_._1 == 1L).nonEmpty &&
+      desc.filter(_._1 == 1L).forall(_._2.startsWith("buried-")),
+      s"buried generation not labeled in describe: ${desc.toSeq}")
+    assert(desc.filter(_._1 != 1L).forall(!_._2.startsWith("buried-")),
+      s"live generations mislabeled buried: ${desc.toSeq}")
   }
 
   test("local manifest reserve is atomic under racing writers: exactly one wins each slot, and the winner's body survives") {
