@@ -5073,6 +5073,200 @@ object QueriesText {
             ${sqScoringCtes("vec_id % 50 = 0",
               "JOIN cand ON cand.vec_id = e.vec_id")}"""))
 
+  // ---------------------------------------------------------------- q171
+  // Logistic-style linear quality classifier (LogReg): full-batch
+  // gradient descent over dense quality signals (length score, mean
+  // word length, stopword ratio, dup-bigram fraction — the q64 signal
+  // set as features) against a length-gate label (n_chars ≥ 300 — the
+  // boundary lives on a VARIABLE the features only correlate with, so
+  // the fit genuinely has to find it: measured accuracy 0.96–0.99
+  // across sf0.001/0.01/0.1, vs 0.51 majority), hard-sigmoid
+  // probability in pure integer arithmetic so the ENTIRE fit is
+  // engine-portable: no exp/ln anywhere, every gradient an exact
+  // integer sum, every division floor-by-offset. The oracle unrolls all
+  // 32 GD iterations as CTE triples (margins → gradient → weights) and
+  // must land on the identical weight vector — one wrong rounding in
+  // any iteration cascades into every later margin and flips the hash.
+  private val logRegIters = 32
+  private val logRegLrNumer = 4L
+  private val logRegLrDenom = 1L
+
+  /** One (margin, gradient, weights) CTE triple per GD iteration. w0 is
+    * the all-zero init; iteration i reads w{i-1} and writes w{i}. The
+    * arithmetic mirrors LogReg.train exactly: clamp ±2e12, +2e12 offset
+    * then //4 (non-negative ⇒ floor), gradient summed as HUGEINT, update
+    * floor-divided by lrDenom·n·1e12 via the +K·D offset (K = 1e9; D is
+    * HUGEINT — K·D overflows int64). Every CTE that is referenced more
+    * than once is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    * and w{i-1} feeds both m{i} and w{i}, so without materialization
+    * the chain re-expands EXPONENTIALLY (a 32-iteration chain never
+    * finishes planning; measured 1.5 s materialized). */
+  private def logRegIterCtes(iters: Int): String = {
+    val xs = (0 to 4).map(j => s"x$j")
+    val d = s"(CAST(${logRegLrDenom} AS HUGEINT) * nn.n * 1000000000000)"
+    (1 to iters).map { i =>
+      val mexpr = xs.map(x => s"w.${x.replace("x", "w")} * t.$x").mkString(" + ")
+      val grads = xs.map(x => s"sum(r * $x) AS g${x.stripPrefix("x")}").mkString(", ")
+      val ws = xs.map { x =>
+        val j = x.stripPrefix("x")
+        s"w.w$j - ((${logRegLrNumer} * g.g$j + 1000000000 * $d) // $d - 1000000000) AS w$j"
+      }.mkString(",\n                     ")
+      s"""m$i AS MATERIALIZED (
+              SELECT t.yp, t.x0, t.x1, t.x2, t.x3, t.x4,
+                     ((greatest(least($mexpr, 2000000000000), -2000000000000)
+                       + 2000000000000) // 4) - t.yp AS r
+              FROM tr t CROSS JOIN w${i - 1} w),
+            g$i AS MATERIALIZED (SELECT $grads FROM m$i),
+            w$i AS MATERIALIZED (
+              SELECT $ws
+              FROM w${i - 1} w CROSS JOIN g$i g CROSS JOIN nn)"""
+    }.mkString(",\n            ")
+  }
+
+  private val q171 = Q("q171_logreg_quality",
+    (s, dir) => {
+      // Spread: meanTokenLen/dupNgramFraction are interpreted HOF folds —
+      // single-split scans serialize them (PlanAuditSpec rule 4, q64)
+      val feats = Spread.toCores(t(s, dir, "documents"))
+        .select(col("doc_id"), (col("n_chars") >= 300L).as("_y"),
+          lit(1000000L).as("_x0"),
+          LogReg.microFeature(least(
+            TF.tokenCount(col("text")).cast(DoubleType) / lit(200.0),
+            lit(1.0))).as("_x1"),
+          LogReg.microFeature(least(
+            TF.meanTokenLen(col("text")) / lit(10.0), lit(1.0))).as("_x2"),
+          LogReg.microFeature(least(
+            TF.stopwordHits(col("text")).cast(DoubleType) * lit(5.0)
+              / greatest(TF.tokenCount(col("text")), lit(1L)).cast(DoubleType),
+            lit(1.0))).as("_x3"),
+          LogReg.microFeature(TF.dupNgramFraction(col("text"), 2)).as("_x4"))
+      val featCols = Seq("_x0", "_x1", "_x2", "_x3", "_x4")
+      val w = LogReg.train(feats.filter(col("doc_id") % 10 =!= 0), featCols,
+        "_y", iters = logRegIters, lrNumer = logRegLrNumer,
+        lrDenom = logRegLrDenom)
+      LogReg.score(feats, featCols, w)
+        .select(col("doc_id"), col("margin_p12"), col("prob"),
+          col("predicted"), col("_y").as("actual"))
+    },
+    Some(s"""WITH tk AS (
+              SELECT doc_id, n_chars >= 300 AS y,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            sig AS (
+              SELECT doc_id, y,
+                     CAST(len(tk) AS BIGINT) AS n_words,
+                     CASE WHEN len(tk) > 0 THEN
+                         CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk)
+                       ELSE 0.0 END AS mwl,
+                     CAST(len(list_filter(tk, t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS BIGINT) AS stop_hits,
+                     CASE WHEN len(tk) < 2 THEN 0.0
+                          ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                                 range(1, len(tk)),
+                                 i -> tk[i] || ' ' || tk[i + 1]))) AS DOUBLE)
+                               / (len(tk) - 1) END AS dupf
+              FROM tk),
+            f AS MATERIALIZED (
+              SELECT doc_id, y,
+                     CAST(1000000 AS BIGINT) AS x0,
+                     CAST(CAST(round_even(least(CAST(n_words AS DOUBLE) / 200.0, 1.0), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x1,
+                     CAST(CAST(round_even(least(mwl / 10.0, 1.0), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x2,
+                     CAST(CAST(round_even(least(CAST(stop_hits AS DOUBLE) * 5.0 / greatest(n_words, 1), 1.0), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x3,
+                     CAST(CAST(round_even(dupf, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x4,
+                     CASE WHEN y THEN CAST(1000000000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS yp
+              FROM sig),
+            tr AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 10 <> 0),
+            nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+            w0 AS (SELECT CAST(0 AS HUGEINT) AS w0, CAST(0 AS HUGEINT) AS w1,
+                          CAST(0 AS HUGEINT) AS w2, CAST(0 AS HUGEINT) AS w3,
+                          CAST(0 AS HUGEINT) AS w4),
+            ${logRegIterCtes(logRegIters)},
+            sc AS (
+              SELECT f.doc_id, f.y,
+                     w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2
+                       + w.w3 * f.x3 + w.w4 * f.x4 AS margin
+              FROM f CROSS JOIN w$logRegIters w)
+            SELECT doc_id, CAST(margin AS BIGINT) AS margin_p12,
+                   CAST((greatest(least(margin, 2000000000000), -2000000000000)
+                     + 2000000000000) // 4 AS DOUBLE) / 1000000000000.0 AS prob,
+                   margin > 0 AS predicted, y AS actual
+            FROM sc"""))
+
+  // ---------------------------------------------------------------- q172
+  // Hard-negative mining for contrastive training: each vector's top
+  // wrong-label neighbors from the kNN graph (q106's all-pairs IVF
+  // shape), re-ranked per query. Over-fetch k=8, keep 2 negatives. The
+  // oracle replays the codebook derivation, cell routing, candidate
+  // ranking, the label anti-filter, and the negative re-rank.
+  private val q172 = Q("q172_hard_negatives",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val nlist = Similarity.autoNlist(e.count(), targetCellSize = 64)
+      val cb = e.filter(col("vec_id") < nlist).orderBy("vec_id")
+        .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.hardNegatives(e, "vec_id", "embedding", "label", cb,
+        k = 8, nprobe = 2, perQuery = 2)
+    },
+    Some("""WITH params AS (
+              SELECT greatest(16, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS nlist
+              FROM embeddings),
+            cb AS (
+              SELECT vec_id + 1 AS ci,
+                     CASE WHEN n = 0 THEN vd ELSE list_transform(vd, x -> x / n) END AS cv
+              FROM (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+                           sqrt(list_sum(list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+                    FROM embeddings, params WHERE vec_id < nlist)),
+            ev AS (
+              SELECT vec_id, embedding, label,
+                     list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv
+              FROM embeddings),
+            dots AS (
+              SELECT ev.vec_id, cb.ci,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(ev.embedding[i] AS DOUBLE) * cb.cv[i])) *
+                     (CASE WHEN ev.nv = 0 THEN 0.0 ELSE 1.0 / sqrt(ev.nv) END) AS dp
+              FROM ev CROSS JOIN cb),
+            ranked AS (
+              SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dp DESC, ci) AS rn
+              FROM dots),
+            ccell AS (SELECT vec_id AS neighbor_id, ci AS cell FROM ranked WHERE rn = 1),
+            qcell AS (SELECT vec_id AS query_id, ci AS cell FROM ranked WHERE rn <= 2),
+            sc AS (
+              SELECT q.query_id, c.neighbor_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))) /
+                     (sqrt(qe.nv) * sqrt(ce.nv)) AS cos
+              FROM qcell q
+              JOIN ccell c USING (cell)
+              JOIN ev qe ON qe.vec_id = q.query_id
+              JOIN ev ce ON ce.vec_id = c.neighbor_id
+              WHERE q.query_id <> c.neighbor_id),
+            r AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rn
+              FROM sc),
+            knn AS (
+              SELECT query_id, neighbor_id, round(cos, 6) AS cosine
+              FROM r WHERE rn <= 8),
+            hn AS (
+              SELECT k.query_id, k.neighbor_id, k.cosine,
+                     eq.label AS query_label, en.label AS neighbor_label,
+                     row_number() OVER (PARTITION BY k.query_id
+                       ORDER BY k.cosine DESC, k.neighbor_id) AS hn_rank
+              FROM knn k
+              JOIN embeddings eq ON eq.vec_id = k.query_id
+              JOIN embeddings en ON en.vec_id = k.neighbor_id
+              WHERE eq.label <> en.label)
+            SELECT query_id, neighbor_id, cosine, query_label, neighbor_label,
+                   CAST(hn_rank AS INT) AS hn_rank
+            FROM hn WHERE hn_rank <= 2"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
@@ -5081,5 +5275,5 @@ object QueriesText {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164,
-    q165, q166, q167, q168, q169, q170)
+    q165, q166, q167, q168, q169, q170, q171, q172)
 }

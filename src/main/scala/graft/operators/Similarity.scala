@@ -255,6 +255,46 @@ object Similarity {
         col("_rn").cast("int").as("rank"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training (DPR/SBERT-style
+    * embedding-model curation): for every vector, its `perQuery`
+    * most-similar neighbors that carry a DIFFERENT label — the
+    * near-miss examples a contrastive loss learns the most from
+    * (random negatives are trivially separable; the informative ones
+    * sit just across the decision boundary, i.e. at the top of the ANN
+    * list with the wrong label).
+    *
+    * Composition of the audited [[knnGraph]] all-pairs shape: the k-NN
+    * candidates (≤ k rows per query) join the slim (id, label)
+    * projection twice — query side and neighbor side — then the
+    * wrong-label survivors re-rank per query on the round-6 cosine with
+    * the id tie-break. At 100 TB the label joins shuffle two columns on
+    * the ≤ k·n candidate frame (broadcast is wrong here — labels are
+    * corpus-sized); the quadratic term stays bounded by the kNN graph's
+    * per-cell join exactly as in [[knnGraph]]. Over-fetch k vs
+    * `perQuery` (k ≥ 2–4× perQuery) so same-label (positive) neighbors
+    * at the top of the list don't starve the negative set. */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, centroids: Array[Array[Double]],
+                    k: Int = 8, nprobe: Int = 4,
+                    perQuery: Int = 2): DataFrame = {
+    val knn = knnGraph(df.select(col(idCol), col(vecCol)), idCol, vecCol,
+      centroids, k, nprobe)
+    val lab = df.select(col(idCol), col(labelCol))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    knn
+      .join(lab.select(col(idCol).as("query_id"),
+        col(labelCol).as("query_label")), Seq("query_id"))
+      .join(lab.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("neighbor_label")), Seq("neighbor_id"))
+      .filter(col("query_label") =!= col("neighbor_label"))
+      .withColumn("hn_rank", row_number().over(w))
+      .filter(col("hn_rank") <= perQuery)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("query_label"), col("neighbor_label"),
+        col("hn_rank").cast("int").as("hn_rank"))
+  }
+
   private def probeAndRank(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
 
     val scored = c.join(q.hint("broadcast"), Seq("_cell"))
