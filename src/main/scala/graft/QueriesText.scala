@@ -5290,6 +5290,124 @@ object QueriesText {
                    CAST(hn_rank AS INT) AS hn_rank
             FROM hn WHERE hn_rank <= 2"""))
 
+  // ---------------------------------------------------------------- q173
+  // MMR diversity re-rank (Carbonell & Goldstein 1998): greedy
+  // λ-blend selection over the q106/q172 ANN candidate shape, exact by
+  // integer arithmetic — relevance and pair-similarity ride as micro
+  // ints of the round-6 cosines, λ = 7/10 as a rational, ties on
+  // neighbor_id. The oracle replays the candidate derivation, every
+  // pair cosine, and all three greedy picks; selall accumulates the
+  // chosen set so each round's anti-filter and max-sim aggregation see
+  // exactly what the Spark loop saw.
+  private val q173 = Q("q173_mmr_rerank",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val nlist = Similarity.autoNlist(e.count(), targetCellSize = 64)
+      val cb = e.filter(col("vec_id") < nlist).orderBy("vec_id")
+        .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.mmrRerank(e, "vec_id", "embedding", cb,
+        fetch = 8, select = 3, nprobe = 2, lamNumer = 7, lamDenom = 10)
+    },
+    Some("""WITH params AS (
+              SELECT greatest(16, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS nlist
+              FROM embeddings),
+            cb AS (
+              SELECT vec_id + 1 AS ci,
+                     CASE WHEN n = 0 THEN vd ELSE list_transform(vd, x -> x / n) END AS cv
+              FROM (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+                           sqrt(list_sum(list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+                    FROM embeddings, params WHERE vec_id < nlist)),
+            ev AS (
+              SELECT vec_id, embedding,
+                     list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv
+              FROM embeddings),
+            dots AS (
+              SELECT ev.vec_id, cb.ci,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(ev.embedding[i] AS DOUBLE) * cb.cv[i])) *
+                     (CASE WHEN ev.nv = 0 THEN 0.0 ELSE 1.0 / sqrt(ev.nv) END) AS dp
+              FROM ev CROSS JOIN cb),
+            ranked AS (
+              SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dp DESC, ci) AS rn
+              FROM dots),
+            ccell AS (SELECT vec_id AS neighbor_id, ci AS cell FROM ranked WHERE rn = 1),
+            qcell AS (SELECT vec_id AS query_id, ci AS cell FROM ranked WHERE rn <= 2),
+            scd AS (
+              SELECT q.query_id, c.neighbor_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))) /
+                     (sqrt(qe.nv) * sqrt(ce.nv)) AS cos
+              FROM qcell q
+              JOIN ccell c USING (cell)
+              JOIN ev qe ON qe.vec_id = q.query_id
+              JOIN ev ce ON ce.vec_id = c.neighbor_id
+              WHERE q.query_id <> c.neighbor_id),
+            r AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rn
+              FROM scd),
+            knn AS MATERIALIZED (
+              SELECT query_id, neighbor_id,
+                     CAST(CAST(round(cos, 6) AS DECIMAL(9,6)) * 1000000 AS BIGINT) AS rel6
+              FROM r WHERE rn <= 8),
+            pr AS MATERIALIZED (
+              SELECT a.query_id, a.neighbor_id AS pa, b.neighbor_id AS pb,
+                     CAST(CAST(round(
+                       list_sum(list_transform(range(1, 65),
+                         i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) /
+                       (sqrt(ea.nv) * sqrt(eb.nv)), 6) AS DECIMAL(9,6)) * 1000000 AS BIGINT) AS sim6
+              FROM knn a
+              JOIN knn b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+              JOIN ev ea ON ea.vec_id = a.neighbor_id
+              JOIN ev eb ON eb.vec_id = b.neighbor_id),
+            sel1 AS MATERIALIZED (
+              SELECT query_id, neighbor_id, rel6, rel6 * 7 AS mmr_score, 1 AS mmr_rank
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY rel6 DESC, neighbor_id) AS rn FROM knn)
+              WHERE rn = 1),
+            sel2 AS MATERIALIZED (
+              SELECT query_id, neighbor_id, rel6, mmr_score, 2 AS mmr_rank FROM (
+                SELECT c.query_id, c.neighbor_id, c.rel6,
+                       c.rel6 * 7 - ms.maxsim6 * 3 AS mmr_score,
+                       row_number() OVER (PARTITION BY c.query_id
+                         ORDER BY c.rel6 * 7 - ms.maxsim6 * 3 DESC, c.neighbor_id) AS rn
+                FROM knn c
+                JOIN (SELECT p.query_id, p.pa AS neighbor_id, max(p.sim6) AS maxsim6
+                      FROM pr p JOIN sel1 s1
+                        ON s1.query_id = p.query_id AND s1.neighbor_id = p.pb
+                      GROUP BY 1, 2) ms
+                  ON ms.query_id = c.query_id AND ms.neighbor_id = c.neighbor_id
+                WHERE NOT EXISTS (SELECT 1 FROM sel1 sx
+                  WHERE sx.query_id = c.query_id AND sx.neighbor_id = c.neighbor_id))
+              WHERE rn = 1),
+            selall2 AS MATERIALIZED (
+              SELECT query_id, neighbor_id FROM sel1
+              UNION ALL SELECT query_id, neighbor_id FROM sel2),
+            sel3 AS MATERIALIZED (
+              SELECT query_id, neighbor_id, rel6, mmr_score, 3 AS mmr_rank FROM (
+                SELECT c.query_id, c.neighbor_id, c.rel6,
+                       c.rel6 * 7 - ms.maxsim6 * 3 AS mmr_score,
+                       row_number() OVER (PARTITION BY c.query_id
+                         ORDER BY c.rel6 * 7 - ms.maxsim6 * 3 DESC, c.neighbor_id) AS rn
+                FROM knn c
+                JOIN (SELECT p.query_id, p.pa AS neighbor_id, max(p.sim6) AS maxsim6
+                      FROM pr p JOIN selall2 s2
+                        ON s2.query_id = p.query_id AND s2.neighbor_id = p.pb
+                      GROUP BY 1, 2) ms
+                  ON ms.query_id = c.query_id AND ms.neighbor_id = c.neighbor_id
+                WHERE NOT EXISTS (SELECT 1 FROM selall2 sx
+                  WHERE sx.query_id = c.query_id AND sx.neighbor_id = c.neighbor_id))
+              WHERE rn = 1)
+            SELECT query_id, neighbor_id, rel6, mmr_score, CAST(mmr_rank AS INT) AS mmr_rank
+            FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+                  UNION ALL SELECT * FROM sel3)"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
@@ -5298,5 +5416,5 @@ object QueriesText {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164,
-    q165, q166, q167, q168, q169, q170, q171, q172)
+    q165, q166, q167, q168, q169, q170, q171, q172, q173)
 }

@@ -295,6 +295,84 @@ object Similarity {
         col("hn_rank").cast("int").as("hn_rank"))
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein 1998) —
+    * the diversity verb of a retrieval stack: from each query's `fetch`
+    * ANN candidates, select `select` results greedily maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected, so the
+    * result set covers the query's neighborhood instead of returning
+    * `select` near-duplicates (RAG context assembly, dedup'd search).
+    *
+    * Exactness contract: the greedy argmax runs on INTEGER micro units
+    * of the round-6 cosines (an exact decimal shift), with λ as the
+    * rational lamNumer/lamDenom — score = lamNumer·rel − (lamDenom −
+    * lamNumer)·maxSim, an integer; ties break on neighbor_id. No
+    * float comparison anywhere in the selection, so a SQL engine
+    * replays every pick (q173). Round 1 has no selected set: maxSim
+    * is 0 by convention and the pick is pure relevance.
+    *
+    * Scale shape: candidates come from the audited [[knnGraph]] cell
+    * join (≤ fetch rows per query); candidate-pair similarities are a
+    * per-query self-join bounded at fetch² rows; each greedy round is
+    * one bounded aggregation + one WindowGroupLimit-shaped argmax over
+    * the per-query candidate frame. `select` rounds unroll into the
+    * plan (select is small — it is the RAG context budget); the
+    * candidate and pair frames are pinned once so the rounds don't
+    * recompute the ANN graph. Nothing data-sized reaches the driver. */
+  def mmrRerank(df: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[Array[Double]], fetch: Int = 8,
+                select: Int = 3, nprobe: Int = 4,
+                lamNumer: Int = 7, lamDenom: Int = 10): DataFrame = {
+    require(select >= 1 && select <= fetch, s"select must be in [1, fetch], got $select")
+    require(lamNumer >= 0 && lamNumer <= lamDenom && lamDenom >= 1,
+      s"lambda must be a rational in [0, 1], got $lamNumer/$lamDenom")
+    val micro = (c: Column) =>
+      (c.cast(org.apache.spark.sql.types.DecimalType(9, 6)) * 1000000)
+        .cast("long")
+    val vecs = df.select(col(idCol).as("_vid"), col(vecCol).as("_vv"))
+    val cand = Pin.data(
+      knnGraph(df.select(col(idCol), col(vecCol)), idCol, vecCol, centroids,
+        fetch, nprobe)
+        .select(col("query_id"), col("neighbor_id"),
+          micro(col("cosine")).as("rel6")))
+    // candidate-pair similarities, per query: ≤ fetch² rows per query
+    val withVec = cand.join(vecs, cand("neighbor_id") === vecs("_vid"))
+      .select(col("query_id"), col("neighbor_id"), col("rel6"), col("_vv"))
+    val a = withVec.select(col("query_id"), col("neighbor_id").as("_a"),
+      col("_vv").as("_av"))
+    val b = withVec.select(col("query_id"), col("neighbor_id").as("_b"),
+      col("_vv").as("_bv"))
+    val pairs = Pin.data(a.join(b, Seq("query_id"))
+      .filter(col("_a") =!= col("_b"))
+      .select(col("query_id"), col("_a"), col("_b"),
+        micro(bround(cosine(col("_av"), col("_bv")), 6)).as("sim6")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_score").desc, col("neighbor_id"))
+    // round 1: pure relevance
+    var selected = cand.withColumn("_score", col("rel6") * lamNumer)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel6"),
+        col("_score").as("mmr_score"), lit(1).as("mmr_rank"))
+    for (s <- 2 to select) {
+      val remaining = cand.join(
+        selected.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val maxSim = pairs.join(
+        selected.select(col("query_id"), col("neighbor_id").as("_b")),
+        Seq("query_id", "_b"))
+        .groupBy(col("query_id"), col("_a").as("neighbor_id"))
+        .agg(max(col("sim6")).as("_maxsim6"))
+      val next = remaining.join(maxSim, Seq("query_id", "neighbor_id"))
+        .withColumn("_score",
+          col("rel6") * lamNumer - col("_maxsim6") * (lamDenom - lamNumer))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rel6"),
+          col("_score").as("mmr_score"), lit(s).as("mmr_rank"))
+      selected = Pin.data(selected.unionByName(next))
+    }
+    selected.select(col("query_id"), col("neighbor_id"),
+      col("rel6"), col("mmr_score"), col("mmr_rank"))
+  }
+
   private def probeAndRank(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
 
     val scored = c.join(q.hint("broadcast"), Seq("_cell"))

@@ -484,6 +484,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(strict == Set(1L, 3L))
   }
 
+  test("mmrRerank trades relevance for diversity at the greedy boundary") {
+    import graft.operators.Similarity
+    // cell-1 geometry around query q=(1,0,0,0): a and a' are a
+    // near-duplicate pair hugging the query direction (cos(a,a') =
+    // cos 1 deg); b is slightly less relevant but directionally
+    // distinct. At lambda=1/2 the round-2 scores are
+    //   a': (rel_a' - sim(a,a'))/2 = (0.994522 - 0.999848)/2 < 0
+    //   b : (rel_b  - sim(a,b ))/2 = (0.930000 - 0.926461)/2 > 0
+    // so MMR must pick b second even though pure relevance ranks a'
+    // second — the defining behavior of the operator.
+    val vecs = Seq(
+      (1L, Seq(0.996195, 0.087156, 0.0, 0.0)),  // a  (cos 5 deg)
+      (2L, Seq(0.994522, 0.104528, 0.0, 0.0)),  // a' (cos 6 deg)
+      (3L, Seq(0.93, 0.0, 0.36756, 0.0)),       // b  (distinct direction)
+      (10L, Seq(1.0, 0.0, 0.0, 0.0)),           // q
+      (20L, Seq(0.0, 0.0, 0.0, 1.0)),           // second-cell filler
+      (21L, Seq(0.01, 0.0, 0.0, 0.9999))
+    ).toDF("id", "v")
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 0.0, 0.0, 1.0))
+    val got = Similarity.mmrRerank(vecs, "id", "v", cents,
+        fetch = 8, select = 3, nprobe = 1, lamNumer = 1, lamDenom = 2)
+      .filter(col("query_id") === 10L)
+      .select("neighbor_id", "mmr_rank").as[(Long, Int)].collect()
+      .sortBy(_._2)
+    assert(got.map(_._1).take(2).toSeq == Seq(1L, 3L),
+      s"expected a then b, got ${got.toSeq}")
+    assert(got.map(_._2).toSeq == Seq(1, 2, 3))
+    // contrast: pure relevance (lambda=1) keeps the near-dup second
+    val rel = Similarity.mmrRerank(vecs, "id", "v", cents,
+        fetch = 8, select = 2, nprobe = 1, lamNumer = 1, lamDenom = 1)
+      .filter(col("query_id") === 10L)
+      .select("neighbor_id", "mmr_rank").as[(Long, Int)].collect()
+      .sortBy(_._2).map(_._1).toSeq
+    assert(rel == Seq(1L, 2L), s"pure-relevance order was $rel")
+  }
+
   test("tokenBudgetSelect: score order, boundary doc included, exact cum_before") {
     // score desc, id asc: 30(0.9) -> 10(0.5) -> 20(0.5) -> 40(0.1)
     val df = Seq((10L, 0.5, 60L), (20L, 0.5, 50L), (30L, 0.9, 40L),
