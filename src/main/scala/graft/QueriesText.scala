@@ -5408,6 +5408,117 @@ object QueriesText {
             FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
                   UNION ALL SELECT * FROM sel3)"""))
 
+  // ---------------------------------------------------------------- q174
+  // Ranked-retrieval quality: MRR + nDCG@8 of the IVF-probed retriever
+  // against label relevance, per query — the graded-relevance
+  // complement of q126/q128's recall. The log2 position discounts are
+  // rounded ONCE in Scala (Eval.ndcgDiscountsMicro) and interpolated
+  // into BOTH engines as integer literals, so the metric involves no
+  // cross-engine transcendental call; DCG/IDCG are integer sums and
+  // MRR/nDCG identical-IEEE ratios.
+  private val q174 = Q("q174_retrieval_ndcg", {
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val nlist = Similarity.autoNlist(e.count(), targetCellSize = 64)
+      val cb = e.filter(col("vec_id") < nlist).orderBy("vec_id")
+        .select(graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val knn = Similarity.knnGraph(e, "vec_id", "embedding", cb,
+        k = 8, nprobe = 2)
+      val lab = e.select(col("vec_id"), col("label"))
+      val ranked = knn
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("_ql")), Seq("query_id"))
+        .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("_nl")), Seq("neighbor_id"))
+        .withColumn("is_rel", col("_ql") === col("_nl"))
+      val universe = e.groupBy(col("label"))
+        .agg((count(lit(1)) - 1).as("n_rel"))
+      val relU = lab.select(col("vec_id").as("query_id"), col("label"))
+        .join(universe, Seq("label"))
+        .select(col("query_id"), col("n_rel"))
+      Eval.retrievalMetrics(ranked, "query_id", "rank", "is_rel", relU, k = 8)
+    }
+  }, {
+    val d = Eval.ndcgDiscountsMicro(8)
+    val prefix = d.scanLeft(0L)(_ + _).tail
+    val dCase = (1 to 8).map(i => s"WHEN ${i} THEN ${d(i - 1)}")
+      .mkString(" ")
+    val pCase = (1 to 8).map(j => s"WHEN ${j} THEN ${prefix(j - 1)}")
+      .mkString(" ")
+    Some(s"""WITH params AS (
+              SELECT greatest(16, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS nlist
+              FROM embeddings),
+            cb AS (
+              SELECT vec_id + 1 AS ci,
+                     CASE WHEN n = 0 THEN vd ELSE list_transform(vd, x -> x / n) END AS cv
+              FROM (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+                           sqrt(list_sum(list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+                    FROM embeddings, params WHERE vec_id < nlist)),
+            ev AS (
+              SELECT vec_id, embedding, label,
+                     list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv
+              FROM embeddings),
+            dots AS (
+              SELECT ev.vec_id, cb.ci,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(ev.embedding[i] AS DOUBLE) * cb.cv[i])) *
+                     (CASE WHEN ev.nv = 0 THEN 0.0 ELSE 1.0 / sqrt(ev.nv) END) AS dp
+              FROM ev CROSS JOIN cb),
+            ranked AS (
+              SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dp DESC, ci) AS rn
+              FROM dots),
+            ccell AS (SELECT vec_id AS neighbor_id, ci AS cell FROM ranked WHERE rn = 1),
+            qcell AS (SELECT vec_id AS query_id, ci AS cell FROM ranked WHERE rn <= 2),
+            scd AS (
+              SELECT q.query_id, c.neighbor_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))) /
+                     (sqrt(qe.nv) * sqrt(ce.nv)) AS cos
+              FROM qcell q
+              JOIN ccell c USING (cell)
+              JOIN ev qe ON qe.vec_id = q.query_id
+              JOIN ev ce ON ce.vec_id = c.neighbor_id
+              WHERE q.query_id <> c.neighbor_id),
+            r AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rn
+              FROM scd),
+            rel AS (
+              SELECT rk.query_id, rk.rn AS rank, eq.label = en.label AS is_rel
+              FROM (SELECT query_id, neighbor_id, rn FROM r WHERE rn <= 8) rk
+              JOIN embeddings eq ON eq.vec_id = rk.query_id
+              JOIN embeddings en ON en.vec_id = rk.neighbor_id),
+            pq AS (
+              SELECT query_id,
+                     min(CASE WHEN is_rel THEN rank END) AS first_rel,
+                     CAST(sum(CASE WHEN is_rel THEN
+                         CASE rank $dCase ELSE 0 END
+                       ELSE 0 END) AS BIGINT) AS dcg_micro
+              FROM rel GROUP BY query_id),
+            uni AS (SELECT label, CAST(count(*) - 1 AS BIGINT) AS n_rel
+                    FROM embeddings GROUP BY label),
+            qn AS (SELECT e.vec_id AS query_id, u.n_rel
+                   FROM embeddings e JOIN uni u USING (label)),
+            met AS (
+              SELECT p.query_id, p.first_rel, p.dcg_micro,
+                     CAST(CASE least(qn.n_rel, 8) $pCase ELSE 0 END AS BIGINT)
+                       AS idcg_micro
+              FROM pq p JOIN qn USING (query_id))
+            SELECT query_id,
+                   round_even(CASE WHEN first_rel IS NULL THEN 0.0
+                     ELSE 1.0 / first_rel END, 6) AS mrr,
+                   dcg_micro, idcg_micro,
+                   round_even(CASE WHEN idcg_micro = 0 THEN 0.0
+                     ELSE CAST(dcg_micro AS DOUBLE) / idcg_micro END, 6) AS ndcg
+            FROM met""")
+  })
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
@@ -5416,5 +5527,5 @@ object QueriesText {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164,
-    q165, q166, q167, q168, q169, q170, q171, q172, q173)
+    q165, q166, q167, q168, q169, q170, q171, q172, q173, q174)
 }

@@ -131,4 +131,65 @@ object Eval {
             / (col("_npos").cast("double") * col("_nneg").cast("double") * 2.0),
           6).as("auc"))
   }
+
+  /** Position-discount table for [[retrievalMetrics]]: D(i) = 1e6 /
+    * log2(i+1), HALF-UP-rounded to an integer ONCE here in Scala and
+    * shared verbatim with the SQL oracle (interpolated literals) — so
+    * no engine ever evaluates log2 and the cross-engine libm question
+    * disappears entirely (the q107/q34 literal-codebook tactic applied
+    * to a metric). */
+  def ndcgDiscountsMicro(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1e6 / (math.log(i + 1) / math.log(2.0))))
+
+  /** RANKED-RETRIEVAL quality report — MRR and nDCG@k per query, the
+    * eval a pipeline runs before trusting an ANN index as a retriever
+    * (complementing q126/q128's exact-vs-approx recall with the
+    * graded-relevance view).
+    *
+    * `ranked`: one row per (query, position) with `rankCol` = 1-based
+    * system rank and `relCol` = boolean relevance; positions beyond `k`
+    * are ignored. `relUniverse`: (query, n_rel) — how many relevant
+    * items EXIST for the query (bounds the ideal ranking, so nDCG is
+    * against the true ideal, not just the retrieved set).
+    *
+    * Exactness: DCG/IDCG are INTEGER sums of the shared
+    * [[ndcgDiscountsMicro]] literals; MRR is 1/rank and nDCG the ratio
+    * of the two integer sums — identical IEEE divisions of identical
+    * integers on any engine, bround-6 for display. Queries with nothing
+    * relevant retrieved score 0; n_rel = 0 defines nDCG = 0.
+    *
+    * Shape at scale: one hash aggregation over the ≤ k rows per query
+    * (map-side combined), one broadcast-sized join with the per-query
+    * universe counts, one codegen'd projection. No sort, no window. */
+  def retrievalMetrics(ranked: DataFrame, queryCol: String, rankCol: String,
+                       relCol: String, relUniverse: DataFrame,
+                       k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"k must be in [1, 100], got $k")
+    val d = ndcgDiscountsMicro(k)
+    // discount literal per position, 0 beyond k
+    val disc = (1 to k).foldLeft(lit(0L)) { (acc, i) =>
+      when(col(rankCol) === i, lit(d(i - 1))).otherwise(acc)
+    }
+    // ideal DCG prefix: idcgPrefix(j) = sum of the first j discounts
+    val prefix = d.scanLeft(0L)(_ + _).tail
+    val idcg = (1 to k).foldLeft(lit(0L)) { (acc, j) =>
+      when(least(col("n_rel"), lit(k.toLong)) === j, lit(prefix(j - 1)))
+        .otherwise(acc)
+    }
+    val perQuery = ranked
+      .filter(col(rankCol).between(1, k))
+      .groupBy(col(queryCol))
+      .agg(
+        min(when(col(relCol), col(rankCol))).as("_first_rel"),
+        sum(when(col(relCol), disc).otherwise(lit(0L))).as("dcg_micro"))
+    perQuery.join(relUniverse, Seq(queryCol))
+      .select(col(queryCol),
+        bround(when(col("_first_rel").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("_first_rel")), 6).as("mrr"),
+        col("dcg_micro"),
+        idcg.as("idcg_micro"),
+        bround(when(idcg === 0L, lit(0.0))
+          .otherwise(col("dcg_micro").cast("double") / idcg.cast("double")), 6)
+          .as("ndcg"))
+  }
 }

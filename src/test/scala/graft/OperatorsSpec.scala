@@ -484,6 +484,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(strict == Set(1L, 3L))
   }
 
+  test("retrievalMetrics: hand-computed MRR/nDCG incl. empty and zero-universe edges") {
+    import graft.operators.Eval
+    // k=3 discounts: D(1)=1e6, D(2)=round(1e6/log2 3)=630930, D(3)=5e5
+    val d = Eval.ndcgDiscountsMicro(3)
+    assert(d == Seq(1000000L, 630930L, 500000L))
+    val ranked = Seq(
+      ("A", 1, false), ("A", 2, true), ("A", 3, true), // first rel at 2
+      ("B", 1, false), ("B", 2, false),                // nothing relevant
+      ("C", 1, true),                                  // perfect single
+      ("D", 1, true)                                   // zero universe
+    ).toDF("q", "rank", "rel")
+    val uni = Seq(("A", 5L), ("B", 4L), ("C", 1L), ("D", 0L)).toDF("q", "n_rel")
+    val got = Eval.retrievalMetrics(ranked, "q", "rank", "rel", uni, k = 3)
+      .as[(String, Double, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val dcgA = d(1) + d(2); val idcgA = d.sum // least(5,3)=3 positions
+    val ndcgA = BigDecimal(dcgA.toDouble / idcgA)
+      .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    assert(got("A") == ((0.5, dcgA, idcgA, ndcgA)))
+    assert(got("B") == ((0.0, 0L, d(0) + d(1) + d(2), 0.0)))
+    assert(got("C") == ((1.0, d(0), d(0), 1.0)))
+    assert(got("D") == ((1.0, d(0), 0L, 0.0))) // rel hit but empty ideal -> 0
+  }
+
   test("mmrRerank trades relevance for diversity at the greedy boundary") {
     import graft.operators.Similarity
     // cell-1 geometry around query q=(1,0,0,0): a and a' are a
