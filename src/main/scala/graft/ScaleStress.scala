@@ -325,7 +325,18 @@ object ScaleStress {
       // must stay affordable exactly when skew is worst) + the
       // corpus-derived %50 panel read — expect the q142 write-dominated
       // class with the split term the cheap part
-      "q168_ann_split_cell")
+      "q168_ann_split_cell",
+      // round-18: learned linear gate — one feature pass (codegen'd
+      // signal projection) + 10 momentum-GD iterations, each a
+      // map-combined aggregation over the pinned slim frame collecting
+      // d+1 values: expect ~linear feature/agg cost with the
+      // driver-loop term ~flat (iteration COUNT is data-independent);
+      // the retrieval verbs ride the q106 cell-join class — q172 adds
+      // two slim label joins, q173 the fetch²-bounded pair join and 3
+      // bounded greedy rounds, q174 one ≤k-rows-per-query agg + a
+      // label-cardinality universe join
+      "q171_logreg_quality", "q172_hard_negatives", "q173_mmr_rerank",
+      "q174_retrieval_ndcg")
     // harness-only exhibits are selectable by name too (subset mode
     // otherwise re-measures just the named registered queries)
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",

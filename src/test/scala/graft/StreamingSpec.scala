@@ -196,6 +196,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got("a").contains("\"v\":1"), s"must keep the FIRST a: ${got("a")}")
   }
 
+  test("LogReg scoring is streaming-safe: literal-weight projection, batch parity") {
+    import graft.operators.LogReg
+    implicit val sqlCtx = spark.sqlContext
+    // a trained model is plan literals, so scoring a stream is the SAME
+    // stateless projection as batch - the quality gate drops into a
+    // live ingest pipeline with zero state and exact batch parity
+    val w = Array(-500000L, 1000000L) // bias -0.5 + 1.0*x1
+    val rows = Seq((1L, 250000L), (2L, 750000L), (3L, 500000L))
+    val input = MemoryStream[(Long, Long)]
+    val scored = LogReg.score(
+      input.toDF().toDF("id", "x1").withColumn("x0", lit(1000000L)),
+      Seq("x0", "x1"), w)
+    val q = scored.select("id", "margin_p12", "prob", "predicted")
+      .writeStream.format("memory").queryName("lrstream")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("lrstream")
+      .as[(Long, Long, Double, Boolean)].collect.sortBy(_._1).toSeq
+    val batch = LogReg.score(
+      rows.toDF("id", "x1").withColumn("x0", lit(1000000L)),
+      Seq("x0", "x1"), w)
+      .select("id", "margin_p12", "prob", "predicted")
+      .as[(Long, Long, Double, Boolean)].collect.sortBy(_._1).toSeq
+    assert(stream == batch)
+    assert(stream.map(r => r._1 -> r._4).toMap ==
+      Map(1L -> false, 2L -> true, 3L -> false)) // boundary x=0.5 -> margin 0
+  }
+
   test("watermark-bounded dedup: duplicates within the horizon collapse, state evicts by event time") {
     import graft.streaming.StatefulDedup
     implicit val sqlCtx = spark.sqlContext
