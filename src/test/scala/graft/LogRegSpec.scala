@@ -95,6 +95,39 @@ class LogRegSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, false))) // strict >: zero margin is negative class
   }
 
+  test("held-out accuracy on the real corpus beats majority (q171 config)") {
+    // the q171 wiring end-to-end at sf0.001: train on doc_id % 10 != 0,
+    // judge ONLY the held-out tenth — the split the oracle can't see
+    // (it hashes all rows; this pins generalization, not memorization)
+    import graft.functions.{TextFunctions => TF}
+    import org.apache.spark.sql.types.DoubleType
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val feats = graft.operators.Spread.toCores(docs)
+      .select(col("doc_id"), (col("n_chars") >= 300L).as("_y"),
+        lit(1000000L).as("_x0"),
+        LogReg.microFeature(least(
+          TF.tokenCount(col("text")).cast(DoubleType) / lit(200.0),
+          lit(1.0))).as("_x1"),
+        LogReg.microFeature(least(
+          TF.meanTokenLen(col("text")) / lit(10.0), lit(1.0))).as("_x2"),
+        LogReg.microFeature(least(
+          TF.stopwordHits(col("text")).cast(DoubleType) * lit(5.0)
+            / greatest(TF.tokenCount(col("text")), lit(1L)).cast(DoubleType),
+          lit(1.0))).as("_x3"),
+        LogReg.microFeature(TF.dupNgramFraction(col("text"), 2)).as("_x4"))
+    val fc = Seq("_x0", "_x1", "_x2", "_x3", "_x4")
+    val w = LogReg.train(feats.filter(col("doc_id") % 10 =!= 0), fc, "_y",
+      iters = 10, lrNumer = 1, lrDenom = 1, mNumer = 9, mDenom = 10)
+    val held = LogReg.score(feats.filter(col("doc_id") % 10 === 0), fc, w)
+    val n = held.count().toDouble
+    val acc = held.filter(col("predicted") === col("_y")).count() / n
+    val majority = math.max(
+      held.filter(col("_y")).count() / n,
+      held.filter(!col("_y")).count() / n)
+    assert(acc >= 0.9 && acc > majority,
+      s"held-out acc $acc vs majority $majority")
+  }
+
   test("empty training frame and mismatched weights fail loudly") {
     val df = planted
     intercept[IllegalArgumentException] {
