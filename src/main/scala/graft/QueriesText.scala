@@ -5519,6 +5519,54 @@ object QueriesText {
             FROM met""")
   })
 
+  // ---------------------------------------------------------------- q175
+  // Asymmetric containment screen: |A∩B|/|A| over char-shingle sets —
+  // the directed dedup read MinHash-LSH is structurally blind to (a
+  // short doc inside a long one has tiny Jaccard). Two-phase:
+  // deterministic rare-shingle candidates (df ≤ 64, whole-shingle drop
+  // — no ordering, fully replayable) then exact verify on survivors.
+  // Bounded slice like q31 so the oracle's pair join stays tiny at any
+  // SF; the injected dup twins must surface at containment 1.0 both
+  // directions.
+  private val q175 = Q("q175_containment",
+    (s, dir) => TextDedup.containmentPairs(
+      Spread.toCores(docsWithDups(s, dir).filter(col("doc_id") % 10000000L < 60)),
+      "text", "doc_id", shingleSize = 5, threshold = 0.5,
+      dfCap = 64, minShared = 2),
+    Some("""WITH d AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 60
+              UNION ALL
+              SELECT doc_id + 10000000, text FROM documents
+              WHERE doc_id % 5 = 0 AND doc_id < 60),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(s) - 4, 1) + 1),
+                       i -> substr(s, i, 5))) AS shingles
+              FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s FROM d)),
+            sz AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
+            occ AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+            dfx AS (SELECT g, count(*) AS df FROM occ GROUP BY g),
+            rare AS (SELECT occ.doc_id, occ.g
+                     FROM occ JOIN dfx USING (g) WHERE df <= 64),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            ver AS (
+              SELECT c.id_a, c.id_b,
+                     CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                       / sa.n AS containment,
+                     CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                       / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                       AS jaccard
+              FROM cand c
+              JOIN sz sa ON sa.doc_id = c.id_a
+              JOIN sz sb ON sb.doc_id = c.id_b)
+            SELECT id_a, id_b, round(containment, 6) AS containment,
+                   round(jaccard, 6) AS jaccard
+            FROM ver WHERE containment >= 0.5"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     q42, q53, q54, q55, q56, q58, q59, q61, q62, q63, q64, q65, q69, q72, q76,
     q77, q78, q80, q81, q82, q83, q84, q85, q88, q90, q91, q94, q97, q99,
@@ -5527,5 +5575,5 @@ object QueriesText {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164,
-    q165, q166, q167, q168, q169, q170, q171, q172, q173, q174)
+    q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175)
 }

@@ -297,6 +297,69 @@ object TextDedup {
         bround(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** ASYMMETRIC CONTAINMENT screen — the dedup family's directed
+    * variant: containment(A→B) = |shingles(A) ∩ shingles(B)| / |A|, so
+    * a short document living INSIDE a long one (a quote, a partial
+    * copy, a page wrapping an article) surfaces even though its
+    * JACCARD is tiny — exactly the pair class MinHash-LSH is blind to
+    * by construction (LSH recall tracks Jaccard; a 10:1 size ratio
+    * caps Jaccard at 0.1 regardless of overlap).
+    *
+    * Two-phase, the q30 estimate→verify shape restated for containment:
+    *
+    *  1. CANDIDATES from rare shingles: explode distinct shingles, drop
+    *     every shingle whose document frequency exceeds `dfCap` (a
+    *     DETERMINISTIC whole-shingle drop — no ordering, no sampling —
+    *     so any engine replays it), pair documents sharing ≥ `minShared`
+    *     surviving shingles. The per-shingle join work is capped at
+    *     dfCap² and hot boilerplate shingles (the quadratic killers)
+    *     never generate pairs; a contained document still shares its
+    *     DISTINCTIVE shingles with its container, which is what the
+    *     candidate stage needs. Recall trade: a pair sharing ONLY
+    *     boilerplate is invisible — the same documented trade as the
+    *     LSH bucket caps, priced by the same logic (dropped shingles
+    *     are corpus-common, so the pairs they generate are spurious).
+    *  2. VERIFY survivors exactly: join the two shingle SETS only for
+    *     candidate pairs and compute exact containment (and Jaccard,
+    *     for the symmetric read) — the wide arrays ride only the
+    *     survivor join, never the shingle shuffle.
+    *
+    * Emits DIRECTED pairs (id_a, id_b) with containment = fraction of
+    * A's shingles inside B; an exact copy shows 1.0 both ways. */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int = 5, threshold: Double = 0.8,
+                       dfCap: Int = 64, minShared: Int = 2): DataFrame = {
+    require(dfCap >= 2, s"dfCap must be >= 2, got $dfCap")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val sh = Pin.data(docs.select(col(idCol).as("_id"),
+      TextFunctions.charShingles(col(textCol), shingleSize).as("_sh"))
+      .withColumn("_n", size(col("_sh"))))
+    val occ = sh.select(col("_id"), explode(col("_sh")).as("_g"))
+    val dfx = occ.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+    val rare = occ.join(dfx.filter(col("_df") <= dfCap), Seq("_g"))
+      .select(col("_g"), col("_id"))
+    val cand = rare.select(col("_g"), col("_id").as("id_a"))
+      .join(rare.select(col("_g"), col("_id").as("id_b")), Seq("_g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_shared_rare"))
+      .filter(col("_shared_rare") >= minShared)
+    cand
+      .join(sh.select(col("_id").as("id_a"), col("_sh").as("_sha"),
+        col("_n").as("_na")), Seq("id_a"))
+      .join(sh.select(col("_id").as("id_b"), col("_sh").as("_shb"),
+        col("_n").as("_nb")), Seq("id_b"))
+      .withColumn("_inter",
+        size(array_intersect(col("_sha"), col("_shb"))).cast(DoubleType))
+      .withColumn("containment", col("_inter") / col("_na"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        bround(col("containment"), 6).as("containment"),
+        bround(col("_inter") /
+          size(array_union(col("_sha"), col("_shb"))).cast(DoubleType), 6)
+          .as("jaccard"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted by
     * each token's hash bit, then take signs. Returned as array<int> of 64
     * bits. Native expression (graft.plans.SimHashBits): one loop per row

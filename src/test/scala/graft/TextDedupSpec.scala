@@ -27,6 +27,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 4L, 5L))
   }
 
+  test("containment is directed: a prefix doc scores 1.0 into its container, jaccard stays small") {
+    val long = ("the quick brown fox jumps over the lazy dog and then " * 12) +
+      "runs far away into the quiet evening hills beyond the river"
+    val short = "the quick brown fox jumps over the lazy dog and then " * 3
+    val other = "completely different content about distributed query engines " * 6
+    val df = Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+    val got = TextDedup.containmentPairs(df, "text", "doc_id",
+        shingleSize = 5, threshold = 0.5, dfCap = 64, minShared = 2)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // short -> long: every shingle of the repeated prefix is in the
+    // container => containment 1.0; the reverse direction dilutes
+    val (cSL, jSL) = got((2L, 1L))
+    assert(cSL == 1.0, s"short-in-long containment $cSL")
+    assert(jSL < 0.8, s"jaccard should be diluted by the container, got $jSL")
+    // long -> short survives only if it clears 0.5 — with 12x repeats
+    // vs 3x the long doc's distinct-shingle set is a superset: its
+    // containment into short = |short's set| / |long's set| < 1
+    got.get((1L, 2L)).foreach { case (cLS, _) => assert(cLS < 1.0) }
+    // the unrelated doc pairs with nothing
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("minhash candidates contain every true near-dup pair (recall)") {
     val trueDups = TextDedup.ngramJaccardPairs(docs, "text", "doc_id",
       shingleSize = 5, threshold = 0.7)
