@@ -13,7 +13,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_LOGLEVEL=INFO -> per-job timings in stderr (profiling)
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     // noop sink: full materialization of every column, no disk cost —
     // honest end-to-end timing (count() alone lets Spark prune columns).
     // Two full passes, min per query: pass 1 absorbs JVM/codegen warm-up

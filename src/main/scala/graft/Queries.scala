@@ -26,7 +26,7 @@ object Queries {
                      oracle: Option[String])
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)   // schema-cached parquet read (see Tables)
 
   /** events.ts micros, adaptive to the testdata's physical type: older
     * generators wrote TIMESTAMP(NANOS) parquet (surfaced as long via

@@ -17,7 +17,7 @@ import Queries.Q
 object QueriesClean {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)   // schema-cached parquet read (see Tables)
 
   // DuckDB title-case emulation (initcap equivalent after whitespace
   // collapse): upper first letter, lower rest, per space-separated word.

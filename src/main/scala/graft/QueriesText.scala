@@ -23,7 +23,7 @@ import Queries.Q
 object QueriesText {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)   // schema-cached parquet read (see Tables)
 
   /** documents ∪ shifted copy of every 5th doc — deterministic duplicate
     * injection so dedup operators have work to do. */
