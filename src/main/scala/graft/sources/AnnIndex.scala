@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 import graft.operators.Pq
 
@@ -691,14 +692,21 @@ object AnnIndex {
     * trap). A data-file listing decides emptiness first. */
   private def countSegment(spark: SparkSession,
                            f: org.apache.hadoop.fs.FileSystem,
-                           seg: String): Long = {
+                           seg: String,
+                           schema: Option[StructType] = None): Long = {
     val it = f.listFiles(path(seg), true)
     var hasData = false
     while (!hasData && it.hasNext) {
       val n = it.next().getPath.getName
       if (!n.startsWith("_") && !n.startsWith(".")) hasData = true
     }
-    if (!hasData) 0L else spark.read.parquet(seg).count()
+    // every caller just WROTE the segment and knows its schema — pass
+    // it through so the count is one metadata-only job instead of a
+    // footer-reading schema-inference job plus the count (count(*)
+    // materializes no columns, so the schema is never converted)
+    if (!hasData) 0L
+    else schema.fold(spark.read)(s => spark.read.schema(s))
+      .parquet(seg).count()
   }
 
   /** Encode `delta` with the index model and land it as segment
@@ -719,12 +727,12 @@ object AnnIndex {
                            cbs: Array[Array[Array[Double]]]): Long = {
     val spark = delta.sparkSession
     val seg = s"$dir/data/$segName"
-    Pq.ivfPqEncode(graft.operators.Spread.toCores(delta), idCol, vecCol,
-        centroids, cbs)
+    val enc = Pq.ivfPqEncode(graft.operators.Spread.toCores(delta), idCol,
+        vecCol, centroids, cbs)
       .withColumnRenamed("_cell", "cell")
-      .repartition(col("cell"))
+    enc.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(seg)
-    countSegment(spark, fs(spark, dir), seg)
+    countSegment(spark, fs(spark, dir), seg, Some(enc.schema))
   }
 
   /** The snapshot's visible code union: each live segment masked by the
@@ -738,8 +746,15 @@ object AnnIndex {
                            md: ManifestData): DataFrame = {
     val tombFrames = md.tombs.map { t =>
       t.id -> spark.read.parquet(s"$dir/tomb/${t.dirName}") }.toMap
+    // all segments of one index share a schema by protocol (append
+    // re-encodes with the index's own model) — infer it ONCE from the
+    // first segment and reuse, so opening an N-segment snapshot costs
+    // one footer-inference job instead of N
+    val segSchema = spark.read
+      .parquet(s"$dir/data/${md.segs.head.dirName}").schema
     md.segs.map { b =>
-      val base = spark.read.parquet(s"$dir/data/${b.dirName}")
+      val base = spark.read.schema(segSchema)
+        .parquet(s"$dir/data/${b.dirName}")
       val masks = md.tombs.collect { case t if t.id > b.id => tombFrames(t.id) }
       if (masks.isEmpty) base
       else base.join(
@@ -778,6 +793,88 @@ object AnnIndex {
         cbs.head.length))
       .toDF("dim", "nlist", "m", "ncode")
       .repartition(1).write.mode("overwrite").parquet(s"$root/meta")
+  }
+
+  // ---- model-table schemas (fixed: written by this object) ---------
+  // Explicit schemas make every model read inference-free: a bare
+  // spark.read.parquet runs a footer-reading schema-inference job per
+  // call, and the writer verbs open these parameter-sized tables on
+  // every append/upsert/merge/split.
+  private val ivfMetaSchema =
+    StructType.fromDDL("dim INT, nlist INT, m INT, ncode INT, kind STRING")
+  private val sqMetaSchema = StructType.fromDDL("dim INT, kind STRING")
+  private val centroidsSchema =
+    StructType.fromDDL("cell INT, vec ARRAY<DOUBLE>")
+  private val codebooksSchema =
+    StructType.fromDDL("s INT, code INT, vec ARRAY<DOUBLE>")
+  private val sqModelSchema =
+    StructType.fromDDL("i INT, mn DOUBLE, step DOUBLE, inv DOUBLE")
+  private val tombSchema = StructType.fromDDL("neighbor_id BIGINT")
+
+  /** The manifest's model root: version 0 lives at the index root,
+    * every retrain under its own `model-<uniq>/`. */
+  private def modelRoot(dir: String, md: ManifestData): String =
+    if (md.modelDir.isEmpty) dir else s"$dir/${md.modelDir}"
+
+  /** Read ONLY the IVF-PQ model tables of a pinned manifest — the
+    * writer verbs (append/upsert/merge-dst) need the encode model and
+    * nothing else; a full [[load]] would also open every live segment
+    * (one schema read each) to assemble a visible union the writer
+    * never evaluates. */
+  private def readIvfModel(spark: SparkSession, dir: String,
+                           md: ManifestData)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val mroot = modelRoot(dir, md)
+    val meta = spark.read.schema(ivfMetaSchema)
+      .parquet(s"$mroot/meta").collect().head
+    require(meta.getAs[String]("kind") == null,
+      s"$dir is not an IVF-PQ index (meta kind=${meta.getAs[String]("kind")})")
+    val (dim, nlist, m, ncode) =
+      (meta.getAs[Int]("dim"), meta.getAs[Int]("nlist"),
+        meta.getAs[Int]("m"), meta.getAs[Int]("ncode"))
+    val cents = spark.read.schema(centroidsSchema)
+      .parquet(s"$mroot/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(cents.length == nlist && cents.forall(_.length == dim),
+      s"centroids table does not match meta ($nlist x $dim)")
+    val cbRows = spark.read.schema(codebooksSchema)
+      .parquet(s"$mroot/codebooks")
+      .orderBy("s", "code").collect()
+    require(cbRows.length == m * ncode,
+      s"codebooks table does not match meta ($m x $ncode)")
+    val cbs = cbRows.grouped(ncode)
+      .map(_.map(_.getSeq[Double](2).toArray).toArray).toArray
+    (cents, cbs)
+  }
+
+  /** [[readIvfModel]]'s SQ8 twin: affine model + optional coarse
+    * quantizer, nothing else. */
+  private def readSqModel(spark: SparkSession, dir: String,
+                          md: ManifestData)
+      : (graft.operators.Sq.Model, Option[Array[Array[Double]]]) = {
+    val f = fs(spark, dir)
+    val mroot = modelRoot(dir, md)
+    val meta = spark.read.schema(sqMetaSchema)
+      .parquet(s"$mroot/meta").collect().head
+    require(meta.getAs[String]("kind") == "sq8", s"$dir is not an sq8 index")
+    val dim = meta.getAs[Int]("dim")
+    val rows = spark.read.schema(sqModelSchema)
+      .parquet(s"$mroot/model").orderBy("i").collect()
+    require(rows.length == dim, s"model table does not match meta ($dim dims)")
+    val m = graft.operators.Sq.Model(
+      rows.map(_.getAs[Double]("mn")),
+      rows.map(_.getAs[Double]("step")),
+      rows.map(_.getAs[Double]("inv")))
+    val cents =
+      if (!f.exists(path(s"$mroot/centroids"))) None
+      else Some(spark.read.schema(centroidsSchema)
+        .parquet(s"$mroot/centroids")
+        .orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toArray))
+    cents.foreach(c => require(c.forall(_.length == dim),
+      s"centroids table does not match meta (dim $dim)"))
+    (m, cents)
   }
 
   def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
@@ -845,10 +942,9 @@ object AnnIndex {
     val (mid, md) = refresh(f, dir)
     if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
     maybeKill(dir, "stage")
-    val idx = load(spark, dir, asOf = Some(mid))
+    val (cents, cbs) = readIvfModel(spark, dir, md)
     val segName = freshName("batch-")
-    val n = writeSegment(delta, idCol, vecCol, dir, segName,
-      idx.centroids, idx.cbs)
+    val n = writeSegment(delta, idCol, vecCol, dir, segName, cents, cbs)
     if (n == 0) { f.delete(path(s"$dir/data/$segName"), true); return }
     commitWithRetry(f, dir, (mid, md),
       m => m.copy(segs = m.segs :+ Art(m.nextId, n, segName),
@@ -900,15 +996,14 @@ object AnnIndex {
     val (mid, md) = refresh(f, dir)
     if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
     maybeKill(dir, "stage")
-    val idx = load(spark, dir, asOf = Some(mid))
+    val (cents, cbs) = readIvfModel(spark, dir, md)
     val segName = freshName("batch-")
     val tombName = freshName("t-")
-    val n = writeSegment(batch, idCol, vecCol, dir, segName,
-      idx.centroids, idx.cbs)
+    val n = writeSegment(batch, idCol, vecCol, dir, segName, cents, cbs)
     if (n == 0) { f.delete(path(s"$dir/data/$segName"), true); return }
     batch.select(col(idCol).cast("long").as("neighbor_id")).distinct()
       .write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
-    val tn = countSegment(spark, f, s"$dir/tomb/$tombName")
+    val tn = countSegment(spark, f, s"$dir/tomb/$tombName", Some(tombSchema))
     commitWithRetry(f, dir, (mid, md),
       m => m.copy(segs = m.segs :+ Art(m.nextId + 1, n, segName),
         tombs = m.tombs :+ Art(m.nextId, tn, tombName),
@@ -954,7 +1049,7 @@ object AnnIndex {
     val tombName = freshName("t-")
     ids.select(col(idCol).cast("long").as("neighbor_id")).distinct()
       .write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
-    val n = countSegment(spark, f, s"$dir/tomb/$tombName")
+    val n = countSegment(spark, f, s"$dir/tomb/$tombName", Some(tombSchema))
     if (n == 0) { f.delete(path(s"$dir/tomb/$tombName"), true); return }
     // a re-based delete applies AS OF ITS COMMIT: a fresh tombstone id
     // (> every committed segment) also masks matching rows a concurrent
@@ -995,7 +1090,8 @@ object AnnIndex {
           union.repartition(col("cell")).write.partitionBy("cell")
         else union.write
       writer.mode("overwrite").parquet(s"$dir/data/$segName")
-      val n = countSegment(spark, f, s"$dir/data/$segName")
+      val n = countSegment(spark, f, s"$dir/data/$segName",
+        Some(union.schema))
       if (n == 0) {
         f.delete(path(s"$dir/data/$segName"), true)
         throw new IllegalStateException(
@@ -1046,19 +1142,20 @@ object AnnIndex {
     val f = fs(spark, dstDir)
     val (mid, md) = refresh(f, dstDir)
     maybeKill(dstDir, "stage")
-    val dst = load(spark, dstDir, asOf = Some(mid))
+    val (dstCents, dstCbs) = readIvfModel(spark, dstDir, md)
     val src = load(spark, srcDir)
-    require(dst.centroids.map(_.toSeq).toSeq == src.centroids.map(_.toSeq).toSeq &&
-        dst.cbs.map(_.map(_.toSeq).toSeq).toSeq == src.cbs.map(_.map(_.toSeq).toSeq).toSeq,
+    require(dstCents.map(_.toSeq).toSeq == src.centroids.map(_.toSeq).toSeq &&
+        dstCbs.map(_.map(_.toSeq).toSeq).toSeq == src.cbs.map(_.map(_.toSeq).toSeq).toSeq,
       s"model mismatch: $srcDir was not built with $dstDir's " +
         "centroids/codebooks — codes are not comparable across models")
     val segName = freshName("batch-")
-    src.codes
+    val copied = src.codes
       .select(col("neighbor_id"), col("_cell").as("cell"), col("codes"))
-      .repartition(col("cell"))
+    copied.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dstDir/data/$segName")
-    val n = countSegment(spark, f, s"$dstDir/data/$segName")
+    val n = countSegment(spark, f, s"$dstDir/data/$segName",
+      Some(copied.schema))
     if (n == 0) { f.delete(path(s"$dstDir/data/$segName"), true); return }
     commitWithRetry(f, dstDir, (mid, md),
       m => m.copy(segs = m.segs :+ Art(m.nextId, n, segName),
@@ -1238,7 +1335,8 @@ object AnnIndex {
     val tombName = freshName("t-")
     val n = writeSegment(hot, idCol, vecCol, dir, segName, newCents, idx.cbs)
     memberIds.write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
-    val tn = countSegment(spark, f, s"$dir/tomb/$tombName")
+    val tn = countSegment(spark, f, s"$dir/tomb/$tombName",
+      Some(memberIds.schema))
     def cleanup(): Unit = {
       f.delete(path(s"$dir/data/$segName"), true)
       f.delete(path(s"$dir/tomb/$tombName"), true)
@@ -1534,20 +1632,22 @@ object AnnIndex {
     val spark = delta.sparkSession
     val seg = s"$dir/data/$segName"
     val spread = graft.operators.Spread.toCores(delta)
-    centroids match {
+    val enc = centroids match {
       case None =>
-        Sq.encode(spread, idCol, vecCol, m)
-          .write.mode("overwrite").parquet(seg)
+        val e = Sq.encode(spread, idCol, vecCol, m)
+        e.write.mode("overwrite").parquet(seg)
+        e
       case Some(cents) =>
         import graft.plans.SketchExpressions.nearestCentroids
-        spread.select(col(idCol).as("neighbor_id"),
+        val e = spread.select(col(idCol).as("neighbor_id"),
             Sq.encodeExpr(col(vecCol), m).as("codes"),
             element_at(nearestCentroids(col(vecCol), cents, 1), 1).as("cell"))
           .withColumn("recon_norm", Sq.reconNormExpr(col("codes"), m))
-          .repartition(col("cell"))
+        e.repartition(col("cell"))
           .write.mode("overwrite").partitionBy("cell").parquet(seg)
+        e
     }
-    countSegment(spark, fs(spark, dir), seg)
+    countSegment(spark, fs(spark, dir), seg, Some(enc.schema))
   }
 
   /** Build and atomically publish a fresh SQ8 index at `dir` — same
@@ -1612,10 +1712,9 @@ object AnnIndex {
     val (mid, md) = refresh(f, dir)
     if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
     maybeKill(dir, "stage")
-    val idx = loadSq(spark, dir, asOf = Some(mid))
+    val (model, cents) = readSqModel(spark, dir, md)
     val segName = freshName("batch-")
-    val n = writeSqSegment(delta, idCol, vecCol, dir, segName, idx.model,
-      idx.centroids)
+    val n = writeSqSegment(delta, idCol, vecCol, dir, segName, model, cents)
     if (n == 0) { f.delete(path(s"$dir/data/$segName"), true); return }
     commitWithRetry(f, dir, (mid, md),
       m => m.copy(segs = m.segs :+ Art(m.nextId, n, segName),
@@ -1660,15 +1759,14 @@ object AnnIndex {
     val (mid, md) = refresh(f, dir)
     if (dedupKey.exists(_ <= md.shw)) return // committed duplicate delivery
     maybeKill(dir, "stage")
-    val idx = loadSq(spark, dir, asOf = Some(mid))
+    val (model, cents) = readSqModel(spark, dir, md)
     val segName = freshName("batch-")
     val tombName = freshName("t-")
-    val n = writeSqSegment(batch, idCol, vecCol, dir, segName, idx.model,
-      idx.centroids)
+    val n = writeSqSegment(batch, idCol, vecCol, dir, segName, model, cents)
     if (n == 0) { f.delete(path(s"$dir/data/$segName"), true); return }
     batch.select(col(idCol).cast("long").as("neighbor_id")).distinct()
       .write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
-    val tn = countSegment(spark, f, s"$dir/tomb/$tombName")
+    val tn = countSegment(spark, f, s"$dir/tomb/$tombName", Some(tombSchema))
     commitWithRetry(f, dir, (mid, md),
       m => m.copy(segs = m.segs :+ Art(m.nextId + 1, n, segName),
         tombs = m.tombs :+ Art(m.nextId, tn, tombName),
@@ -1706,11 +1804,11 @@ object AnnIndex {
     val f = fs(spark, dstDir)
     val (mid, md) = refresh(f, dstDir)
     maybeKill(dstDir, "stage")
-    val dst = loadSq(spark, dstDir, asOf = Some(mid))
+    val (dstModel, dstCents) = readSqModel(spark, dstDir, md)
     val src = loadSq(spark, srcDir)
-    require(dst.model.mins.toSeq == src.model.mins.toSeq &&
-        dst.model.steps.toSeq == src.model.steps.toSeq &&
-        dst.centroids.map(_.map(_.toSeq).toSeq) ==
+    require(dstModel.mins.toSeq == src.model.mins.toSeq &&
+        dstModel.steps.toSeq == src.model.steps.toSeq &&
+        dstCents.map(_.map(_.toSeq).toSeq) ==
           src.centroids.map(_.map(_.toSeq).toSeq),
       s"model mismatch: $srcDir was not built with $dstDir's affine " +
         "model/quantizer — codes are not comparable across models")
@@ -1720,7 +1818,7 @@ object AnnIndex {
       src.codes.repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(seg)
     else src.codes.write.mode("overwrite").parquet(seg)
-    val n = countSegment(spark, f, seg)
+    val n = countSegment(spark, f, seg, Some(src.codes.schema))
     if (n == 0) { f.delete(path(seg), true); return }
     commitWithRetry(f, dstDir, (mid, md),
       m => m.copy(segs = m.segs :+ Art(m.nextId, n, segName),
@@ -1781,25 +1879,7 @@ object AnnIndex {
     val f = fs(spark, dir)
     val (mid, md) = resolveReadManifest(f, dir, asOf)
     // model artifacts resolve THROUGH the pinned manifest (see [[load]])
-    val mroot = if (md.modelDir.isEmpty) dir else s"$dir/${md.modelDir}"
-    val meta = spark.read.parquet(s"$mroot/meta").collect().head
-    require(meta.schema.fieldNames.contains("kind") &&
-        meta.getAs[String]("kind") == "sq8",
-      s"$dir is not an sq8 index")
-    val dim = meta.getAs[Int]("dim")
-    val rows = spark.read.parquet(s"$mroot/model").orderBy("i").collect()
-    require(rows.length == dim, s"model table does not match meta ($dim dims)")
-    val m = graft.operators.Sq.Model(
-      rows.map(_.getAs[Double]("mn")),
-      rows.map(_.getAs[Double]("step")),
-      rows.map(_.getAs[Double]("inv")))
-    val cents =
-      if (!f.exists(path(s"$mroot/centroids"))) None
-      else Some(spark.read.parquet(s"$mroot/centroids")
-        .orderBy("cell").collect()
-        .map(_.getSeq[Double](1).toArray))
-    cents.foreach(c => require(c.forall(_.length == dim),
-      s"centroids table does not match meta (dim $dim)"))
+    val (m, cents) = readSqModel(spark, dir, md)
     LoadedSq(m, cents, visibleUnion(spark, dir, md), md.segs.map(_.n).sum,
       md.segs.map(_.id))
   }
@@ -1970,7 +2050,8 @@ object AnnIndex {
     val n = writeSqSegment(hot, idCol, vecCol, dir, segName, idx.model,
       Some(newCents))
     memberIds.write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
-    val tn = countSegment(spark, f, s"$dir/tomb/$tombName")
+    val tn = countSegment(spark, f, s"$dir/tomb/$tombName",
+      Some(memberIds.schema))
     def cleanup(): Unit = {
       f.delete(path(s"$dir/data/$segName"), true)
       f.delete(path(s"$dir/tomb/$tombName"), true)
@@ -2161,22 +2242,7 @@ object AnnIndex {
     // model artifacts resolve THROUGH the pinned manifest: a reader
     // pinned before a [[retrain]] keeps scoring with the model its
     // segments were encoded with (version 0 = the build's root dirs)
-    val mroot = if (md.modelDir.isEmpty) dir else s"$dir/${md.modelDir}"
-    val meta = spark.read.parquet(s"$mroot/meta").collect().head
-    val (dim, nlist, m, ncode) =
-      (meta.getAs[Int]("dim"), meta.getAs[Int]("nlist"),
-        meta.getAs[Int]("m"), meta.getAs[Int]("ncode"))
-    val cents = spark.read.parquet(s"$mroot/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
-    require(cents.length == nlist && cents.forall(_.length == dim),
-      s"centroids table does not match meta ($nlist x $dim)")
-    val cbRows = spark.read.parquet(s"$mroot/codebooks")
-      .orderBy("s", "code").collect()
-    require(cbRows.length == m * ncode,
-      s"codebooks table does not match meta ($m x $ncode)")
-    val cbs = cbRows.grouped(ncode)
-      .map(_.map(_.getSeq[Double](2).toArray).toArray).toArray
+    val (cents, cbs) = readIvfModel(spark, dir, md)
     val codes = visibleUnion(spark, dir, md)
       .select(col("neighbor_id"), col("cell").as("_cell"), col("codes"))
     Loaded(cents, cbs, codes, md.segs.map(_.n).sum, md.segs.map(_.id))

@@ -116,6 +116,12 @@ class AnnIndexMultiWriterSoakSpec extends AnyFunSuite {
       try { AnnIndex.repair(spark, dir, staleAfterMs = 1200); done = true }
       catch {
         case _: IllegalStateException => Thread.sleep(300) // in-flight
+        case _: AnnIndex.InjectedCrash =>
+          // a kill armed by a CONCURRENT writer fired inside THIS
+          // repairer's own supersede publish (repair shares tryPublish's
+          // publish-torn seam) — a repairer dying mid-supersede is just
+          // another dead writer, and the documented runbook is to re-run
+          // repair; the retry loop does exactly that
       }
     }
   }
