@@ -169,8 +169,16 @@ object Components {
     val winners = scored.groupBy(col("comp"))
       .agg(max(struct(col("_score"), (-col("id")).as("_negid"))).as("_w"))
       .select((-col("_w._negid")).cast("long").as("_winner"))
-    val losers = comps.join(winners, comps("id") === winners("_winner"), "left_anti")
-      .select(col("id"))
+    // Materialize the loser ids ONCE (dup-count-sized, ids only): the
+    // final anti-join's left side is typically a multi-branch frame
+    // (docsWithDups unions two scans), and the optimizer pushes an
+    // anti-join BELOW a union — duplicating this whole subtree (the
+    // docs⋈comps score join and the argmax aggregation) once per
+    // branch, i.e. two extra corpus-sized passes at warehouse scale.
+    // Same pin classification as the comps frames it derives from.
+    val losers = Pin.data(
+      comps.join(winners, comps("id") === winners("_winner"), "left_anti")
+        .select(col("id")))
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 }
