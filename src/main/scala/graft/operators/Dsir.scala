@@ -152,14 +152,19 @@ object Dsir {
                    unigrams: Boolean = true): DataFrame = {
     require(fraction > 0.0 && fraction < 1.0,
       s"fraction must be in (0, 1), got $fraction")
-    val scored = scoredFrame(docs, textCol, idCol, isTarget, nBuckets,
-        unigrams)
+    // Pinned (one row per doc): the quantile cutoff AND the final
+    // select both consume this frame, and the exact-quantile path
+    // consumes its input twice more internally — without the cut the
+    // whole tokenize→explode→model-join→per-doc-agg pipeline ran up to
+    // 3× per execution (measured: 3 perDoc passes in the q119 plan).
+    val scored = Pin.data(scoredFrame(docs, textCol, idCol, isTarget,
+        nBuckets, unigrams)
       .withColumnRenamed("n_bigrams", "n_features")
       .withColumn("_g", gumbel(col(idCol), seed))
       // unrounded key: exact decimal log-weight + round-12 Gumbel —
       // IEEE-reproducible; display columns are rounded, the comparison
       // and the quantile run on the unrounded key (the q78 contract)
-      .withColumn("_key", col("_lrsum").cast(DoubleType) + col("_g"))
+      .withColumn("_key", col("_lrsum").cast(DoubleType) + col("_g")))
     val cut = Quantiles.exact(scored, Nil, "_key", Seq(1.0 - fraction),
       Seq("cutoff"))
     scored.crossJoin(broadcast(cut))

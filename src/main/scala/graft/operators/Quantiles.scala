@@ -112,9 +112,13 @@ object Quantiles {
                 else ps.map(p => s"p${(p * 100).toInt}")
 
     // value-frequency reduction (the only pass over raw rows), then the
-    // exclusive prefix sum over value order = rows strictly below _v
-    val counts = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol).as("_v")).agg(count(lit(1)).as("_cnt"))
+    // exclusive prefix sum over value order = rows strictly below _v.
+    // Pinned: both the prefix scan AND the total consume it, and
+    // without the cut each consumer re-evaluates the whole upstream
+    // frame (for q119's resample that upstream is the full per-doc
+    // scoring pipeline) — one raw pass instead of two.
+    val counts = Pin.data(df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("_v")).agg(count(lit(1)).as("_cnt")))
     val ranked = Pack.prefixSum(counts, col("_cnt"), "_v", "_below")
       .withColumn("_cum", col("_below") + col("_cnt"))
     val total = counts.agg(sum(col("_cnt")).as("_n"))
