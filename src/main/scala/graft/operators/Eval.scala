@@ -48,7 +48,11 @@ object Eval {
   def calibration(df: DataFrame, score: Column, label: Column,
                   bins: Int = 10): DataFrame = {
     require(bins >= 2 && bins <= 10000, s"bins must be in [2, 10000], got $bins")
-    val s = df.select(score.as("_s"), when(label, 1L).otherwise(0L).as("_y"))
+    // pinned (one narrow row per input row): the (min, max) extent AND
+    // the binning aggregation consume it — without the cut each pass
+    // re-ran the upstream scoring pipeline
+    val s = Pin.data(
+      df.select(score.as("_s"), when(label, 1L).otherwise(0L).as("_y")))
     val ext = s.agg(min(col("_s")).as("_mn"), max(col("_s")).as("_mx"))
     s.crossJoin(broadcast(ext))
       .withColumn("_bin",
@@ -78,10 +82,13 @@ object Eval {
     * precision + recall is 0 (no division blow-up on an all-negative
     * tail). Null scores are the caller's problem, as in [[auc]]. */
   def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val grouped = df
+    // pinned (distinct-score-sized): the prefix scan AND the totals
+    // consume it — without the cut the totals branch re-ran the whole
+    // upstream scoring pipeline a second time
+    val grouped = Pin.data(df
       .select(score.as("_s"), when(label, 1L).otherwise(0L).as("_y"))
       .groupBy(col("_s"))
-      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np")))
     val below = Pack.prefixSum(grouped, col("_n"), "_s", "_below")
     val belowPos = Pack.prefixSum(below, col("_np"), "_s", "_pbelow")
     val totals = grouped.agg(sum(col("_n")).as("_tot"),

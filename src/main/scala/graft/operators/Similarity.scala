@@ -712,8 +712,10 @@ object Similarity {
     val assigned = df.select(col(idCol), element_at(
       graft.plans.SketchExpressions.nearestCentroids(
         col(vecCol), centroids, 1), 1).cast("int").as("cell"))
-    val cellCounts = assigned.groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_cell"))
+    // pinned (≤ nlist rows): the keep-fraction join AND the 1-row min
+    // consume it — without the cut each re-assigned the whole corpus
+    val cellCounts = Pin.param(assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_cell")))
     val minCell = cellCounts.agg(min(col("n_cell")).as("_min_cell"))
     assigned
       .join(broadcast(cellCounts), Seq("cell"))

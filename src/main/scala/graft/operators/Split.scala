@@ -137,8 +137,11 @@ object Split {
       .withColumn("_w",
         bround(pow(col("n_tokens").cast(DoubleType), lit(alpha)), 6)
           .cast(DecimalType(38, 6)))
-    val total = agg.agg(sum(col("_w")).as("_tw"))
-    agg.crossJoin(broadcast(total))
+    // pinned (≤ #sources rows): the share projection AND the 1-row
+    // total consume it — without the cut the corpus groupBy ran twice
+    val aggP = Pin.param(agg)
+    val total = aggP.agg(sum(col("_w")).as("_tw"))
+    aggP.crossJoin(broadcast(total))
       .withColumn("target_share",
         bround(col("_w").cast(DoubleType) / col("_tw").cast(DoubleType), 12))
       .withColumn("alloc_tokens",

@@ -56,16 +56,22 @@ object TextClassifier {
             buckets: Int = 512): DataFrame = {
     val tok = tokenStream(df, textCol, col(labelCol).cast("boolean").as("_y"))
       .select(col("_y"), bucketOf(col("_tok"), buckets).as("bucket"))
-    val counts = tok.groupBy(col("bucket")).agg(
+    // pinned (≤ buckets rows); the class token totals are the exact
+    // integer sums of the per-bucket counts, so they fold over the
+    // pinned table instead of re-running the tokenize pass
+    val counts = Pin.param(tok.groupBy(col("bucket")).agg(
       sum(when(col("_y"), 1L).otherwise(0L)).as("_cpos"),
-      sum(when(col("_y"), 0L).otherwise(1L)).as("_cneg"))
-    val tokTotals = tok.groupBy().agg(
-      sum(when(col("_y"), 1L).otherwise(0L)).as("_tpos"),
-      sum(when(col("_y"), 0L).otherwise(1L)).as("_tneg"))
+      sum(when(col("_y"), 0L).otherwise(1L)).as("_cneg")))
+    val tokTotals = counts.groupBy().agg(
+      sum(col("_cpos")).as("_tpos"),
+      sum(col("_cneg")).as("_tneg"))
     val docTotals = df.groupBy().agg(
       sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("_npos"),
       sum(when(col(labelCol).cast("boolean"), 0L).otherwise(1L)).as("_nneg"))
-    df.sparkSession.range(buckets).select(col("id").as("bucket"))
+    // the returned model is parameter-sized and every scorer consumes
+    // it at least twice (prior + weights join) — pin it so scoring
+    // never re-runs the training passes
+    Pin.param(df.sparkSession.range(buckets).select(col("id").as("bucket"))
       .join(counts, Seq("bucket"), "left")
       .na.fill(0L, Seq("_cpos", "_cneg"))
       .crossJoin(broadcast(tokTotals))
@@ -73,7 +79,7 @@ object TextClassifier {
       .select(col("bucket"),
         (qln(col("_cpos") + 1) - qln(col("_tpos") + buckets)
           - qln(col("_cneg") + 1) + qln(col("_tneg") + buckets)).as("weight_micro"),
-        (qln(col("_npos")) - qln(col("_nneg"))).as("prior_micro"))
+        (qln(col("_npos")) - qln(col("_nneg"))).as("prior_micro")))
   }
 
   /** Score every row of `df`: integer log-odds sum over its tokens'

@@ -102,9 +102,11 @@ object Tfidf {
     * (two range Exchanges from the prefix scan, one broadcast of the
     * 1-row total). */
   def vocabCoverage(docs: DataFrame, textCol: String): DataFrame = {
-    val tf = docs
+    // pinned (vocabulary-sized): the prefix-scan ranking AND the 1-row
+    // total consume it — without the cut the corpus explode+agg ran twice
+    val tf = Pin.data(docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq")))
     val keyed = tf.withColumn("_ckey",
       concat(lpad((lit(999999999999L) - col("freq")).cast("string"), 12, "0"),
         lit("|"), col("term")))
@@ -141,12 +143,17 @@ object Tfidf {
     require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     val toks = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("_tk"))
-    val tf = toks
+    // pinned (hit-sized, ≤ |Q| terms per doc): the df-per-term agg AND
+    // the scoring join consume it — without the cut the corpus
+    // tokenize+explode ran once per consumer. (The corpus-wide (N,
+    // avgdl) stats pass below is irreducible: it must see every doc,
+    // hits or not.)
+    val tf = Pin.data(toks
       .select(col("doc_id"), size(col("_tk")).cast(LongType).as("dl"),
         explode(col("_tk")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val dfv = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = toks.agg(count(lit(1)).as("n_docs"),
         sum(size(col("_tk")).cast(LongType)).as("_sumdl"))

@@ -1972,8 +1972,10 @@ object AnnIndex {
   def cellStatsSq(idx: LoadedSq): DataFrame = {
     require(idx.centroids.nonEmpty,
       "cellStatsSq needs a cell-partitioned SQ index (buildSq with centroids)")
-    val counts = idx.codes.groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_vectors"))
+    // pinned (≤ nlist rows): the share projection AND the 1-row total
+    // consume it — without the cut each re-scanned the visible codes
+    val counts = graft.operators.Pin.param(idx.codes.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors")))
     val total = counts.agg(sum(col("n_vectors")).as("_t"))
     counts.crossJoin(broadcast(total))
       .select(col("cell").cast("int").as("cell"),
@@ -2522,8 +2524,10 @@ object AnnIndex {
     * imbalance_factor). One nlist-bounded hash agg over the codes scan
     * plus a broadcast 1-row total — no sort, no collect. */
   def cellStats(idx: Loaded): DataFrame = {
-    val counts = idx.codes.groupBy(col("_cell"))
-      .agg(count(lit(1)).as("n_vectors"))
+    // pinned (≤ nlist rows): the share projection AND the 1-row total
+    // consume it — without the cut each re-scanned the visible codes
+    val counts = graft.operators.Pin.param(idx.codes.groupBy(col("_cell"))
+      .agg(count(lit(1)).as("n_vectors")))
     val total = counts.agg(sum(col("n_vectors")).as("_t"))
     counts.crossJoin(broadcast(total))
       .select(col("_cell").cast("int").as("cell"),
