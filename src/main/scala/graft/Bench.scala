@@ -65,8 +65,17 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench.json"), fullJson)
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    // per-query map on stdout for the driver's round-over-round
+    // comparison (round-18 verdict finding #1): compact 2-dp values, no
+    // contended list (~4 KB), emitted as the line BEFORE the total so a
+    // head-truncated tail still parses the total line below
+    val qs2dp = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + round2(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${round2(total)},"unit":"sec","queries":$qs2dp,"sf":"$sfDir"}""")
     // LAST stdout line: compact (~150 bytes), guaranteed to survive the
-    // driver's tail capture — no per-query map here by design
+    // driver's tail capture
     println(
       s"""{"metric":"total","value":${round2(total)},"unit":"sec","n_queries":${results.size},"contended":$contended,"sf":"$sfDir","file":"target/bench.json"}""")
     spark.stop()

@@ -3116,9 +3116,14 @@ object QueriesText {
       val bf = Pin.data(
         Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
           .select(col("query_id"), col("neighbor_id")))
+      // corpus bucketing shared across the two dial settings: the probe
+      // dial is query-side only, so both settings probe the IDENTICAL
+      // capped corpus index — built once, its per-bucket counts pinned
+      // (one counts pass instead of two; guide §2.4)
+      val idx = Similarity.lshCorpusIndex(e, "vec_id", "embedding")
       def recallAt(p: Int): DataFrame = {
-        val lsh = Similarity.lshTopK(q, e, "vec_id", "embedding", k = 3,
-            probes = p)
+        val lsh = Similarity.lshTopKOnIndex(q, idx, "vec_id", "embedding",
+            k = 3, probes = p)
           .select(col("query_id"), col("neighbor_id"))
         val matched = bf.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy(col("query_id")).agg(count(lit(1)).as("n_matched"))

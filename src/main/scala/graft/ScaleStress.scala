@@ -342,7 +342,7 @@ object ScaleStress {
     val exhibitNames = Set("semdedup_exhibits", "dsir_stateless_scoring",
       "skew_stress", "stream_sinks", "bpe_train_512", "bpe_train_deep",
       "checkpoint_cost", "blocklist_400", "serving_soak", "pair_rounds",
-      "split_policy")
+      "split_policy", "split_policy_multi")
     def wantExhibit(n: String): Boolean = only.forall(_.contains(n))
     // a typo'd subset must FAIL, not complete green measuring nothing
     only.foreach { o =>
@@ -777,6 +777,73 @@ object ScaleStress {
         f""""splits":${sqReport.splits},"passes":${sqReport.passes},""" +
         f""""build_s":$tBuildSq%.2f,""" +
         f""""policy_s":$tPolicySq%.2f}"""
+    }
+
+    // MULTI-HOT-CELL PLANT (round-18 verdict finding #5): the single-cone
+    // plant above exercises the policy serially — one over-bar cell at a
+    // time — so "all over-bar cells split per pass" was asserted, not
+    // priced. Here FOUR orthogonal hot cones (spike dimension = vec_id %
+    // 4) each route into their own coarse cell of a codebook trained on
+    // the non-hot half, so the policy starts with k >= 2 simultaneously
+    // over-bar cells; batching evidence = passes STRICTLY below splits
+    // (a serial policy pays one stats+split pass per split).
+    if (wantExhibit("split_policy_multi") &&
+        (only.exists(_.contains("split_policy_multi")) || factor <= 30)) {
+      import graft.sources.AnnIndex
+      val e = spark.read.parquet(s"$outDir/embeddings.parquet")
+      val hot = e.select(
+        (col("vec_id") + 50000000L).as("vec_id"),
+        transform(col("embedding"), (_, i) =>
+          when(i === pmod(col("vec_id"), lit(4)).cast("int"), lit(10.0f))
+            .otherwise(
+              (pmod(xxhash64(col("vec_id"), i), lit(100)).cast("float")
+                / lit(1000.0f)))).as("embedding"),
+        col("label"))
+      val corpus = e.unionByName(hot)
+      val (cents, cbs) = QueriesText.ivfPqModel(e)
+      val polRoot = graft.streaming.StreamHarness.scratch("split_policy_multi")
+      val polDir = s"$polRoot/idx"
+      val tBuild = time2("split_policy_multi build") {
+        AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", polDir, cents, cbs)
+      }
+      val bar = 4.0
+      def stats(): (Double, Int, Long, Int) = {
+        val idx = AnnIndex.load(spark, polDir)
+        val st = AnnIndex.cellStats(idx).collect()
+        val nlist = idx.nlist
+        (st.map(_.getAs[Double]("frac")).max, nlist,
+          st.map(_.getAs[Long]("n_vectors")).sum,
+          st.count(_.getAs[Double]("frac") > bar / nlist))
+      }
+      val (fracBefore, nlistBefore, rows, overBarBefore) = stats()
+      require(overBarBefore >= 2,
+        s"multi plant produced only $overBarBefore over-bar cells — " +
+          "the batched-splits claim needs simultaneous hot cells")
+      val t0 = System.nanoTime()
+      val report = AnnIndex.rebalanceReport(corpus, "vec_id", "embedding",
+        polDir, maxImbalance = bar, maxSplits = 24)
+      val tPolicy = (System.nanoTime() - t0) / 1e9
+      val (fracAfter, nlistAfter, rowsAfter, overBarAfter) = stats()
+      require(rowsAfter == rows, "rebalance changed the corpus size")
+      require(fracAfter < fracBefore,
+        f"policy did not shrink the max cell: $fracBefore%.3f -> $fracAfter%.3f")
+      require(report.passes < report.splits || report.splits <= 1,
+        s"batched splits claim failed: ${report.splits} splits took " +
+          s"${report.passes} passes (expected passes < splits with " +
+          s"$overBarBefore simultaneous over-bar cells)")
+      System.err.println(f"[scale] split_policy_multi @${factor}x: $rows " +
+        f"rows, $overBarBefore over-bar cells -> $overBarAfter, max cell " +
+        f"$fracBefore%.3f -> $fracAfter%.3f ($nlistBefore -> $nlistAfter " +
+        f"cells, ${report.splits} splits in ${report.passes} passes), " +
+        f"build $tBuild%.1f s, policy $tPolicy%.1f s")
+      splitPolicyJson += f""","split_policy_multi":{"rows":$rows,""" +
+        f""""over_bar_before":$overBarBefore,""" +
+        f""""over_bar_after":$overBarAfter,""" +
+        f""""max_frac_before":$fracBefore%.4f,""" +
+        f""""max_frac_after":$fracAfter%.4f,""" +
+        f""""nlist_before":$nlistBefore,"nlist_after":$nlistAfter,""" +
+        f""""splits":${report.splits},"passes":${report.passes},""" +
+        f""""build_s":$tBuild%.2f,"policy_s":$tPolicy%.2f}"""
     }
 
     // INCREMENTAL BPE TRAINER at production merge depth: 512 merges on

@@ -105,17 +105,16 @@ object BpeTrain {
     var exhausted = false
     while (learned.size < numMerges && !exhausted) {
       val roundT0 = System.nanoTime()
-      // tokens of the CURRENT state: strip the outer separators, split
-      // on the doubled inner one
-      val toks = split(
-        substr(col("s"), lit(2), length(col("s")) - 2), SEP + SEP)
+      // adjacent pairs of the CURRENT state in ONE native expression
+      // (graft.plans.BpeAdjacentPairs — same tokens, same pairs as the
+      // substr+split+transform(sequence..) builtin chain it replaces):
+      // the round frame analyzed by Catalyst shrinks from a ~50-node
+      // tree to one node, cutting the per-round driver wall that
+      // dominates this inherently sequential loop, and the interpreted
+      // per-element HOF lambdas become one fused JVM loop
       val top = state
-        .select(col("cnt"), toks.as("t"))
-        .filter(size(col("t")) >= 2)
         .select(col("cnt"), explode(
-          transform(sequence(lit(1), size(col("t")) - 1),
-            i => struct(element_at(col("t"), i).as("a"),
-              element_at(col("t"), i + 1).as("b")))).as("p"))
+          graft.plans.SketchExpressions.bpeAdjacentPairs(col("s"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("a"), col("b"))

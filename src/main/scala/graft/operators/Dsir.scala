@@ -157,6 +157,9 @@ object Dsir {
     // consumes its input twice more internally — without the cut the
     // whole tokenize→explode→model-join→per-doc-agg pipeline ran up to
     // 3× per execution (measured: 3 perDoc passes in the q119 plan).
+    // LIFECYCLE: the returned frame references the pin — no explicit
+    // unpersist possible here; blocks are ContextCleaner-released when
+    // the result becomes unreachable (PinSpec repeated-invocation test).
     val scored = Pin.data(scoredFrame(docs, textCol, idCol, isTarget,
         nBuckets, unigrams)
       .withColumnRenamed("n_bigrams", "n_features")

@@ -50,7 +50,13 @@ object Eval {
     require(bins >= 2 && bins <= 10000, s"bins must be in [2, 10000], got $bins")
     // pinned (one narrow row per input row): the (min, max) extent AND
     // the binning aggregation consume it — without the cut each pass
-    // re-ran the upstream scoring pipeline
+    // re-ran the upstream scoring pipeline.
+    // LIFECYCLE: the returned frame references this pin, so it cannot
+    // be unpersisted here (LogReg.train's finally-unpersist pattern
+    // needs the operator to own the last consumer). Release contract:
+    // localCheckpoint blocks are ContextCleaner-freed once the returned
+    // frame becomes unreachable — bounded by GC, asserted by
+    // PinSpec's repeated-invocation test.
     val s = Pin.data(
       df.select(score.as("_s"), when(label, 1L).otherwise(0L).as("_y")))
     val ext = s.agg(min(col("_s")).as("_mn"), max(col("_s")).as("_mx"))
@@ -84,7 +90,10 @@ object Eval {
   def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
     // pinned (distinct-score-sized): the prefix scan AND the totals
     // consume it — without the cut the totals branch re-ran the whole
-    // upstream scoring pipeline a second time
+    // upstream scoring pipeline a second time.
+    // LIFECYCLE: same GC-release contract as [[calibration]] (the
+    // returned frame is a live consumer; PinSpec asserts no
+    // accumulation across repeated invocations).
     val grouped = Pin.data(df
       .select(score.as("_s"), when(label, 1L).otherwise(0L).as("_y"))
       .groupBy(col("_s"))
@@ -115,10 +124,14 @@ object Eval {
     * exact-inputs (both fit a double far beyond any realistic corpus
     * before the 2^53 integer ceiling — ~9e15 rank-sum units). */
   def auc(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val grouped = df
+    // pinned (distinct-score-sized): prefixSum's planning pass and its
+    // wide branch both consume this frame — unpinned, the corpus
+    // aggregation (and the caller's scoring pipeline below it) would
+    // run twice per execution. Same GC-release lifecycle as [[prCurve]].
+    val grouped = Pin.data(df
       .select(score.as("_s"), when(label, 1L).otherwise(0L).as("_y"))
       .groupBy(col("_s"))
-      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np")))
     val ranked = Pack.prefixSum(grouped, col("_n"), "_s", "_below")
     // sum over positive rows of 2*avg_rank = np * (2*below + n + 1).
     // The product is taken in DECIMAL, not Long: np×(2·below+n+1) can

@@ -27,43 +27,65 @@ object FfillRepair {
 
   /** df + `out` column = last non-null `value` over the global order of
     * `orderCol` (inclusive of the current row when `inclusive`). The core
-    * scalable prefix-scan shared by [[ffill]] and [[repairIds]]. */
+    * scalable prefix-scan shared by [[ffill]] and [[repairIds]].
+    *
+    * CONTRACT: `orderCol` is a unique, NON-NULL total order (an
+    * ingest/order key by construction at every caller) — partition
+    * boundaries are derived from its values.
+    *
+    * SHAPE (round-19 rework, guide §2.3/§2.4): the planning pass —
+    * range Exchange (whose reservoir-sampling job evaluates its whole
+    * input), pinned checkpoint, and per-partition summary — runs over
+    * the NARROW (orderCol, value) projection only, so column pruning
+    * reaches the caller's scan and the checkpoint stores two columns.
+    * The summary collects each nonempty partition's (max orderCol, last
+    * non-null value); the WIDE frame then derives the SAME partition id
+    * from its order key with one literal binary search per row
+    * ([[graft.plans.RangeBucketExpr]]) — it is never sampled, never
+    * checkpointed, and shuffles exactly once (the window's hash
+    * Exchange on the derived pid, as before). The previous full-frame
+    * pin evaluated the caller's whole expression tree TWICE (sampling +
+    * checkpoint) and wrote every column to block storage: measured
+    * 1.7 s/invocation at sf0.1 on the q37 transactions pipeline, and a
+    * full corpus checkpoint write at 100 TB. Pid-vs-branch consistency
+    * no longer depends on physical partitioning at all: the wide pid is
+    * a pure function of (orderCol value, collected boundaries). */
   private def prefixLast(df: DataFrame, value: Column, orderCol: String,
                          inclusive: Boolean, out: String): DataFrame = {
     val spark = df.sparkSession
     val n = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
 
-    // Eager localCheckpoint, NOT persist (the Pack.prefixSum pattern):
-    // the summary branch and the carry-join branch must see the SAME
-    // physical partitioning for the pids to line up, and a persist can
-    // be evicted under pressure — whereupon AQE may read the recomputed
-    // Exchange with different partition coalescing per branch (observed
-    // in Pack: wrong offsets). The checkpoint freezes pids once, cuts
-    // lineage, and its blocks are ContextCleaner-released when the frame
-    // becomes unreachable — no CacheManager entry to leak per call.
-    // Executor-loss trade-off centralized in [[Pin]].
-    val parted = Pin.data(df
+    // Eager localCheckpoint, NOT persist: spark_partition_id() on the
+    // narrow frame must be read by exactly one materialization (a
+    // persist can be evicted and recomputed with different AQE
+    // coalescing). Blocks are ContextCleaner-released when the frame
+    // becomes unreachable. Executor-loss trade-off centralized in [[Pin]].
+    val narrow = Pin.data(df
+      .select(col(orderCol), value.as("_ffill_v"))
       .repartitionByRange(n, col(orderCol))
-      .withColumn(Pid, spark_partition_id())
-      .withColumn("_ffill_v", value))
+      .withColumn(Pid, spark_partition_id()))
 
-    // one row per partition: the last non-null value it holds
-    val summary = parted
-      .filter(col("_ffill_v").isNotNull)
-      .groupBy(col(Pid))
-      .agg(max_by(col("_ffill_v"), col(orderCol)).as("_last"))
+    // one row per NONEMPTY partition: its orderCol upper bound and its
+    // last non-null value (max_by ignores null ordering keys, so rows
+    // with null value never win)
+    val summary = narrow.groupBy(col(Pid))
+      .agg(max(col(orderCol)).as("_hi"),
+        max_by(col("_ffill_v"),
+          when(col("_ffill_v").isNotNull, col(orderCol))).as("_last"))
       .collect()
-      .map(r => r.getInt(0) -> r.get(1))
-      .toMap
+      .sortBy(_.getInt(0))
 
-    // driver-side prefix scan over ≤ numShufflePartitions entries:
-    // carry(p) = last non-null value of any partition before p
-    val valueType = parted.schema("_ffill_v").dataType
+    val orderType = narrow.schema(orderCol).dataType
+    val valueType = narrow.schema("_ffill_v").dataType
+    // compacted pid space over the nonempty partitions, in range order:
+    // boundaries = every partition's max orderCol except the last;
+    // carry(j) = last non-null value of any partition before j
+    val bounds = summary.dropRight(1).map(_.get(1)).toIndexedSeq
     var running: Any = null
-    val carries = (0 until n).map { p =>
+    val carries = summary.indices.map { j =>
       val c = running
-      summary.get(p).foreach(v => running = v)
-      Row(p, c)
+      if (!summary(j).isNullAt(2)) running = summary(j).get(2)
+      Row(j, c)
     }
     val carryDf = spark.createDataFrame(
       spark.sparkContext.parallelize(carries, 1),
@@ -73,7 +95,9 @@ object FfillRepair {
     val frameEnd = if (inclusive) 0L else -1L
     val w = Window.partitionBy(col(Pid)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, frameEnd)
-    parted
+    df.withColumn("_ffill_v", value)
+      .withColumn(Pid,
+        graft.plans.RangeBucket.bucket(col(orderCol), bounds, orderType))
       .join(broadcast(carryDf), Pid)
       .withColumn(out,
         coalesce(last(col("_ffill_v"), ignoreNulls = true).over(w), col(Carry)))

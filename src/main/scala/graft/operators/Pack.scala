@@ -42,42 +42,57 @@ object Pack {
     val spark = df.sparkSession
     val n = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
 
-    val parted = Pin.data(df
+    // SHAPE (round-19 rework, guide §2.3/§2.4 — the FfillRepair.prefixLast
+    // twin): the planning pass — range Exchange (whose reservoir-sampling
+    // job evaluates its whole input), pinned checkpoint, per-partition
+    // sums — runs over the NARROW (orderCol, value) projection only, so
+    // column pruning reaches the caller's scan and the checkpoint holds
+    // two columns, not (for the packing callers) the corpus text. The
+    // WIDE frame derives the SAME partition id from its order key with a
+    // literal binary search ([[graft.plans.RangeBucketExpr]] over each
+    // nonempty partition's collected upper bound) — never sampled, never
+    // checkpointed, shuffled exactly once by the window's hash Exchange.
+    // Branch consistency no longer rests on physical partitioning: the
+    // wide pid is a pure function of (orderCol value, boundaries).
+    // CONTRACT unchanged (unique total order) plus NON-NULL orderCol
+    // (boundaries are derived from its values).
+    val narrow = Pin.data(df
+      .select(col(orderCol),
+        coalesce(value.cast(LongType), lit(0L)).as("_pack_v"))
       .repartitionByRange(n, col(orderCol))
-      .withColumn(Pid, spark_partition_id())
-      .withColumn("_pack_v", coalesce(value.cast(LongType), lit(0L))))
-      // ^ pin pids (see scaladoc); GC-cleaned, not leaked
+      .withColumn(Pid, spark_partition_id()))
+      // ^ pin pids once (a persist could be evicted and recomputed with
+      //   different AQE coalescing); GC-cleaned, not leaked
 
-    // one partial sum per range partition, prefix-scanned into each
-    // partition's exclusive carry-in. The scan itself runs DRIVER-SIDE
-    // over the collected summary — ≤ `n` rows (the shuffle-partition
-    // count, a config constant, not a function of data volume) — the
-    // same parameter-sized carry collect as [[FfillRepair.prefixLast]].
-    // (Previously an unpartitioned WindowExec: correct and equally
-    // bounded, but its "No Partition Defined" warning was noise that
-    // masked real unbounded-window regressions.) Missing pids (empty
-    // partitions) contribute 0 and have no rows to join anyway.
-    val sums = parted.groupBy(col(Pid))
-      .agg(sum(col("_pack_v")).as("_s"))
+    // one row per NONEMPTY range partition: its orderCol upper bound
+    // and its partial sum, prefix-scanned DRIVER-SIDE into each
+    // partition's exclusive carry-in — ≤ `n` rows (the shuffle-partition
+    // count, a config constant, not a function of data volume).
+    val summary = narrow.groupBy(col(Pid))
+      .agg(max(col(orderCol)).as("_hi"), sum(col("_pack_v")).as("_s"))
       .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
+      .sortBy(_.getInt(0))
+    val orderType = narrow.schema(orderCol).dataType
+    // compacted pid space over the nonempty partitions in range order
+    val bounds = summary.dropRight(1).map(_.get(1)).toIndexedSeq
     var running = 0L
-    val carries = (0 until n).map { p =>
+    val carries = summary.indices.map { j =>
       val c = running
-      running += sums.getOrElse(p, 0L)
-      Row(p, c)
+      running += summary(j).getLong(2)
+      Row(j, c)
     }
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(carries, 1),
       StructType(Seq(StructField(Pid, IntegerType, nullable = false),
                      StructField(Off, LongType, nullable = false))))
 
-    // local exclusive cumsum within each partition + the partition's
-    // broadcast carry-in, both reading the pinned checkpoint
+    // local exclusive cumsum within each derived partition + the
+    // partition's broadcast carry-in
     val w = Window.partitionBy(col(Pid)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1L)
-    parted
+    df.withColumn("_pack_v", coalesce(value.cast(LongType), lit(0L)))
+      .withColumn(Pid,
+        graft.plans.RangeBucket.bucket(col(orderCol), bounds, orderType))
       .join(broadcast(offDf), Pid)
       .withColumn(out, coalesce(sum(col("_pack_v")).over(w), lit(0L)) + col(Off))
       .drop(Pid, Off, "_pack_v")

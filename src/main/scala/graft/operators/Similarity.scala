@@ -123,26 +123,11 @@ object Similarity {
               seed: Long = 42L, maxBucketSize: Int = 10000,
               onDroppedBuckets: Option[Long => Unit] = None,
               probes: Int = 1): DataFrame = {
-    val planeSets = (0 until tables).map(t =>
-      randomPlanes(planesPerTable, dim, seed + t))
-
-    def bucketed(df: DataFrame, id: String, vec: String,
-                 nProbes: Int): DataFrame = {
-      val perTable = planeSets.zipWithIndex.map { case (ps, t) =>
-        if (nProbes == 1)
-          array(concat_ws(":", lit(t),
-            graft.plans.SketchExpressions.hyperplaneBucket(col(vecCol), ps)))
-        else
-          transform(
-            graft.plans.SketchExpressions.hyperplaneProbes(col(vecCol), ps, nProbes),
-            b => concat_ws(":", lit(t), b))
-      }
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-        explode(flatten(array(perTable: _*))).as("_bucket"))
-    }
-
-    val q = bucketed(queries, "query_id", "_qv", probes)
-    val c0 = bucketed(corpus, "neighbor_id", "_cv", 1)
+    val planeSets = lshPlaneSets(tables, planesPerTable, dim, seed)
+    val q = lshBucketed(queries, idCol, vecCol, "query_id", "_qv",
+      planeSets, probes)
+    val c0 = lshBucketed(corpus, idCol, vecCol, "neighbor_id", "_cv",
+      planeSets, 1)
     val bucketCounts = c0.groupBy(col("_bucket"))
       .agg(count(lit(1)).as("_bc"))
     onDroppedBuckets.foreach { f =>
@@ -152,7 +137,74 @@ object Similarity {
       .filter(col("_bc") <= maxBucketSize)
       .select(col("_bucket"))
     val c = c0.join(broadcast(okBuckets), Seq("_bucket"), "left_semi")
+    lshRank(q, c, k)
+  }
 
+  /** Corpus-side LSH index prebuilt ONCE and shared across probe-dial
+    * settings (q129's two-dial experiment): identical bucketing + cap
+    * algebra to [[lshTopK]]'s corpus side, with the per-bucket counts
+    * PINNED (parameter-sized: ≤ tables × 2^planesPerTable rows) so N
+    * dial settings pay ONE corpus counts pass instead of N — the probe
+    * dial is query-side only, so the corpus index is provably identical
+    * across settings (guide §2.4). The returned frame stays LAZY (it
+    * carries vectors — materializing tables×corpus rows would cost more
+    * than the per-dial re-scan it saves); only the tiny counts pin cuts
+    * recomputation. Pin lifecycle: the param-sized blocks are
+    * ContextCleaner-released when the returned frame becomes
+    * unreachable (localCheckpoint blocks, no CacheManager entry). */
+  def lshCorpusIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                     dim: Int = 64, tables: Int = 8, planesPerTable: Int = 8,
+                     seed: Long = 42L, maxBucketSize: Int = 10000,
+                     onDroppedBuckets: Option[Long => Unit] = None): DataFrame = {
+    val planeSets = lshPlaneSets(tables, planesPerTable, dim, seed)
+    val c0 = lshBucketed(corpus, idCol, vecCol, "neighbor_id", "_cv",
+      planeSets, 1)
+    val bucketCounts = Pin.param(c0.groupBy(col("_bucket"))
+      .agg(count(lit(1)).as("_bc")))
+    onDroppedBuckets.foreach { f =>
+      f(bucketCounts.filter(col("_bc") > maxBucketSize).count())
+    }
+    val okBuckets = bucketCounts
+      .filter(col("_bc") <= maxBucketSize)
+      .select(col("_bucket"))
+    c0.join(broadcast(okBuckets), Seq("_bucket"), "left_semi")
+  }
+
+  /** [[lshTopK]] over a prebuilt [[lshCorpusIndex]] frame. The plane
+    * parameters (dim/tables/planesPerTable/seed) MUST match the index
+    * build — they deterministically derive the same hyperplanes. */
+  def lshTopKOnIndex(queries: DataFrame, cappedCorpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int = 10,
+                     dim: Int = 64, tables: Int = 8, planesPerTable: Int = 8,
+                     seed: Long = 42L, probes: Int = 1): DataFrame = {
+    val planeSets = lshPlaneSets(tables, planesPerTable, dim, seed)
+    val q = lshBucketed(queries, idCol, vecCol, "query_id", "_qv",
+      planeSets, probes)
+    lshRank(q, cappedCorpus, k)
+  }
+
+  private def lshPlaneSets(tables: Int, planesPerTable: Int, dim: Int,
+                           seed: Long): Seq[Seq[Seq[Double]]] =
+    (0 until tables).map(t => randomPlanes(planesPerTable, dim, seed + t))
+
+  private def lshBucketed(df: DataFrame, idCol: String, vecCol: String,
+                          id: String, vec: String,
+                          planeSets: Seq[Seq[Seq[Double]]],
+                          nProbes: Int): DataFrame = {
+    val perTable = planeSets.zipWithIndex.map { case (ps, t) =>
+      if (nProbes == 1)
+        array(concat_ws(":", lit(t),
+          graft.plans.SketchExpressions.hyperplaneBucket(col(vecCol), ps)))
+      else
+        transform(
+          graft.plans.SketchExpressions.hyperplaneProbes(col(vecCol), ps, nProbes),
+          b => concat_ws(":", lit(t), b))
+    }
+    df.select(col(idCol).as(id), col(vecCol).as(vec),
+      explode(flatten(array(perTable: _*))).as("_bucket"))
+  }
+
+  private def lshRank(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
     // dedup multi-table bucket collisions on the ID PAIR only — a
     // distinct over (ids, vectors) would compare/shuffle the full float
     // arrays as grouping keys; first() rides the vectors as values with

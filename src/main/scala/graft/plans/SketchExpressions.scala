@@ -485,6 +485,58 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Adjacent symbol pairs of a separator-encoded BPE token state
+  * string (BpeTrain's per-round pair extraction): the state encodes
+  * token t as U+001F t U+001F, tokens concatenated — so the token list
+  * is substring(1, len-1) split on the doubled inner separator, and the
+  * output is the (tokens[i], tokens[i+1]) struct array the pair-count
+  * aggregation explodes. Exactly the builtin composition it replaces
+  * (substr + split + filter(size>=2) + transform(sequence(..),
+  * struct(element_at..))) — that chain built a ~50-node expression tree
+  * re-ANALYZED every merge round (64-512 rounds per training run, ~90
+  * ms of driver wall each) and evaluated interpreted HOF lambdas with
+  * per-element allocation; this is one expression node and one fused
+  * JVM loop. Empty array (explode drops the row) when fewer than two
+  * tokens, exactly like the size filter it replaces. */
+case class BpeAdjacentPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", StringType, nullable = false),
+    StructField("b", StringType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_adjacent_pairs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // s = SEP t1 SEP SEP t2 SEP ... SEP tn SEP; tokens never contain SEP
+    if (s.length < 2) return new GenericArrayData(Array.empty[Any])
+    val toks = BpeAdjacentPairs.SepSep.split(s.substring(1, s.length - 1), -1)
+    if (toks.length < 2) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - 1)
+      var i = 0
+      while (i < toks.length - 1) {
+        out(i) = InternalRow(UTF8String.fromString(toks(i)),
+          UTF8String.fromString(toks(i + 1)))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeAdjacentPairs =
+    copy(child = newChild)
+}
+
+object BpeAdjacentPairs {
+  // precompiled: String.split over a multi-char pattern recompiles the
+  // regex on every row otherwise (LITERAL flag: the two separator chars
+  // match as plain text)
+  private val SepSep = java.util.regex.Pattern.compile("\u001f\u001f",
+    java.util.regex.Pattern.LITERAL)
+}
+
 /** Cosine similarity between two numeric arrays — the pairwise-verify
   * hot loop of the whole similarity family (semdedup / embedding
   * near-dup / ANN verify). IEEE-identical to the HOF formulation
@@ -760,6 +812,9 @@ object SketchExpressions {
 
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
+
+  def bpeAdjacentPairs(state: Column): Column =
+    ColumnBridge.column(BpeAdjacentPairs(ColumnBridge.expression(state)))
 
   def dupNgramFraction(tokens: Column, n: Int): Column =
     ColumnBridge.column(DupNgramFraction(ColumnBridge.expression(tokens), n))

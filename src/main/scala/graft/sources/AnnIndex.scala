@@ -744,8 +744,11 @@ object AnnIndex {
     * which physically drops the rows and clears the sets. */
   private def visibleUnion(spark: SparkSession, dir: String,
                            md: ManifestData): DataFrame = {
+    // tombstone sets share the fixed writer schema — explicit schema
+    // keeps the read inference-free (one footer job per tombstone per
+    // snapshot open otherwise; same class as the model-table reads)
     val tombFrames = md.tombs.map { t =>
-      t.id -> spark.read.parquet(s"$dir/tomb/${t.dirName}") }.toMap
+      t.id -> spark.read.schema(tombSchema).parquet(s"$dir/tomb/${t.dirName}") }.toMap
     // all segments of one index share a schema by protocol (append
     // re-encodes with the index's own model) — infer it ONCE from the
     // first segment and reuse, so opening an N-segment snapshot costs

@@ -80,4 +80,39 @@ class PinSpec extends AnyFunSuite {
     val pinned = Pin.data(spark.range(50).toDF("id"))
     assert(pinned.count() == 50)
   }
+
+  test("query-path pins do not accumulate across repeated invocations " +
+       "(ContextCleaner releases blocks once results are unreachable)") {
+    import org.apache.spark.sql.functions._
+    val sc = spark.sparkContext
+    // warm-up invocation so lazily-initialized session state doesn't
+    // count against the baseline
+    def invoke(): Unit = {
+      val df = spark.range(2000).toDF("id")
+        .select(col("id"), (col("id") % 17).cast("double").as("s"),
+          (col("id") % 3 === 0).as("y"))
+      graft.operators.Eval.prCurve(df, col("s"), col("y")).collect()
+      graft.operators.Eval.calibration(df, col("s"), col("y")).collect()
+      graft.operators.Dsir.resampleKeep(
+        spark.range(300).toDF("id")
+          .select(col("id"), concat(lit("tok"), col("id") % 40, lit(" x "),
+            col("id") % 7).as("text")),
+        "text", "id", isTarget = col("id") % 2 === 0).collect()
+    }
+    invoke()
+    System.gc(); Thread.sleep(500)
+    val base = sc.getPersistentRDDs.size
+    (1 to 4).foreach(_ => invoke())
+    // every result frame above is now unreachable — the pins inside
+    // prCurve/calibration/resampleKeep (and their prefix-scan internals)
+    // must be ContextCleaner-released on GC, not accumulate per call
+    val deadline = System.currentTimeMillis() + 30000
+    var live = sc.getPersistentRDDs.size
+    while (live > base && System.currentTimeMillis() < deadline) {
+      System.gc(); Thread.sleep(300)
+      live = sc.getPersistentRDDs.size
+    }
+    assert(live <= base,
+      s"pinned RDDs accumulated across invocations: baseline=$base live=$live")
+  }
 }
