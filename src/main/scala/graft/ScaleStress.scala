@@ -782,23 +782,29 @@ object ScaleStress {
     // MULTI-HOT-CELL PLANT (round-18 verdict finding #5): the single-cone
     // plant above exercises the policy serially — one over-bar cell at a
     // time — so "all over-bar cells split per pass" was asserted, not
-    // priced. Here FOUR orthogonal hot cones (spike dimension = vec_id %
-    // 4) each route into their own coarse cell of a codebook trained on
-    // the non-hot half, so the policy starts with k >= 2 simultaneously
+    // priced. Here FOUR orthogonal hot cones (one twin per base vector
+    // per cone, spiking dimension 0..3) each carry ~20% of the corpus
+    // and route into their own coarse cell of a codebook trained on the
+    // non-hot base only, so with a 2.0 imbalance bar (threshold
+    // 2/nlist = 12.5%) the policy starts with k >= 2 simultaneously
     // over-bar cells; batching evidence = passes STRICTLY below splits
     // (a serial policy pays one stats+split pass per split).
     if (wantExhibit("split_policy_multi") &&
         (only.exists(_.contains("split_policy_multi")) || factor <= 30)) {
       import graft.sources.AnnIndex
       val e = spark.read.parquet(s"$outDir/embeddings.parquet")
-      val hot = e.select(
-        (col("vec_id") + 50000000L).as("vec_id"),
-        transform(col("embedding"), (_, i) =>
-          when(i === pmod(col("vec_id"), lit(4)).cast("int"), lit(10.0f))
-            .otherwise(
-              (pmod(xxhash64(col("vec_id"), i), lit(100)).cast("float")
-                / lit(1000.0f)))).as("embedding"),
-        col("label"))
+      val hot = e
+        .select(col("vec_id"), col("embedding"), col("label"),
+          explode(array((0 until 4).map(lit): _*)).as("_cone"))
+        .select(
+          (col("vec_id") + (col("_cone") + 1).cast("long") * 50000000L)
+            .as("vec_id"),
+          transform(col("embedding"), (_, i) =>
+            when(i === col("_cone"), lit(10.0f))
+              .otherwise(
+                (pmod(xxhash64(col("vec_id"), col("_cone"), i), lit(100))
+                  .cast("float") / lit(1000.0f)))).as("embedding"),
+          col("label"))
       val corpus = e.unionByName(hot)
       val (cents, cbs) = QueriesText.ivfPqModel(e)
       val polRoot = graft.streaming.StreamHarness.scratch("split_policy_multi")
@@ -806,7 +812,7 @@ object ScaleStress {
       val tBuild = time2("split_policy_multi build") {
         AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", polDir, cents, cbs)
       }
-      val bar = 4.0
+      val bar = 2.0
       def stats(): (Double, Int, Long, Int) = {
         val idx = AnnIndex.load(spark, polDir)
         val st = AnnIndex.cellStats(idx).collect()

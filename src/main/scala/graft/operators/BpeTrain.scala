@@ -129,11 +129,12 @@ object BpeTrain {
           // apply ONLY the newest merge (one literal replace), prune
           // words that collapsed to a single token, re-pin; the next
           // round's pair-count job materializes the lazy pin. Measured
-          // per-round wall at 64 merges is ~150 ms on local[32] — all
-          // fixed job-scheduling cost (a broadcast-pair variant and an
-          // eager-pin variant both measured SLOWER), flat in the merge
-          // index, and amortized into real work once the vocabulary is
-          // production-sized.
+          // warm per-round wall at 64 merges on local[32]: ~188 ms with
+          // the builtin pair chain, ~122 ms with BpeAdjacentPairs —
+          // the rest is fixed job-scheduling cost (a broadcast-pair
+          // variant and an eager-pin variant both measured SLOWER),
+          // flat in the merge index, and amortized into real work once
+          // the vocabulary is production-sized.
           state = Pin.data(
             state.select(col("cnt"),
                 replace(col("s"), lit(SEP + a + SEP + SEP + b + SEP),

@@ -43,8 +43,17 @@ object CorpusPipeline {
       .withColumn("_ckey", md5(col(textCol)))
     val deduped = Dedup.keepFirst(scored, Seq("_ckey"), idCol)
     val train = deduped.filter(Split.bucket16(col(idCol)) < trainBuckets)
-    Pack.packByTokenBudget(train,
-        TextFunctions.tokenCount(col(textCol)), idCol, budget)
+    // pinned SLIM (3 columns, text dropped — the packing output never
+    // needs it): the prefix scan's planning pass AND its wide branch
+    // both consume this frame, and its lineage contains the dedup
+    // window (a corpus Exchange) — unpinned, that shuffle would run
+    // twice per execution (the Eval.auc hazard). Narrower than the
+    // pre-round-19 shape too: prefixSum used to checkpoint the full
+    // frame WITH text riding. GC-release lifecycle per Pin's contract.
+    val slim = graft.operators.Pin.data(train.select(col(idCol),
+      col("quality"),
+      TextFunctions.tokenCount(col(textCol)).as("n_tokens")))
+    Pack.packByTokenBudget(slim, col("n_tokens"), idCol, budget)
       .select(col(idCol), col("quality"), col("n_tokens"),
         col("tok_offset"), col("seq_first"))
   }
