@@ -105,13 +105,16 @@ object Components {
       .distinct()
 
     // Pin each round: a star pass references its input 3×, so the plan
-    // grows geometrically without the cut (see Pin for the trade-off)
-    var ee = Pin.data(input)
+    // grows geometrically without the cut (see Pin for the trade-off).
+    // Lazy pins (the BpeTrain pattern): the round's own count() is a
+    // full pass over the frame anyway, so materialization folds into it
+    // instead of paying a separate checkpoint job per round.
+    var ee = Pin.data(input, eager = false)
     var prevCount = ee.count()
     var iter = 0
     var converged = prevCount == 0L
     while (!converged && iter < maxIter) {
-      val next = Pin.data(smallStar(largeStar(ee)))
+      val next = Pin.data(smallStar(largeStar(ee)), eager = false)
       val nextCount = next.count()
       // edge sets are distinct frames: equal count + empty one-sided
       // difference ⇔ identical sets ⇔ star-forest fixpoint. The except

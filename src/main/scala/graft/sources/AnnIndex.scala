@@ -690,23 +690,20 @@ object AnnIndex {
     * and `spark.read.parquet` on it fails schema inference — on the
     * streaming path that failure replays forever (the wedged-checkpoint
     * trap). A data-file listing decides emptiness first. */
-  private def countSegment(spark: SparkSession,
-                           f: org.apache.hadoop.fs.FileSystem,
-                           seg: String,
-                           schema: Option[StructType] = None): Long = {
-    val it = f.listFiles(path(seg), true)
-    var hasData = false
-    while (!hasData && it.hasNext) {
-      val n = it.next().getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) hasData = true
-    }
-    // every caller just WROTE the segment and knows its schema — pass
-    // it through so the count is one metadata-only job instead of a
-    // footer-reading schema-inference job plus the count (count(*)
-    // materializes no columns, so the schema is never converted)
-    if (!hasData) 0L
-    else schema.fold(spark.read)(s => spark.read.schema(s))
-      .parquet(seg).count()
+  /** Write `df` as a parquet segment (optionally cell-partitioned) and
+    * return its row count, observed DURING the write job
+    * (`Dataset.observe` — a CollectMetrics node rides the written
+    * plan): the read-back count job and its directory re-listing per
+    * verb (the previous `countSegment`) are gone. Equal to counting
+    * the landed files for any successful write — segment/tombstone names are
+    * fresh per verb, so nothing else ever writes the path; on a failed
+    * write the caller never reaches the count. */
+  private def writeCounted(df: DataFrame, dest: String,
+                           cellPartitioned: Boolean): Long = {
+    val obs = new org.apache.spark.sql.Observation()
+    val w = df.observe(obs, count(lit(1)).as("n")).write.mode("overwrite")
+    (if (cellPartitioned) w.partitionBy("cell") else w).parquet(dest)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Encode `delta` with the index model and land it as segment
@@ -730,9 +727,7 @@ object AnnIndex {
     val enc = Pq.ivfPqEncode(graft.operators.Spread.toCores(delta), idCol,
         vecCol, centroids, cbs)
       .withColumnRenamed("_cell", "cell")
-    enc.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(seg)
-    countSegment(spark, fs(spark, dir), seg, Some(enc.schema))
+    writeCounted(enc.repartition(col("cell")), seg, cellPartitioned = true)
   }
 
   /** The snapshot's visible code union: each live segment masked by the
@@ -1004,9 +999,9 @@ object AnnIndex {
     val tombName = freshName("t-")
     val n = writeSegment(batch, idCol, vecCol, dir, segName, cents, cbs)
     if (n == 0) { f.delete(path(s"$dir/data/$segName"), true); return }
-    batch.select(col(idCol).cast("long").as("neighbor_id")).distinct()
-      .write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
-    val tn = countSegment(spark, f, s"$dir/tomb/$tombName", Some(tombSchema))
+    val tn = writeCounted(
+      batch.select(col(idCol).cast("long").as("neighbor_id")).distinct(),
+      s"$dir/tomb/$tombName", cellPartitioned = false)
     commitWithRetry(f, dir, (mid, md),
       m => m.copy(segs = m.segs :+ Art(m.nextId + 1, n, segName),
         tombs = m.tombs :+ Art(m.nextId, tn, tombName),
@@ -1050,9 +1045,9 @@ object AnnIndex {
     val (mid, md) = refresh(f, dir)
     maybeKill(dir, "stage")
     val tombName = freshName("t-")
-    ids.select(col(idCol).cast("long").as("neighbor_id")).distinct()
-      .write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
-    val n = countSegment(spark, f, s"$dir/tomb/$tombName", Some(tombSchema))
+    val n = writeCounted(
+      ids.select(col(idCol).cast("long").as("neighbor_id")).distinct(),
+      s"$dir/tomb/$tombName", cellPartitioned = false)
     if (n == 0) { f.delete(path(s"$dir/tomb/$tombName"), true); return }
     // a re-based delete applies AS OF ITS COMMIT: a fresh tombstone id
     // (> every committed segment) also masks matching rows a concurrent
@@ -1088,13 +1083,12 @@ object AnnIndex {
       if (md.segs.length <= 1 && md.tombs.isEmpty) return
       val segName = freshName("batch-")
       val union = visibleUnion(spark, dir, md)
-      val writer =
+      val n =
         if (union.columns.contains("cell"))
-          union.repartition(col("cell")).write.partitionBy("cell")
-        else union.write
-      writer.mode("overwrite").parquet(s"$dir/data/$segName")
-      val n = countSegment(spark, f, s"$dir/data/$segName",
-        Some(union.schema))
+          writeCounted(union.repartition(col("cell")),
+            s"$dir/data/$segName", cellPartitioned = true)
+        else writeCounted(union, s"$dir/data/$segName",
+          cellPartitioned = false)
       if (n == 0) {
         f.delete(path(s"$dir/data/$segName"), true)
         throw new IllegalStateException(
@@ -1154,11 +1148,8 @@ object AnnIndex {
     val segName = freshName("batch-")
     val copied = src.codes
       .select(col("neighbor_id"), col("_cell").as("cell"), col("codes"))
-    copied.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dstDir/data/$segName")
-    val n = countSegment(spark, f, s"$dstDir/data/$segName",
-      Some(copied.schema))
+    val n = writeCounted(copied.repartition(col("cell")),
+      s"$dstDir/data/$segName", cellPartitioned = true)
     if (n == 0) { f.delete(path(s"$dstDir/data/$segName"), true); return }
     commitWithRetry(f, dstDir, (mid, md),
       m => m.copy(segs = m.segs :+ Art(m.nextId, n, segName),
@@ -1337,9 +1328,8 @@ object AnnIndex {
     val segName = freshName("batch-")
     val tombName = freshName("t-")
     val n = writeSegment(hot, idCol, vecCol, dir, segName, newCents, idx.cbs)
-    memberIds.write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
-    val tn = countSegment(spark, f, s"$dir/tomb/$tombName",
-      Some(memberIds.schema))
+    val tn = writeCounted(memberIds, s"$dir/tomb/$tombName",
+      cellPartitioned = false)
     def cleanup(): Unit = {
       f.delete(path(s"$dir/data/$segName"), true)
       f.delete(path(s"$dir/tomb/$tombName"), true)
@@ -1632,25 +1622,20 @@ object AnnIndex {
                              m: graft.operators.Sq.Model,
                              centroids: Option[Array[Array[Double]]]): Long = {
     import graft.operators.Sq
-    val spark = delta.sparkSession
     val seg = s"$dir/data/$segName"
     val spread = graft.operators.Spread.toCores(delta)
-    val enc = centroids match {
+    centroids match {
       case None =>
-        val e = Sq.encode(spread, idCol, vecCol, m)
-        e.write.mode("overwrite").parquet(seg)
-        e
+        writeCounted(Sq.encode(spread, idCol, vecCol, m), seg,
+          cellPartitioned = false)
       case Some(cents) =>
         import graft.plans.SketchExpressions.nearestCentroids
         val e = spread.select(col(idCol).as("neighbor_id"),
             Sq.encodeExpr(col(vecCol), m).as("codes"),
             element_at(nearestCentroids(col(vecCol), cents, 1), 1).as("cell"))
           .withColumn("recon_norm", Sq.reconNormExpr(col("codes"), m))
-        e.repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell").parquet(seg)
-        e
+        writeCounted(e.repartition(col("cell")), seg, cellPartitioned = true)
     }
-    countSegment(spark, fs(spark, dir), seg, Some(enc.schema))
   }
 
   /** Build and atomically publish a fresh SQ8 index at `dir` — same
@@ -1767,9 +1752,9 @@ object AnnIndex {
     val tombName = freshName("t-")
     val n = writeSqSegment(batch, idCol, vecCol, dir, segName, model, cents)
     if (n == 0) { f.delete(path(s"$dir/data/$segName"), true); return }
-    batch.select(col(idCol).cast("long").as("neighbor_id")).distinct()
-      .write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
-    val tn = countSegment(spark, f, s"$dir/tomb/$tombName", Some(tombSchema))
+    val tn = writeCounted(
+      batch.select(col(idCol).cast("long").as("neighbor_id")).distinct(),
+      s"$dir/tomb/$tombName", cellPartitioned = false)
     commitWithRetry(f, dir, (mid, md),
       m => m.copy(segs = m.segs :+ Art(m.nextId + 1, n, segName),
         tombs = m.tombs :+ Art(m.nextId, tn, tombName),
@@ -1817,11 +1802,11 @@ object AnnIndex {
         "model/quantizer — codes are not comparable across models")
     val segName = freshName("batch-")
     val seg = s"$dstDir/data/$segName"
-    if (src.codes.columns.contains("cell"))
-      src.codes.repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(seg)
-    else src.codes.write.mode("overwrite").parquet(seg)
-    val n = countSegment(spark, f, seg, Some(src.codes.schema))
+    val n =
+      if (src.codes.columns.contains("cell"))
+        writeCounted(src.codes.repartition(col("cell")), seg,
+          cellPartitioned = true)
+      else writeCounted(src.codes, seg, cellPartitioned = false)
     if (n == 0) { f.delete(path(seg), true); return }
     commitWithRetry(f, dstDir, (mid, md),
       m => m.copy(segs = m.segs :+ Art(m.nextId, n, segName),
@@ -2054,9 +2039,8 @@ object AnnIndex {
     val tombName = freshName("t-")
     val n = writeSqSegment(hot, idCol, vecCol, dir, segName, idx.model,
       Some(newCents))
-    memberIds.write.mode("overwrite").parquet(s"$dir/tomb/$tombName")
-    val tn = countSegment(spark, f, s"$dir/tomb/$tombName",
-      Some(memberIds.schema))
+    val tn = writeCounted(memberIds, s"$dir/tomb/$tombName",
+      cellPartitioned = false)
     def cleanup(): Unit = {
       f.delete(path(s"$dir/data/$segName"), true)
       f.delete(path(s"$dir/tomb/$tombName"), true)
